@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.{Analytics, Relational, Strategies, TextSim}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory of SURVEY §2 expressed over the
+  * driver's testdata; `oracleSql` carries the DuckDB mirror for each.
+  * The implementations live in the graft.* library packages (graph,
+  * recommend, sim, text, functions) — the catalog objects are thin
+  * bindings from operator id → library call.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full Q1 "diverse" recommendation pipeline (candidate gen →
+    * score → category cap → softmax → top-3). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Strategies.queries("rec_q1_diverse")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Analytics.queries ++ TextSim.queries ++ Strategies.queries
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Analytics.oracles ++ TextSim.oracles ++ Strategies.oracles
 }

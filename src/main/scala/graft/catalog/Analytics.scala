@@ -1,0 +1,588 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.ColFns
+import graft.graph.{DegreeFeatures, GraphBuilder, GraphSql, Links}
+
+/** Operator catalog, part 2: aggregations (A), windows (W), scalar
+  * functions (F), sampling (R), event/stream-shaped queries —
+  * SURVEY §2.4, §2.5, §2.7, §2.8.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def graphPrelude(body: String): String =
+    s"WITH ${GraphSql.nodesCte},\n${GraphSql.edgesCte},\n$body"
+
+  // Flagship aggregation (map-side partial agg + single shuffle)
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).groupBy("l_returnflag", "l_linestatus").agg(
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(sum("l_extendedprice"), 2).as("sum_base_price"),
+      round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+      round(avg("l_quantity"), 6).as("avg_qty"),
+      count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // A1: node/edge histogram — the reference's graph invariant report
+  // (knowledge_graph_creation.py:217-226)
+  private def a1LabelCounts(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.fromTpch(spark, dir)
+    g.nodes.groupBy(col("label").as("name")).agg(count(lit(1)).as("cnt"))
+      .withColumn("kind", lit("node"))
+      .unionByName(
+        g.edges.groupBy(col("type").as("name")).agg(count(lit(1)).as("cnt"))
+          .withColumn("kind", lit("edge")))
+      .select("kind", "name", "cnt").orderBy("kind", "name")
+  }
+
+  // A2: degree per node (degree_analysis.py:25)
+  private def a2Degree(spark: SparkSession, dir: String): DataFrame =
+    DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges).orderBy("id")
+
+  // A3: global degree moments (degree_analysis.py:44-48)
+  private def a3DegreeMoments(spark: SparkSession, dir: String): DataFrame =
+    DegreeFeatures.degreeMoments(DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges))
+
+  // A4/W6: global degree percentile. Scale-safe: percent_rank is computed
+  // over the degree *histogram* (|distinct degrees| rows) and joined back,
+  // instead of a single-partition global window over every node.
+  private def a4DegreePercentile(spark: SparkSession, dir: String): DataFrame = {
+    val deg = DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges)
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, -1)
+    val total = hist.agg(sum("n")).first().getLong(0)
+    val ranked = hist.withColumn("smaller", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("degree_pct",
+        round(col("smaller").cast("double") / lit((total - 1).toDouble), 6))
+    deg.join(ranked.select("degree", "degree_pct"), "degree")
+      .select("id", "degree", "degree_pct").orderBy("id")
+  }
+
+  // A5/A7: per-label z-score + log1p degree transform (degree_analysis.py:55-73)
+  private def a5PerLabelZScore(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.fromTpch(spark, dir)
+    val deg = DegreeFeatures.degrees(g.edges)
+    val withLabel = deg.join(g.nodes.select("id", "label"), "id")
+    DegreeFeatures.groupedZScore(withLabel, "label")
+      .select("id", "label", "degree", "degree_z", "log_degree").orderBy("id")
+  }
+
+  // A6: per-community degree stats (degree_analysis.py:80-126); community =
+  // the customer's nation (the J8 partition-map join feeds this at scale)
+  private def a6PerCommunityStats(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.orders(spark, dir).groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("degree"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(purchases, Seq("c_custkey"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+    val w = Window.partitionBy("c_nationkey")
+    val mean = avg("degree").over(w)
+    val std = stddev_pop(col("degree")).over(w)
+    val pct = percent_rank().over(
+      Window.partitionBy("c_nationkey").orderBy("degree"))
+    cust.withColumn("degree_z", round(ColFns.safeZScore(col("degree"), mean, std), 6))
+      .withColumn("degree_pct", round(pct, 6))
+      .orderBy("c_custkey")
+  }
+
+  // A8: temporal recency/frequency with sentinel fallback
+  // (xgboost_model_training.py:147-160)
+  private def a8RecencyFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.fromTpch(spark, dir)
+    val custIds = g.nodes.filter(col("label") === "Customer").select("id")
+    val purchases = g.edges.filter(col("type") === "PURCHASED")
+    Links.recencyFrequency(custIds, purchases, "src",
+      java.sql.Timestamp.valueOf("2002-01-01 00:00:00"))
+      .select(col("id"), col("recency_days").cast("long").as("recency_days"),
+        col("frequency"))
+      .orderBy("id")
+  }
+
+  // A9: preferred category = modal brand among purchased products
+  // (category_enrichement.py:43-55)
+  private def a9PreferredCategory(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("customer"), col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("customer").orderBy(col("cnt").desc, col("brand").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("customer"), col("brand").as("preferred_brand"), col("cnt"))
+      .orderBy("customer")
+  }
+
+  // A11: K-fold out-of-fold target encoding with global-mean fallback
+  // (xgboost_training_for_big_data.py:160-238). Counts-only math — exact
+  // integer sums, then one double division — so it is engine-exact.
+  private def a11TargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        pmod(col("o_orderkey"), lit(5)).as("fold"),
+        when(col("o_totalprice") > 250000.0, 1L).otherwise(0L).as("target"))
+    val perFold = rows.groupBy("segment", "fold")
+      .agg(count(lit(1)).as("cnt"), sum("target").as("pos"))
+    val wSeg = Window.partitionBy("segment")
+    val wAll = Window.partitionBy()
+    perFold
+      .withColumn("seg_cnt", sum("cnt").over(wSeg))
+      .withColumn("seg_pos", sum("pos").over(wSeg))
+      .withColumn("glob_cnt", sum("cnt").over(wAll))
+      .withColumn("glob_pos", sum("pos").over(wAll))
+      .withColumn("te_oof",
+        round(when(col("seg_cnt") === col("cnt"),
+          col("glob_pos").cast("double") / col("glob_cnt"))
+          .otherwise((col("seg_pos") - col("pos")).cast("double") /
+            (col("seg_cnt") - col("cnt"))), 6))
+      .select("segment", "fold", "cnt", "pos", "te_oof")
+      .orderBy("segment", "fold")
+  }
+
+  // A12: class distribution / imbalance ratio
+  // (xgboost_training_for_big_data.py:505-510)
+  private def a12ClassDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.orders(spark, dir)
+      .select(when(col("o_totalprice") > 250000.0, 1L).otherwise(0L).as("label"))
+    labeled.groupBy("label").agg(count(lit(1)).as("cnt"))
+      .withColumn("ratio",
+        round(col("cnt").cast("double") / sum("cnt").over(Window.partitionBy()), 6))
+      .orderBy("label")
+  }
+
+  // A13: community summary (Louvain_community_algorithm.py:61-63)
+  private def a13CommunitySummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).agg(
+      countDistinct("c_nationkey").as("n_communities"),
+      round(count(lit(1)).cast("double") / countDistinct("c_nationkey"), 6)
+        .as("avg_community_size"))
+
+  // A14: timestamp diagnostics (topk_recommandations_diverse_nodiscounts.py:65-87)
+  private def a14TimestampDiagnostics(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      min("l_shipdate").as("min_ts"), max("l_shipdate").as("max_ts"),
+      count(lit(1)).as("n_edges"),
+      countDistinct(to_date(col("l_shipdate"))).as("n_distinct_days"))
+
+  // W2: deterministic top-n by model score (fallback path of the
+  // recommenders, topk_recommandations_diverse_nodiscounts.py:298-309)
+  private def w2TopNByScore(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.part(spark, dir)
+      .withColumn("score", ColFns.sigmoid(col("p_retailprice") / 1000.0 - 1.0))
+    // top-n via orderBy+limit (TakeOrderedAndProject — per-partition
+    // partial top-n, no single-partition global window); the rank window
+    // then runs over just the n surviving rows
+    val top = scored.orderBy(col("score").desc, col("p_partkey").asc).limit(10)
+    val w = Window.orderBy(col("score").desc, col("p_partkey").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("p_partkey"), round(col("score"), 6).as("score"))
+      .orderBy("rank")
+  }
+
+  // W3: per-category cap (topk_recommandations_diverse_nodiscounts.py:279-296)
+  private def w3CategoryCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(spark, dir).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+      .orderBy("p_brand", "rn")
+  }
+
+  // F1/F2/F4: string normalization surface
+  private def f1StringNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      ColFns.normValue(col("p_name")).as("name_norm"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      upper(trim(col("p_type"))).as("type_key"),
+      concat_ws("_", lit("part"), col("p_partkey"), col("p_brand")).as("node_id"))
+      .orderBy("p_partkey")
+
+  // F5/F6: multi-format date parse fallback chain
+  // (second_third_and_forth_data_injection.py:24-37)
+  private def f5MultiFormatDates(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val asText = o.withColumn("date_text",
+      when(pmod(col("o_orderkey"), lit(3)) === 0, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1, date_format(col("o_orderdate"), "MM-dd-yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+    asText.select(col("o_orderkey"), col("date_text"),
+      ColFns.multiFormatTs(col("date_text"),
+        Seq("MM/dd/yyyy", "MM-dd-yyyy", "yyyy-MM-dd"),
+        lit(java.sql.Timestamp.valueOf("2022-06-01 00:00:00"))).as("parsed"))
+      .orderBy("o_orderkey")
+  }
+
+  // F7/F8: date math + seasonal bands + deterministic discount
+  // (xgboost_mode_training_plus_dynamic_discount.py:73-89)
+  private def f7F8DateMath(spark: SparkSession, dir: String): DataFrame = {
+    val m = month(col("o_orderdate"))
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      m.as("order_month"),
+      when(m === 12, "holiday_peak").when(m.isin(6, 7, 11), "high_season")
+        .when(m.isin(1, 2, 8), "low_season").otherwise("regular").as("season_band"),
+      datediff(lit(java.sql.Date.valueOf("2002-06-01")), col("o_orderdate"))
+        .cast("long").as("days_before_ref"),
+      graft.recommend.Recommend.seasonalDiscount(col("o_orderkey"), m).as("discount"))
+      .orderBy("o_orderkey")
+  }
+
+  // F11: pairwise interaction features (xgboost_training_for_big_data.py:360-369)
+  private def f11Interactions(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * col("c_nationkey"), 6).as("bal_x_nation"),
+        round(col("c_acctbal") / (col("c_nationkey") + lit(1.0)), 6).as("bal_per_nation"),
+        round(pow(col("c_acctbal") / 1000.0, 2), 6).as("bal_sq"))
+      .orderBy("c_custkey")
+
+  // F13: temperature softmax within group (took_recommandations_softmaxsampling_discount.py:215-231)
+  private def f13Softmax(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+    val weight = exp(col("c_acctbal") / lit(1000.0) / lit(2.5))
+    Tables.customer(spark, dir)
+      .withColumn("prob", round(weight / sum(weight).over(w), 6))
+      .select(col("c_custkey"), col("c_mktsegment"), col("prob"))
+      .orderBy("c_custkey")
+  }
+
+  // R1: seeded fixed-fraction sample — hash-thinned, partitioning-proof
+  // (second_third_and_forth_data_injection.py:66-69; SURVEY §7.4 trap 9)
+  private def r1SeededSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(ColFns.pseudoUniform(col("o_orderkey"), 42L) < 0.05)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  // R3: edge dropout of 15% restricted to dvid=1
+  // (Node2vec_algorithm_inscripton.py:94-121)
+  private def r3EdgeDropout(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("key"),
+      (pmod(col("o_orderkey"), lit(5)) + 1).as("dvid"))
+    edges.filter(col("dvid") =!= 1 || ColFns.pseudoUniform(col("key"), 13L) > 0.15)
+      .groupBy("dvid").agg(count(lit(1)).as("kept"))
+      .orderBy("dvid")
+  }
+
+  // R4: stratified train/test split (xgboost_model_training.py:232-234)
+  private def r4StratifiedSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("split",
+        when(ColFns.pseudoUniform(col("o_orderkey"), 17L) < 0.8, "train").otherwise("test"))
+      .groupBy("o_orderstatus", "split").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus", "split")
+
+  // R5: deterministic gaussian-ish feature noise (xgboost_mode_training_plus_dynamic_discount.py:271-273)
+  private def r5FeatureNoise(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      round(col("c_acctbal") +
+        (ColFns.pseudoUniform(col("c_custkey"), 19L) - 0.5) * 0.01, 6).as("acctbal_noisy"))
+      .orderBy("c_custkey")
+
+  // R6: minority-class oversampling gate (xgboost_training_for_big_data.py:573-581)
+  private def r6Oversample(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.orders(spark, dir).select(col("o_orderkey"),
+      when(col("o_totalprice") > 450000.0, 1L).otherwise(0L).as("label"))
+    val minority = labeled.filter(col("label") === 1)
+      .filter(ColFns.pseudoUniform(col("o_orderkey"), 29L) < 0.5)
+    labeled.unionByName(minority).groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy("label")
+  }
+
+  // R7: weighted pick without replacement via inverse-CDF over an ordered
+  // cumulative-weight window (topk_recommandations_diverse_nodiscounts.py:279-296)
+  private def r7WeightedPick(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"), col("c_mktsegment").as("segment"),
+      greatest(col("c_acctbal"), lit(1.0)).as("w"))
+    val wCum = Window.partitionBy("segment").orderBy("ck")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wSeg = Window.partitionBy("segment")
+    val staged = c
+      .withColumn("cumw", sum("w").over(wCum))
+      .withColumn("tot", sum("w").over(wSeg))
+      .withColumn("u", ColFns.pseudoUniform(min("ck").over(wSeg), 23L))
+    val hits = staged.filter(col("cumw") >= col("u") * col("tot"))
+    val wPick = Window.partitionBy("segment").orderBy("cumw")
+    hits.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("segment"), col("ck").as("picked"))
+      .orderBy("segment")
+  }
+
+  // Event-stream shaped: tumbling window aggregation (the batch twin of
+  // the Structured Streaming path in graft.streaming)
+  private def e1EventWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  // Gap-based sessionization via lag + running conditional sum
+  private def e2Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withGap = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+    val withSession = withGap.withColumn("session_id",
+      sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withSession.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> (q1Agg(_, _)),
+    "a1_label_counts" -> (a1LabelCounts(_, _)),
+    "a2_degree" -> (a2Degree(_, _)),
+    "a3_degree_moments" -> (a3DegreeMoments(_, _)),
+    "a4_degree_percentile" -> (a4DegreePercentile(_, _)),
+    "a5_perlabel_zscore" -> (a5PerLabelZScore(_, _)),
+    "a6_percommunity_stats" -> (a6PerCommunityStats(_, _)),
+    "a8_recency_frequency" -> (a8RecencyFrequency(_, _)),
+    "a9_preferred_category" -> (a9PreferredCategory(_, _)),
+    "a11_target_encoding" -> (a11TargetEncoding(_, _)),
+    "a12_class_distribution" -> (a12ClassDistribution(_, _)),
+    "a13_community_summary" -> (a13CommunitySummary(_, _)),
+    "a14_timestamp_diagnostics" -> (a14TimestampDiagnostics(_, _)),
+    "w2_topn_by_score" -> (w2TopNByScore(_, _)),
+    "w3_category_cap" -> (w3CategoryCap(_, _)),
+    "f1_string_normalize" -> (f1StringNormalize(_, _)),
+    "f5_multiformat_dates" -> (f5MultiFormatDates(_, _)),
+    "f7_f8_date_math" -> (f7F8DateMath(_, _)),
+    "f11_interactions" -> (f11Interactions(_, _)),
+    "f13_softmax" -> (f13Softmax(_, _)),
+    "r1_seeded_sample" -> (r1SeededSample(_, _)),
+    "r3_edge_dropout" -> (r3EdgeDropout(_, _)),
+    "r4_stratified_split" -> (r4StratifiedSplit(_, _)),
+    "r5_feature_noise" -> (r5FeatureNoise(_, _)),
+    "r6_oversample" -> (r6Oversample(_, _)),
+    "r7_weighted_pick" -> (r7WeightedPick(_, _)),
+    "e1_event_windows" -> (e1EventWindows(_, _)),
+    "e2_sessionize" -> (e2Sessionize(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_quantity),6) AS avg_qty, count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a1_label_counts" -> graphPrelude(
+      """h AS (
+        |  SELECT 'node' AS kind, label AS name, count(*) AS cnt FROM nodes GROUP BY label
+        |  UNION ALL
+        |  SELECT 'edge', type, count(*) FROM edges GROUP BY type)
+        |SELECT kind, name, cnt FROM h ORDER BY kind, name""".stripMargin),
+    "a2_degree" -> graphPrelude(
+      """ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+        |SELECT id, count(*) AS degree FROM ends GROUP BY id ORDER BY id""".stripMargin),
+    "a3_degree_moments" -> graphPrelude(
+      """ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+        |deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id)
+        |SELECT round(avg(degree),6) AS mean_degree, round(stddev_pop(degree),6) AS std_degree,
+        |       count(*) AS n_nodes FROM deg""".stripMargin),
+    "a4_degree_percentile" -> graphPrelude(
+      """ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+        |deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id)
+        |SELECT id, degree, round(percent_rank() OVER (ORDER BY degree), 6) AS degree_pct
+        |FROM deg ORDER BY id""".stripMargin),
+    "a5_perlabel_zscore" -> graphPrelude(
+      """ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+        |deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id),
+        |j AS (SELECT d.id, n.label, d.degree FROM deg d JOIN nodes n ON d.id = n.id),
+        |s AS (SELECT *, avg(degree) OVER (PARTITION BY label) AS m,
+        |             stddev_pop(degree) OVER (PARTITION BY label) AS sd FROM j)
+        |SELECT id, label, degree,
+        |  round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0 ELSE (degree - m) / sd END, 6) AS degree_z,
+        |  round(ln(1.0 + degree), 6) AS log_degree
+        |FROM s ORDER BY id""".stripMargin),
+    "a6_percommunity_stats" ->
+      """WITH purch AS (SELECT o_custkey AS c_custkey, count(*) AS degree FROM orders GROUP BY o_custkey),
+        |cust AS (SELECT c.c_custkey, c.c_nationkey, coalesce(p.degree, 0) AS degree
+        |         FROM customer c LEFT JOIN purch p USING (c_custkey)),
+        |s AS (SELECT *, avg(degree) OVER (PARTITION BY c_nationkey) AS m,
+        |             stddev_pop(degree) OVER (PARTITION BY c_nationkey) AS sd,
+        |             percent_rank() OVER (PARTITION BY c_nationkey ORDER BY degree) AS pct
+        |      FROM cust)
+        |SELECT c_custkey, c_nationkey, degree,
+        |  round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0 ELSE (degree - m) / sd END, 6) AS degree_z,
+        |  round(pct, 6) AS degree_pct
+        |FROM s ORDER BY c_custkey""".stripMargin,
+    "a8_recency_frequency" ->
+      """WITH acts AS (
+        |  SELECT concat('cust_', o_custkey) AS id, max(o_orderdate) AS latest, count(*) AS frequency
+        |  FROM orders WHERE o_orderdate <= TIMESTAMP '2002-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT n.id,
+        |  coalesce(date_diff('day', CAST(latest AS DATE), DATE '2002-01-01'), 999) AS recency_days,
+        |  coalesce(frequency, 0) AS frequency
+        |FROM (SELECT concat('cust_', c_custkey) AS id FROM customer) n
+        |LEFT JOIN acts USING (id) ORDER BY id""".stripMargin,
+    "a9_preferred_category" ->
+      """WITH counts AS (
+        |  SELECT o_custkey AS customer, p_brand AS brand, count(*) AS cnt
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY o_custkey, p_brand),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY customer ORDER BY cnt DESC, brand ASC) AS rn
+        |      FROM counts)
+        |SELECT customer, brand AS preferred_brand, cnt FROM r WHERE rn = 1 ORDER BY customer""".stripMargin,
+    "a11_target_encoding" ->
+      """WITH rows_ AS (
+        |  SELECT c_mktsegment AS segment, o_orderkey % 5 AS fold,
+        |         CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END AS target
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |pf AS (SELECT segment, fold, count(*) AS cnt, sum(target) AS pos
+        |       FROM rows_ GROUP BY segment, fold),
+        |s AS (SELECT *, sum(cnt) OVER (PARTITION BY segment) AS seg_cnt,
+        |             sum(pos) OVER (PARTITION BY segment) AS seg_pos,
+        |             sum(cnt) OVER () AS glob_cnt, sum(pos) OVER () AS glob_pos
+        |      FROM pf)
+        |SELECT segment, fold, cnt, pos,
+        |  round(CASE WHEN seg_cnt = cnt THEN CAST(glob_pos AS DOUBLE) / glob_cnt
+        |        ELSE CAST(seg_pos - pos AS DOUBLE) / (seg_cnt - cnt) END, 6) AS te_oof
+        |FROM s ORDER BY segment, fold""".stripMargin,
+    "a12_class_distribution" ->
+      """WITH labeled AS (
+        |  SELECT CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END AS label FROM orders),
+        |g AS (SELECT label, count(*) AS cnt FROM labeled GROUP BY label)
+        |SELECT label, cnt, round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (), 6) AS ratio
+        |FROM g ORDER BY label""".stripMargin,
+    "a13_community_summary" ->
+      """SELECT count(DISTINCT c_nationkey) AS n_communities,
+        |  round(CAST(count(*) AS DOUBLE) / count(DISTINCT c_nationkey), 6) AS avg_community_size
+        |FROM customer""".stripMargin,
+    "a14_timestamp_diagnostics" ->
+      """SELECT min(l_shipdate) AS min_ts, max(l_shipdate) AS max_ts, count(*) AS n_edges,
+        |  count(DISTINCT CAST(l_shipdate AS DATE)) AS n_distinct_days
+        |FROM lineitem""".stripMargin,
+    "w2_topn_by_score" ->
+      """WITH scored AS (
+        |  SELECT p_partkey, 1.0/(1.0 + exp(-(p_retailprice/1000.0 - 1.0))) AS score FROM part),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, p_partkey ASC) AS rank FROM scored)
+        |SELECT rank, p_partkey, round(score, 6) AS score FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "w3_category_cap" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part)
+        |SELECT p_brand, rn, p_partkey, p_retailprice FROM r WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin,
+    "f1_string_normalize" ->
+      """SELECT p_partkey, lower(trim(p_name)) AS name_norm,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+        |  upper(trim(p_type)) AS type_key,
+        |  concat_ws('_', 'part', p_partkey, p_brand) AS node_id
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f5_multiformat_dates" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%m/%d/%Y')
+        |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m-%d-%Y')
+        |         ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_text
+        |  FROM orders)
+        |SELECT o_orderkey, date_text,
+        |  coalesce(try_strptime(date_text, '%m/%d/%Y'), try_strptime(date_text, '%m-%d-%Y'),
+        |           try_strptime(date_text, '%Y-%m-%d'), TIMESTAMP '2022-06-01 00:00:00') AS parsed
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+    "f7_f8_date_math" -> {
+      val disc = {
+        val u = ColFns.pseudoUniformSql("o_orderkey * 12 + month(o_orderdate)", 11L)
+        s"""CASE WHEN month(o_orderdate) = 12 THEN round(0.30 + $u * 0.20, 2)
+           |     WHEN month(o_orderdate) IN (6,7,11) THEN round(0.15 + $u * 0.15, 2)
+           |     WHEN month(o_orderdate) IN (1,2,8) THEN round(0.05 + $u * 0.10, 2)
+           |     ELSE round($u * 0.05, 2) END""".stripMargin
+      }
+      s"""SELECT o_orderkey, month(o_orderdate) AS order_month,
+         |  CASE WHEN month(o_orderdate) = 12 THEN 'holiday_peak'
+         |       WHEN month(o_orderdate) IN (6,7,11) THEN 'high_season'
+         |       WHEN month(o_orderdate) IN (1,2,8) THEN 'low_season'
+         |       ELSE 'regular' END AS season_band,
+         |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-06-01') AS days_before_ref,
+         |  $disc AS discount
+         |FROM orders ORDER BY o_orderkey""".stripMargin
+    },
+    "f11_interactions" ->
+      """SELECT c_custkey, round(c_acctbal * c_nationkey, 6) AS bal_x_nation,
+        |  round(c_acctbal / (c_nationkey + 1.0), 6) AS bal_per_nation,
+        |  round(power(c_acctbal / 1000.0, 2), 6) AS bal_sq
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "f13_softmax" ->
+      """WITH w AS (SELECT c_custkey, c_mktsegment, exp(c_acctbal / 1000.0 / 2.5) AS wt FROM customer)
+        |SELECT c_custkey, c_mktsegment,
+        |  round(wt / sum(wt) OVER (PARTITION BY c_mktsegment), 6) AS prob
+        |FROM w ORDER BY c_custkey""".stripMargin,
+    "r1_seeded_sample" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE ${ColFns.pseudoUniformSql("o_orderkey", 42L)} < 0.05
+         |ORDER BY o_orderkey""".stripMargin,
+    "r3_edge_dropout" ->
+      s"""WITH e AS (SELECT o_orderkey AS key, o_orderkey % 5 + 1 AS dvid FROM orders)
+         |SELECT dvid, count(*) AS kept FROM e
+         |WHERE dvid <> 1 OR ${ColFns.pseudoUniformSql("key", 13L)} > 0.15
+         |GROUP BY dvid ORDER BY dvid""".stripMargin,
+    "r4_stratified_split" ->
+      s"""WITH s AS (
+         |  SELECT o_orderstatus,
+         |    CASE WHEN ${ColFns.pseudoUniformSql("o_orderkey", 17L)} < 0.8 THEN 'train' ELSE 'test' END AS split
+         |  FROM orders)
+         |SELECT o_orderstatus, split, count(*) AS n FROM s
+         |GROUP BY o_orderstatus, split ORDER BY o_orderstatus, split""".stripMargin,
+    "r5_feature_noise" ->
+      s"""SELECT c_custkey,
+         |  round(c_acctbal + (${ColFns.pseudoUniformSql("c_custkey", 19L)} - 0.5) * 0.01, 6) AS acctbal_noisy
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "r6_oversample" ->
+      s"""WITH labeled AS (
+         |  SELECT o_orderkey, CASE WHEN o_totalprice > 450000.0 THEN 1 ELSE 0 END AS label FROM orders),
+         |aug AS (
+         |  SELECT label FROM labeled
+         |  UNION ALL
+         |  SELECT label FROM labeled
+         |  WHERE label = 1 AND ${ColFns.pseudoUniformSql("o_orderkey", 29L)} < 0.5)
+         |SELECT label, count(*) AS n FROM aug GROUP BY label ORDER BY label""".stripMargin,
+    "r7_weighted_pick" -> {
+      val u = ColFns.pseudoUniformSql("seed", 23L)
+      s"""WITH c AS (SELECT c_custkey AS ck, c_mktsegment AS segment,
+         |                  greatest(c_acctbal, 1.0) AS w FROM customer),
+         |x AS (SELECT *, sum(w) OVER (PARTITION BY segment ORDER BY ck ROWS UNBOUNDED PRECEDING) AS cumw,
+         |             sum(w) OVER (PARTITION BY segment) AS tot,
+         |             min(ck) OVER (PARTITION BY segment) AS seed
+         |      FROM c),
+         |y AS (SELECT *, row_number() OVER (PARTITION BY segment ORDER BY cumw) AS rn
+         |      FROM x WHERE cumw >= $u * tot)
+         |SELECT segment, ck AS picked FROM y WHERE rn = 1 ORDER BY segment""".stripMargin
+    },
+    "e1_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "e2_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |                     OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |      FROM g),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                       ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  date_diff('second', min(ts), max(ts)) AS duration_sec
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+}

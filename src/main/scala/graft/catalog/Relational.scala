@@ -1,0 +1,358 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.ColFns
+import graft.graph.Links
+
+/** Operator catalog, part 1: scans/sinks (S), predicates/projections (P),
+  * joins (J), set ops (U), limits (W5) — SURVEY §2.1–2.3, §2.6.
+  *
+  * Each entry is a (SparkSession, sfDir) => DataFrame paired with a
+  * DuckDB oracle over the same parquet tables. Results are made fully
+  * deterministic (explicit ORDER BY, rounded float aggregates, hash-based
+  * pseudo-randomness) so the driver's hash compare is stable.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir(name: String) = s"/tmp/graft_roundtrip/$name"
+
+  // S1: CSV scan + header normalization (First_Data_injection.py:33-43):
+  // write customer with reference-style messy headers, re-ingest with the
+  // snake_case normalizer, cast back to a declared schema.
+  private def s1CsvScan(spark: SparkSession, dir: String): DataFrame = {
+    val messy = Tables.customer(spark, dir)
+      .toDF("C-CustKey", "C Name", "C NationKey", "C AcctBal", "C MktSegment")
+    val path = tmpDir("s1_customer_csv")
+    messy.write.mode("overwrite").option("header", "true").csv(path)
+    val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    val renamed = raw.toDF(raw.columns.map(ColFns.normalizeName): _*)
+    renamed.select(
+      col("c_custkey").cast("long"), col("c_name"),
+      col("c_nationkey").cast("int"), col("c_acctbal").cast("double"),
+      col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  // S2: CSV scan + bad-row NOT-IN filter + value lowercase
+  // (First_Data_injection.py:55-72)
+  private def s2CsvBadRows(spark: SparkSession, dir: String): DataFrame = {
+    val messy = Tables.part(spark, dir)
+      .toDF("P-PartKey", "P Name", "P Brand", "P Type", "P Size", "P RetailPrice")
+    val path = tmpDir("s2_part_csv")
+    messy.write.mode("overwrite").option("header", "true").csv(path)
+    val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    val renamed = raw.toDF(raw.columns.map(ColFns.normalizeName): _*)
+    renamed
+      .filter(!col("p_brand").isin("Brand#1", "Brand#2"))
+      .select(col("p_partkey").cast("long"), col("p_name"), col("p_brand"),
+        lower(col("p_type")).as("type_norm"), col("p_size").cast("int"),
+        col("p_retailprice").cast("double"))
+      .orderBy("p_partkey")
+  }
+
+  // S4/S6: parquet sink + re-scan (the engine's canonical checkpoint)
+  private def s4ParquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(spark, dir).groupBy("o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("total_price"),
+        count(lit(1)).as("n_orders"))
+    val path = tmpDir("s4_orders_parquet")
+    agg.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).orderBy("o_orderstatus")
+  }
+
+  // P1: dropna any-column (First_Data_injection.py:40,69,91)
+  private def p1DropNa(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).na.drop("any").orderBy("o_orderkey")
+
+  // P2: dropna subset (First_Data_injection.py:126)
+  private def p2DropNaSubset(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).na.drop(Seq("ts", "user_id"))
+      .select("event_id", "user_id", "event_type").orderBy("event_id")
+
+  // P3: NOT-IN predicate + lowercase (First_Data_injection.py:62-66)
+  private def p3NotIn(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(!lower(col("event_type")).isin("error", "signup"))
+      .select(col("event_id"), lower(col("event_type")).as("event_type"))
+      .orderBy("event_id")
+
+  // P4: temporal training cutoff (First_Data_injection.py:12,127)
+  private def p4TemporalCutoff(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1997-06-30 00:00:00")))
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // P7: valid-product predicate (topk_recommandations_diverse_nodiscounts.py:189-201)
+  private def p7ValidProducts(spark: SparkSession, dir: String): DataFrame =
+    graft.recommend.Recommend.validProducts(Tables.part(spark, dir))
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+
+  // P10: projection + rename + row-local arithmetic
+  private def p10Projection(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+        .as("revenue"),
+      lower(col("l_returnflag")).as("flag"))
+      .orderBy("order_id", "line_no")
+
+  // J1: catalog enrichment via full-outer join + per-attr coalesce
+  // (knowledge_graph_creation.py:142-166)
+  private def j1FullOuterEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val usage = Tables.lineitem(spark, dir).groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("total_qty"))
+    Tables.part(spark, dir).select("p_partkey", "p_brand", "p_retailprice")
+      .join(usage, Seq("p_partkey"), "full_outer")
+      .select(col("p_partkey"),
+        coalesce(col("p_brand"), lit("UNKNOWN")).as("brand"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("total_qty"), lit(0.0)).as("total_qty"))
+      .orderBy("p_partkey")
+  }
+
+  // J2: versioned upsert — later dvid wins per key (knowledge_graph_creation.py:45-116)
+  private def j2Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // NB: no round() on the updated price — the raw double product is
+    // bitwise identical across engines, while round(x·1.1, 2) diverges on
+    // half-cent values (engines scale-and-round differently).
+    val inj1 = o.filter(pmod(col("o_orderkey"), lit(5)).isin(0, 1))
+      .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"), lit(1).as("dvid"))
+    val inj2 = o.filter(pmod(col("o_orderkey"), lit(5)).isin(1, 2))
+      .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        (col("o_totalprice") * 1.1).as("price"), lit(2).as("dvid"))
+    inj1.unionByName(inj2).groupBy("id")
+      .agg(max_by(col("status"), col("dvid")).as("status"),
+        max_by(col("price"), col("dvid")).as("price"),
+        max(col("dvid")).as("dvid"))
+      .orderBy("id")
+  }
+
+  // J3/G5/U3: 2-hop positive-pair extraction (xgboost_model_training.py:85-103)
+  private def j3TwoHop(spark: SparkSession, dir: String): DataFrame =
+    Links.positivePairs(graft.graph.GraphBuilder.fromTpch(spark, dir).edges)
+      .orderBy("customer", "product")
+
+  // J4/U2/R-family: deterministic hash-thinned negative sampling
+  // (xgboost_model_training.py:124-141)
+  private def j4NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Links.positivePairs(graft.graph.GraphBuilder.fromTpch(spark, dir).edges)
+    Links.negativePairs(Tables.customer(spark, dir), Tables.part(spark, dir),
+        pos, "c_custkey", "p_partkey")
+      .orderBy("customer", "product")
+  }
+
+  // J5: broadcast feature-lookup join (vs the reference's per-pair table
+  // scan, xgboost_model_training.py:163-167 — the single biggest perf win)
+  private def j5FeatureLookup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(20)) === 1)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("customer"), col("l_partkey").as("product"))
+      .distinct()
+    val custF = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("customer"), col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("segment"))
+    val partF = Tables.part(spark, dir)
+      .select(col("p_partkey").as("product"), col("p_retailprice").as("price"),
+        col("p_brand").as("brand"))
+    pairs.join(broadcast(custF), "customer").join(broadcast(partF), "product")
+      .select("customer", "product", "acctbal", "segment", "price", "brand")
+      .orderBy("customer", "product")
+  }
+
+  // J6: purchased-set exclusion (candidate generation anti-join,
+  // topk_recommandations_diverse_nodiscounts.py:218-226)
+  private def j6PurchasedExclusion(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(pmod(col("c_custkey"), lit(100)) === 1)
+      .select(col("c_custkey").as("customer"))
+    val valid = graft.recommend.Recommend.validProducts(Tables.part(spark, dir))
+      .select(col("p_partkey").as("product"))
+    val purchased = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("customer"), col("l_partkey").as("product"))
+      .distinct()
+    cust.crossJoin(valid)
+      .join(purchased, Seq("customer", "product"), "left_anti")
+      .orderBy("customer", "product")
+  }
+
+  // J8: dimension (community) lookup join, broadcast
+  // (xgboost_training_for_big_data.py:126-127)
+  private def j8CommunityJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"), col("r_name").as("region"))
+      .orderBy("c_custkey")
+
+  // U1: union of heterogeneous sources with missing columns
+  // (First_Data_injection.py:119-132)
+  private def u1UnionMissing(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("amount"),
+        col("o_orderstatus").as("status"))
+    val b = o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("amount"),
+        col("o_orderpriority").as("priority"))
+    a.unionByName(b, allowMissingColumns = true).orderBy("id")
+  }
+
+  // U3: distinct-projection dedup
+  private def u3Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select("l_returnflag", "l_linestatus")
+      .distinct().orderBy("l_returnflag", "l_linestatus")
+
+  // W5: deterministic head
+  private def w5Limit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).orderBy("o_orderkey")
+      .select("o_orderkey", "o_custkey", "o_orderstatus").limit(3)
+
+  val queries: Map[String, Q] = Map(
+    "s1_csv_scan_normalize" -> (s1CsvScan(_, _)),
+    "s2_csv_badrow_filter" -> (s2CsvBadRows(_, _)),
+    "s4_parquet_sink_roundtrip" -> (s4ParquetRoundtrip(_, _)),
+    "p1_dropna_any" -> (p1DropNa(_, _)),
+    "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
+    "p3_notin_filter" -> (p3NotIn(_, _)),
+    "p4_temporal_cutoff" -> (p4TemporalCutoff(_, _)),
+    "p7_valid_products" -> (p7ValidProducts(_, _)),
+    "p10_projection_rename" -> (p10Projection(_, _)),
+    "j1_full_outer_enrich" -> (j1FullOuterEnrich(_, _)),
+    "j2_versioned_upsert" -> (j2Upsert(_, _)),
+    "j3_two_hop_links" -> (j3TwoHop(_, _)),
+    "j4_negative_sampling" -> (j4NegativeSampling(_, _)),
+    "j5_feature_lookup_join" -> (j5FeatureLookup(_, _)),
+    "j6_purchased_exclusion" -> (j6PurchasedExclusion(_, _)),
+    "j8_community_join" -> (j8CommunityJoin(_, _)),
+    "u1_union_missing_columns" -> (u1UnionMissing(_, _)),
+    "u3_distinct_dedup" -> (u3Distinct(_, _)),
+    "w5_limit_head" -> (w5Limit(_, _)))
+
+  private val pu7 = ColFns.pseudoUniformSql("ck * 131 + pk", 7L)
+
+  val oracles: Map[String, String] = Map(
+    "s1_csv_scan_normalize" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "s2_csv_badrow_filter" ->
+      """SELECT p_partkey, p_name, p_brand, lower(p_type) AS type_norm, p_size, p_retailprice
+        |FROM part WHERE p_brand NOT IN ('Brand#1','Brand#2') ORDER BY p_partkey""".stripMargin,
+    "s4_parquet_sink_roundtrip" ->
+      """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "p1_dropna_any" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "p2_dropna_subset" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE ts IS NOT NULL AND user_id IS NOT NULL ORDER BY event_id""".stripMargin,
+    "p3_notin_filter" ->
+      """SELECT event_id, lower(event_type) AS event_type FROM events
+        |WHERE lower(event_type) NOT IN ('error','signup') ORDER BY event_id""".stripMargin,
+    "p4_temporal_cutoff" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p7_valid_products" ->
+      """SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
+        |WHERE p_size > 0 AND p_retailprice > 0 AND p_brand IS NOT NULL
+        |  AND p_brand NOT IN ('N/A','Unknown','')
+        |ORDER BY p_partkey""".stripMargin,
+    "p10_projection_rename" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |       l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS revenue,
+        |       lower(l_returnflag) AS flag
+        |FROM lineitem ORDER BY order_id, line_no""".stripMargin,
+    "j1_full_outer_enrich" ->
+      """WITH usage AS (
+        |  SELECT l_partkey AS p_partkey, count(*) AS n_lines, round(sum(l_quantity),2) AS total_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p.p_partkey,
+        |       coalesce(p.p_brand, 'UNKNOWN') AS brand,
+        |       coalesce(u.n_lines, 0) AS n_lines,
+        |       coalesce(u.total_qty, 0.0) AS total_qty
+        |FROM (SELECT p_partkey, p_brand, p_retailprice FROM part) p
+        |FULL OUTER JOIN usage u USING (p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "j2_versioned_upsert" ->
+      """WITH inj AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS price, 1 AS dvid
+        |  FROM orders WHERE o_orderkey % 5 IN (0,1)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1, 2
+        |  FROM orders WHERE o_orderkey % 5 IN (1,2))
+        |SELECT id, max_by(status, dvid) AS status, max_by(price, dvid) AS price, max(dvid) AS dvid
+        |FROM inj GROUP BY id ORDER BY id""".stripMargin,
+    "j3_two_hop_links" ->
+      """SELECT DISTINCT concat('cust_', o_custkey) AS customer, concat('part_', l_partkey) AS product
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY customer, product""".stripMargin,
+    "j4_negative_sampling" ->
+      s"""WITH pos AS (
+         |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |cand AS (
+         |  SELECT c.ck, p.pk
+         |  FROM (SELECT c_custkey AS ck FROM customer WHERE c_custkey % 10 = 0) c
+         |  CROSS JOIN (SELECT p_partkey AS pk FROM part WHERE p_partkey % 25 = 0) p
+         |  WHERE $pu7 < 0.2)
+         |SELECT concat('cust_', ck) AS customer, concat('part_', pk) AS product
+         |FROM cand
+         |WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.ck = cand.ck AND pos.pk = cand.pk)
+         |ORDER BY customer, product""".stripMargin,
+    "j5_feature_lookup_join" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS customer, l_partkey AS product
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 20 = 1)
+        |SELECT pr.customer, pr.product, c.c_acctbal AS acctbal, c.c_mktsegment AS segment,
+        |       p.p_retailprice AS price, p.p_brand AS brand
+        |FROM pairs pr
+        |JOIN customer c ON c.c_custkey = pr.customer
+        |JOIN part p ON p.p_partkey = pr.product
+        |ORDER BY pr.customer, pr.product""".stripMargin,
+    "j6_purchased_exclusion" ->
+      """WITH cust AS (SELECT c_custkey AS customer FROM customer WHERE c_custkey % 100 = 1),
+        |valid AS (SELECT p_partkey AS product FROM part
+        |          WHERE p_size > 0 AND p_retailprice > 0 AND p_brand IS NOT NULL
+        |            AND p_brand NOT IN ('N/A','Unknown','')),
+        |purchased AS (SELECT DISTINCT o_custkey AS customer, l_partkey AS product
+        |              FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT c.customer, v.product FROM cust c CROSS JOIN valid v
+        |WHERE NOT EXISTS (SELECT 1 FROM purchased p
+        |                  WHERE p.customer = c.customer AND p.product = v.product)
+        |ORDER BY customer, product""".stripMargin,
+    "j8_community_join" ->
+      """SELECT c_custkey, n_name AS nation, r_name AS region
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "u1_union_missing_columns" ->
+      """SELECT o_orderkey AS id, o_totalprice AS amount, o_orderstatus AS status,
+        |       CAST(NULL AS VARCHAR) AS priority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, NULL, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY id""".stripMargin,
+    "u3_distinct_dedup" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "w5_limit_head" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 3""".stripMargin)
+}

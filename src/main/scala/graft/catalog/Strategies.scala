@@ -1,0 +1,89 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ColFns
+import graft.recommend.Recommend
+
+/** Operator catalog, part 4: the four recommendation strategies
+  * (SURVEY §2.9 Q1–Q4) end-to-end, for every 50th customer at a
+  * simulated December query date. Each runs the full candidate-gen →
+  * score → strategy-transform → category-cap → softmax → top-3 pipeline.
+  */
+object Strategies {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def run(name: String)(spark: SparkSession, dir: String): DataFrame =
+    Recommend.topK(spark, dir, name,
+      customerFilter = pmod(col("c_custkey"), lit(50)) === 1,
+      queryMonth = 12, topN = 3, candidateCap = 2000)
+
+  val queries: Map[String, Q] = Map(
+    "rec_q1_diverse" -> (run("diverse")(_, _)),
+    "rec_q2_softmax" -> (run("softmax")(_, _)),
+    "rec_q3_stochastic" -> (run("stochastic")(_, _)),
+    "rec_q4_adam" -> (run("adam")(_, _)))
+
+  /** DuckDB mirror of Recommend.topK for a given strategy. Every numeric
+    * step reproduces the Scala pipeline exactly (same formulas, same
+    * deterministic pseudo-randomness, same tie-breaks). */
+  private def oracle(st: Recommend.Strategy): String = {
+    val uCand = ColFns.pseudoUniformSql("customer * 131071 + product", 3L)
+    val uDisc = ColFns.pseudoUniformSql("product * 12 + 12", 11L)
+    val disc = s"round(0.30 + $uDisc * 0.20, 2)" // December band
+    val p0 = s"(1.0/(1.0 + exp(-(acctbal/5000.0 + (price * (1.0 - $disc))/2000.0 - 2.0))))"
+    val uNoise = ColFns.pseudoUniformSql("customer * 524287 + product", 5L)
+    val pExpr =
+      if (st.noiseScale == 0.0) p0
+      else s"least(greatest($p0 + ($uNoise - 0.5) * ${2 * st.noiseScale}, 0.000001), 0.999999)"
+    val weight =
+      if (st.uniformMix > 0.0)
+        s"""exp((CAST(${st.uniformMix} AS DOUBLE) / (count(*) OVER (PARTITION BY customer)) +
+           |     CAST(${1.0 - st.uniformMix} AS DOUBLE) * (p / sum(p) OVER (PARTITION BY customer)) +
+           |     CAST(${st.smoothing} AS DOUBLE)) / CAST(${st.temperature} AS DOUBLE))""".stripMargin
+      else {
+        val q = "least(greatest(p, 0.000001), 0.999999)"
+        s"exp(ln($q / (1.0 - $q)) / ${st.temperature})"
+      }
+    s"""WITH cust AS (
+       |  SELECT c_custkey AS customer, c_acctbal AS acctbal FROM customer
+       |  WHERE c_custkey % 50 = 1),
+       |parts AS (
+       |  SELECT p_partkey AS product, p_brand AS category, p_retailprice AS price
+       |  FROM part WHERE p_size > 0 AND p_retailprice > 0 AND p_brand IS NOT NULL
+       |    AND p_brand NOT IN ('N/A','Unknown','')),
+       |purchased AS (
+       |  SELECT DISTINCT o_custkey AS customer, l_partkey AS product
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |cand0 AS (
+       |  SELECT c.customer, c.acctbal, p.product, p.category, p.price
+       |  FROM cust c CROSS JOIN parts p
+       |  WHERE NOT EXISTS (SELECT 1 FROM purchased q
+       |                    WHERE q.customer = c.customer AND q.product = p.product)),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT c0.*, row_number() OVER (PARTITION BY customer
+       |      ORDER BY $uCand, product) AS cand_rn FROM cand0 c0)
+       |  WHERE cand_rn <= 2000),
+       |scored AS (SELECT customer, acctbal, product, category, price, $pExpr AS p FROM cand),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT s.*, row_number() OVER (PARTITION BY customer, category
+       |      ORDER BY p DESC, product ASC) AS cat_rn FROM scored s)
+       |  WHERE cat_rn <= ${st.categoryCap}),
+       |weighted AS (SELECT *, $weight AS w FROM capped),
+       |final AS (
+       |  SELECT customer, product, category, w / sum(w) OVER (PARTITION BY customer) AS prob
+       |  FROM weighted)
+       |SELECT customer, rank, product, category, round(prob, 6) AS prob
+       |FROM (SELECT f.*, row_number() OVER (PARTITION BY customer
+       |        ORDER BY prob DESC, product ASC) AS rank FROM final f)
+       |WHERE rank <= 3 ORDER BY customer, rank""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "rec_q1_diverse" -> oracle(Recommend.strategies("diverse")),
+    "rec_q2_softmax" -> oracle(Recommend.strategies("softmax")),
+    "rec_q3_stochastic" -> oracle(Recommend.strategies("stochastic")),
+    "rec_q4_adam" -> oracle(Recommend.strategies("adam")))
+}

@@ -1,0 +1,289 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sim.Similarity
+import graft.text.{Dedup, TextAnalysis}
+
+/** Operator catalog, part 3: the LLM-training-data pipeline operators —
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * near-dup), similarity search (brute-force + LSH ANN), text analysis
+  * (language-ID, quality, tokens, fingerprint) over the `documents` and
+  * `embeddings` tables.
+  */
+object TextSim {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DIM = 64
+
+  // ---- dedup ----
+
+  private def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text").orderBy("content_hash")
+
+  private def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("band", "sig", "doc_a", "doc_b")
+
+  private def d3Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  private def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
+        bucket = col("n_chars"), n = 5, minJaccard = 0.1)
+      .orderBy("doc_a", "doc_b")
+
+  private def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+    a.join(b, col("src") < col("dst"))
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cos") >= 0.4)
+      .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"))
+      .orderBy("src", "dst")
+  }
+
+  // ---- similarity search ----
+
+  private def simBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+      .orderBy("src", "rn")
+  }
+
+  private def simLshTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        dim = DIM, nPlanes = 8, k = 5)
+      .orderBy("src", "rn")
+
+  private def a10SimilarityStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.similarityStats(
+        Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5))
+      .orderBy("src")
+  }
+
+  // ---- text analysis ----
+
+  private def t1LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private def t2Quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(
+        Tables.documents(spark, dir).select("doc_id", "text"), "text")
+      .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio")
+      .orderBy("doc_id")
+
+  private def t3TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("word_tokens"))
+      .orderBy("doc_id")
+
+  private def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+
+  // Multimodal plumbing: opaque binary column + typed metadata. The text
+  // column stands in for the payload; decode is a stub by design (no
+  // codec libs in this container) — the schema/partition/metadata path is
+  // the real, tested surface (see graft.multimodal for the mapInPandas-
+  // equivalent batch decoder).
+  private def mm1BinaryMetadata(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text").cast("binary")).cast("long").as("byte_len"),
+      md5(col("text").cast("binary")).as("payload_md5"),
+      col("source"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup(_, _)),
+    "d2_minhash_lsh" -> (d2MinhashLsh(_, _)),
+    "d3_simhash" -> (d3Simhash(_, _)),
+    "d4_ngram_jaccard" -> (d4NgramJaccard(_, _)),
+    "d5_embedding_neardup" -> (d5EmbeddingNearDup(_, _)),
+    "j7_knn_topk" -> (simBruteTopK(_, _)),
+    "sim_lsh_topk" -> (simLshTopK(_, _)),
+    "a10_similarity_stats" -> (a10SimilarityStats(_, _)),
+    "t1_language_id" -> (t1LangId(_, _)),
+    "t2_quality_score" -> (t2Quality(_, _)),
+    "t3_token_count" -> (t3TokenCount(_, _)),
+    "t4_fingerprint" -> (t4Fingerprint(_, _)),
+    "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)))
+
+  // ---- oracles ----
+
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(norm) - 4, 1)),
+      |      i -> substr(norm, i, 5))) AS sh
+      |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |        FROM documents))""".stripMargin
+
+  private def minhashSql(j: Int): String =
+    s"list_min(list_transform(sh, s -> md5(concat('$j', '|', s))))"
+
+  private val langHitCols: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    langs.map { l =>
+      val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(toks, x -> list_contains($words, x))) AS h_$l"
+    }.mkString(", ")
+  }
+
+  private val langArgmax: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val hits = langs.map(l => s"h_$l").mkString(", ")
+    val chain = langs.map(l => s"WHEN h_$l = greatest($hits) THEN '$l'").mkString(" ")
+    s"CASE WHEN greatest($hits) = 0 THEN 'und' $chain END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "d2_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |signed AS (
+         |  SELECT doc_id AS doc,
+         |    concat_ws('_', ${minhashSql(0)}, ${minhashSql(1)}) AS band_0,
+         |    concat_ws('_', ${minhashSql(2)}, ${minhashSql(3)}) AS band_1
+         |  FROM sh),
+         |bands AS (
+         |  SELECT 0 AS band, band_0 AS sig, doc FROM signed
+         |  UNION ALL
+         |  SELECT 1, band_1, doc FROM signed)
+         |SELECT DISTINCT a.band AS band, a.sig AS sig, a.doc AS doc_a, b.doc AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "d3_simhash" -> {
+      val bitTerms = (0 until 16).map { i =>
+        s"""(CASE WHEN list_sum(list_transform(toks, t ->
+           |  CASE WHEN substr(md5(t), ${i + 1}, 1) IN ('1','3','5','7','9','b','d','f')
+           |       THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+         |  FROM documents)
+         |SELECT doc_id, ($bitTerms) AS simhash FROM t ORDER BY doc_id""".stripMargin
+    },
+    "d4_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |base AS (SELECT s.doc_id AS doc, d.n_chars AS bucket, s.sh
+         |         FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+         |sizes AS (SELECT doc, bucket, len(sh) AS n_sh FROM base),
+         |ex AS (SELECT doc, bucket, unnest(sh) AS s FROM base),
+         |inter AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+         |  FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.s = b.s AND a.doc < b.doc
+         |  GROUP BY a.doc, b.doc)
+         |SELECT doc_a, doc_b, n_inter,
+         |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc = doc_a
+         |JOIN sizes sb ON sb.doc = doc_b
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d5_embedding_neardup" -> {
+      val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
+         |           FROM embeddings)
+         |SELECT a.vec_id AS src, b.vec_id AS dst,
+         |  round($dotAB / (a.nrm * b.nrm), 6) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE $dotAB / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY src, dst""".stripMargin
+    },
+    "j7_knn_topk" -> {
+      val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
+         |           FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |      FROM scored)
+         |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= 5 ORDER BY src, rn""".stripMargin
+    },
+    "sim_lsh_topk" -> {
+      val bucket = Similarity.lshBucketSql("embedding", DIM, 8)
+      val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
+      s"""WITH n AS (SELECT vec_id, embedding, $bucket AS bucket,
+         |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
+         |           FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |      FROM scored)
+         |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= 5 ORDER BY src, rn""".stripMargin
+    },
+    "a10_similarity_stats" -> {
+      val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
+         |           FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |      FROM scored),
+         |topk AS (SELECT src, round(cos, 6) AS cos FROM r WHERE rn <= 5)
+         |SELECT src, round(avg(cos), 6) AS avg_sim, round(max(cos), 6) AS max_sim,
+         |  round(min(cos), 6) AS min_sim, count(*) AS n_sim
+         |FROM topk GROUP BY src ORDER BY src""".stripMargin
+    },
+    "t1_language_id" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |h AS (SELECT doc_id, $langHitCols FROM t)
+         |SELECT doc_id, $langArgmax AS lang_pred FROM h ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    len(text) AS n_char,
+        |    len(text) - len(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','and','of','to','in','is','that'], x))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  round(CASE WHEN n_tokens = 0 THEN 0.0
+        |        ELSE CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / n_tokens END, 6) AS avg_token_len,
+        |  round(CASE WHEN n_char = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_char END, 6) AS punct_ratio,
+        |  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END, 6) AS stopword_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(text) = 0 THEN 0
+        |       ELSE list_sum(list_transform(generate_series(1, len(text)),
+        |              i -> i * ascii(substr(text, i, 1)))) % 1000000007 END AS fp,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm1_binary_metadata" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5, source
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,134 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** The engine's canonical graph representation: a pair of DataFrames
+  * (SURVEY §1.1) —
+  *   nodes(id, label, community, category, weight, dvid)
+  *   edges(src, dst, type, ts, qty, dvid)
+  *
+  * This is the load-bearing design decision vs the reference's
+  * networkx.DiGraph (knowledge_graph_creation.py:39): columnar, columnar-
+  * pruned, dvid-partitionable, and join-oriented. At 100 TB the nodes and
+  * edges tables are parquet partitioned by `dvid` (incremental injections
+  * append a partition; P9 predicates become partition pruning) and edges
+  * are additionally bucketable by `src` for co-located traversal joins.
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame)
+
+object GraphBuilder {
+
+  /** Build the e-commerce knowledge graph from the TPC-H-ish testdata,
+    * mirroring the reference's graph schema (knowledge_graph_creation.py:
+    * 45-116): Customer/Order/Product/Category nodes; PURCHASED (customer→
+    * order), CONTAINS (order→product), BELONGS_TO (product→category).
+    *
+    * `dvid` is synthesized deterministically from the order key (the
+    * reference tags injections 1..5; First_Data_injection.py:13).
+    */
+  def fromTpch(spark: SparkSession, dir: String): PropertyGraph = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+
+    val custNodes = cust.select(
+      concat(lit("cust_"), col("c_custkey")).as("id"),
+      lit("Customer").as("label"),
+      col("c_nationkey").cast("long").as("community"),
+      col("c_mktsegment").as("category"),
+      col("c_acctbal").as("weight"),
+      lit(1).as("dvid"))
+
+    val orderNodes = ord.select(
+      concat(lit("ord_"), col("o_orderkey")).as("id"),
+      lit("Order").as("label"),
+      lit(null).cast("long").as("community"),
+      col("o_orderstatus").as("category"),
+      col("o_totalprice").as("weight"),
+      (pmod(col("o_orderkey"), lit(5)) + 1).cast("int").as("dvid"))
+
+    val partNodes = part.select(
+      concat(lit("part_"), col("p_partkey")).as("id"),
+      lit("Product").as("label"),
+      lit(null).cast("long").as("community"),
+      col("p_brand").as("category"),
+      col("p_retailprice").as("weight"),
+      lit(1).as("dvid"))
+
+    val categoryNodes = part.select(col("p_brand")).distinct().select(
+      concat(lit("brand_"), col("p_brand")).as("id"),
+      lit("Category").as("label"),
+      lit(null).cast("long").as("community"),
+      col("p_brand").as("category"),
+      lit(null).cast("double").as("weight"),
+      lit(1).as("dvid"))
+
+    val nodes = custNodes.unionByName(orderNodes)
+      .unionByName(partNodes).unionByName(categoryNodes)
+
+    val purchased = ord.select(
+      concat(lit("cust_"), col("o_custkey")).as("src"),
+      concat(lit("ord_"), col("o_orderkey")).as("dst"),
+      lit("PURCHASED").as("type"),
+      col("o_orderdate").as("ts"),
+      lit(null).cast("double").as("qty"),
+      (pmod(col("o_orderkey"), lit(5)) + 1).cast("int").as("dvid"))
+
+    val contains = li.select(
+      concat(lit("ord_"), col("l_orderkey")).as("src"),
+      concat(lit("part_"), col("l_partkey")).as("dst"),
+      lit("CONTAINS").as("type"),
+      col("l_shipdate").as("ts"),
+      col("l_quantity").as("qty"),
+      (pmod(col("l_orderkey"), lit(5)) + 1).cast("int").as("dvid"))
+
+    val belongsTo = part.select(
+      concat(lit("part_"), col("p_partkey")).as("src"),
+      concat(lit("brand_"), col("p_brand")).as("dst"),
+      lit("BELONGS_TO").as("type"),
+      lit(null).cast("timestamp").as("ts"),
+      lit(null).cast("double").as("qty"),
+      lit(1).as("dvid"))
+
+    val edges = purchased.unionByName(contains).unionByName(belongsTo)
+    PropertyGraph(nodes, edges)
+  }
+}
+
+/** DuckDB-SQL mirrors of GraphBuilder, used as CTE preludes inside oracle
+  * queries so the correctness driver replays the exact same graph.
+  * Kept adjacent to the Scala builders: any change must edit both.
+  */
+object GraphSql {
+  val nodesCte: String =
+    """nodes AS (
+      |  SELECT concat('cust_', c_custkey) AS id, 'Customer' AS label,
+      |         CAST(c_nationkey AS BIGINT) AS community, c_mktsegment AS category,
+      |         c_acctbal AS weight, 1 AS dvid FROM customer
+      |  UNION ALL
+      |  SELECT concat('ord_', o_orderkey), 'Order', NULL, o_orderstatus,
+      |         o_totalprice, CAST(o_orderkey % 5 + 1 AS INT) FROM orders
+      |  UNION ALL
+      |  SELECT concat('part_', p_partkey), 'Product', NULL, p_brand,
+      |         p_retailprice, 1 FROM part
+      |  UNION ALL
+      |  SELECT concat('brand_', p_brand), 'Category', NULL, p_brand, NULL, 1
+      |  FROM (SELECT DISTINCT p_brand FROM part)
+      |)""".stripMargin
+
+  val edgesCte: String =
+    """edges AS (
+      |  SELECT concat('cust_', o_custkey) AS src, concat('ord_', o_orderkey) AS dst,
+      |         'PURCHASED' AS type, o_orderdate AS ts, CAST(NULL AS DOUBLE) AS qty,
+      |         CAST(o_orderkey % 5 + 1 AS INT) AS dvid FROM orders
+      |  UNION ALL
+      |  SELECT concat('ord_', l_orderkey), concat('part_', l_partkey), 'CONTAINS',
+      |         l_shipdate, l_quantity, CAST(l_orderkey % 5 + 1 AS INT) FROM lineitem
+      |  UNION ALL
+      |  SELECT concat('part_', p_partkey), concat('brand_', p_brand), 'BELONGS_TO',
+      |         NULL, NULL, 1 FROM part
+      |)""".stripMargin
+}

@@ -1,0 +1,130 @@
+package graft.recommend
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.ColFns
+
+/** Top-k recommendation strategies (SURVEY §2.9 Q1–Q4) re-expressed as a
+  * single parameterized columnar pipeline:
+  *
+  *   candidates (P7 valid ∖ J6 purchased) → deterministic score →
+  *   strategy transform (logit/temperature/noise/mixture) →
+  *   per-category cap (W3) → softmax normalize → top-n (W2)
+  *
+  * vs the reference's four near-copied scripts
+  * (topk_recommandations_*.py). Differences by design:
+  *  - the model score is a pure column function here (the MLlib scorer
+  *    plugs into the same `score` slot);
+  *  - all randomness is hash-based (ColFns.pseudoUniform), restoring
+  *    referential transparency (SURVEY §7.4 trap 4) and making results
+  *    independent of partitioning — required for both the DuckDB oracle
+  *    and deterministic re-runs on a 1000-executor cluster.
+  *
+  * Scale shape: one anti-join shuffle (candidates) + one window shuffle
+  * keyed by customer. No driver-side loops; every customer is scored in
+  * the same two jobs regardless of |customers|.
+  */
+object Recommend {
+
+  /** Strategy knobs, matching the reference's four scripts. */
+  final case class Strategy(
+      temperature: Double, categoryCap: Int,
+      noiseScale: Double,   // Q3: stochastic perturbation of p
+      uniformMix: Double,   // Q4: 0.3·uniform + 0.7·normalized(p)
+      smoothing: Double)    // Q4: +0.05
+
+  val strategies: Map[String, Strategy] = Map(
+    "diverse"    -> Strategy(2.5, 1, 0.0, 0.0, 0.0),   // Q1
+    "softmax"    -> Strategy(3.0, 2, 0.0, 0.0, 0.0),   // Q2
+    "stochastic" -> Strategy(5.0, 4, 0.15, 0.0, 0.0),  // Q3
+    "adam"       -> Strategy(2.0, 2, 0.0, 0.3, 0.05))  // Q4
+
+  /** P7: valid-product predicate (stock/category sanity). */
+  def validProducts(part: DataFrame): DataFrame =
+    part.filter(col("p_size") > 0 && col("p_retailprice") > 0 &&
+      !col("p_brand").isin("N/A", "Unknown", "") && col("p_brand").isNotNull)
+
+  /** F8: seasonal discount as a pure function of (product, month) —
+    * deterministic replacement for the reference's rand() discount bands
+    * (xgboost_mode_training_plus_dynamic_discount.py:73-89). */
+  def seasonalDiscount(partKey: Column, queryMonth: Column): Column = {
+    val u = ColFns.pseudoUniform(partKey * 12 + queryMonth, 11L)
+    when(queryMonth === 12, round(lit(0.30) + u * 0.20, 2))
+      .when(queryMonth.isin(6, 7, 11), round(lit(0.15) + u * 0.15, 2))
+      .when(queryMonth.isin(1, 2, 8), round(lit(0.05) + u * 0.10, 2))
+      .otherwise(round(u * 0.05, 2))
+  }
+
+  /** Deterministic stand-in model score in (0,1): logistic over customer
+    * account balance and (discounted) product price. */
+  def score(acctbal: Column, price: Column, discount: Column): Column =
+    ColFns.sigmoid(acctbal / 5000.0 + (price * (lit(1.0) - discount)) / 2000.0 - 2.0)
+
+  /** The full pipeline for a set of customers at a simulated month.
+    * Returns (customer, rank, product, category, prob). */
+  def topK(spark: SparkSession, dir: String, strategyName: String,
+           customerFilter: Column, queryMonth: Int, topN: Int = 3,
+           candidateCap: Int = 2000): DataFrame = {
+    val st = strategies(strategyName)
+    val cust = Tables.customer(spark, dir).filter(customerFilter)
+      .select(col("c_custkey").as("customer"), col("c_acctbal").as("acctbal"))
+    val parts = validProducts(Tables.part(spark, dir))
+      .select(col("p_partkey").as("product"), col("p_brand").as("category"),
+        col("p_retailprice").as("price"))
+
+    // J6: purchased exclusion via the 2-hop traversal
+    val purchased = Tables.orders(spark, dir).select(col("o_custkey").as("customer"),
+        col("o_orderkey").as("ok"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("product")), "ok")
+      .select("customer", "product").distinct()
+
+    // R2: deterministic candidate cap per customer (hash-ranked)
+    val candW = Window.partitionBy("customer")
+      .orderBy(ColFns.pseudoUniform(col("customer") * 131071 + col("product"), 3L), col("product"))
+    val cands = cust.crossJoin(parts)
+      .join(purchased, Seq("customer", "product"), "left_anti")
+      .withColumn("cand_rn", row_number().over(candW))
+      .filter(col("cand_rn") <= candidateCap)
+
+    val discount = seasonalDiscount(col("product"), lit(queryMonth))
+    val p0 = score(col("acctbal"), col("price"), discount)
+    // Q3: deterministic "noise", clipped back into (0,1)
+    val noisy =
+      if (st.noiseScale == 0.0) p0
+      else least(greatest(
+        p0 + (ColFns.pseudoUniform(col("customer") * 524287 + col("product"), 5L) - 0.5)
+          * (2 * st.noiseScale), lit(1e-6)), lit(1.0 - 1e-6))
+    val scored = cands.withColumn("p", noisy)
+
+    // W3: per-category diversity cap
+    val catW = Window.partitionBy("customer", "category")
+      .orderBy(col("p").desc, col("product").asc)
+    val capped = scored.withColumn("cat_rn", row_number().over(catW))
+      .filter(col("cat_rn") <= st.categoryCap)
+
+    // strategy transform → unnormalized weight
+    val custW = Window.partitionBy("customer")
+    val weight: Column =
+      if (st.uniformMix > 0.0) {
+        // Q4: mixture of uniform and normalized p, smoothed, then softmax
+        val pn = col("p") / sum(col("p")).over(custW)
+        val mixed = lit(st.uniformMix) / count(lit(1)).over(custW) +
+          lit(1.0 - st.uniformMix) * pn + lit(st.smoothing)
+        exp(mixed / st.temperature)
+      } else {
+        exp(ColFns.logit(col("p")) / st.temperature)
+      }
+    val weighted = capped.withColumn("w", weight)
+      .withColumn("prob", col("w") / sum(col("w")).over(custW))
+
+    // W2: final deterministic top-n
+    val topW = Window.partitionBy("customer").orderBy(col("prob").desc, col("product").asc)
+    weighted.withColumn("rank", row_number().over(topW))
+      .filter(col("rank") <= topN)
+      .select(col("customer"), col("rank"), col("product"), col("category"),
+        round(col("prob"), 6).as("prob"))
+  }
+}

