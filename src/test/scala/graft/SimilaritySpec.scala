@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine match hand-computed values") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot($"a", $"b").as("d"),
+      Similarity.cosine($"a", $"a").as("self")).head()
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors, no self matches") {
+    val e = graft.core.Tables.embeddings(spark, sfDir).limit(100)
+    val topk = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5).cache()
+    assert(topk.filter($"src" === $"dst").count() === 0)
+    val perSrc = topk.groupBy("src").count().select(min("count"), max("count")).head()
+    assert(perSrc.getLong(0) === 5 && perSrc.getLong(1) === 5)
+    // rank 1 has the max cosine per src
+    val bad = topk.withColumn("mx", max("cos").over(
+      org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .filter($"rn" === 1 && $"cos" < $"mx").count()
+    assert(bad === 0)
+  }
+
+  test("LSH buckets preserve cosine ranking within buckets (recall sanity)") {
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", 64, 8, 5)
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+    // every LSH pair must also score identically in the brute set when present
+    val joined = lsh.as("l").join(brute.as("b"),
+      $"l.src" === $"b.src" && $"l.dst" === $"b.dst")
+      .filter(abs($"l.cos" - $"b.cos") > 1e-9).count()
+    assert(joined === 0)
+    assert(lsh.count() > 0)
+  }
+
+  test("similarityStats aggregates per source") {
+    val e = graft.core.Tables.embeddings(spark, sfDir).limit(50)
+    val stats = Similarity.similarityStats(
+      Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3))
+    val r = stats.filter($"n_sim" =!= 3).count()
+    assert(r === 0)
+    val bad = stats.filter($"min_sim" > $"avg_sim" || $"avg_sim" > $"max_sim").count()
+    assert(bad === 0)
+  }
+}
