@@ -1,0 +1,100 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.graph.{GraphSql, Louvain, Node2Vec}
+import graft.ml.LinkPredict
+import graft.sim.Similarity
+
+/** Operator catalog, part 5: graph algorithms (G2/G3/G6) and ML training
+  * operators (M1–M11). Training/walk outputs are model-dependent, so
+  * most entries are rows-only (no DuckDB oracle — the driver records a
+  * weaker check); their correctness is asserted by invariant specs in
+  * src/test. g6 is fully relational and carries an oracle.
+  */
+object GraphML {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The similarity graph the reference runs Louvain on (KNN over
+    * embeddings — knn_similarity.py:79-91). */
+  private def simEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+      .select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"),
+        col("cos").as("weight"))
+  }
+
+  // G2: Louvain communities on the similarity graph → community sizes
+  private def g2Louvain(spark: SparkSession, dir: String): DataFrame = {
+    val comm = Louvain.detect(spark, simEdges(spark, dir), maxIter = 8)
+    comm.groupBy("community").agg(count(lit(1)).as("size"))
+      .orderBy(desc("size"), asc("community"))
+  }
+
+  // G3: node2vec embeddings on the customer–product bipartite graph
+  // (deterministic hash-based walks + Word2Vec)
+  private def g3Node2Vec(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(10)) === 1)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("cust_"), col("o_custkey")).as("src"),
+        concat(lit("part_"), col("l_partkey")).as("dst"))
+      .distinct()
+    val emb = Node2Vec.embeddings(spark, edges,
+      Node2Vec.Params(numWalks = 2, walkLength = 6, dim = 16))
+    emb.select(col("id"), size(col("embedding")).as("dim"))
+      .orderBy("id")
+  }
+
+  // G6: graph mutation/versioning — per-dvid node/edge counts (the
+  // reference's injection verification, fifth_data_injection.py:154-158)
+  private def g6DvidVersioning(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.graph.GraphBuilder.fromTpch(spark, dir)
+    g.nodes.groupBy("dvid").agg(count(lit(1)).as("cnt"))
+      .withColumn("kind", lit("node"))
+      .unionByName(g.edges.groupBy("dvid").agg(count(lit(1)).as("cnt"))
+        .withColumn("kind", lit("edge")))
+      .select("kind", "dvid", "cnt").orderBy("kind", "dvid")
+  }
+
+  // M1/M3/M4/M10: GBT link model + policy-gate metrics as one row
+  private def m1GbtMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val r = LinkPredict.train(spark, LinkPredict.trainingSet(spark, dir), "gbt")
+    import spark.implicits._
+    r.metrics.toSeq.sortBy(_._1).toDF("metric", "value")
+  }
+
+  // M5: threshold sweep (LR for speed; sweep itself is the operator)
+  private def m5ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val r = LinkPredict.train(spark, LinkPredict.trainingSet(spark, dir), "lr")
+    LinkPredict.thresholdSweep(r.scoredVal,
+      (1 to 17).map(i => 0.05 + i * 0.05))
+  }
+
+  // M11: gain-style feature importances
+  private def m11FeatureImportance(spark: SparkSession, dir: String): DataFrame = {
+    val r = LinkPredict.train(spark, LinkPredict.trainingSet(spark, dir), "gbt")
+    import spark.implicits._
+    r.importances.toDF("feature", "importance").orderBy(desc("importance"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g2_louvain_communities" -> (g2Louvain(_, _)),
+    "g3_node2vec_embeddings" -> (g3Node2Vec(_, _)),
+    "g6_dvid_versioning" -> (g6DvidVersioning(_, _)),
+    "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
+    "m5_threshold_sweep" -> (m5ThresholdSweep(_, _)),
+    "m11_feature_importance" -> (m11FeatureImportance(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "g6_dvid_versioning" ->
+      s"""WITH ${GraphSql.nodesCte},
+         |${GraphSql.edgesCte},
+         |h AS (
+         |  SELECT 'node' AS kind, dvid, count(*) AS cnt FROM nodes GROUP BY dvid
+         |  UNION ALL
+         |  SELECT 'edge', dvid, count(*) FROM edges GROUP BY dvid)
+         |SELECT kind, dvid, cnt FROM h ORDER BY kind, dvid""".stripMargin)
+}

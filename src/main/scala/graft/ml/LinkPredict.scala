@@ -1,0 +1,162 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.ColFns
+
+/** Link-prediction training pipeline (SURVEY §2.11 M1–M11), MLlib-first:
+  * GBTClassifier stands in for XGBoost (parity target = interface +
+  * metric gates, SURVEY §7.4 trap 7), LogisticRegression for the fast
+  * path. Implements the reference's training *policy*: stratified split,
+  * class weighting (M10), overfit gate (M3: train−val AUC gap ≤ 0.06
+  * or revert), threshold sweep targeting F1 (M5), gain-style feature
+  * importance (M11).
+  *
+  * Scale shape: feature assembly is broadcast joins of the pair table
+  * against per-node feature tables (J5); the training-set cap is a
+  * hash-thinned sample so the pipeline is constant-memory regardless of
+  * corpus size.
+  */
+object LinkPredict {
+
+  val featureNames: Seq[String] = Seq(
+    "cust_frequency", "cust_recency", "acctbal",
+    "part_popularity", "price", "discount", "bal_x_price")
+
+  /** J3 positives + J4 negatives with per-node features attached.
+    * Label 1/0; deterministic hash-capped to ≤ `cap` rows per class. */
+  def trainingSet(spark: SparkSession, dir: String, cap: Int = 50000): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val pos = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("customer"), col("l_partkey").as("product"))
+      .distinct()
+      .withColumn("label", lit(1.0))
+    val posN = pos.count()
+    val posFrac = math.min(1.0, cap.toDouble / math.max(posN, 1L))
+    val posCapped = pos.filter(
+      ColFns.pseudoUniform(col("customer") * 131 + col("product"), 31L) < posFrac)
+
+    val cust = Tables.customer(spark, dir).select(col("c_custkey").as("customer"))
+    val part = Tables.part(spark, dir).select(col("p_partkey").as("product"))
+    val negCand = cust.filter(pmod(col("customer"), lit(3)) === 0)
+      .crossJoin(part.filter(pmod(col("product"), lit(7)) === 0))
+      .filter(ColFns.pseudoUniform(col("customer") * 977 + col("product"), 37L) <
+        posFrac * 0.5)
+    val neg = negCand.join(pos.select("customer", "product"),
+        Seq("customer", "product"), "left_anti")
+      .withColumn("label", lit(0.0))
+
+    val pairs = posCapped.select("customer", "product", "label")
+      .unionByName(neg.select("customer", "product", "label"))
+
+    // per-node features (A8 pre-aggregated once — SURVEY §7.4 trap 3)
+    val custF = orders.groupBy(col("o_custkey").as("customer"))
+      .agg(count(lit(1)).cast("double").as("cust_frequency"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), max("o_orderdate"))
+          .cast("double").as("cust_recency"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("customer"), col("c_acctbal").as("acctbal")), "customer")
+    val partF = li.groupBy(col("l_partkey").as("product"))
+      .agg(count(lit(1)).cast("double").as("part_popularity"))
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey").as("product"), col("p_retailprice").as("price")), "product")
+
+    pairs
+      .join(broadcast(custF), Seq("customer"), "left")
+      .join(broadcast(partF), Seq("product"), "left")
+      .na.fill(Map("cust_frequency" -> 0.0, "cust_recency" -> 999.0,
+        "acctbal" -> 0.0, "part_popularity" -> 0.0, "price" -> 0.0))
+      .withColumn("discount",
+        graft.recommend.Recommend.seasonalDiscount(col("product"), lit(12)))
+      .withColumn("bal_x_price", col("acctbal") * col("price") / 1e6)
+  }
+
+  final case class TrainResult(
+      model: org.apache.spark.ml.Transformer,
+      scoredVal: DataFrame, metrics: Map[String, Double],
+      importances: Seq[(String, Double)])
+
+  /** M1/M3/M4/M10: train + evaluate with the reference's policy gates. */
+  def train(spark: SparkSession, data: DataFrame,
+            algo: String = "gbt", maxIter: Int = 15, seed: Long = 42L): TrainResult = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureNames.toArray).setOutputCol("features")
+      .transform(data)
+      .withColumn("split",
+        when(ColFns.pseudoUniform(
+          xxhash64(col("customer"), col("product")), 41L) < 0.8, "train")
+          .otherwise("test"))
+    val train = assembled.filter(col("split") === "train").cache()
+    val test = assembled.filter(col("split") === "test").cache()
+
+    // M10: balanced class weights
+    val nPos = math.max(train.filter(col("label") === 1.0).count(), 1L)
+    val nNeg = math.max(train.filter(col("label") === 0.0).count(), 1L)
+    val total = (nPos + nNeg).toDouble
+    val weighted = train.withColumn("w",
+      when(col("label") === 1.0, total / (2.0 * nPos)).otherwise(total / (2.0 * nNeg)))
+
+    val (model: org.apache.spark.ml.Transformer, importances) = algo match {
+      case "gbt" =>
+        val m = new GBTClassifier().setLabelCol("label").setFeaturesCol("features")
+          .setWeightCol("w").setMaxIter(maxIter).setMaxDepth(5)
+          .setStepSize(0.1).setSubsamplingRate(0.8).setSeed(seed)
+          .fit(weighted)
+        (m, featureNames.zip(m.featureImportances.toArray))
+      case "lr" =>
+        val m = new LogisticRegression().setLabelCol("label").setFeaturesCol("features")
+          .setWeightCol("w").setMaxIter(50).setRegParam(0.01)
+          .fit(weighted)
+        (m, featureNames.zip(m.coefficients.toArray.map(math.abs)))
+    }
+
+    val evalAuc = new BinaryClassificationEvaluator().setLabelCol("label")
+      .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
+    val evalPr = new BinaryClassificationEvaluator().setLabelCol("label")
+      .setRawPredictionCol("rawPrediction").setMetricName("areaUnderPR")
+    val scoredTrain = model.transform(train)
+    val scoredVal = model.transform(test)
+    val aucTrain = evalAuc.evaluate(scoredTrain)
+    val aucVal = evalAuc.evaluate(scoredVal)
+    val gap = aucTrain - aucVal
+    val metrics = Map(
+      "n_train" -> train.count().toDouble, "n_test" -> test.count().toDouble,
+      "auc_train" -> aucTrain, "auc_val" -> aucVal, "pr_auc_val" -> evalPr.evaluate(scoredVal),
+      "overfit_gap" -> gap,
+      // M3's acceptance gate: reject models that memorize
+      "gate_pass" -> (if (gap <= 0.06) 1.0 else 0.0))
+    TrainResult(model, scoredVal, metrics, importances)
+  }
+
+  /** M5: threshold sweep over scored validation output — one explode +
+    * groupBy, no driver loop. Returns (threshold, tp, fp, fn, precision,
+    * recall, f1) per threshold. */
+  def thresholdSweep(scored: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability"))
+      .getItem(1)
+    val sp = scored.sparkSession
+    import sp.implicits._
+    val base = scored.select(col("label"), p1.as("p"))
+      .crossJoin(thresholds.toDF("threshold"))
+    val agg = base.groupBy("threshold").agg(
+      sum(when(col("p") >= col("threshold") && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("p") >= col("threshold") && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("p") < col("threshold") && col("label") === 1.0, 1L).otherwise(0L)).as("fn"))
+    agg.withColumn("precision",
+        when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+      .orderBy("threshold")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{Louvain, Node2Vec}
+
+class GraphAlgoSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two well-separated cliques — Louvain must find exactly them. */
+  private def twoCliques = {
+    val c1 = for (a <- 1 to 5; b <- 1 to 5 if a < b) yield (s"a$a", s"a$b", 1.0)
+    val c2 = for (a <- 1 to 5; b <- 1 to 5 if a < b) yield (s"b$a", s"b$b", 1.0)
+    val bridge = Seq(("a1", "b1", 0.01))
+    (c1 ++ c2 ++ bridge).toDF("src", "dst", "weight")
+  }
+
+  test("Louvain separates two cliques and is deterministic") {
+    val edges = twoCliques
+    val comm = Louvain.detect(spark, edges, maxIter = 8).cache()
+    val groups = comm.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val aComms = (1 to 5).map(i => groups(s"a$i")).toSet
+    val bComms = (1 to 5).map(i => groups(s"b$i")).toSet
+    assert(aComms.size === 1, s"clique A split: $aComms")
+    assert(bComms.size === 1, s"clique B split: $bComms")
+    assert(aComms != bComms, "cliques merged")
+    // determinism
+    val again = Louvain.detect(spark, edges, maxIter = 8).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again === groups)
+    // quality gate
+    val q = Louvain.modularity(spark, edges, comm)
+    assert(q > 0.3, s"modularity too low: $q")
+  }
+
+  test("Louvain on the sf0.001 similarity graph yields positive modularity") {
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val sim = graft.sim.Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+      .select($"src".cast("string").as("src"), $"dst".cast("string").as("dst"),
+        $"cos".as("weight"))
+    val comm = Louvain.detect(spark, sim, maxIter = 6).cache()
+    assert(comm.select("community").distinct().count() > 1)
+    assert(Louvain.modularity(spark, sim, comm) > 0.0)
+  }
+
+  test("node2vec walks stay on the graph and have the right length") {
+    val edges = twoCliques.select("src", "dst")
+    val prm = Node2Vec.Params(numWalks = 2, walkLength = 5, dim = 8)
+    val w = Node2Vec.walks(spark, edges, prm).cache()
+    assert(w.count() === 10 * 2) // 10 nodes × 2 walks
+    val lens = w.select(size($"walk").as("l")).distinct().collect().map(_.getInt(0))
+    assert(lens.toSeq === Seq(5))
+    // consecutive steps are actual edges
+    val nbrs = Node2Vec.neighborTable(edges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    val bad = w.select("walk").as[Seq[String]].collect().flatMap { p =>
+      p.sliding(2).filter(s => !nbrs(s.head).contains(s(1)))
+    }
+    assert(bad.isEmpty, s"walk used non-edges: ${bad.take(3).toSeq}")
+    // determinism
+    val w2 = Node2Vec.walks(spark, edges, prm).select("walk_id", "walk")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val w1 = w.select("walk_id", "walk")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(w1 === w2)
+  }
+
+  test("node2vec embeddings have requested dimension and cover all nodes") {
+    val edges = twoCliques.select("src", "dst")
+    val emb = Node2Vec.embeddings(spark, edges,
+      Node2Vec.Params(numWalks = 4, walkLength = 6, dim = 8)).cache()
+    assert(emb.count() === 10)
+    assert(emb.select(size($"embedding")).distinct().head().getInt(0) === 8)
+  }
+}
