@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.12). The reference has no
+  * true streaming — its incremental model is dvid-tagged batch
+  * injections. We expose both:
+  *
+  *  - `incrementalIngest`: the dvid pattern as a streaming source with
+  *    Trigger.AvailableNow semantics (each micro-batch = one injection,
+  *    foreachBatch-appendable to the nodes/edges tables), and
+  *  - `windowedCounts` / `sessionize`: watermarked event-time windows and
+  *    custom session state via flatMapGroupsWithState — the operators a
+  *    production event pipeline needs at scale (state store partitioned
+  *    by key, watermark bounds state size).
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window counts over a streaming events frame. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              n_events: Int, duration_sec: Long)
+
+  /** Gap-based sessionization with explicit state (30-minute inactivity
+    * gap), the streaming twin of the batch e2_sessionize operator.
+    * State per user is O(1); timeout reaps idle users. */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // rows within a micro-batch are not ordered — sort (bounded by
+          // per-user batch volume, fine for AvailableNow replays)
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (st == null) st = SessionState(t, t, 1)
+            else if (t - st.last > gapSec) {
+              out += SessionOut(userId, new java.sql.Timestamp(st.start * 1000),
+                st.n, st.last - st.start)
+              st = SessionState(t, t, 1)
+            } else st = SessionState(st.start, t, st.n + 1)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Run a streaming query over the events parquet dir synchronously
+    * (memory sink), returning the materialized result — used by tests
+    * and the availableNow incremental-ingest path. */
+  def runAvailableNow(spark: SparkSession, dir: String,
+                      transform: DataFrame => DataFrame,
+                      queryName: String): DataFrame = {
+    // FileStreamSource requires a *directory*; the testdata table is a
+    // single parquet file, so stage it into one (micro-batch ingest of a
+    // dropped-in file is exactly the dvid-injection pattern anyway)
+    val staged = java.nio.file.Paths.get(s"/tmp/graft_stream/$queryName")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(staged.toString)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src
+    val q = transform(events).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

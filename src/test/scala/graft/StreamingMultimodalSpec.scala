@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed counts match the batch e1 operator") {
+    val streamed = EventStream.runAvailableNow(spark, sfDir,
+      df => EventStream.windowedCounts(df), "win_test")
+      .select($"window_start", $"event_type", $"n")
+    val batch = graft.core.Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+    // watermark may hold back the final window in append mode; every
+    // emitted window must match batch exactly
+    val mismatch = streamed.join(batch,
+      Seq("window_start", "event_type"), "left")
+      .filter(streamed("n") =!= batch("n")).count()
+    assert(mismatch === 0)
+    assert(streamed.count() > 0)
+  }
+
+  test("stateful sessionization emits closed sessions with sane bounds") {
+    val events = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.Event]
+    val sessions = EventStream.sessionize(events).cache()
+    assert(sessions.count() > 0)
+    assert(sessions.filter($"duration_sec" < 0).count() === 0)
+    assert(sessions.filter($"n_events" <= 0).count() === 0)
+  }
+
+  test("multimodal decode preserves ids and emits the decoded schema") {
+    val media = Multimodal.asMedia(
+      graft.core.Tables.documents(spark, sfDir), "doc_id", "text", "image", "source")
+    val decoded = Multimodal.decode(media).cache()
+    assert(decoded.count() === media.count())
+    assert(decoded.schema === Multimodal.decodedSchema)
+    assert(decoded.filter(size($"features") =!= 8).count() === 0)
+    assert(decoded.filter($"width" < 64 || $"width" > 1024).count() === 0)
+    // deterministic: same payload → same decode
+    val again = Multimodal.decode(media)
+    assert(decoded.exceptAll(again).count() === 0)
+  }
+
+  test("frame sampling yields monotone offsets within each media id") {
+    val media = Multimodal.asMedia(
+      graft.core.Tables.documents(spark, sfDir).limit(20), "doc_id", "text", "video", "source")
+    val frames = Multimodal.frameSample(media, everyK = 50)
+    val bad = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), max("frame_no").as("mx"))
+      .filter($"mx" =!= $"n" - 1).count()
+    assert(bad === 0)
+  }
+}
