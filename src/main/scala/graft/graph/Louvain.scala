@@ -97,8 +97,10 @@ object Louvain {
       moved = withNext.filter(col("best_comm") =!= col("community")).count()
       comm = withNext.select(col("id"), col("new_comm").as("community"))
       // synchronous moves don't guarantee monotone modularity — keep the
-      // best partition seen and return that
-      val q = modularity(spark, edges, comm, resolution)
+      // best partition seen and return that. Computed against the CACHED
+      // adjacency: rebuilding from `edges` would re-execute the caller's
+      // upstream plan (e.g. a 4M-pair KNN join) once per iteration.
+      val q = modularityFromAdj(adj, ki, m2, comm, resolution)
       if (q > bestQ) { bestQ = q; bestComm = comm }
       iter += 1
     }
@@ -118,6 +120,12 @@ object Louvain {
       .unionAll(edges.filter(col("src") =!= col("dst"))
         .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
     val m2 = adj.agg(sum("weight")).head().getDouble(0)
+    val ki = adj.groupBy("src").agg(sum("weight").as("k"))
+    modularityFromAdj(adj, ki, m2, communities, resolution)
+  }
+
+  private def modularityFromAdj(adj: DataFrame, ki: DataFrame, m2: Double,
+                                communities: DataFrame, resolution: Double): Double = {
     val withComm = adj
       .join(communities.withColumnRenamed("id", "src")
         .withColumnRenamed("community", "src_comm"), "src")
@@ -125,7 +133,6 @@ object Louvain {
         .withColumnRenamed("community", "dst_comm"), "dst")
     val intra = withComm.filter(col("src_comm") === col("dst_comm"))
       .agg(coalesce(sum("weight"), lit(0.0))).head().getDouble(0)
-    val ki = adj.groupBy("src").agg(sum("weight").as("k"))
     val sigma = communities.withColumnRenamed("id", "src").join(ki, "src")
       .groupBy("community").agg(sum("k").as("s"))
     val sumSq = sigma.agg(sum(col("s") * col("s"))).head().getDouble(0)

@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact double-precision dot product of two array columns.
-    * Codegen'd builtins only (F10 — SURVEY §2.7). */
+  /** Exact double-precision dot product of two array columns (F10).
+    * Backed by the custom codegen ArrayDotProduct expression — the
+    * builtin aggregate(zip_with(·)) pipeline interprets two lambdas per
+    * element and falls out of whole-stage codegen, which made brute-force
+    * KNN the bench bottleneck. Summation order (left-to-right, double)
+    * is identical, so results stay bitwise oracle-compatible. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.plans.expressions.array_dot(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -27,14 +27,13 @@ object Dedup {
   def minhash(shingleCol: Column, j: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(j.toString), lit("|"), s))))
 
-  /** Explode-free shingle column used by the dedup pipelines below. */
-  def shingleArray(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-        i => norm.substr(i, lit(n))))
-  }
+  /** Explode-free shingle column used by the dedup pipelines below.
+    * Normalization stays in codegen'd builtins; shingling itself is the
+    * custom CharShingles expression (single pass, distinct-preserving)
+    * rather than a per-character interpreted lambda chain. */
+  def shingleArray(text: Column, n: Int): Column =
+    graft.plans.expressions.char_shingles(
+      regexp_replace(lower(trim(text)), "\\s+", " "), n)
 
   /** MinHash + LSH banding: `bands` bands of `rowsPerBand` minhashes;
     * documents sharing any band signature become candidate pairs.
