@@ -62,6 +62,24 @@ object Analytics {
       .select("id", "degree", "degree_pct").orderBy("id")
   }
 
+  // A4 variant: scipy.stats.percentileofscore(kind='mean') tie semantics
+  // — (strictly-below + 0.5·ties-inclusive-self… i.e. (cnt_lt + cnt_le)
+  // / (2n)) — the reference's exact percentile definition
+  // (degree_analysis.py:38-41; SURVEY §7.4 percentile trap). Computed
+  // over the degree histogram (scale-safe), like a4.
+  private def a4bPercentileOfScore(spark: SparkSession, dir: String): DataFrame = {
+    val deg = DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges)
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n"))
+    val wLt = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, -1)
+    val total = hist.agg(sum("n")).first().getLong(0)
+    val ranked = hist
+      .withColumn("cnt_lt", coalesce(sum(col("n")).over(wLt), lit(0L)))
+      .withColumn("pos_mean",
+        round((col("cnt_lt") * 2 + col("n")).cast("double") / lit(2.0 * total), 6))
+    deg.join(ranked.select("degree", "pos_mean"), "degree")
+      .select("id", "degree", "pos_mean").orderBy("id")
+  }
+
   // A5/A7: per-label z-score + log1p degree transform (degree_analysis.py:55-73)
   private def a5PerLabelZScore(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.fromTpch(spark, dir)
@@ -349,6 +367,7 @@ object Analytics {
     "a2_degree" -> (a2Degree(_, _)),
     "a3_degree_moments" -> (a3DegreeMoments(_, _)),
     "a4_degree_percentile" -> (a4DegreePercentile(_, _)),
+    "a4b_percentileofscore_mean" -> (a4bPercentileOfScore(_, _)),
     "a5_perlabel_zscore" -> (a5PerLabelZScore(_, _)),
     "a6_percommunity_stats" -> (a6PerCommunityStats(_, _)),
     "a8_recency_frequency" -> (a8RecencyFrequency(_, _)),
@@ -400,6 +419,18 @@ object Analytics {
         |deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id)
         |SELECT id, degree, round(percent_rank() OVER (ORDER BY degree), 6) AS degree_pct
         |FROM deg ORDER BY id""".stripMargin),
+    "a4b_percentileofscore_mean" -> graphPrelude(
+      """ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+        |deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id),
+        |hist AS (SELECT degree, count(*) AS n FROM deg GROUP BY degree),
+        |r AS (SELECT degree, n,
+        |        coalesce(sum(n) OVER (ORDER BY degree
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt
+        |      FROM hist),
+        |tot AS (SELECT sum(n) AS t FROM hist)
+        |SELECT d.id, d.degree,
+        |  round(CAST(r.cnt_lt * 2 + r.n AS DOUBLE) / CAST(2 * tot.t AS DOUBLE), 6) AS pos_mean
+        |FROM deg d JOIN r USING (degree) CROSS JOIN tot ORDER BY id""".stripMargin),
     "a5_perlabel_zscore" -> graphPrelude(
       """ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
         |deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id),

@@ -89,12 +89,34 @@ object GraphML {
     r.importances.toDF("feature", "importance").orderBy(desc("importance"))
   }
 
+  // M2: discount model over the 4 simulated training dates + its
+  // no-discount twin, as one comparison row each
+  private def m2MultiDateMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withD = LinkPredict.train(spark,
+      LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = true), "lr")
+    val noD = LinkPredict.train(spark,
+      LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = false), "lr")
+    Seq(("discount", withD.metrics("auc_val"), withD.metrics("n_train")),
+      ("no_discount", noD.metrics("auc_val"), noD.metrics("n_train")))
+      .toDF("model", "auc_val", "n_train")
+  }
+
+  // M7/M8: multi-tower MLP with per-tower standardization
+  private def m7MlpMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ml.MultiTower.train(spark, LinkPredict.trainingSet(spark, dir, cap = 20000))
+      .metrics.toSeq.sortBy(_._1).toDF("metric", "value")
+  }
+
   val queries: Map[String, Q] = Map(
     "g2_louvain_communities" -> (g2Louvain(_, _)),
     "g3_node2vec_embeddings" -> (g3Node2Vec(_, _)),
     "g6_dvid_versioning" -> (g6DvidVersioning(_, _)),
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
+    "m2_multidate_discount" -> (m2MultiDateMetrics(_, _)),
     "m5_threshold_sweep" -> (m5ThresholdSweep(_, _)),
+    "m7_mlp_metrics" -> (m7MlpMetrics(_, _)),
     "m11_feature_importance" -> (m11FeatureImportance(_, _)))
 
   val oracles: Map[String, String] = Map(

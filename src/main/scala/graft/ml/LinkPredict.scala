@@ -27,9 +27,25 @@ object LinkPredict {
     "cust_frequency", "cust_recency", "acctbal",
     "part_popularity", "price", "discount", "bal_x_price")
 
+  /** M2: the discount model's multi-date training corpus — one slice per
+    * simulated month with the discount recomputed per date, unioned with
+    * a `sim_month` column (vs the reference's loop of four separate
+    * retrains, xgboost_mode_training_plus_dynamic_discount.py:225-320).
+    * `withDiscount=false` builds the auto-trained no-discount twin. */
+  def multiDateTrainingSet(spark: SparkSession, dir: String,
+                           months: Seq[Int] = Seq(3, 6, 9, 12),
+                           withDiscount: Boolean = true, cap: Int = 20000): DataFrame =
+    months.map { m =>
+      val base = trainingSet(spark, dir, cap, month = m)
+      val d = if (withDiscount) base
+        else base.withColumn("discount", lit(0.0))
+      d.withColumn("sim_month", lit(m))
+    }.reduce(_ unionByName _)
+
   /** J3 positives + J4 negatives with per-node features attached.
     * Label 1/0; deterministic hash-capped to ≤ `cap` rows per class. */
-  def trainingSet(spark: SparkSession, dir: String, cap: Int = 50000): DataFrame = {
+  def trainingSet(spark: SparkSession, dir: String, cap: Int = 50000,
+                  month: Int = 12): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     val pos = orders.join(li, col("o_orderkey") === col("l_orderkey"))
@@ -72,7 +88,7 @@ object LinkPredict {
       .na.fill(Map("cust_frequency" -> 0.0, "cust_recency" -> 999.0,
         "acctbal" -> 0.0, "part_popularity" -> 0.0, "price" -> 0.0))
       .withColumn("discount",
-        graft.recommend.Recommend.seasonalDiscount(col("product"), lit(12)))
+        graft.recommend.Recommend.seasonalDiscount(col("product"), lit(month)))
       .withColumn("bal_x_price", col("acctbal") * col("price") / 1e6)
   }
 

@@ -1,0 +1,65 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ColFns
+
+/** Multi-tower MLP approximation (SURVEY §2.11 M7–M9; reference
+  * Neural_network_multi_towered_training.py:62-150).
+  *
+  * Documented divergence (SURVEY §7.4): MLlib's MLP has no per-tower
+  * sub-networks, BatchNorm, or dropout, so the tower structure is kept
+  * where it matters statistically — per-tower standardization (M8: a
+  * separate StandardScaler per feature block, exactly as the reference
+  * fits five scalers) — and the concatenated scaled vector feeds a
+  * [towers → hidden → 2] MLP trained with a fixed seed (M9 approximated
+  * by MLlib's L-BFGS instead of AdamW).
+  */
+object MultiTower {
+
+  /** Feature blocks = the reference's tower split (degree / temporal /
+    * structured), over the features LinkPredict assembles. */
+  val towers: Map[String, Seq[String]] = Map(
+    "tw_degree" -> Seq("cust_frequency", "part_popularity"),
+    "tw_temporal" -> Seq("cust_recency"),
+    "tw_structured" -> Seq("acctbal", "price", "discount", "bal_x_price"))
+
+  final case class Result(metrics: Map[String, Double])
+
+  def train(spark: SparkSession, data: DataFrame, seed: Long = 42L): Result = {
+    val stages = towers.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
+      Seq(
+        new VectorAssembler().setInputCols(cols.toArray).setOutputCol(s"${name}_raw"),
+        new StandardScaler().setInputCol(s"${name}_raw").setOutputCol(s"${name}_scaled")
+          .setWithMean(true).setWithStd(true))
+    }
+    val concat = new VectorAssembler()
+      .setInputCols(towers.keys.toArray.sorted.map(n => s"${n}_scaled"))
+      .setOutputCol("features")
+    val nFeatures = towers.values.map(_.size).sum
+    val mlp = new MultilayerPerceptronClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setLayers(Array(nFeatures, 16, 8, 2))
+      .setMaxIter(60).setSeed(seed).setBlockSize(128)
+    val pipeline = new Pipeline().setStages((stages :+ concat :+ mlp).toArray)
+
+    val split = data.withColumn("part",
+      when(ColFns.pseudoUniform(xxhash64(col("customer"), col("product")), 43L) < 0.8,
+        "train").otherwise("test"))
+    val train = split.filter(col("part") === "train")
+    val test = split.filter(col("part") === "test")
+    val model = pipeline.fit(train)
+    val scored = model.transform(test)
+    val auc = new BinaryClassificationEvaluator().setLabelCol("label")
+      .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
+      .evaluate(scored)
+    val acc = scored.filter(col("prediction") === col("label")).count().toDouble /
+      math.max(scored.count(), 1L)
+    Result(Map("auc_val" -> auc, "accuracy" -> acc,
+      "n_train" -> train.count().toDouble, "n_test" -> test.count().toDouble))
+  }
+}

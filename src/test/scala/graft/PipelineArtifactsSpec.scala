@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+import graft.ml.{LinkPredict, ModelRegistry, MultiTower}
+import graft.pipeline.{FeatureFold, Injections}
+import graft.sources.GraphMLSink
+
+class PipelineArtifactsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tmp = "/tmp/graft_artifacts"
+
+  test("S9/S8/M6: model save/load + perf history + compat probe") {
+    val data = LinkPredict.trainingSet(spark, sfDir, cap = 5000).cache()
+    val r = LinkPredict.train(spark, data, "gbt", maxIter = 5)
+    val modelPath = s"$tmp/gbt_model"
+    val histPath = s"$tmp/history.jsonl"
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(histPath))
+    ModelRegistry.saveModel(
+      r.model.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel],
+      modelPath)
+    ModelRegistry.appendHistory(histPath, r.metrics)
+    val hist = ModelRegistry.readHistory(histPath)
+    assert(hist.length === 1 && hist.head("auc_val") === r.metrics("auc_val"))
+    // compat probe on the same features: AUC identical → no alert
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(LinkPredict.featureNames.toArray).setOutputCol("features")
+      .transform(data)
+    val probe = ModelRegistry.compatProbe(spark, modelPath, histPath, assembled)
+    assert(!probe.alert, s"unexpected alert: $probe")
+    assert(math.abs(probe.newAuc - probe.prevAuc.get) < 0.05)
+  }
+
+  test("M2: multi-date corpus has one slice per month with per-month discounts") {
+    val d = LinkPredict.multiDateTrainingSet(spark, sfDir, cap = 2000)
+    val months = d.select("sim_month").distinct().as[Int].collect().sorted
+    assert(months.toSeq === Seq(3, 6, 9, 12))
+    // December discounts are the deep band (≥0.30), March regular (≤0.05)
+    val dec = d.filter($"sim_month" === 12).agg(min("discount")).head().getDouble(0)
+    val mar = d.filter($"sim_month" === 3).agg(max("discount")).head().getDouble(0)
+    assert(dec >= 0.30 && mar <= 0.05)
+  }
+
+  test("M7/M8: multi-tower MLP trains and separates classes") {
+    val r = MultiTower.train(spark, LinkPredict.trainingSet(spark, sfDir, cap = 5000))
+    assert(r.metrics("auc_val") > 0.55, s"MLP AUC too low: ${r.metrics}")
+  }
+
+  test("G6: dvid injections append partitions and report counts") {
+    val dir = s"$tmp/graph"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val g1 = PropertyGraph(
+      Seq(("n1", "Customer", 1)).toDF("id", "label", "dvid"),
+      Seq(("n1", "n2", "PURCHASED", 1)).toDF("src", "dst", "type", "dvid"))
+    val g2 = PropertyGraph(
+      Seq(("n3", "Product", 2)).toDF("id", "label", "dvid"),
+      Seq(("n2", "n3", "CONTAINS", 2)).toDF("src", "dst", "type", "dvid"))
+    Injections.append(g1, dir)
+    Injections.append(g2, dir)
+    val loaded = Injections.load(spark, dir)
+    assert(loaded.nodes.count() === 2 && loaded.edges.count() === 2)
+    val rep = Injections.report(loaded).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rep(("node", 1)) === 1 && rep(("edge", 2)) === 1)
+    // dvid partition pruning reaches the file listing
+    val pruned = loaded.edges.filter($"dvid" === 1)
+    assert(pruned.count() === 1)
+  }
+
+  test("§3.2 fold: embeddings → knn → louvain → features in one pass") {
+    val g = graft.graph.GraphBuilder.fromTpch(spark, sfDir)
+    val small = PropertyGraph(g.nodes,
+      g.edges.filter($"type" =!= "BELONGS_TO")
+        .filter(xxhash64($"src") % 20 === 0))
+    val fold = FeatureFold.run(spark, small)
+    assert(fold.features.count() > 0)
+    assert(fold.features.columns.toSet.intersect(
+      Set("degree", "degree_z", "log_degree", "community", "embedding")).size === 5)
+    assert(fold.communities.select("community").distinct().count() >= 1)
+  }
+
+  test("S5: GraphML sink writes well-formed XML") {
+    val g = PropertyGraph(
+      Seq(("a", "Customer", 1), ("b", "Order", 1)).toDF("id", "label", "dvid"),
+      Seq(("a", "b", "PURCHASED", 1)).toDF("src", "dst", "type", "dvid"))
+    val path = s"$tmp/graphml"
+    GraphMLSink.write(g, path)
+    val txt = spark.read.text(path).as[String].collect().mkString("\n")
+    assert(txt.startsWith("<?xml"))
+    assert(txt.contains("<node id=\"a\">"))
+    assert(txt.contains("<edge source=\"a\" target=\"b\">"))
+    assert(txt.trim.endsWith("</graphml>"))
+    scala.xml.XML.loadString(txt) // parses as XML
+  }
+}
