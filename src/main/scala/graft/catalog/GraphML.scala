@@ -109,10 +109,28 @@ object GraphML {
       .metrics.toSeq.sortBy(_._1).toDF("metric", "value")
   }
 
+  // GraphX-engine analytics (materialized from the DataFrame tables on
+  // demand): weakly connected components and PageRank over the full
+  // e-commerce graph
+  private def gxConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.graph.GraphBuilder.fromTpch(spark, dir)
+    graft.graph.GraphXAnalytics.connectedComponents(spark, g)
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .orderBy(desc("size"), asc("component"))
+  }
+
+  private def gxPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.graph.GraphBuilder.fromTpch(spark, dir)
+    graft.graph.GraphXAnalytics.pageRank(spark, g, iters = 5)
+      .orderBy(desc("rank"), asc("id")).limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "g2_louvain_communities" -> (g2Louvain(_, _)),
     "g3_node2vec_embeddings" -> (g3Node2Vec(_, _)),
     "g6_dvid_versioning" -> (g6DvidVersioning(_, _)),
+    "gx_connected_components" -> (gxConnectedComponents(_, _)),
+    "gx_pagerank" -> (gxPageRank(_, _)),
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
     "m2_multidate_discount" -> (m2MultiDateMetrics(_, _)),
     "m5_threshold_sweep" -> (m5ThresholdSweep(_, _)),

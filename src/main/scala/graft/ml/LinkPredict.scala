@@ -34,13 +34,19 @@ object LinkPredict {
     * `withDiscount=false` builds the auto-trained no-discount twin. */
   def multiDateTrainingSet(spark: SparkSession, dir: String,
                            months: Seq[Int] = Seq(3, 6, 9, 12),
-                           withDiscount: Boolean = true, cap: Int = 20000): DataFrame =
+                           withDiscount: Boolean = true, cap: Int = 20000): DataFrame = {
+    // the month only affects the discount column — build the expensive
+    // pair+feature base ONCE (materialized), then emit one cheap
+    // discount variant per simulated month
+    val base = trainingSet(spark, dir, cap, month = 12).drop("discount")
+      .localCheckpoint(true)
     months.map { m =>
-      val base = trainingSet(spark, dir, cap, month = m)
-      val d = if (withDiscount) base
-        else base.withColumn("discount", lit(0.0))
-      d.withColumn("sim_month", lit(m))
+      val disc = if (withDiscount)
+        graft.recommend.Recommend.seasonalDiscount(col("product"), lit(m))
+      else lit(0.0)
+      base.withColumn("discount", disc).withColumn("sim_month", lit(m))
     }.reduce(_ unionByName _)
+  }
 
   /** J3 positives + J4 negatives with per-node features attached.
     * Label 1/0; deterministic hash-capped to ≤ `cap` rows per class. */

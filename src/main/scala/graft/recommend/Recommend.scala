@@ -127,4 +127,23 @@ object Recommend {
       .select(col("customer"), col("rank"), col("product"), col("category"),
         round(col("prob"), 6).as("prob"))
   }
+
+  /** Enrichment projection (the reference's display step: product attrs
+    * + human-readable message, topk_recommandations_diverse_nodiscounts
+    * .py:301-318): joins recommendations back to the catalog and formats
+    * the recommendation message string. */
+  def enrich(spark: SparkSession, dir: String, recs: DataFrame,
+             queryMonth: Int): DataFrame = {
+    val parts = Tables.part(spark, dir).select(
+      col("p_partkey").as("product"), col("p_name"), col("p_type"),
+      col("p_size"), col("p_retailprice"))
+    recs.join(broadcast(parts), "product")
+      .withColumn("discount", seasonalDiscount(col("product"), lit(queryMonth)))
+      .withColumn("final_price",
+        round(col("p_retailprice") * (lit(1.0) - col("discount")), 2))
+      .withColumn("message", format_string(
+        "#%d for customer %d: %s (%s, size %d) at %.2f (%.0f%% off)",
+        col("rank"), col("customer"), col("p_name"), col("category"),
+        col("p_size"), col("final_price"), col("discount") * 100))
+  }
 }

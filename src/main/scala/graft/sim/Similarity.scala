@@ -120,6 +120,32 @@ object Similarity {
       .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
   }
 
+  /** MLlib-native ANN alternative (SURVEY J7's "scalable" branch):
+    * BucketedRandomProjectionLSH approxSimilarityJoin over L2-normalized
+    * vectors — Euclidean distance on unit vectors is monotone in cosine
+    * (cos = 1 − d²/2), so the threshold translates directly. Returns
+    * (src, dst, cos) pairs with cosine ≥ minCosine.
+    */
+  def mllibLshJoin(vectors: DataFrame, idCol: String, vecCol: String,
+                   minCosine: Double, bucketLength: Double = 1.0,
+                   numTables: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
+    val toVec = org.apache.spark.ml.functions.array_to_vector(
+      col(vecCol).cast("array<double>"))
+    val withVec = vectors.select(col(idCol).as("id"), toVec.as("raw"))
+    val normed = new Normalizer().setInputCol("raw").setOutputCol("v").setP(2.0)
+      .transform(withVec).select("id", "v")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("v").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+    val model = lsh.fit(normed)
+    val maxDist = math.sqrt(math.max(2.0 * (1.0 - minCosine), 0.0))
+    model.approxSimilarityJoin(normed, normed, maxDist, "dist")
+      .select(col("datasetA.id").as("src"), col("datasetB.id").as("dst"),
+        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos"))
+      .filter(col("src") =!= col("dst"))
+  }
+
   /** A10: similarity-edge statistics per source node
     * (xgboost_training_for_big_data.py:298-318). */
   def similarityStats(simEdges: DataFrame): DataFrame =

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{GraphBuilder, GraphXAnalytics, PropertyGraph}
+import graft.recommend.Recommend
+import graft.sim.Similarity
+
+class GraphXEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraphX connected components find known components") {
+    val g = PropertyGraph(
+      Seq(("a", "X", 1), ("b", "X", 1), ("c", "X", 1), ("d", "X", 1))
+        .toDF("id", "label", "dvid"),
+      Seq(("a", "b", "E", 1), ("c", "d", "E", 1))
+        .toDF("src", "dst", "type", "dvid")
+        .withColumn("ts", lit(null).cast("timestamp"))
+        .withColumn("qty", lit(null).cast("double")))
+    val cc = GraphXAnalytics.connectedComponents(spark, g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc("a") === cc("b") && cc("c") === cc("d"))
+    assert(cc("a") !== cc("c"))
+    assert(cc("a") === "a" && cc("c") === "c") // canonical = lowest member id
+  }
+
+  test("GraphX degrees agree with the DataFrame A2 operator") {
+    val g = GraphBuilder.fromTpch(spark, sfDir)
+    val gx = GraphXAnalytics.degrees(spark, g)
+    val df = graft.graph.DegreeFeatures.degrees(g.edges)
+    val diff = gx.join(df.withColumnRenamed("degree", "df_degree"), "id")
+      .filter($"degree" =!= $"df_degree").count()
+    assert(diff === 0)
+    assert(gx.count() === df.count())
+  }
+
+  test("GraphX PageRank: popular products rank above obscure ones") {
+    val g = GraphBuilder.fromTpch(spark, sfDir)
+    val pr = GraphXAnalytics.pageRank(spark, g, iters = 5).cache()
+    assert(pr.count() > 0)
+    // a node's rank is positive and the distribution is non-degenerate
+    assert(pr.filter($"rank" <= 0).count() === 0)
+    assert(pr.select("rank").distinct().count() > 10)
+  }
+
+  test("enrichment joins catalog attrs and formats messages") {
+    val recs = Recommend.topK(spark, sfDir, "diverse",
+      pmod(col("c_custkey"), lit(50)) === 1, queryMonth = 12, topN = 3)
+    val enriched = Recommend.enrich(spark, sfDir, recs, queryMonth = 12).cache()
+    assert(enriched.count() === recs.count())
+    assert(enriched.filter($"final_price" > $"p_retailprice").count() === 0)
+    val msg = enriched.select("message").head().getString(0)
+    assert(msg.contains("for customer") && msg.contains("% off"))
+  }
+
+  test("MLlib LSH join finds the high-cosine pairs the exact join finds") {
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val exact = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", Similarity.cosine($"a.embedding", $"b.embedding"))
+      .filter($"cos" >= 0.4)
+      .select($"a.vec_id".as("src"), $"b.vec_id".as("dst"))
+    val approx = Similarity.mllibLshJoin(e, "vec_id", "embedding",
+        minCosine = 0.4, numTables = 6)
+      .filter($"src" < $"dst").select("src", "dst")
+    val nExact = exact.count()
+    val found = exact.join(approx, Seq("src", "dst"), "inner").count()
+    // LSH is approximate: expect decent recall, no false positives beyond
+    // threshold artifacts
+    assert(nExact === 0 || found.toDouble / nExact > 0.5,
+      s"LSH recall too low: $found/$nExact")
+  }
+}
