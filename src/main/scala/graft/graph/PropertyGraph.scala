@@ -66,8 +66,19 @@ object GraphBuilder {
       lit(null).cast("double").as("weight"),
       lit(1).as("dvid"))
 
+    // Location nodes from the customer's nation (the reference keys
+    // locations off shipping geography, knowledge_graph_creation.py:100-103)
+    val locationNodes = Tables.nation(spark, dir).select(
+      concat(lit("loc_"), col("n_nationkey")).as("id"),
+      lit("Location").as("label"),
+      col("n_nationkey").cast("long").as("community"),
+      col("n_name").as("category"),
+      lit(null).cast("double").as("weight"),
+      lit(1).as("dvid"))
+
     val nodes = custNodes.unionByName(orderNodes)
       .unionByName(partNodes).unionByName(categoryNodes)
+      .unionByName(locationNodes)
 
     val purchased = ord.select(
       concat(lit("cust_"), col("o_custkey")).as("src"),
@@ -93,7 +104,18 @@ object GraphBuilder {
       lit(null).cast("double").as("qty"),
       lit(1).as("dvid"))
 
+    // SHIPPED_TO: order → the ordering customer's location
+    // (knowledge_graph_creation.py:113)
+    val shippedTo = ord.join(cust, ord("o_custkey") === cust("c_custkey")).select(
+      concat(lit("ord_"), col("o_orderkey")).as("src"),
+      concat(lit("loc_"), col("c_nationkey")).as("dst"),
+      lit("SHIPPED_TO").as("type"),
+      col("o_orderdate").as("ts"),
+      lit(null).cast("double").as("qty"),
+      (pmod(col("o_orderkey"), lit(5)) + 1).cast("int").as("dvid"))
+
     val edges = purchased.unionByName(contains).unionByName(belongsTo)
+      .unionByName(shippedTo)
     PropertyGraph(nodes, edges)
   }
 }
@@ -117,6 +139,9 @@ object GraphSql {
       |  UNION ALL
       |  SELECT concat('brand_', p_brand), 'Category', NULL, p_brand, NULL, 1
       |  FROM (SELECT DISTINCT p_brand FROM part)
+      |  UNION ALL
+      |  SELECT concat('loc_', n_nationkey), 'Location', CAST(n_nationkey AS BIGINT),
+      |         n_name, NULL, 1 FROM nation
       |)""".stripMargin
 
   val edgesCte: String =
@@ -130,5 +155,9 @@ object GraphSql {
       |  UNION ALL
       |  SELECT concat('part_', p_partkey), concat('brand_', p_brand), 'BELONGS_TO',
       |         NULL, NULL, 1 FROM part
+      |  UNION ALL
+      |  SELECT concat('ord_', o_orderkey), concat('loc_', c_nationkey), 'SHIPPED_TO',
+      |         o_orderdate, NULL, CAST(o_orderkey % 5 + 1 AS INT)
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
       |)""".stripMargin
 }

