@@ -345,6 +345,31 @@ object Analytics {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
       .orderBy("window_start", "event_type")
 
+  // The same windowed aggregation executed through Structured Streaming
+  // (AvailableNow over the parquet source, complete output mode so every
+  // window flushes) — hash-checked against the SAME DuckDB oracle as the
+  // batch twin would be: stream/batch parity is part of the contract.
+  private def e3StreamWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runAvailableNow(spark, dir,
+        df => graft.streaming.EventStream.windowedCounts(df),
+        queryName = s"e3_win_${math.abs(dir.hashCode)}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("total_value"), 4).as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  // P6: inactive-node prune — drop customers with no purchase activity
+  // in the 730 days before the cutoff (Node2vec_algorithm_inscripton.py:57-87)
+  private def p6InactivePrune(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+    val lastAct = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") <= lit(cutoff))
+      .groupBy(col("o_custkey")).agg(max("o_orderdate").as("latest"))
+    lastAct.filter(datediff(lit(cutoff), col("latest")) <= 730)
+      .select(col("o_custkey").as("kept_customer"), col("latest"))
+      .orderBy("kept_customer")
+  }
+
   // Gap-based sessionization via lag + running conditional sum
   private def e2Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -390,7 +415,9 @@ object Analytics {
     "r6_oversample" -> (r6Oversample(_, _)),
     "r7_weighted_pick" -> (r7WeightedPick(_, _)),
     "e1_event_windows" -> (e1EventWindows(_, _)),
-    "e2_sessionize" -> (e2Sessionize(_, _)))
+    "e2_sessionize" -> (e2Sessionize(_, _)),
+    "e3_stream_windows" -> (e3StreamWindows(_, _)),
+    "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -602,6 +629,18 @@ object Analytics {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "e3_stream_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "p6_inactive_prune" ->
+      """WITH last_act AS (
+        |  SELECT o_custkey, max(o_orderdate) AS latest FROM orders
+        |  WHERE o_orderdate <= TIMESTAMP '1999-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey AS kept_customer, latest FROM last_act
+        |WHERE date_diff('day', CAST(latest AS DATE), DATE '1999-01-01') <= 730
+        |ORDER BY kept_customer""".stripMargin,
     "e2_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

@@ -85,7 +85,8 @@ object EventStream {
     * and the availableNow incremental-ingest path. */
   def runAvailableNow(spark: SparkSession, dir: String,
                       transform: DataFrame => DataFrame,
-                      queryName: String): DataFrame = {
+                      queryName: String,
+                      mode: OutputMode = OutputMode.Append): DataFrame = {
     // FileStreamSource requires a *directory*; the testdata table is a
     // single parquet file, so stage it into one (micro-batch ingest of a
     // dropped-in file is exactly the dvid-injection pattern anyway)
@@ -102,7 +103,7 @@ object EventStream {
         src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else src
     val q = transform(events).writeStream
-      .outputMode(OutputMode.Append)
+      .outputMode(mode)
       .format("memory").queryName(queryName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
