@@ -18,13 +18,11 @@ object GraphML {
 
   /** The similarity graph the reference runs Louvain on (KNN over
     * embeddings — knn_similarity.py:79-91). */
-  private def simEdges(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+  private def simEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.sim.KnnCache.topk(spark, dir, 5)
       .select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"),
         col("cos").as("weight"))
-  }
 
   // G2: Louvain communities on the similarity graph → community sizes
   private def g2Louvain(spark: SparkSession, dir: String): DataFrame = {

@@ -51,23 +51,17 @@ object TextSim {
 
   // ---- similarity search ----
 
-  private def simBruteTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
-      .orderBy("src", "rn")
-  }
+  private def simBruteTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.sim.KnnCache.topk(spark, dir, 5).orderBy("src", "rn")
 
   private def simLshTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
         dim = DIM, nPlanes = 8, k = 5)
       .orderBy("src", "rn")
 
-  private def a10SimilarityStats(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    Similarity.similarityStats(
-        Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5))
+  private def a10SimilarityStats(spark: SparkSession, dir: String): DataFrame =
+    Similarity.similarityStats(graft.sim.KnnCache.topk(spark, dir, 5))
       .orderBy("src")
-  }
 
   // ---- text analysis ----
 

@@ -1,0 +1,23 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Process-local materialized view of the embeddings KNN graph: the
+  * exact brute-force top-k is a deterministic pure function of
+  * (sfDir, k), and three catalog operators (J7, A10, G2's similarity
+  * graph) consume it — materialize once per session and share.
+  * The 100 TB analogue is a persisted similarity-edges table refreshed
+  * per injection fold (which FeatureFold writes); this cache is the
+  * in-session equivalent.
+  */
+object KnnCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+
+  def topk(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    cache.computeIfAbsent((dir, k), _ => {
+      val e = graft.core.Tables.embeddings(spark, dir)
+      Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k)
+        .localCheckpoint(true)
+    })
+}
