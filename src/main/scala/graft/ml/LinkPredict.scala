@@ -155,6 +155,69 @@ object LinkPredict {
     TrainResult(model, scoredVal, metrics, importances)
   }
 
+  /** R6 (full form): SMOTE-style interpolated oversampling — synthetic
+    * minority rows between each sampled minority point and a same-class
+    * neighbor, with a deterministic interpolation factor (vs the
+    * reference's imblearn call, xgboost_training_for_big_data.py:573-581).
+    * Neighbor pairing is hash-based (cheap and partition-stable): each
+    * sampled minority row pairs with the "next" minority row by hash
+    * bucket — statistically equivalent to random pairing for synthesis.
+    * Applied only when imbalance exceeds `gate` (the reference's 5:1). */
+  def smoteOversample(data: DataFrame, gate: Double = 5.0): DataFrame = {
+    val nPos = data.filter(col("label") === 1.0).count().toDouble
+    val nNeg = data.filter(col("label") === 0.0).count().toDouble
+    if (nPos == 0 || nNeg / nPos <= gate) data
+    else {
+      val need = math.min((nNeg - nPos).toLong, nPos.toLong * 3)
+      val minority = data.filter(col("label") === 1.0)
+      val frac = need.toDouble / nPos
+      val numeric = featureNames
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(xxhash64(col("customer"), col("product")))
+      val ordered = minority.withColumn("rn", row_number().over(w))
+      val a = ordered
+      val b = ordered.select(
+        (col("rn") - 1).as("rn") +: numeric.map(c => col(c).as(s"${c}_nb")): _*)
+      val paired = a.join(b, Seq("rn")).filter(
+        ColFns.pseudoUniform(col("rn"), 53L) < frac)
+      val lam = ColFns.pseudoUniform(col("rn"), 59L)
+      val synth = numeric.foldLeft(paired) { (df, c) =>
+        df.withColumn(c, col(c) + lam * (col(s"${c}_nb") - col(c)))
+      }.select((Seq("customer", "product", "label") ++ numeric).map(col): _*)
+      data.unionByName(synth, allowMissingColumns = true)
+    }
+  }
+
+  /** M3/M6: the incremental "big data" training policy — probe the
+    * previous model on the new corpus, retrain, apply the overfit gate
+    * (revert to previous on failure), persist model + history. Returns
+    * the decision trail. */
+  def incrementalTrain(spark: SparkSession, data: DataFrame,
+                       modelPath: String, historyPath: String,
+                       maxIter: Int = 15): Map[String, Double] = {
+    val prevExists = new java.io.File(modelPath).exists()
+    val probeDrop =
+      if (!prevExists) 0.0
+      else {
+        val assembled = new VectorAssembler()
+          .setInputCols(featureNames.toArray).setOutputCol("features")
+          .transform(data)
+        ModelRegistry.compatProbe(spark, modelPath, historyPath, assembled).drop
+      }
+    val r = train(spark, data, "gbt", maxIter = maxIter)
+    val accept = r.metrics("gate_pass") == 1.0
+    if (accept) {
+      ModelRegistry.saveModel(
+        r.model.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel],
+        modelPath)
+      ModelRegistry.appendHistory(historyPath, r.metrics)
+    }
+    r.metrics ++ Map(
+      "probe_drop" -> probeDrop,
+      "accepted" -> (if (accept) 1.0 else 0.0),
+      "reverted" -> (if (accept) 0.0 else 1.0))
+  }
+
   /** M5: threshold sweep over scored validation output — one explode +
     * groupBy, no driver loop. Returns (threshold, tp, fp, fn, precision,
     * recall, f1) per threshold. */

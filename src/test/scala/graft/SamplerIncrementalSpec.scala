@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.LinkPredict
+import graft.recommend.WeightedSampler
+
+class SamplerIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typed weighted sampler: n picks, category cap, weight-biased, deterministic") {
+    val cands = (for {
+      cust <- 1L to 20L
+      prod <- 1L to 50L
+    } yield WeightedSampler.Candidate(
+      cust, prod, s"cat${prod % 5}",
+      weight = if (prod <= 5) 10.0 else 0.1,
+      u = ((cust * 131 + prod * 31) % 997) / 997.0 + 1e-6)).toDS()
+    val picks = WeightedSampler.sample(cands, n = 3, categoryCap = 1).collect()
+    assert(picks.length === 20)
+    picks.foreach { case (_, ps) =>
+      assert(ps.length === 3)
+      assert(ps.map(_.category).distinct.length === 3) // cap 1 per category
+    }
+    // heavy-weight products (1-5) dominate the picks
+    val heavy = picks.flatMap(_._2).count(_.product <= 5)
+    assert(heavy > picks.length, s"weighting ineffective: $heavy heavy picks")
+    // determinism + partition independence
+    val again = WeightedSampler.sample(cands.repartition(13), 3, 1).collect()
+    assert(picks.map(p => p._1 -> p._2.map(_.product).toSet).toMap ===
+      again.map(p => p._1 -> p._2.map(_.product).toSet).toMap)
+  }
+
+  test("SMOTE: activates only past the imbalance gate, interpolates in range") {
+    def row(c: Long, p: Long, label: Double, price: Double) =
+      (c, p, label, 1.0, 10.0, 100.0, 2.0, price, 0.1, 0.2)
+    val cols = Seq("customer", "product", "label") ++ LinkPredict.featureNames
+    val skewed = ((1L to 30L).map(i => row(i, i, 1.0, 100.0 + i)) ++
+      (100L to 400L).map(i => row(i, i, 0.0, 50.0)))
+      .toDF(cols: _*).cache()
+    val nPos = 30L
+    val augmented = LinkPredict.smoteOversample(skewed).cache()
+    val nPosAfter = augmented.filter(col("label") === 1.0).count()
+    assert(nPosAfter > nPos, "no synthesis happened")
+    // synthesized prices stay inside the minority envelope [101, 130]
+    val out = augmented.filter(col("label") === 1.0)
+      .filter(col("price") < 101.0 - 1e-9 || col("price") > 130.0 + 1e-9).count()
+    assert(out === 0)
+    // balanced data passes through untouched
+    val balanced = ((1L to 100L).map(i => row(i, i, 1.0, 100.0)) ++
+      (200L to 300L).map(i => row(i, i, 0.0, 50.0))).toDF(cols: _*)
+    assert(LinkPredict.smoteOversample(balanced).count() === balanced.count())
+  }
+
+  test("M3 incremental train: accepts, persists, and probes on rerun") {
+    val dir = "/tmp/graft_incr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val data = LinkPredict.trainingSet(spark, sfDir, cap = 3000).cache()
+    val first = LinkPredict.incrementalTrain(spark, data,
+      s"$dir/model", s"$dir/history.jsonl", maxIter = 5)
+    assert(first("accepted") === 1.0 && first("probe_drop") === 0.0)
+    val second = LinkPredict.incrementalTrain(spark, data,
+      s"$dir/model", s"$dir/history.jsonl", maxIter = 5)
+    // same data, same model → probe sees no regression
+    assert(second("probe_drop") < 0.02)
+    assert(graft.ml.ModelRegistry.readHistory(s"$dir/history.jsonl").length === 2)
+  }
+}
