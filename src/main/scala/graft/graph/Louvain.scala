@@ -5,42 +5,107 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ColFns
 
-/** Distributed Louvain-style community detection (SURVEY §2.10 G2;
+/** Distributed multi-level Louvain community detection (SURVEY §2.10 G2;
   * reference: python-louvain best_partition on the similarity graph,
   * Louvain_community_algorithm.py:56-60).
   *
   * Semantics contract (SURVEY §7.4 trap 1): sequential Louvain's exact
   * partition is not reproducible distributed; we guarantee instead
   * (a) determinism under a fixed seed — moves use hash-staggering, not
-  * rand(); (b) modularity that is measurably positive and comparable to
-  * the reference's partitions (asserted in tests); (c) stable output
-  * schema (id, community).
+  * rand(); (b) modularity that is measurably positive and non-decreasing
+  * across levels by construction (best-composed-partition tracking);
+  * (c) stable output schema (id, community).
   *
-  * Shape: synchronous modularity-gain local moves, iterated. Each
-  * iteration is two joins + two aggregations over the edge list — all
-  * shuffle-partitioned by node/community key, nothing global. At 100 TB
-  * the edge table shuffles by `src` once per iteration; community sums
-  * are a groupBy of |V| rows. Hash-staggering (only ~60% of nodes may
-  * move per iteration) prevents the synchronous-oscillation pathology
+  * Structure: the classic two phases, both distributed —
+  *  1. synchronous modularity-gain local moves (two joins + two
+  *     aggregations per iteration, shuffles keyed by node/community);
+  *  2. graph contraction: communities become supernodes, intra-community
+  *     weight becomes self-loops (which move with the node, so they
+  *     cancel out of move comparisons and enter only through degrees),
+  *     and local moves repeat on the coarsened graph.
+  * Hash-staggering (a fresh pseudo-random half of nodes may move each
+  * iteration) prevents the synchronous-swap oscillation pathology
   * without any sequential dependency.
+  *
+  * Within a run the returned partition is the best composed one seen;
+  * across different maxIter caps results need not be monotone (a
+  * higher-Q level-0 partition can contract to a worse coarse graph —
+  * greedy path dependence, inherent to Louvain, observed at maxIter=2
+  * on the two-clique fixture). At the default maxIter both phases
+  * converge before the cap.
   */
 object Louvain {
 
   /** @param edges undirected weighted edges (src, dst, weight), each
-    *              pair once; self-loops ignored.
+    *              pair once; self-loops allowed (intra-weight).
     * @return (id, community) — community keyed by its lowest member id.
     */
   def detect(spark: SparkSession, edges: DataFrame, maxIter: Int = 10,
-             resolution: Double = 1.0, seed: Long = 42L): DataFrame = {
-    // symmetric adjacency
-    val adj = edges.filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), col("weight"))
-      .unionAll(edges.filter(col("src") =!= col("dst"))
-        .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
-      .cache()
+             resolution: Double = 1.0, seed: Long = 42L,
+             levels: Int = 2): DataFrame = {
+    var mapping: DataFrame = null // original id -> current community
+    var bestMapping: DataFrame = null
+    var bestQ = Double.MinValue
+    var cur = edges
+    var level = 0
+    var continue = true
+    while (level < levels && continue) {
+      val comm = localMoves(spark, cur, maxIter, resolution, seed + 1000L * level)
+      mapping =
+        if (mapping == null) comm
+        else mapping.withColumnRenamed("community", "prev")
+          .join(comm.withColumnRenamed("id", "prev")
+            .withColumnRenamed("community", "next"), "prev")
+          .select(col("id"), col("next").as("community"))
+          .localCheckpoint(true)
+      val q = modularity(spark, edges, mapping, resolution)
+      if (sys.env.contains("GRAFT_LOUVAIN_DEBUG"))
+        println(f"[louvain] level=$level composedQ=$q%.4f bestQ=$bestQ%.4f")
+      if (q > bestQ + 1e-12) { bestQ = q; bestMapping = mapping }
+      else if (level > 0) continue = false // coarsening stopped helping
+      // phase 2: contract to the community graph (canonical orientation,
+      // intra-community weight as self-loops)
+      cur = cur
+        .join(comm.withColumnRenamed("id", "src")
+          .withColumnRenamed("community", "sc"), "src")
+        .join(comm.withColumnRenamed("id", "dst")
+          .withColumnRenamed("community", "dc"), "dst")
+        .select(least(col("sc"), col("dc")).as("src"),
+          greatest(col("sc"), col("dc")).as("dst"), col("weight"))
+        .groupBy("src", "dst").agg(sum("weight").as("weight"))
+        .localCheckpoint(true)
+      level += 1
+    }
+    val canon = bestMapping.groupBy("community").agg(min("id").as("canon"))
+    bestMapping.join(canon, "community")
+      .select(col("id"), col("canon").as("community"))
+  }
 
-    val m2 = adj.agg(sum("weight")).head().getDouble(0) // = 2m
-    val ki = adj.groupBy("src").agg(sum("weight").as("k")).cache()
+  /** Phase 1: synchronous local moves on one graph level. Returns
+    * (id, community) over this level's node ids. */
+  private def localMoves(spark: SparkSession, edges: DataFrame, maxIter: Int,
+                         resolution: Double, seed: Long): DataFrame = {
+    val nonSelf = edges.filter(col("src") =!= col("dst"))
+    val selfLoops = edges.filter(col("src") === col("dst"))
+      .groupBy(col("src").as("id")).agg(sum("weight").as("self_w"))
+    // symmetric adjacency over non-self edges
+    val adj = nonSelf.select(col("src"), col("dst"), col("weight"))
+      .unionAll(nonSelf.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .localCheckpoint(true)
+
+    // degrees include 2× self-loop weight (the contracted node's internal
+    // edges); m2 likewise
+    val kiBase = adj.groupBy("src").agg(sum("weight").as("k0"))
+    val allIds = kiBase.select(col("src"))
+      .unionAll(selfLoops.select(col("id").as("src"))).distinct()
+    val ki = allIds
+      .join(kiBase, Seq("src"), "left")
+      .join(selfLoops.withColumnRenamed("id", "src"), Seq("src"), "left")
+      .select(col("src"),
+        (coalesce(col("k0"), lit(0.0)) + lit(2.0) * coalesce(col("self_w"), lit(0.0)))
+          .as("k"))
+      .localCheckpoint(true)
+    val m2 = ki.agg(sum("k")).head().getDouble(0)
 
     var comm = ki.select(col("src").as("id"), col("src").as("community"))
     var bestComm = comm
@@ -49,15 +114,12 @@ object Louvain {
     var moved = 1L
     while (iter < maxIter && moved > 0) {
       val commB = comm
-      // Σ_tot per community (sum of member weighted degrees)
       val sigma = commB.join(ki, commB("id") === ki("src"))
         .groupBy("community").agg(sum("k").as("sigma_tot"))
-      // weights from each node to each neighboring community
       val nbrComm = adj
         .join(commB.withColumnRenamed("id", "dst")
           .withColumnRenamed("community", "nbr_comm"), "dst")
         .groupBy(col("src"), col("nbr_comm")).agg(sum("weight").as("w_ic"))
-      // candidate communities = neighbor communities ∪ own
       val own = commB.select(col("id").as("src"), col("community").as("nbr_comm"))
         .withColumn("w_ic", lit(0.0))
       val cands = nbrComm.unionByName(own)
@@ -66,7 +128,8 @@ object Louvain {
         .join(ki, "src")
         .join(sigma.withColumnRenamed("community", "nbr_comm"), "nbr_comm")
       // gain = w_ic − res · k_i · Σ_tot\{i} / (2m); Σ excludes i when
-      // evaluating its own community (standard Louvain bookkeeping)
+      // evaluating its own community (standard Louvain bookkeeping).
+      // Self-loop weight moves with the node and cancels across options.
       val sigmaAdj = when(col("nbr_comm") === col("community"),
         col("sigma_tot") - col("k")).otherwise(col("sigma_tot"))
       val scored = cands.withColumn("gain",
@@ -97,42 +160,51 @@ object Louvain {
       moved = withNext.filter(col("best_comm") =!= col("community")).count()
       comm = withNext.select(col("id"), col("new_comm").as("community"))
       // synchronous moves don't guarantee monotone modularity — keep the
-      // best partition seen and return that. Computed against the CACHED
-      // adjacency: rebuilding from `edges` would re-execute the caller's
-      // upstream plan (e.g. a 4M-pair KNN join) once per iteration.
-      val q = modularityFromAdj(adj, ki, m2, comm, resolution)
+      // best partition seen (evaluated on THIS level's cached adjacency)
+      val q = modularityFromParts(adj, selfLoops, ki, m2, comm, resolution)
+      if (sys.env.contains("GRAFT_LOUVAIN_DEBUG"))
+        println(f"[louvain]   iter=$iter q=$q%.4f moved=$moved")
       if (q > bestQ) { bestQ = q; bestComm = comm }
       iter += 1
     }
-    // canonical community label: lowest member id
-    val canon = bestComm.groupBy("community").agg(min("id").as("canon"))
-    bestComm.join(canon, "community")
-      .select(col("id"), col("canon").as("community"))
+    bestComm
   }
 
-  /** Modularity Q of a partition over the same edge input (quality gate
-    * used by tests; reference-class partitions score Q > 0.3 on the
-    * similarity graphs this runs on). */
+  /** Modularity Q of a partition over the original edge input (quality
+    * gate used by tests; self-loop-aware). */
   def modularity(spark: SparkSession, edges: DataFrame, communities: DataFrame,
                  resolution: Double = 1.0): Double = {
-    val adj = edges.filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), col("weight"))
-      .unionAll(edges.filter(col("src") =!= col("dst"))
-        .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
-    val m2 = adj.agg(sum("weight")).head().getDouble(0)
-    val ki = adj.groupBy("src").agg(sum("weight").as("k"))
-    modularityFromAdj(adj, ki, m2, communities, resolution)
+    val nonSelf = edges.filter(col("src") =!= col("dst"))
+    val selfLoops = edges.filter(col("src") === col("dst"))
+      .groupBy(col("src").as("id")).agg(sum("weight").as("self_w"))
+    val adj = nonSelf.select(col("src"), col("dst"), col("weight"))
+      .unionAll(nonSelf.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val kiBase = adj.groupBy("src").agg(sum("weight").as("k0"))
+    val allIds = kiBase.select(col("src"))
+      .unionAll(selfLoops.select(col("id").as("src"))).distinct()
+    val ki = allIds
+      .join(kiBase, Seq("src"), "left")
+      .join(selfLoops.withColumnRenamed("id", "src"), Seq("src"), "left")
+      .select(col("src"),
+        (coalesce(col("k0"), lit(0.0)) + lit(2.0) * coalesce(col("self_w"), lit(0.0)))
+          .as("k"))
+    val m2 = ki.agg(sum("k")).head().getDouble(0)
+    modularityFromParts(adj, selfLoops, ki, m2, communities, resolution)
   }
 
-  private def modularityFromAdj(adj: DataFrame, ki: DataFrame, m2: Double,
-                                communities: DataFrame, resolution: Double): Double = {
+  private def modularityFromParts(adj: DataFrame, selfLoops: DataFrame,
+                                  ki: DataFrame, m2: Double,
+                                  communities: DataFrame, resolution: Double): Double = {
     val withComm = adj
       .join(communities.withColumnRenamed("id", "src")
         .withColumnRenamed("community", "src_comm"), "src")
       .join(communities.withColumnRenamed("id", "dst")
         .withColumnRenamed("community", "dst_comm"), "dst")
-    val intra = withComm.filter(col("src_comm") === col("dst_comm"))
+    val intraPairs = withComm.filter(col("src_comm") === col("dst_comm"))
       .agg(coalesce(sum("weight"), lit(0.0))).head().getDouble(0)
+    // self-loops are always intra; each contributes 2w to the A_ii sum
+    val selfW = selfLoops.agg(coalesce(sum("self_w"), lit(0.0))).head().getDouble(0)
+    val intra = intraPairs + 2.0 * selfW
     val sigma = communities.withColumnRenamed("id", "src").join(ki, "src")
       .groupBy("community").agg(sum("k").as("s"))
     val sumSq = sigma.agg(sum(col("s") * col("s"))).head().getDouble(0)
