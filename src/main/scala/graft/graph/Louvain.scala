@@ -33,8 +33,53 @@ import graft.functions.ColFns
   * greedy path dependence, inherent to Louvain, observed at maxIter=2
   * on the two-clique fixture). At the default maxIter both phases
   * converge before the cap.
+  *
+  * The input edge list is materialized once up front (localCheckpoint):
+  * every per-iteration/per-level modularity evaluation and the level-0
+  * moves read the materialized rows, never re-executing the caller's
+  * upstream plan (typically a KNN similarity join).
+  *
+  * Hybrid execution (the standard shape for distributed Louvain): below
+  * `seqMaxEdges` the materialized edge list is solved exactly on the
+  * driver — classic sequential Louvain, the same algorithm the
+  * reference's python-louvain runs — because a multi-stage shuffle
+  * iteration on a sub-million-edge graph is pure scheduling overhead.
+  * Above the threshold the distributed synchronous-moves path runs;
+  * its contraction shrinks the graph by orders of magnitude, so coarse
+  * levels fall under the threshold and finish exactly on the driver.
+  * At 100 TB the first level is the only one that shuffles.
   */
 object Louvain {
+
+  /** Materialized pieces a modularity evaluation needs: symmetric
+    * adjacency, self-loop-inclusive degrees, 2m, and total self-loop
+    * weight (constant for a fixed graph). */
+  private case class Parts(adj: DataFrame, ki: DataFrame, m2: Double, selfW: Double)
+
+  private def parts(edges: DataFrame, checkpoint: Boolean): Parts = {
+    val nonSelf = edges.filter(col("src") =!= col("dst"))
+    val selfLoops = edges.filter(col("src") === col("dst"))
+      .groupBy(col("src").as("id")).agg(sum("weight").as("self_w"))
+    // symmetric adjacency over non-self edges
+    val adj0 = nonSelf.select(col("src"), col("dst"), col("weight"))
+      .unionAll(nonSelf.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val adj = if (checkpoint) adj0.localCheckpoint(true) else adj0
+    // degrees include 2× self-loop weight (the contracted node's internal
+    // edges); m2 likewise
+    val kiBase = adj.groupBy("src").agg(sum("weight").as("k0"))
+    val allIds = kiBase.select(col("src"))
+      .unionAll(selfLoops.select(col("id").as("src"))).distinct()
+    val ki0 = allIds
+      .join(kiBase, Seq("src"), "left")
+      .join(selfLoops.withColumnRenamed("id", "src"), Seq("src"), "left")
+      .select(col("src"),
+        (coalesce(col("k0"), lit(0.0)) + lit(2.0) * coalesce(col("self_w"), lit(0.0)))
+          .as("k"))
+    val ki = if (checkpoint) ki0.localCheckpoint(true) else ki0
+    val m2 = ki.agg(sum("k")).head().getDouble(0)
+    val selfW = selfLoops.agg(coalesce(sum("self_w"), lit(0.0))).head().getDouble(0)
+    Parts(adj, ki, m2, selfW)
+  }
 
   /** @param edges undirected weighted edges (src, dst, weight), each
     *              pair once; self-loops allowed (intra-weight).
@@ -42,15 +87,24 @@ object Louvain {
     */
   def detect(spark: SparkSession, edges: DataFrame, maxIter: Int = 10,
              resolution: Double = 1.0, seed: Long = 42L,
-             levels: Int = 2): DataFrame = {
+             levels: Int = 2, seqMaxEdges: Long = 4000000L): DataFrame = {
+    val edges0 = edges.localCheckpoint(true)
+    if (edges0.count() <= seqMaxEdges)
+      return detectSequential(spark, edges0, resolution)
+    val orig = parts(edges0, checkpoint = true) // composed-Q evaluation basis
     var mapping: DataFrame = null // original id -> current community
     var bestMapping: DataFrame = null
     var bestQ = Double.MinValue
-    var cur = edges
+    var cur = edges0
+    var curParts = orig
     var level = 0
     var continue = true
     while (level < levels && continue) {
-      val comm = localMoves(spark, cur, maxIter, resolution, seed + 1000L * level)
+      val comm =
+        if (level > 0 && cur.count() <= seqMaxEdges) { // coarse graph collapsed
+          continue = false
+          detectSequential(spark, cur, resolution)
+        } else localMoves(curParts, maxIter, resolution, seed + 1000L * level)
       mapping =
         if (mapping == null) comm
         else mapping.withColumnRenamed("community", "prev")
@@ -58,54 +112,146 @@ object Louvain {
             .withColumnRenamed("community", "next"), "prev")
           .select(col("id"), col("next").as("community"))
           .localCheckpoint(true)
-      val q = modularity(spark, edges, mapping, resolution)
+      val q = modularityFromParts(orig, mapping, resolution)
       if (sys.env.contains("GRAFT_LOUVAIN_DEBUG"))
         println(f"[louvain] level=$level composedQ=$q%.4f bestQ=$bestQ%.4f")
       if (q > bestQ + 1e-12) { bestQ = q; bestMapping = mapping }
       else if (level > 0) continue = false // coarsening stopped helping
-      // phase 2: contract to the community graph (canonical orientation,
-      // intra-community weight as self-loops)
-      cur = cur
-        .join(comm.withColumnRenamed("id", "src")
-          .withColumnRenamed("community", "sc"), "src")
-        .join(comm.withColumnRenamed("id", "dst")
-          .withColumnRenamed("community", "dc"), "dst")
-        .select(least(col("sc"), col("dc")).as("src"),
-          greatest(col("sc"), col("dc")).as("dst"), col("weight"))
-        .groupBy("src", "dst").agg(sum("weight").as("weight"))
-        .localCheckpoint(true)
       level += 1
+      if (level < levels && continue) {
+        // phase 2: contract to the community graph (canonical orientation,
+        // intra-community weight as self-loops)
+        cur = cur
+          .join(comm.withColumnRenamed("id", "src")
+            .withColumnRenamed("community", "sc"), "src")
+          .join(comm.withColumnRenamed("id", "dst")
+            .withColumnRenamed("community", "dc"), "dst")
+          .select(least(col("sc"), col("dc")).as("src"),
+            greatest(col("sc"), col("dc")).as("dst"), col("weight"))
+          .groupBy("src", "dst").agg(sum("weight").as("weight"))
+          .localCheckpoint(true)
+        curParts = parts(cur, checkpoint = true)
+      }
     }
     val canon = bestMapping.groupBy("community").agg(min("id").as("canon"))
     bestMapping.join(canon, "community")
       .select(col("id"), col("canon").as("community"))
   }
 
+  /** Exact classic Louvain on the driver for graphs under the hybrid
+    * threshold — identical objective, deterministic (sorted node order,
+    * lowest-community tie-break), monotone in modularity by
+    * construction. Levels repeat until a full pass moves nothing. */
+  private def detectSequential(spark: SparkSession, edges: DataFrame,
+                               resolution: Double): DataFrame = {
+    import spark.implicits._
+    val raw = edges.select(col("src").cast("string"), col("dst").cast("string"),
+      col("weight").cast("double")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val ids: Array[String] = (raw.map(_._1) ++ raw.map(_._2)).distinct.sorted
+    if (ids.isEmpty) return Seq.empty[(String, String)].toDF("id", "community")
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    // undirected pair weights (u<v) and self-loop weights, aggregated
+    val pairW = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+    val selfW = new Array[Double](n)
+    raw.foreach { case (s, d, w) =>
+      val (u, v) = (idx(s), idx(d))
+      if (u == v) selfW(u) += w
+      else {
+        val key = if (u < v) (u, v) else (v, u)
+        pairW(key) = pairW.getOrElse(key, 0.0) + w
+      }
+    }
+    // origComm(i): community (current-level supernode index) of orig node i
+    var origComm = Array.tabulate(n)(identity)
+    var curPairs = pairW.toArray.map { case ((u, v), w) => (u, v, w) }
+    var curSelf = selfW
+    var curN = n
+    var improvedLevel = true
+    var guard = 0
+    while (improvedLevel && guard < 64) {
+      guard += 1
+      // adjacency of the current level
+      val adj = Array.fill(curN)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+      curPairs.foreach { case (u, v, w) => adj(u) += ((v, w)); adj(v) += ((u, w)) }
+      val k = Array.tabulate(curN)(i => adj(i).map(_._2).sum + 2.0 * curSelf(i))
+      val m2 = k.sum
+      if (m2 <= 0.0) { improvedLevel = false }
+      else {
+        val comm = Array.tabulate(curN)(identity)
+        val commTot = k.clone()
+        var movedInLevel = false
+        var movedInPass = true
+        var pass = 0
+        while (movedInPass && pass < 64) {
+          movedInPass = false
+          pass += 1
+          var i = 0
+          while (i < curN) {
+            val own = comm(i)
+            commTot(own) -= k(i)
+            // weight from i to each neighboring community
+            val wTo = scala.collection.mutable.HashMap(own -> 0.0)
+            adj(i).foreach { case (j, w) =>
+              val c = comm(j); wTo(c) = wTo.getOrElse(c, 0.0) + w
+            }
+            var bestC = own
+            var bestScore = wTo(own) - resolution * k(i) * commTot(own) / m2
+            wTo.foreach { case (c, w) =>
+              val score = w - resolution * k(i) * commTot(c) / m2
+              if (score > bestScore + 1e-12 ||
+                (score > bestScore - 1e-12 && c < bestC)) {
+                bestScore = score; bestC = c
+              }
+            }
+            commTot(bestC) += k(i)
+            if (bestC != own) { comm(i) = bestC; movedInPass = true; movedInLevel = true }
+            i += 1
+          }
+        }
+        if (!movedInLevel) improvedLevel = false
+        else {
+          // contract: renumber communities, compose mapping, rebuild edges
+          val renum = comm.distinct.sorted.zipWithIndex.toMap
+          val newN = renum.size
+          origComm = origComm.map(c => renum(comm(c)))
+          val newSelf = new Array[Double](newN)
+          var ci = 0
+          while (ci < curN) { newSelf(renum(comm(ci))) += curSelf(ci); ci += 1 }
+          val newPairs = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+          curPairs.foreach { case (u, v, w) =>
+            val (cu, cv) = (renum(comm(u)), renum(comm(v)))
+            if (cu == cv) newSelf(cu) += w
+            else {
+              val key = if (cu < cv) (cu, cv) else (cv, cu)
+              newPairs(key) = newPairs.getOrElse(key, 0.0) + w
+            }
+          }
+          curPairs = newPairs.toArray.map { case ((u, v), w) => (u, v, w) }
+          curSelf = newSelf
+          curN = newN
+        }
+      }
+    }
+    // canonical label: lowest member id per community
+    val canon = scala.collection.mutable.HashMap.empty[Int, String]
+    var i = 0
+    while (i < n) { // ids sorted ascending → first hit is the minimum
+      if (!canon.contains(origComm(i))) canon(origComm(i)) = ids(i)
+      i += 1
+    }
+    ids.zipWithIndex.map { case (id, j) => (id, canon(origComm(j))) }
+      .toSeq.toDF("id", "community")
+  }
+
   /** Phase 1: synchronous local moves on one graph level. Returns
     * (id, community) over this level's node ids. */
-  private def localMoves(spark: SparkSession, edges: DataFrame, maxIter: Int,
+  private def localMoves(p: Parts, maxIter: Int,
                          resolution: Double, seed: Long): DataFrame = {
-    val nonSelf = edges.filter(col("src") =!= col("dst"))
-    val selfLoops = edges.filter(col("src") === col("dst"))
-      .groupBy(col("src").as("id")).agg(sum("weight").as("self_w"))
-    // symmetric adjacency over non-self edges
-    val adj = nonSelf.select(col("src"), col("dst"), col("weight"))
-      .unionAll(nonSelf.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
-      .localCheckpoint(true)
-
-    // degrees include 2× self-loop weight (the contracted node's internal
-    // edges); m2 likewise
-    val kiBase = adj.groupBy("src").agg(sum("weight").as("k0"))
-    val allIds = kiBase.select(col("src"))
-      .unionAll(selfLoops.select(col("id").as("src"))).distinct()
-    val ki = allIds
-      .join(kiBase, Seq("src"), "left")
-      .join(selfLoops.withColumnRenamed("id", "src"), Seq("src"), "left")
-      .select(col("src"),
-        (coalesce(col("k0"), lit(0.0)) + lit(2.0) * coalesce(col("self_w"), lit(0.0)))
-          .as("k"))
-      .localCheckpoint(true)
-    val m2 = ki.agg(sum("k")).head().getDouble(0)
+    val adj = p.adj
+    val ki = p.ki
+    val m2 = p.m2
 
     var comm = ki.select(col("src").as("id"), col("src").as("community"))
     var bestComm = comm
@@ -160,8 +306,8 @@ object Louvain {
       moved = withNext.filter(col("best_comm") =!= col("community")).count()
       comm = withNext.select(col("id"), col("new_comm").as("community"))
       // synchronous moves don't guarantee monotone modularity — keep the
-      // best partition seen (evaluated on THIS level's cached adjacency)
-      val q = modularityFromParts(adj, selfLoops, ki, m2, comm, resolution)
+      // best partition seen (evaluated on THIS level's materialized parts)
+      val q = modularityFromParts(p, comm, resolution)
       if (sys.env.contains("GRAFT_LOUVAIN_DEBUG"))
         println(f"[louvain]   iter=$iter q=$q%.4f moved=$moved")
       if (q > bestQ) { bestQ = q; bestComm = comm }
@@ -173,29 +319,12 @@ object Louvain {
   /** Modularity Q of a partition over the original edge input (quality
     * gate used by tests; self-loop-aware). */
   def modularity(spark: SparkSession, edges: DataFrame, communities: DataFrame,
-                 resolution: Double = 1.0): Double = {
-    val nonSelf = edges.filter(col("src") =!= col("dst"))
-    val selfLoops = edges.filter(col("src") === col("dst"))
-      .groupBy(col("src").as("id")).agg(sum("weight").as("self_w"))
-    val adj = nonSelf.select(col("src"), col("dst"), col("weight"))
-      .unionAll(nonSelf.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
-    val kiBase = adj.groupBy("src").agg(sum("weight").as("k0"))
-    val allIds = kiBase.select(col("src"))
-      .unionAll(selfLoops.select(col("id").as("src"))).distinct()
-    val ki = allIds
-      .join(kiBase, Seq("src"), "left")
-      .join(selfLoops.withColumnRenamed("id", "src"), Seq("src"), "left")
-      .select(col("src"),
-        (coalesce(col("k0"), lit(0.0)) + lit(2.0) * coalesce(col("self_w"), lit(0.0)))
-          .as("k"))
-    val m2 = ki.agg(sum("k")).head().getDouble(0)
-    modularityFromParts(adj, selfLoops, ki, m2, communities, resolution)
-  }
+                 resolution: Double = 1.0): Double =
+    modularityFromParts(parts(edges, checkpoint = false), communities, resolution)
 
-  private def modularityFromParts(adj: DataFrame, selfLoops: DataFrame,
-                                  ki: DataFrame, m2: Double,
-                                  communities: DataFrame, resolution: Double): Double = {
-    val withComm = adj
+  private def modularityFromParts(p: Parts, communities: DataFrame,
+                                  resolution: Double): Double = {
+    val withComm = p.adj
       .join(communities.withColumnRenamed("id", "src")
         .withColumnRenamed("community", "src_comm"), "src")
       .join(communities.withColumnRenamed("id", "dst")
@@ -203,11 +332,10 @@ object Louvain {
     val intraPairs = withComm.filter(col("src_comm") === col("dst_comm"))
       .agg(coalesce(sum("weight"), lit(0.0))).head().getDouble(0)
     // self-loops are always intra; each contributes 2w to the A_ii sum
-    val selfW = selfLoops.agg(coalesce(sum("self_w"), lit(0.0))).head().getDouble(0)
-    val intra = intraPairs + 2.0 * selfW
-    val sigma = communities.withColumnRenamed("id", "src").join(ki, "src")
+    val intra = intraPairs + 2.0 * p.selfW
+    val sigma = communities.withColumnRenamed("id", "src").join(p.ki, "src")
       .groupBy("community").agg(sum("k").as("s"))
     val sumSq = sigma.agg(sum(col("s") * col("s"))).head().getDouble(0)
-    intra / m2 - resolution * sumSq / (m2 * m2)
+    intra / p.m2 - resolution * sumSq / (p.m2 * p.m2)
   }
 }

@@ -32,6 +32,16 @@ class GraphAlgoSpec extends SparkSpec {
     assert(q > 0.3, s"modularity too low: $q")
   }
 
+  test("Louvain distributed path (hybrid threshold 0) matches the clique structure") {
+    val edges = twoCliques
+    val comm = Louvain.detect(spark, edges, maxIter = 8, seqMaxEdges = 0L).cache()
+    val groups = comm.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((1 to 5).map(i => groups(s"a$i")).toSet.size === 1)
+    assert((1 to 5).map(i => groups(s"b$i")).toSet.size === 1)
+    assert(groups("a1") != groups("b1"), "cliques merged")
+    assert(Louvain.modularity(spark, edges, comm) > 0.3)
+  }
+
   test("Louvain on the sf0.001 similarity graph yields positive modularity") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val sim = graft.sim.Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
