@@ -62,9 +62,11 @@ object GraphML {
   // instead of re-training per catalog entry.
   private val trained =
     new java.util.concurrent.ConcurrentHashMap[(String, String), LinkPredict.TrainResult]()
+  // cap 20000 matches the MLP entry so every trainer shares ONE
+  // materialized corpus per dir
   private def fit(spark: SparkSession, dir: String, algo: String): LinkPredict.TrainResult =
     trained.computeIfAbsent((dir, algo), _ =>
-      LinkPredict.train(spark, LinkPredict.trainingSet(spark, dir), algo))
+      LinkPredict.train(spark, LinkPredict.trainingSetCached(spark, dir, cap = 20000), algo))
 
   // M1/M3/M4/M10: GBT link model + policy-gate metrics as one row
   private def m1GbtMetrics(spark: SparkSession, dir: String): DataFrame = {
@@ -103,7 +105,7 @@ object GraphML {
   // M7/M8: multi-tower MLP with per-tower standardization
   private def m7MlpMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.ml.MultiTower.train(spark, LinkPredict.trainingSet(spark, dir, cap = 20000))
+    graft.ml.MultiTower.train(spark, LinkPredict.trainingSetCached(spark, dir, cap = 20000))
       .metrics.toSeq.sortBy(_._1).toDF("metric", "value")
   }
 

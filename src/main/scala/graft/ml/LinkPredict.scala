@@ -27,6 +27,18 @@ object LinkPredict {
     "cust_frequency", "cust_recency", "acctbal",
     "part_popularity", "price", "discount", "bal_x_price")
 
+  /** Session memo of materialized training sets: the assembly (2-hop
+    * positives, anti-join negatives, feature joins) is deterministic per
+    * (dir, cap, month), and several catalog operators — GBT, LR sweep,
+    * MLP, multi-date — consume the same corpus. Materializing once keeps
+    * iterative trainers (L-BFGS/GBT passes) off the join plan. */
+  private val setCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), DataFrame]()
+  def trainingSetCached(spark: SparkSession, dir: String, cap: Int = 50000,
+                        month: Int = 12): DataFrame =
+    setCache.computeIfAbsent((dir, cap, month), _ =>
+      trainingSet(spark, dir, cap, month).localCheckpoint(true))
+
   /** M2: the discount model's multi-date training corpus — one slice per
     * simulated month with the discount recomputed per date, unioned with
     * a `sim_month` column (vs the reference's loop of four separate
@@ -38,8 +50,7 @@ object LinkPredict {
     // the month only affects the discount column — build the expensive
     // pair+feature base ONCE (materialized), then emit one cheap
     // discount variant per simulated month
-    val base = trainingSet(spark, dir, cap, month = 12).drop("discount")
-      .localCheckpoint(true)
+    val base = trainingSetCached(spark, dir, cap, month = 12).drop("discount")
     months.map { m =>
       val disc = if (withDiscount)
         graft.recommend.Recommend.seasonalDiscount(col("product"), lit(m))

@@ -50,16 +50,22 @@ object MultiTower {
     val split = data.withColumn("part",
       when(ColFns.pseudoUniform(xxhash64(col("customer"), col("product")), 43L) < 0.8,
         "train").otherwise("test"))
-    val train = split.filter(col("part") === "train")
-    val test = split.filter(col("part") === "test")
-    val model = pipeline.fit(train)
-    val scored = model.transform(test)
-    val auc = new BinaryClassificationEvaluator().setLabelCol("label")
-      .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
-      .evaluate(scored)
-    val acc = scored.filter(col("prediction") === col("label")).count().toDouble /
-      math.max(scored.count(), 1L)
-    Result(Map("auc_val" -> auc, "accuracy" -> acc,
-      "n_train" -> train.count().toDouble, "n_test" -> test.count().toDouble))
+    // cache both splits: L-BFGS makes maxIter passes over `train`, and
+    // the scorer reads `test` thrice — neither should replay assembly
+    val train = split.filter(col("part") === "train").cache()
+    val test = split.filter(col("part") === "test").cache()
+    try {
+      val model = pipeline.fit(train)
+      val scored = model.transform(test).cache()
+      val auc = new BinaryClassificationEvaluator().setLabelCol("label")
+        .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
+        .evaluate(scored)
+      val acc = scored.filter(col("prediction") === col("label")).count().toDouble /
+        math.max(scored.count(), 1L)
+      val r = Result(Map("auc_val" -> auc, "accuracy" -> acc,
+        "n_train" -> train.count().toDouble, "n_test" -> test.count().toDouble))
+      scored.unpersist()
+      r
+    } finally { train.unpersist(); test.unpersist() }
   }
 }

@@ -62,32 +62,45 @@ object Recommend {
   def score(acctbal: Column, price: Column, discount: Column): Column =
     ColFns.sigmoid(acctbal / 5000.0 + (price * (lit(1.0) - discount)) / 2000.0 - 2.0)
 
+  /** Candidate generation (P7 ∖ J6 + R2 cap) is strategy-independent, so
+    * the materialized frame is memoized per (dir, filter, cap) within the
+    * session — the four Q* strategies differ only downstream of it. */
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+  def candidates(spark: SparkSession, dir: String, customerFilter: Column,
+                 candidateCap: Int): DataFrame =
+    candCache.computeIfAbsent((dir, customerFilter.toString, candidateCap), _ => {
+      val cust = Tables.customer(spark, dir).filter(customerFilter)
+        .select(col("c_custkey").as("customer"), col("c_acctbal").as("acctbal"))
+      val parts = validProducts(Tables.part(spark, dir))
+        .select(col("p_partkey").as("product"), col("p_brand").as("category"),
+          col("p_retailprice").as("price"))
+
+      // J6: purchased exclusion via the 2-hop traversal
+      val purchased = Tables.orders(spark, dir).select(col("o_custkey").as("customer"),
+          col("o_orderkey").as("ok"))
+        .join(Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("product")), "ok")
+        .select("customer", "product").distinct()
+
+      // R2: deterministic candidate cap per customer (hash-ranked)
+      val candW = Window.partitionBy("customer")
+        .orderBy(ColFns.pseudoUniform(col("customer") * 131071 + col("product"), 3L),
+          col("product"))
+      cust.crossJoin(parts)
+        .join(purchased, Seq("customer", "product"), "left_anti")
+        .withColumn("cand_rn", row_number().over(candW))
+        .filter(col("cand_rn") <= candidateCap)
+        .localCheckpoint(true)
+    })
+
   /** The full pipeline for a set of customers at a simulated month.
     * Returns (customer, rank, product, category, prob). */
   def topK(spark: SparkSession, dir: String, strategyName: String,
            customerFilter: Column, queryMonth: Int, topN: Int = 3,
            candidateCap: Int = 2000): DataFrame = {
     val st = strategies(strategyName)
-    val cust = Tables.customer(spark, dir).filter(customerFilter)
-      .select(col("c_custkey").as("customer"), col("c_acctbal").as("acctbal"))
-    val parts = validProducts(Tables.part(spark, dir))
-      .select(col("p_partkey").as("product"), col("p_brand").as("category"),
-        col("p_retailprice").as("price"))
-
-    // J6: purchased exclusion via the 2-hop traversal
-    val purchased = Tables.orders(spark, dir).select(col("o_custkey").as("customer"),
-        col("o_orderkey").as("ok"))
-      .join(Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("product")), "ok")
-      .select("customer", "product").distinct()
-
-    // R2: deterministic candidate cap per customer (hash-ranked)
-    val candW = Window.partitionBy("customer")
-      .orderBy(ColFns.pseudoUniform(col("customer") * 131071 + col("product"), 3L), col("product"))
-    val cands = cust.crossJoin(parts)
-      .join(purchased, Seq("customer", "product"), "left_anti")
-      .withColumn("cand_rn", row_number().over(candW))
-      .filter(col("cand_rn") <= candidateCap)
+    val cands = candidates(spark, dir, customerFilter, candidateCap)
 
     val discount = seasonalDiscount(col("product"), lit(queryMonth))
     val p0 = score(col("acctbal"), col("price"), discount)
