@@ -59,6 +59,13 @@ object TextSim {
         dim = DIM, nPlanes = 8, k = 5)
       .orderBy("src", "rn")
 
+  // rows-only (KMeans quantizer has no SQL mirror); pair-level cosine
+  // parity with the exact path is asserted in SimilaritySpec
+  private def simIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 3)
+      .orderBy("src", "rn")
+
   private def a10SimilarityStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.similarityStats(graft.sim.KnnCache.topk(spark, dir, 5))
       .orderBy("src")
@@ -111,6 +118,7 @@ object TextSim {
     "d5_embedding_neardup" -> (d5EmbeddingNearDup(_, _)),
     "j7_knn_topk" -> (simBruteTopK(_, _)),
     "sim_lsh_topk" -> (simLshTopK(_, _)),
+    "sim_ivf_topk" -> (simIvfTopK(_, _)),
     "a10_similarity_stats" -> (a10SimilarityStats(_, _)),
     "t1_language_id" -> (t1LangId(_, _)),
     "t2_quality_score" -> (t2Quality(_, _)),

@@ -93,7 +93,9 @@ object Node2Vec {
     * (id, embedding ArrayType(Float)). */
   def embeddings(spark: SparkSession, edges: DataFrame,
                  prm: Params = Params()): DataFrame = {
-    val w = walks(spark, edges, prm)
+    // materialize: Word2Vec makes several passes (vocab count + training)
+    // and would otherwise replay the whole walk-join chain each time
+    val w = walks(spark, edges, prm).localCheckpoint(true)
     val model = new Word2Vec()
       .setInputCol("walk").setOutputCol("vec")
       .setVectorSize(prm.dim).setWindowSize(prm.window)

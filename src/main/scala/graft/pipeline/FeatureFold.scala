@@ -34,7 +34,7 @@ object FeatureFold {
       .localCheckpoint(true)
 
     // G4/J7: KNN similarity graph over the embeddings
-    val sim = Similarity.bruteForceTopK(emb, emb, "id", "embedding", knnK)
+    val sim = Similarity.bruteForceTopK(emb, emb, "id", "embedding", knnK, symmetric = true)
       .select(col("src"), col("dst"), col("cos").as("weight"))
       .localCheckpoint(true)
 

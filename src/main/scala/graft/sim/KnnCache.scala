@@ -17,7 +17,7 @@ object KnnCache {
   def topk(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     cache.computeIfAbsent((dir, k), _ => {
       val e = graft.core.Tables.embeddings(spark, dir)
-      Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k)
+      Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k, symmetric = true)
         .localCheckpoint(true)
     })
 }

@@ -48,15 +48,27 @@ object Similarity {
     * excluded. Deterministic tie-break on neighbor id.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int,
+                     symmetric: Boolean = false): DataFrame = {
     // norms are computed once per vector (O(n·d)), not once per pair
     // (O(n²·d)) — the pair loop then does a single dot product
     val q = queries.select(col(idCol).as("src"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("dst"), col(vecCol).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val scored = q.join(c, col("src") =!= col("dst"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val scored =
+      if (symmetric) {
+        // queries == corpus: cos(a,b) = cos(b,a), so evaluate each
+        // unordered pair once (src < dst) and mirror — halves the pair
+        // loop's dot products
+        val half = q.join(c, col("src") < col("dst"))
+          .select(col("src"), col("dst"),
+            (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+        half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      } else
+        q.join(c, col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -77,9 +89,12 @@ object Similarity {
     */
   def lshBucket(vecCol: Column, dim: Int, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val proj = (0 until dim).map { i =>
-        element_at(vecCol, i + 1).cast("double") * lit(planeComponent(j, i))
-      }.reduce(_ + _)
+      // one codegen'd dot against the constant plane vector — the naive
+      // dim-term Add chain compiles to a pathological expression tree.
+      // Fold order (left-to-right, double) is identical, so bucket ids
+      // and the DuckDB mirror are unchanged.
+      val plane = typedLit((0 until dim).map(i => planeComponent(j, i)))
+      val proj = dot(vecCol, plane)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -113,6 +128,52 @@ object Similarity {
     val b = withBucket.select(col("id").as("dst"), col("v").as("cv"),
       col("bucket"), col("nrm").as("cn"))
     val scored = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the second scale path alongside
+    * LSH: a KMeans coarse quantizer assigns every vector to its nearest
+    * centroid ("list"); a query probes its `nProbe` nearest lists and
+    * scores only vectors inside them. Shuffle is keyed by list id, list
+    * sizes are balanced by the quantizer, and the centroid table
+    * (nLists × dim) broadcasts. Recall tunes via nProbe.
+    *
+    * Same output shape as bruteForceTopK; approximate semantics — a
+    * neighbor outside the probed lists is missed (documented).
+    */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+              nLists: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val sp = vectors.sparkSession
+    import sp.implicits._
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(
+        col("v").cast("array<double>")))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list").fit(base)
+    // corpus side: every vector in exactly its nearest list
+    val assigned = model.transform(base)
+      .select(col("id").as("dst"), col("v").as("cv"), col("list"))
+      .withColumn("cn", norm(col("cv")))
+    // query side: nProbe nearest centroids via a broadcast join against
+    // the tiny centroid table (d² = |q|² − 2q·c + |c|²; |q|² constant per
+    // query, so rank by |c|² − 2q·c)
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }.toDF("list", "cvec")
+    val probeW = Window.partitionBy("src").orderBy(col("rank_d").asc, col("list").asc)
+    val probes = base.select(col("id").as("src"), col("v").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("rank_d", dot(col("cvec"), col("cvec")) -
+        lit(2.0) * dot(col("qv"), col("cvec")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select("src", "qv", "qn", "list")
+    val scored = probes.join(assigned, Seq("list")).filter(col("src") =!= col("dst"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     scored.withColumn("rn", row_number().over(w))

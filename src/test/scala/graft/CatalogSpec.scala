@@ -19,8 +19,11 @@ class CatalogSpec extends SparkSpec {
 
   test("every query has an oracle (or is explicitly rows-only)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep the rows-only set deliberate and small
-    assert(rowsOnly.forall(n => n.startsWith("g") || n.startsWith("m")),
+    // keep the rows-only set deliberate and small: graph/ML training
+    // outputs plus the KMeans-quantized ANN (no SQL mirror for the
+    // quantizer; pair-level parity asserted in SimilaritySpec)
+    assert(rowsOnly.forall(n =>
+      n.startsWith("g") || n.startsWith("m") || n == "sim_ivf_topk"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -28,6 +28,15 @@ class SimilaritySpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("symmetric bruteForceTopK is identical to the asymmetric result") {
+    val e = graft.core.Tables.embeddings(spark, sfDir).limit(120)
+    val asym = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSet
+    val sym = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5, symmetric = true)
+      .collect().map(_.toSeq).toSet
+    assert(sym === asym)
+  }
+
   test("LSH buckets preserve cosine ranking within buckets (recall sanity)") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val lsh = Similarity.lshTopK(e, "vec_id", "embedding", 64, 8, 5)
@@ -38,6 +47,38 @@ class SimilaritySpec extends SparkSpec {
       .filter(abs($"l.cos" - $"b.cos") > 1e-9).count()
     assert(joined === 0)
     assert(lsh.count() > 0)
+  }
+
+  test("IVF ANN pairs score identically to brute force; full probe = exact") {
+    val e = graft.core.Tables.embeddings(spark, sfDir).limit(300)
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", 5, nLists = 8, nProbe = 2)
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5, symmetric = true)
+    // any pair IVF surfaces must carry the same cosine as the exact path
+    val mismatched = ivf.as("i").join(brute.as("b"),
+      $"i.src" === $"b.src" && $"i.dst" === $"b.dst")
+      .filter(abs($"i.cos" - $"b.cos") > 1e-9).count()
+    assert(mismatched === 0)
+    assert(ivf.count() > 0)
+    // probing every list degenerates to exact search
+    val full = Similarity.ivfTopK(e, "vec_id", "embedding", 5, nLists = 4, nProbe = 4)
+    val bruteSet = brute.collect().map(r => (r.get(0), r.get(2))).toSet
+    val fullSet = full.collect().map(r => (r.get(0), r.get(2))).toSet
+    assert(fullSet === bruteSet)
+  }
+
+  test("salted join equals the plain join") {
+    import graft.functions.Skew
+    // heavy skew: 90% of facts share one key
+    val fact = spark.range(2000).toDF("i")
+      .withColumn("k", when($"i" % 10 < 9, 1L).otherwise($"i" % 50))
+      .withColumn("x", $"i" * 2)
+    val dim = spark.range(50).toDF("k").withColumn("name", concat(lit("d"), $"k"))
+    val plain = fact.join(dim, Seq("k")).select("k", "i", "x", "name")
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), salts = 8)
+      .select("k", "i", "x", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
   }
 
   test("similarityStats aggregates per source") {
