@@ -93,4 +93,20 @@ class PipelineArtifactsSpec extends SparkSpec {
     assert(txt.trim.endsWith("</graphml>"))
     scala.xml.XML.loadString(txt) // parses as XML
   }
+
+  test("S7: GraphML source round-trips the sink (incl. XML escaping)") {
+    val g = PropertyGraph(
+      Seq(("a<1>", "Customer", 1), ("b&2", "Order", 1), ("c", "Product", 1))
+        .toDF("id", "label", "dvid"),
+      Seq(("a<1>", "b&2", "PURCHASED", 1), ("b&2", "c", "CONTAINS", 1))
+        .toDF("src", "dst", "type", "dvid"))
+    val path = s"$tmp/graphml_rt"
+    GraphMLSink.write(g, path)
+    val back = graft.sources.GraphMLSource.read(spark, path)
+    val nodes = back.nodes.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(nodes === Set(("a<1>", "Customer"), ("b&2", "Order"), ("c", "Product")))
+    val edges = back.edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(edges === Set(("a<1>", "b&2", "PURCHASED"), ("b&2", "c", "CONTAINS")))
+  }
 }
