@@ -66,21 +66,6 @@ class SimilaritySpec extends SparkSpec {
     assert(fullSet === bruteSet)
   }
 
-  test("salted join equals the plain join") {
-    import graft.functions.Skew
-    // heavy skew: 90% of facts share one key
-    val fact = spark.range(2000).toDF("i")
-      .withColumn("k", when($"i" % 10 < 9, 1L).otherwise($"i" % 50))
-      .withColumn("x", $"i" * 2)
-    val dim = spark.range(50).toDF("k").withColumn("name", concat(lit("d"), $"k"))
-    val plain = fact.join(dim, Seq("k")).select("k", "i", "x", "name")
-    val salted = Skew.saltedJoin(fact, dim, Seq("k"), salts = 8)
-      .select("k", "i", "x", "name")
-    assert(salted.count() === plain.count())
-    assert(salted.exceptAll(plain).count() === 0)
-    assert(plain.exceptAll(salted).count() === 0)
-  }
-
   test("similarityStats aggregates per source") {
     val e = graft.core.Tables.embeddings(spark, sfDir).limit(50)
     val stats = Similarity.similarityStats(
