@@ -83,6 +83,22 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize plan over decoded media: aspect-preserving fit into a target
+    * box — pure column math on the metadata (the pixel pass itself lives
+    * behind the same per-partition decoder boundary as `decode`). Emits
+    * the scale factors a real resampler consumes. */
+  def resize(decoded: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val sx = lit(targetW.toDouble) / col("width")
+    val sy = lit(targetH.toDouble) / col("height")
+    val s = least(sx, sy)
+    decoded
+      .filter(col("width") > 0 && col("height") > 0)
+      .select(col("media_id"), col("modality"), col("width"), col("height"),
+        round(s, 6).as("scale"),
+        greatest(round(col("width") * s).cast("int"), lit(1)).as("out_width"),
+        greatest(round(col("height") * s).cast("int"), lit(1)).as("out_height"))
+  }
+
   /** Frame-sample stand-in for video: pick every k-th "frame" offset of
     * the payload deterministically — exercises the explode/array shape a
     * real frame sampler produces. */

@@ -47,6 +47,18 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(decoded.exceptAll(again).count() === 0)
   }
 
+  test("resize fits the target box, preserves aspect, never emits 0-dims") {
+    val media = Multimodal.asMedia(
+      graft.core.Tables.documents(spark, sfDir).limit(100), "doc_id", "text", "image", "source")
+    val resized = Multimodal.resize(Multimodal.decode(media), 224, 224).cache()
+    assert(resized.count() > 0)
+    assert(resized.filter($"out_width" > 224 || $"out_height" > 224).count() === 0)
+    assert(resized.filter($"out_width" < 1 || $"out_height" < 1).count() === 0)
+    // the binding dimension reaches the box edge (aspect preserved)
+    val slack = resized.filter($"out_width" < 224 && $"out_height" < 223).count()
+    assert(slack === 0, "neither dimension reached the target box")
+  }
+
   test("frame sampling yields monotone offsets within each media id") {
     val media = Multimodal.asMedia(
       graft.core.Tables.documents(spark, sfDir).limit(20), "doc_id", "text", "video", "source")
