@@ -116,7 +116,7 @@ object LinkPredict {
 
   /** M1/M3/M4/M10: train + evaluate with the reference's policy gates. */
   def train(spark: SparkSession, data: DataFrame,
-            algo: String = "gbt", maxIter: Int = 15, seed: Long = 42L): TrainResult = {
+            algo: String = "gbt", maxIter: Int = 10, seed: Long = 42L): TrainResult = {
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.toArray).setOutputCol("features")
       .transform(data)
@@ -143,7 +143,7 @@ object LinkPredict {
         (m, featureNames.zip(m.featureImportances.toArray))
       case "lr" =>
         val m = new LogisticRegression().setLabelCol("label").setFeaturesCol("features")
-          .setWeightCol("w").setMaxIter(50).setRegParam(0.01)
+          .setWeightCol("w").setMaxIter(25).setRegParam(0.01)
           .fit(weighted)
         (m, featureNames.zip(m.coefficients.toArray.map(math.abs)))
     }

@@ -76,9 +76,14 @@ object Recommend {
         .select(col("p_partkey").as("product"), col("p_brand").as("category"),
           col("p_retailprice").as("price"))
 
-      // J6: purchased exclusion via the 2-hop traversal
+      // J6: purchased exclusion via the 2-hop traversal — restricted to
+      // the queried customers FIRST (a semi-join against the small
+      // customer set), so the anti-join's build side shrinks from every
+      // customer's history to the queried slice and broadcasts; the big
+      // crossJoin side then avoids a shuffle entirely
       val purchased = Tables.orders(spark, dir).select(col("o_custkey").as("customer"),
           col("o_orderkey").as("ok"))
+        .join(broadcast(cust.select("customer")), Seq("customer"), "left_semi")
         .join(Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"),
           col("l_partkey").as("product")), "ok")
         .select("customer", "product").distinct()
@@ -87,8 +92,13 @@ object Recommend {
       val candW = Window.partitionBy("customer")
         .orderBy(ColFns.pseudoUniform(col("customer") * 131071 + col("product"), 3L),
           col("product"))
+      // broadcast only while the queried slice is bounded (it is for the
+      // reference's per-customer serving shape); a full-corpus batch run
+      // falls back to the shuffled anti-join
+      val excl =
+        if (cust.count() <= 100000L) broadcast(purchased) else purchased
       cust.crossJoin(parts)
-        .join(purchased, Seq("customer", "product"), "left_anti")
+        .join(excl, Seq("customer", "product"), "left_anti")
         .withColumn("cand_rn", row_number().over(candW))
         .filter(col("cand_rn") <= candidateCap)
         .localCheckpoint(true)
