@@ -43,6 +43,12 @@ object Analytics {
   private def a2Degree(spark: SparkSession, dir: String): DataFrame =
     DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges).orderBy("id")
 
+  // A7: log1p degree transform (degree_analysis.py:33-35)
+  private def a7LogDegree(spark: SparkSession, dir: String): DataFrame =
+    DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges)
+      .withColumn("log_degree", round(log1p(col("degree")), 6))
+      .orderBy("id")
+
   // A3: global degree moments (degree_analysis.py:44-48)
   private def a3DegreeMoments(spark: SparkSession, dir: String): DataFrame =
     DegreeFeatures.degreeMoments(DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges))
@@ -390,6 +396,7 @@ object Analytics {
     "q1_agg" -> (q1Agg(_, _)),
     "a1_label_counts" -> (a1LabelCounts(_, _)),
     "a2_degree" -> (a2Degree(_, _)),
+    "a7_log_degree" -> (a7LogDegree(_, _)),
     "a3_degree_moments" -> (a3DegreeMoments(_, _)),
     "a4_degree_percentile" -> (a4DegreePercentile(_, _)),
     "a4b_percentileofscore_mean" -> (a4bPercentileOfScore(_, _)),
@@ -436,6 +443,11 @@ object Analytics {
     "a2_degree" -> graphPrelude(
       """ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
         |SELECT id, count(*) AS degree FROM ends GROUP BY id ORDER BY id""".stripMargin),
+    "a7_log_degree" -> graphPrelude(
+      """ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+        |deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id)
+        |SELECT id, degree, round(ln(1 + degree), 6) AS log_degree
+        |FROM deg ORDER BY id""".stripMargin),
     "a3_degree_moments" -> graphPrelude(
       """ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
         |deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id)

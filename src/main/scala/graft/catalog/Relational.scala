@@ -218,8 +218,30 @@ object Relational {
     Tables.orders(spark, dir).orderBy("o_orderkey")
       .select("o_orderkey", "o_custkey", "o_orderstatus").limit(3)
 
+  // P5: leak-proof edge time filter (Node2vec_algorithm_inscripton
+  // .py:126-144) — at scale this predicate rides the parquet scan
+  private def p5EdgeTimeFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphBuilder.fromTpch(spark, dir).edges
+      .filter(col("ts") <= lit(java.sql.Timestamp.valueOf("1997-06-30 00:00:00")))
+      .groupBy("type").agg(count(lit(1)).as("cnt")).orderBy("type")
+
+  // P8: label predicate (xgboost_model_training.py:116-117)
+  private def p8LabelPredicate(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphBuilder.fromTpch(spark, dir).nodes
+      .filter(col("label") === "Customer").select("id").orderBy("id")
+
+  // P9: dvid predicate (fifth_data_injection.py:155-157) — partition
+  // pruning on the dvid-partitioned store at scale
+  private def p9DvidPredicate(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphBuilder.fromTpch(spark, dir).edges
+      .filter(col("dvid") === 3)
+      .groupBy("type").agg(count(lit(1)).as("cnt")).orderBy("type")
+
   val queries: Map[String, Q] = Map(
     "s1_csv_scan_normalize" -> (s1CsvScan(_, _)),
+    "p5_edge_time_filter" -> (p5EdgeTimeFilter(_, _)),
+    "p8_label_predicate" -> (p8LabelPredicate(_, _)),
+    "p9_dvid_predicate" -> (p9DvidPredicate(_, _)),
     "s2_csv_badrow_filter" -> (s2CsvBadRows(_, _)),
     "s4_parquet_sink_roundtrip" -> (s4ParquetRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
@@ -266,6 +288,18 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p5_edge_time_filter" ->
+      s"""WITH ${graft.graph.GraphSql.edgesCte}
+         |SELECT type, count(*) AS cnt FROM edges
+         |WHERE ts <= TIMESTAMP '1997-06-30 00:00:00'
+         |GROUP BY type ORDER BY type""".stripMargin,
+    "p8_label_predicate" ->
+      s"""WITH ${graft.graph.GraphSql.nodesCte}
+         |SELECT id FROM nodes WHERE label = 'Customer' ORDER BY id""".stripMargin,
+    "p9_dvid_predicate" ->
+      s"""WITH ${graft.graph.GraphSql.edgesCte}
+         |SELECT type, count(*) AS cnt FROM edges
+         |WHERE dvid = 3 GROUP BY type ORDER BY type""".stripMargin,
     "p7_valid_products" ->
       """SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
         |WHERE p_size > 0 AND p_retailprice > 0 AND p_brand IS NOT NULL
