@@ -224,6 +224,9 @@ object Analytics {
       ColFns.normValue(col("p_name")).as("name_norm"),
       regexp_replace(col("p_name"), " ", "_").as("name_snake"),
       upper(trim(col("p_type"))).as("type_key"),
+      // F2: initcap (single-token input, so the DuckDB mirror is a
+      // first-letter title-case — DuckDB 1.0 has no initcap)
+      initcap(lower(col("p_brand"))).as("brand_title"),
       concat_ws("_", lit("part"), col("p_partkey"), col("p_brand")).as("node_id"))
       .orderBy("p_partkey")
 
@@ -555,6 +558,7 @@ object Analytics {
       """SELECT p_partkey, lower(trim(p_name)) AS name_norm,
         |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
         |  upper(trim(p_type)) AS type_key,
+        |  upper(substr(lower(p_brand),1,1)) || substr(lower(p_brand),2) AS brand_title,
         |  concat_ws('_', 'part', p_partkey, p_brand) AS node_id
         |FROM part ORDER BY p_partkey""".stripMargin,
     "f5_multiformat_dates" ->
