@@ -15,12 +15,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, sorted managed table (overwrite). */
+  /** Persist `df` as a bucketed, sorted managed table (overwrite).
+    * Drops any existing table first and clears an orphaned managed
+    * location (left behind when a previous process died between catalog
+    * drop and directory cleanup) — saveAsTable refuses to reuse one. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** True if the physical plan of `df` contains a shuffle exchange —
     * the assertion hook for co-location tests. */

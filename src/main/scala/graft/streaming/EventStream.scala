@@ -61,6 +61,17 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the D1 operator as a stream: watermarked
+    * dropDuplicates on the given keys, so duplicate arrivals inside the
+    * watermark horizon are suppressed and the key-state store stays
+    * bounded (keys older than the horizon are evicted). The streaming
+    * face of an LLM-pipeline dedup stage: at 100 TB/day the horizon is
+    * the dedup window contract, state is hash-partitioned by key. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  horizon: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicates(keys :+ "ts")
+
   /** Incremental dvid ingest as a stream (§2.12): each micro-batch of
     * arriving event files is appended to a dvid-partitioned store via
     * foreachBatch — the Structured-Streaming twin of

@@ -34,6 +34,16 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(sessions.filter($"n_events" <= 0).count() === 0)
   }
 
+  test("streaming dedup suppresses duplicate arrivals within the watermark") {
+    val out = EventStream.runAvailableNow(spark, sfDir,
+      df => EventStream.dedupStream(df.unionAll(df), Seq("event_id")),
+      "dedup_stream_test")
+    val batchDistinct = graft.core.Tables.events(spark, sfDir)
+      .select("event_id", "ts").distinct().count()
+    assert(out.count() === batchDistinct,
+      s"streaming dedup emitted ${out.count()} rows, expected $batchDistinct")
+  }
+
   test("multimodal decode preserves ids and emits the decoded schema") {
     val media = Multimodal.asMedia(
       graft.core.Tables.documents(spark, sfDir), "doc_id", "text", "image", "source")
