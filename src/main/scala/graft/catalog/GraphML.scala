@@ -75,6 +75,32 @@ object GraphML {
     r.metrics.toSeq.sortBy(_._1).toDF("metric", "value")
   }
 
+  // M4: the metrics suite at the 0.5 operating point — confusion matrix
+  // + accuracy/precision/recall/F1 as one row (classification report,
+  // xgboost_training_for_big_data.py:696-766). Rows-only: model scores
+  // have no SQL mirror.
+  private def m4ConfusionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val r = fit(spark, dir, "lr")
+    val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability"))
+      .getItem(1)
+    val agg = r.scoredVal.select(col("label"), (p1 >= 0.5).as("pred")).agg(
+      sum(when(col("pred") && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && col("label") === 1.0, 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("pred") && col("label") === 0.0, 1L).otherwise(0L)).as("tn"))
+    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+      round(col("tp").cast("double") /
+        greatest(col("tp") + col("fp"), lit(1L)), 6).as("precision"),
+      round(col("tp").cast("double") /
+        greatest(col("tp") + col("fn"), lit(1L)), 6).as("recall"))
+      .withColumn("f1", round(
+        when(col("precision") + col("recall") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))), 6))
+  }
+
   // M5: threshold sweep (LR for speed; sweep itself is the operator)
   private def m5ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val r = fit(spark, dir, "lr")
@@ -133,6 +159,7 @@ object GraphML {
     "gx_pagerank" -> (gxPageRank(_, _)),
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
     "m2_multidate_discount" -> (m2MultiDateMetrics(_, _)),
+    "m4_confusion_matrix" -> (m4ConfusionMatrix(_, _)),
     "m5_threshold_sweep" -> (m5ThresholdSweep(_, _)),
     "m7_mlp_metrics" -> (m7MlpMetrics(_, _)),
     "m11_feature_importance" -> (m11FeatureImportance(_, _)))
