@@ -27,8 +27,21 @@ object GraphBuilder {
     *
     * `dvid` is synthesized deterministically from the order key (the
     * reference tags injections 1..5; First_Data_injection.py:13).
+    *
+    * Memoized + materialized per dir within the session: over a dozen
+    * catalog operators consume the graph, and each would otherwise
+    * re-scan and re-transform the four source tables.
     */
-  def fromTpch(spark: SparkSession, dir: String): PropertyGraph = {
+  private val tpchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PropertyGraph]()
+  def fromTpch(spark: SparkSession, dir: String): PropertyGraph =
+    tpchCache.computeIfAbsent(dir, _ => {
+      val g = buildTpch(spark, dir)
+      PropertyGraph(g.nodes.localCheckpoint(true), g.edges.localCheckpoint(true))
+    })
+
+  /** The uncached construction (the memo above is the normal entry). */
+  def buildTpch(spark: SparkSession, dir: String): PropertyGraph = {
     val cust = Tables.customer(spark, dir)
     val ord  = Tables.orders(spark, dir)
     val li   = Tables.lineitem(spark, dir)
