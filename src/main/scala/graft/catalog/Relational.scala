@@ -213,6 +213,14 @@ object Relational {
     Tables.lineitem(spark, dir).select("l_returnflag", "l_linestatus")
       .distinct().orderBy("l_returnflag", "l_linestatus")
 
+  // U2: set difference via left_anti (customers who never ordered —
+  // the negatives/candidates-minus-purchased primitive in isolation)
+  private def u2SetDifference(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .orderBy("c_custkey")
+
   // W5: deterministic head
   private def w5Limit(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).orderBy("o_orderkey")
@@ -258,6 +266,7 @@ object Relational {
     "j6_purchased_exclusion" -> (j6PurchasedExclusion(_, _)),
     "j8_community_join" -> (j8CommunityJoin(_, _)),
     "u1_union_missing_columns" -> (u1UnionMissing(_, _)),
+    "u2_set_difference" -> (u2SetDifference(_, _)),
     "u3_distinct_dedup" -> (u3Distinct(_, _)),
     "w5_limit_head" -> (w5Limit(_, _)))
 
@@ -383,6 +392,10 @@ object Relational {
         |SELECT o_orderkey, o_totalprice, NULL, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 1
         |ORDER BY id""".stripMargin,
+    "u2_set_difference" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
     "u3_distinct_dedup" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
