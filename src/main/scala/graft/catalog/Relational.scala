@@ -213,11 +213,12 @@ object Relational {
     Tables.lineitem(spark, dir).select("l_returnflag", "l_linestatus")
       .distinct().orderBy("l_returnflag", "l_linestatus")
 
-  // U2: set difference via left_anti (customers who never ordered —
-  // the negatives/candidates-minus-purchased primitive in isolation)
+  // U2: set difference via left_anti (customers with no event activity —
+  // the negatives/candidates-minus-purchased primitive in isolation; the
+  // orders-based variant is empty in this generator's dense data)
   private def u2SetDifference(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).select(col("c_custkey"))
-      .join(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")),
+      .join(Tables.events(spark, dir).select(col("user_id").as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .orderBy("c_custkey")
 
@@ -394,7 +395,7 @@ object Relational {
         |ORDER BY id""".stripMargin,
     "u2_set_difference" ->
       """SELECT c_custkey FROM customer
-        |EXCEPT SELECT o_custkey FROM orders
+        |EXCEPT SELECT user_id FROM events
         |ORDER BY c_custkey""".stripMargin,
     "u3_distinct_dedup" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
