@@ -261,11 +261,14 @@ object Analytics {
   }
 
   // F11: pairwise interaction features (xgboost_training_for_big_data.py:360-369)
+  // Cross-engine float rule: a product of a negative and a zero operand is
+  // IEEE -0.0; Spark's round normalizes it to +0.0 but DuckDB's keeps -0.0,
+  // so both sides add `+ 0.0` (-0.0 + 0.0 == +0.0) to agree bitwise.
   private def f11Interactions(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"),
-        round(col("c_acctbal") * col("c_nationkey"), 6).as("bal_x_nation"),
+        (round(col("c_acctbal") * col("c_nationkey"), 6) + lit(0.0)).as("bal_x_nation"),
         round(col("c_acctbal") / (col("c_nationkey") + lit(1.0)), 6).as("bal_per_nation"),
         round(pow(col("c_acctbal") / 1000.0, 2), 6).as("bal_sq"))
       .orderBy("c_custkey")
@@ -519,7 +522,8 @@ object Analytics {
         |  SELECT c_mktsegment AS segment, o_orderkey % 5 AS fold,
         |         CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END AS target
         |  FROM orders JOIN customer ON o_custkey = c_custkey),
-        |pf AS (SELECT segment, fold, count(*) AS cnt, sum(target) AS pos
+        |pf AS (SELECT segment, fold, count(*) AS cnt,
+        |              CAST(sum(target) AS BIGINT) AS pos
         |       FROM rows_ GROUP BY segment, fold),
         |s AS (SELECT *, sum(cnt) OVER (PARTITION BY segment) AS seg_cnt,
         |             sum(pos) OVER (PARTITION BY segment) AS seg_pos,
@@ -590,7 +594,7 @@ object Analytics {
          |FROM orders ORDER BY o_orderkey""".stripMargin
     },
     "f11_interactions" ->
-      """SELECT c_custkey, round(c_acctbal * c_nationkey, 6) AS bal_x_nation,
+      """SELECT c_custkey, round(c_acctbal * c_nationkey, 6) + 0.0 AS bal_x_nation,
         |  round(c_acctbal / (c_nationkey + 1.0), 6) AS bal_per_nation,
         |  round(power(c_acctbal / 1000.0, 2), 6) AS bal_sq
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -665,8 +669,8 @@ object Analytics {
         |f AS (SELECT *, CASE WHEN prev_ts IS NULL
         |                     OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
         |      FROM g),
-        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                       ROWS UNBOUNDED PRECEDING) AS session_id
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |      FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  date_diff('second', min(ts), max(ts)) AS duration_sec

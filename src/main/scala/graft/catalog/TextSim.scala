@@ -280,9 +280,9 @@ object TextSim {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id,
-        |  CASE WHEN len(text) = 0 THEN 0
+        |  CAST(CASE WHEN len(text) = 0 THEN 0
         |       ELSE list_sum(list_transform(generate_series(1, len(text)),
-        |              i -> i * ascii(substr(text, i, 1)))) % 1000000007 END AS fp,
+        |              i -> i * ascii(substr(text, i, 1)))) % 1000000007 END AS BIGINT) AS fp,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm1_binary_metadata" ->

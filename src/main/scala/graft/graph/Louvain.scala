@@ -88,7 +88,15 @@ object Louvain {
   def detect(spark: SparkSession, edges: DataFrame, maxIter: Int = 10,
              resolution: Double = 1.0, seed: Long = 42L,
              levels: Int = 2, seqMaxEdges: Long = 4000000L): DataFrame = {
-    val edges0 = edges.localCheckpoint(true)
+    // one id type (string) for every level: detectSequential emits string
+    // community ids, so without this a numeric-id graph whose coarse level
+    // falls under seqMaxEdges would compose levels through an implicit
+    // numeric<->string cast (lossy for long ids above 2^53 via double)
+    val edges0 = edges.select(
+      col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"),
+      col("weight").cast("double").as("weight"))
+      .localCheckpoint(true)
     if (edges0.count() <= seqMaxEdges)
       return detectSequential(spark, edges0, resolution)
     val orig = parts(edges0, checkpoint = true) // composed-Q evaluation basis
@@ -319,8 +327,15 @@ object Louvain {
   /** Modularity Q of a partition over the original edge input (quality
     * gate used by tests; self-loop-aware). */
   def modularity(spark: SparkSession, edges: DataFrame, communities: DataFrame,
-                 resolution: Double = 1.0): Double =
-    modularityFromParts(parts(edges, checkpoint = false), communities, resolution)
+                 resolution: Double = 1.0): Double = {
+    // same single-id-type rule as detect: join levels on string, never on
+    // an implicit numeric<->string coercion
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"), col("weight").cast("double").as("weight"))
+    val c = communities.select(col("id").cast("string").as("id"),
+      col("community").cast("string").as("community"))
+    modularityFromParts(parts(e, checkpoint = false), c, resolution)
+  }
 
   private def modularityFromParts(p: Parts, communities: DataFrame,
                                   resolution: Double): Double = {

@@ -70,7 +70,11 @@ object EventStream {
   def dedupStream(events: DataFrame, keys: Seq[String],
                   horizon: String = "2 hours"): DataFrame =
     events.withWatermark("ts", horizon)
-      .dropDuplicates(keys :+ "ts")
+      // dropDuplicatesWithinWatermark dedups on the keys alone: a
+      // re-delivery of the same keys with a different (later) ts inside the
+      // horizon is still suppressed, matching the contract above. Plain
+      // dropDuplicates(keys :+ "ts") would only catch identical-ts replays.
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Incremental dvid ingest as a stream (§2.12): each micro-batch of
     * arriving event files is appended to a dvid-partitioned store via
