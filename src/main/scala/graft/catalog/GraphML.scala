@@ -39,7 +39,8 @@ object GraphML {
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("cust_"), col("o_custkey")).as("src"),
         concat(lit("part_"), col("l_partkey")).as("dst"))
-      .distinct()
+    // no .distinct(): neighborTable's collect_set dedups inside its own
+    // shuffle, so a pre-dedup here would only add a second exchange
     val emb = Node2Vec.embeddings(spark, edges,
       Node2Vec.Params(numWalks = 2, walkLength = 6, dim = 16))
     emb.select(col("id"), size(col("embedding")).as("dim"))

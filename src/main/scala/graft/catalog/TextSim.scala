@@ -59,10 +59,11 @@ object TextSim {
         dim = DIM, nPlanes = 8, k = 5)
       .orderBy("src", "rn")
 
-  // rows-only (KMeans quantizer has no SQL mirror); pair-level cosine
-  // parity with the exact path is asserted in SimilaritySpec
+  // deterministic hash-sampled quantizer → full DuckDB oracle (the
+  // KMeans variant stays in the library as Similarity.ivfTopK, asserted
+  // against the exact path in SimilaritySpec)
   private def simIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+    Similarity.ivfHashTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
         k = 5, nLists = 16, nProbe = 3)
       .orderBy("src", "rn")
 
@@ -224,6 +225,9 @@ object TextSim {
          |      FROM scored)
          |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= 5 ORDER BY src, rn""".stripMargin
     },
+    "sim_ivf_topk" ->
+      Similarity.ivfHashTopKSql("embeddings", "vec_id", "embedding", DIM,
+        k = 5, nLists = 16, nProbe = 3),
     "sim_lsh_topk" -> {
       val bucket = Similarity.lshBucketSql("embedding", DIM, 8)
       val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)

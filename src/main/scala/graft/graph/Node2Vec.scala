@@ -29,25 +29,46 @@ object Node2Vec {
       numWalks: Int = 4, walkLength: Int = 8,
       p: Double = 1.0, q: Double = 0.5,
       dim: Int = 32, window: Int = 5, minCount: Int = 0,
-      maxSentenceLength: Int = 1000, seed: Long = 42L)
+      maxSentenceLength: Int = 1000, seed: Long = 42L,
+      // Word2Vec training parallelism. MLlib's default is 1 (single
+      // task); >1 trains partition-local models merged per iteration —
+      // walks/vocab/dims are unchanged, vector values differ slightly.
+      w2vPartitions: Int = 8)
 
-  /** Adjacency with sorted neighbor arrays (deterministic walk order). */
+  /** Adjacency with sorted neighbor arrays (deterministic walk order).
+    * collect_set + sort_array dedups inside the single groupBy shuffle
+    * (a separate distinct() would add a second shuffle keyed by the
+    * full pair). */
   def neighborTable(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    sym.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
+    sym.groupBy("src").agg(sort_array(collect_set("dst")).as("nbrs"))
   }
 
   /** Generate biased second-order walks. Returns (walk_id, walk) with
-    * walk = array of node ids. */
-  def walks(spark: SparkSession, edges: DataFrame, prm: Params): DataFrame = {
-    val adj = neighborTable(edges).cache()
+    * walk = array of node ids.
+    *
+    * Physical shape: when the adjacency fits the broadcast budget
+    * (`broadcastMaxNodes`), every step joins state↔adjacency as a
+    * map-only broadcast hash join — zero shuffles across the whole walk,
+    * the expressions (and therefore the walks) are bit-identical to the
+    * shuffle path. Above the budget each step is one co-partitioned
+    * shuffle join (the 100 TB path). */
+  def walks(spark: SparkSession, edges: DataFrame, prm: Params,
+            broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    val adj0 = neighborTable(edges).cache()
+    val tAdj = System.nanoTime()
+    val nNodes = adj0.count()
+    if (sys.env.contains("GRAFT_N2V_DEBUG"))
+      println(f"[n2v] adjacency: ${(System.nanoTime() - tAdj) / 1e9}%.2f s ($nNodes nodes)")
+    val adj = if (nNodes <= broadcastMaxNodes) broadcast(adj0) else adj0
 
     // initial state: numWalks walks per node; first hop is a uniform
-    // deterministic pick among neighbors
-    val starts = adj.crossJoin(
-        spark.range(prm.numWalks.toLong).toDF("walk_no"))
+    // deterministic pick among neighbors. Broadcast the tiny range side —
+    // broadcasting adj here would make the output inherit the range's
+    // 1-2 partitions and serialize every later step on a 32-core box.
+    val starts = adj0.crossJoin(
+        broadcast(spark.range(prm.numWalks.toLong).toDF("walk_no")))
       .withColumn("walk_id", concat_ws("#", col("src"), col("walk_no")))
     // pseudoUniform pmods its key, so raw (possibly negative) xxhash64
     // values are safe — no abs(), which ANSI mode would reject on MinValue
@@ -85,6 +106,11 @@ object Node2Vec {
         concat(col("path"), array(picked)).as("path"))
       // truncate the per-step join lineage periodically (plan growth)
       if (step % 4 == 0) state = state.localCheckpoint(true)
+      if (sys.env.contains("GRAFT_N2V_DEBUG")) {
+        val ts = System.nanoTime()
+        state = state.localCheckpoint(true)
+        println(f"[n2v] step $step: ${(System.nanoTime() - ts) / 1e9}%.2f s")
+      }
     }
     state.select(col("walk_id"), col("path").as("walk"))
   }
@@ -95,13 +121,20 @@ object Node2Vec {
                  prm: Params = Params()): DataFrame = {
     // materialize: Word2Vec makes several passes (vocab count + training)
     // and would otherwise replay the whole walk-join chain each time
+    val t0 = System.nanoTime()
     val w = walks(spark, edges, prm).localCheckpoint(true)
+    if (sys.env.contains("GRAFT_N2V_DEBUG"))
+      println(f"[n2v] walks: ${(System.nanoTime() - t0) / 1e9}%.2f s (${w.count()} walks)")
+    val t1 = System.nanoTime()
     val model = new Word2Vec()
       .setInputCol("walk").setOutputCol("vec")
       .setVectorSize(prm.dim).setWindowSize(prm.window)
       .setMinCount(prm.minCount).setSeed(prm.seed)
       .setMaxSentenceLength(prm.maxSentenceLength)
+      .setNumPartitions(prm.w2vPartitions)
       .fit(w)
+    if (sys.env.contains("GRAFT_N2V_DEBUG"))
+      println(f"[n2v] w2v fit: ${(System.nanoTime() - t1) / 1e9}%.2f s")
     model.getVectors.select(
       col("word").as("id"),
       org.apache.spark.ml.functions.vector_to_array(col("vector"), "float32")

@@ -23,6 +23,15 @@ import graft.functions.ColFns
   */
 object LinkPredict {
 
+  private def timed[T](label: String)(body: => T): T =
+    if (!sys.env.contains("GRAFT_ML_DEBUG")) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[ml] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   val featureNames: Seq[String] = Seq(
     "cust_frequency", "cust_recency", "acctbal",
     "part_popularity", "price", "discount", "bal_x_price")
@@ -37,7 +46,8 @@ object LinkPredict {
   def trainingSetCached(spark: SparkSession, dir: String, cap: Int = 50000,
                         month: Int = 12): DataFrame =
     setCache.computeIfAbsent((dir, cap, month), _ =>
-      trainingSet(spark, dir, cap, month).localCheckpoint(true))
+      timed(s"trainingSet(cap=$cap)") {
+        trainingSet(spark, dir, cap, month).localCheckpoint(true) })
 
   /** M2: the discount model's multi-date training corpus — one slice per
     * simulated month with the discount recomputed per date, unioned with
@@ -65,10 +75,16 @@ object LinkPredict {
                   month: Int = 12): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
-    val pos = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("customer"), col("l_partkey").as("product"))
-      .distinct()
-      .withColumn("label", lit(1.0))
+    // materialize once: the distinct pair table feeds three consumers
+    // (exact count for the cap fraction, the hash-capped positives, and
+    // the anti-join's build side) — unchecked, each replays the
+    // orders⋈lineitem join + distinct shuffle
+    val pos = timed("pos pairs") {
+      orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("customer"), col("l_partkey").as("product"))
+        .distinct()
+        .withColumn("label", lit(1.0))
+        .localCheckpoint(true) }
     val posN = pos.count()
     val posFrac = math.min(1.0, cap.toDouble / math.max(posN, 1L))
     val posCapped = pos.filter(
@@ -80,9 +96,11 @@ object LinkPredict {
       .crossJoin(part.filter(pmod(col("product"), lit(7)) === 0))
       .filter(ColFns.pseudoUniform(col("customer") * 977 + col("product"), 37L) <
         posFrac * 0.5)
-    val neg = negCand.join(pos.select("customer", "product"),
-        Seq("customer", "product"), "left_anti")
-      .withColumn("label", lit(0.0))
+    val neg = timed("neg anti-join") {
+      negCand.join(pos.select("customer", "product"),
+          Seq("customer", "product"), "left_anti")
+        .withColumn("label", lit(0.0))
+        .localCheckpoint(true) }
 
     val pairs = posCapped.select("customer", "product", "label")
       .unionByName(neg.select("customer", "product", "label"))
@@ -114,12 +132,20 @@ object LinkPredict {
       scoredVal: DataFrame, metrics: Map[String, Double],
       importances: Seq[(String, Double)])
 
-  /** M1/M3/M4/M10: train + evaluate with the reference's policy gates. */
+  /** M1/M3/M4/M10: train + evaluate with the reference's policy gates.
+    *
+    * The corpus is coalesced to a few fat partitions before the fit:
+    * iterative trainers (L-BFGS / GBT) run one job per pass, and on a
+    * cached sub-100k-row corpus per-task scheduling dominates compute —
+    * 32 (or 128, post-union) partitions × 25 LR iterations is thousands
+    * of no-op tasks. At real scale the partition count is the data's;
+    * this floor only kicks in when partitions are near-empty. */
   def train(spark: SparkSession, data: DataFrame,
-            algo: String = "gbt", maxIter: Int = 10, seed: Long = 42L): TrainResult = {
+            algo: String = "gbt", maxIter: Int = 10, seed: Long = 42L,
+            maxDepth: Int = 5): TrainResult = {
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.toArray).setOutputCol("features")
-      .transform(data)
+      .transform(data.coalesce(8))
       .withColumn("split",
         when(ColFns.pseudoUniform(
           xxhash64(col("customer"), col("product")), 41L) < 0.8, "train")
@@ -127,17 +153,21 @@ object LinkPredict {
     val train = assembled.filter(col("split") === "train").cache()
     val test = assembled.filter(col("split") === "test").cache()
 
-    // M10: balanced class weights
-    val nPos = math.max(train.filter(col("label") === 1.0).count(), 1L)
-    val nNeg = math.max(train.filter(col("label") === 0.0).count(), 1L)
+    // M10: balanced class weights — one aggregate job for both classes
+    // (two filter().count() jobs would scan the cache twice)
+    val classCounts = timed("class counts") {
+      train.groupBy("label").count().collect()
+        .map(r => r.getDouble(0) -> r.getLong(1)).toMap }
+    val nPos = math.max(classCounts.getOrElse(1.0, 0L), 1L)
+    val nNeg = math.max(classCounts.getOrElse(0.0, 0L), 1L)
     val total = (nPos + nNeg).toDouble
     val weighted = train.withColumn("w",
       when(col("label") === 1.0, total / (2.0 * nPos)).otherwise(total / (2.0 * nNeg)))
 
-    val (model: org.apache.spark.ml.Transformer, importances) = algo match {
+    val (model: org.apache.spark.ml.Transformer, importances) = timed(s"fit $algo") { algo match {
       case "gbt" =>
         val m = new GBTClassifier().setLabelCol("label").setFeaturesCol("features")
-          .setWeightCol("w").setMaxIter(maxIter).setMaxDepth(5)
+          .setWeightCol("w").setMaxIter(maxIter).setMaxDepth(maxDepth)
           .setStepSize(0.1).setSubsamplingRate(0.8).setSeed(seed)
           .fit(weighted)
         (m, featureNames.zip(m.featureImportances.toArray))
@@ -146,19 +176,18 @@ object LinkPredict {
           .setWeightCol("w").setMaxIter(25).setRegParam(0.01)
           .fit(weighted)
         (m, featureNames.zip(m.coefficients.toArray.map(math.abs)))
-    }
+    } }
 
-    val evalAuc = new BinaryClassificationEvaluator().setLabelCol("label")
-      .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
     val evalPr = new BinaryClassificationEvaluator().setLabelCol("label")
       .setRawPredictionCol("rawPrediction").setMetricName("areaUnderPR")
+    val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1)
     val scoredTrain = model.transform(train)
     val scoredVal = model.transform(test)
-    val aucTrain = evalAuc.evaluate(scoredTrain)
-    val aucVal = evalAuc.evaluate(scoredVal)
+    val aucTrain = timed("auc train")(Metrics.auc(scoredTrain, "label", p1))
+    val aucVal = timed("auc val")(Metrics.auc(scoredVal, "label", p1))
     val gap = aucTrain - aucVal
     val metrics = Map(
-      "n_train" -> train.count().toDouble, "n_test" -> test.count().toDouble,
+      "n_train" -> classCounts.values.sum.toDouble, "n_test" -> test.count().toDouble,
       "auc_train" -> aucTrain, "auc_val" -> aucVal, "pr_auc_val" -> evalPr.evaluate(scoredVal),
       "overfit_gap" -> gap,
       // M3's acceptance gate: reject models that memorize
@@ -205,7 +234,8 @@ object LinkPredict {
     * the decision trail. */
   def incrementalTrain(spark: SparkSession, data: DataFrame,
                        modelPath: String, historyPath: String,
-                       maxIter: Int = 15): Map[String, Double] = {
+                       maxIter: Int = 15, algo: String = "gbt",
+                       maxDepth: Int = 5): Map[String, Double] = {
     val prevExists = new java.io.File(modelPath).exists()
     val probeDrop =
       if (!prevExists) 0.0
@@ -213,14 +243,14 @@ object LinkPredict {
         val assembled = new VectorAssembler()
           .setInputCols(featureNames.toArray).setOutputCol("features")
           .transform(data)
-        ModelRegistry.compatProbe(spark, modelPath, historyPath, assembled).drop
+        ModelRegistry.compatProbe(spark, modelPath, historyPath, assembled,
+          algo = algo).drop
       }
-    val r = train(spark, data, "gbt", maxIter = maxIter)
+    val r = train(spark, data, algo, maxIter = maxIter, maxDepth = maxDepth)
     val accept = r.metrics("gate_pass") == 1.0
     if (accept) {
       ModelRegistry.saveModel(
-        r.model.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel],
-        modelPath)
+        r.model.asInstanceOf[org.apache.spark.ml.util.MLWritable], modelPath)
       ModelRegistry.appendHistory(historyPath, r.metrics)
     }
     r.metrics ++ Map(

@@ -1,0 +1,39 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary-classification metrics as plain DataFrame aggregations
+  * (SURVEY §2.11 M4). ROC-AUC is computed as the Mann–Whitney U
+  * statistic with average ranks for ties, which is mathematically
+  * identical to the trapezoidal area under the tie-grouped ROC curve
+  * (what MLlib's BinaryClassificationMetrics integrates) — but in one
+  * groupBy + one window pass instead of MLlib's multi-job
+  * sortByKey/binning pipeline, which dominates wall time on small
+  * scored sets and shuffles once per call at scale.
+  */
+object Metrics {
+
+  /** Exact ROC-AUC of `scoreCol` against a 0/1 `labelCol`.
+    * One shuffle (groupBy score), one window over distinct scores.
+    * The rank window is unpartitioned — its input is one row per
+    * DISTINCT score, so at 100 TB quantize the score first (e.g.
+    * `round(s, 6)` ≈ ≤2M rows) exactly as MLlib's `numBins` does. */
+  def auc(scored: DataFrame, labelCol: String, scoreCol: Column): Double = {
+    val byScore = scored.select(col(labelCol).cast("double").as("y"), scoreCol.as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("npos"))
+    // average rank of a tied group = (#rows before it) + (n+1)/2
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore.withColumn("before", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("avg_rank", col("before") + (col("n") + 1.0) / 2.0)
+    val agg = ranked.agg(
+      sum(col("npos") * col("avg_rank")).as("rank_pos"),
+      sum("npos").as("np"),
+      sum(col("n") - col("npos")).as("nn"))
+      .head()
+    val (rankPos, np, nn) = (agg.getDouble(0), agg.getDouble(1), agg.getDouble(2))
+    if (np == 0 || nn == 0) 0.0
+    else (rankPos - np * (np + 1.0) / 2.0) / (np * nn)
+  }
+}

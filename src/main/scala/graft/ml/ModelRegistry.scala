@@ -54,8 +54,10 @@ object ModelRegistry {
     * AUC with the recorded history — the pre-retrain control evaluation.
     * Alert threshold mirrors the reference's −0.02. */
   def compatProbe(spark: SparkSession, modelPath: String, historyPath: String,
-                  newData: DataFrame, threshold: Double = 0.02): CompatProbe = {
-    val model = loadGbt(modelPath)
+                  newData: DataFrame, threshold: Double = 0.02,
+                  algo: String = "gbt"): CompatProbe = {
+    val model: org.apache.spark.ml.Transformer =
+      if (algo == "lr") loadLr(modelPath) else loadGbt(modelPath)
     val scored = model.transform(newData)
     val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")

@@ -2,7 +2,6 @@ package graft.ml
 
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
-import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,7 +46,10 @@ object MultiTower {
       .setMaxIter(60).setSeed(seed).setBlockSize(128)
     val pipeline = new Pipeline().setStages((stages :+ concat :+ mlp).toArray)
 
-    val split = data.withColumn("part",
+    // few fat partitions: L-BFGS runs maxIter jobs over the cached
+    // corpus, and per-task overhead dominates at this row count (same
+    // rationale as LinkPredict.train)
+    val split = data.coalesce(8).withColumn("part",
       when(ColFns.pseudoUniform(xxhash64(col("customer"), col("product")), 43L) < 0.8,
         "train").otherwise("test"))
     // cache both splits: L-BFGS makes maxIter passes over `train`, and
@@ -57,9 +59,8 @@ object MultiTower {
     try {
       val model = pipeline.fit(train)
       val scored = model.transform(test).cache()
-      val auc = new BinaryClassificationEvaluator().setLabelCol("label")
-        .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
-        .evaluate(scored)
+      val auc = Metrics.auc(scored, "label",
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
       val acc = scored.filter(col("prediction") === col("label")).count().toDouble /
         math.max(scored.count(), 1L)
       val r = Result(Map("auc_val" -> auc, "accuracy" -> acc,

@@ -44,16 +44,24 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     sum
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh names: several dots can land in ONE generated function
+    // (lshBucket emits 8, IVF's rank_d emits 2) — fixed names collide,
+    // javac rejects the function, and the whole projection silently
+    // falls back to interpreted eval
+    val n = ctx.freshName("dotN")
+    val sum = ctx.freshName("dotSum")
+    val i = ctx.freshName("dotI")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  sum += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotProduct =

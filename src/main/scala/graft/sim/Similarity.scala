@@ -150,10 +150,16 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     val sp = vectors.sparkSession
     import sp.implicits._
+    // cache: KMeans makes maxIter passes and the quantizer input feeds
+    // three consumers (fit, corpus assignment, query probes) — without
+    // this every pass replays the parquet scan + array→vector cast
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(
         col("v").cast("array<double>")))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+      .cache()
+    // a coarse quantizer only has to balance the lists, not converge —
+    // 8 Lloyd passes is plenty for an ANN routing table
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("list").fit(base)
     // corpus side: every vector in exactly its nearest list
     val assigned = model.transform(base)
@@ -179,6 +185,81 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF with deterministic hash-sampled coarse centroids — the
+    * SQL-mirrorable sibling of `ivfTopK`: instead of a KMeans fit, the
+    * `nLists` centroids are the vectors ranked first by a deterministic
+    * hash of their id (the classic random-sampling quantizer baseline).
+    * Every step — centroid pick, nearest-list assignment, `nProbe`
+    * probing, in-list scoring — is pure column math, so a DuckDB oracle
+    * can replay it bit-for-bit (see `ivfHashTopKSql`).
+    *
+    * Same scale shape as ivfTopK: the centroid table broadcasts, the
+    * assignment is a map-side crossJoin against nLists rows, and the
+    * scoring shuffle is keyed by list id. `idCol` must be integral (the
+    * hash is arithmetic, matching ColFns.pseudoUniformSql).
+    */
+  def ivfHashTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+                  nLists: Int = 16, nProbe: Int = 3, salt: Long = 13L): DataFrame = {
+    import graft.functions.ColFns
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val centW = Window.orderBy(ColFns.pseudoUniform(col("cid"), salt).asc, col("cid").asc)
+    val cents = vectors.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("list", row_number().over(centW))
+      .filter(col("list") <= nLists)
+      .select("list", "cv")
+    // nearest lists per vector: d² = |v|² − 2v·c + |c|²; |v|² is constant
+    // per vector, so rank by |c|² − 2v·c (ties → lower list id)
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("rank_d",
+        dot(col("cv"), col("cv")) - lit(2.0) * dot(col("v"), col("cv")))
+    val aw = Window.partitionBy("id").orderBy(col("rank_d").asc, col("list").asc)
+    val arn = ranked.withColumn("arn", row_number().over(aw))
+    val assigned = arn.filter(col("arn") === 1)
+      .select(col("id").as("dst"), col("v").as("dv"), col("nrm").as("cn"), col("list"))
+    val probes = arn.filter(col("arn") <= nProbe)
+      .select(col("id").as("src"), col("v").as("qv"), col("nrm").as("qn"), col("list"))
+    val scored = probes.join(assigned, Seq("list")).filter(col("src") =!= col("dst"))
+      .withColumn("cos", dot(col("qv"), col("dv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** DuckDB mirror of `ivfHashTopK` over a table with (idCol, vecCol). */
+  def ivfHashTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
+                     k: Int, nLists: Int = 16, nProbe: Int = 3,
+                     salt: Long = 13L): String = {
+    import graft.functions.ColFns
+    val u = ColFns.pseudoUniformSql(idCol, salt)
+    val selfDot = dotSql(vecCol, vecCol, dim)
+    val cc = dotSql("c.cv", "c.cv", dim)
+    val vc = dotSql("b.v", "c.cv", dim)
+    val qd = dotSql("p.qv", "a.dv", dim)
+    s"""WITH b AS (SELECT $idCol AS id, $vecCol AS v, sqrt($selfDot) AS nrm FROM $table),
+       |cents AS (
+       |  SELECT list, cv FROM (
+       |    SELECT $vecCol AS cv,
+       |      row_number() OVER (ORDER BY $u ASC, $idCol ASC) AS list
+       |    FROM $table)
+       |  WHERE list <= $nLists),
+       |ranked AS (
+       |  SELECT b.id, b.v, b.nrm, c.list, ($cc - 2.0 * $vc) AS rank_d
+       |  FROM b CROSS JOIN cents c),
+       |arn AS (SELECT *, row_number() OVER (PARTITION BY id
+       |          ORDER BY rank_d ASC, list ASC) AS arn FROM ranked),
+       |assigned AS (SELECT id AS dst, v AS dv, nrm AS cn, list FROM arn WHERE arn = 1),
+       |probes AS (SELECT id AS src, v AS qv, nrm AS qn, list FROM arn WHERE arn <= $nProbe),
+       |scored AS (
+       |  SELECT p.src, a.dst, $qd / (p.qn * a.cn) AS cos
+       |  FROM probes p JOIN assigned a USING (list) WHERE p.src <> a.dst),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY src
+       |        ORDER BY cos DESC, dst ASC) AS rn FROM scored)
+       |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= $k
+       |ORDER BY src, rn""".stripMargin
   }
 
   /** MLlib-native ANN alternative (SURVEY J7's "scalable" branch):

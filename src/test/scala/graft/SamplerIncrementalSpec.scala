@@ -54,10 +54,23 @@ class SamplerIncrementalSpec extends SparkSpec {
   test("M3 incremental train: accepts, persists, and probes on rerun") {
     val dir = "/tmp/graft_incr"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    val data = LinkPredict.trainingSet(spark, sfDir, cap = 3000).cache()
+    // Cleanly separable synthetic corpus: label is a deterministic
+    // function of `price`, so train and val AUC are both exactly 1.0
+    // and the overfit gate passes under ANY partition/float-sum order.
+    // (On the real sf0.001 corpus the gap hovers around the 0.06 knife
+    // edge and flips with partition-layout noise — gate mechanics, not
+    // the accept → persist → probe policy this test is about.)
+    val cols = Seq("customer", "product", "label") ++ LinkPredict.featureNames
+    val data = (1L to 2000L).map { i =>
+      val price = (i % 100).toDouble
+      (i, i % 37, if (price >= 50) 1.0 else 0.0,
+        (i % 11).toDouble, (i % 13).toDouble, 100.0 + (i % 7),
+        2.0, price, 0.05 * (i % 3), price * (100.0 + (i % 7)))
+    }.toDF(cols: _*).cache()
     val first = LinkPredict.incrementalTrain(spark, data,
       s"$dir/model", s"$dir/history.jsonl", maxIter = 5)
     assert(first("accepted") === 1.0 && first("probe_drop") === 0.0)
+    assert(first("overfit_gap") === 0.0)
     val second = LinkPredict.incrementalTrain(spark, data,
       s"$dir/model", s"$dir/history.jsonl", maxIter = 5)
     // same data, same model → probe sees no regression

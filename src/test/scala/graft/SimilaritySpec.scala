@@ -66,6 +66,22 @@ class SimilaritySpec extends SparkSpec {
     assert(fullSet === bruteSet)
   }
 
+  test("hash-centroid IVF pairs score identically to brute force; nProbe=nLists = exact") {
+    val e = graft.core.Tables.embeddings(spark, sfDir).limit(300)
+    val ivf = Similarity.ivfHashTopK(e, "vec_id", "embedding", 5, nLists = 8, nProbe = 2)
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5, symmetric = true)
+    val mismatched = ivf.as("i").join(brute.as("b"),
+      $"i.src" === $"b.src" && $"i.dst" === $"b.dst")
+      .filter(abs($"i.cos" - $"b.cos") > 1e-9).count()
+    assert(mismatched === 0)
+    assert(ivf.count() > 0)
+    // probing every list degenerates to exact search
+    val full = Similarity.ivfHashTopK(e, "vec_id", "embedding", 5, nLists = 4, nProbe = 4)
+    val bruteSet = brute.collect().map(r => (r.get(0), r.get(2))).toSet
+    val fullSet = full.collect().map(r => (r.get(0), r.get(2))).toSet
+    assert(fullSet === bruteSet)
+  }
+
   test("similarityStats aggregates per source") {
     val e = graft.core.Tables.embeddings(spark, sfDir).limit(50)
     val stats = Similarity.similarityStats(
