@@ -370,6 +370,23 @@ object Analytics {
         round(col("total_value"), 4).as("total_value"))
       .orderBy("window_start", "event_type")
 
+  // E4: stateful streaming sessionization (flatMapGroupsWithState) —
+  // the stream twin of e2. With Append output and no timeout, each
+  // user's LAST session stays in state when the AvailableNow run drains,
+  // so the contract (and the oracle) is "every closed session": the
+  // batch result minus each user's final session.
+  private def e4StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.streaming.EventStream.runAvailableNow(spark, dir, df =>
+        graft.streaming.EventStream.sessionize(
+          df.select(col("event_id").cast("long"), col("ts"),
+            col("user_id").cast("long"), col("event_type"),
+            col("value").cast("double"))
+            .as[graft.streaming.EventStream.Event]).toDF(),
+        queryName = s"e4_sess_${math.abs(dir.hashCode)}")
+      .orderBy("user_id", "session_start")
+  }
+
   // P6: inactive-node prune — drop customers with no purchase activity
   // in the 730 days before the cutoff (Node2vec_algorithm_inscripton.py:57-87)
   private def p6InactivePrune(spark: SparkSession, dir: String): DataFrame = {
@@ -430,6 +447,7 @@ object Analytics {
     "e1_event_windows" -> (e1EventWindows(_, _)),
     "e2_sessionize" -> (e2Sessionize(_, _)),
     "e3_stream_windows" -> (e3StreamWindows(_, _)),
+    "e4_stream_sessionize" -> (e4StreamSessionize(_, _)),
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -674,5 +692,26 @@ object Analytics {
         |      FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  date_diff('second', min(ts), max(ts)) AS duration_sec
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "e4_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |                     OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |      FROM g),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM f),
+        |agg AS (
+        |  SELECT user_id, session_id,
+        |    date_trunc('second', min(ts)) AS session_start,
+        |    CAST(count(*) AS INT) AS n_events,
+        |    date_diff('second', min(ts), max(ts)) AS duration_sec
+        |  FROM s GROUP BY user_id, session_id),
+        |a2 AS (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_id FROM agg)
+        |SELECT user_id, session_start, n_events, duration_sec
+        |FROM a2 WHERE session_id < last_id
+        |ORDER BY user_id, session_start""".stripMargin)
 }

@@ -84,23 +84,37 @@ object GraphML {
     val r = fit(spark, dir, "lr")
     val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability"))
       .getItem(1)
-    val agg = r.scoredVal.select(col("label"), (p1 >= 0.5).as("pred")).agg(
-      sum(when(col("pred") && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),
-      sum(when(col("pred") && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
-      sum(when(!col("pred") && col("label") === 1.0, 1L).otherwise(0L)).as("fn"),
-      sum(when(!col("pred") && col("label") === 0.0, 1L).otherwise(0L)).as("tn"))
-    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
-      round((col("tp") + col("tn")).cast("double") /
-        (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
-      round(col("tp").cast("double") /
-        greatest(col("tp") + col("fp"), lit(1L)), 6).as("precision"),
-      round(col("tp").cast("double") /
-        greatest(col("tp") + col("fn"), lit(1L)), 6).as("recall"))
-      .withColumn("f1", round(
-        when(col("precision") + col("recall") === 0.0, 0.0)
-          .otherwise(lit(2.0) * col("precision") * col("recall") /
-            (col("precision") + col("recall"))), 6))
+    graft.ml.Metrics.confusion(r.scoredVal, "label", p1, 0.5)
   }
+
+  /** The M4/M5 metric operators applied to a DETERMINISTIC scored set —
+    * label = order status, score = the raw o_totalprice (AUC is
+    * rank-based, so any monotone score works and a stored parquet value
+    * is bit-exact across engines). This puts the metric math itself
+    * under the DuckDB hash gate; m4/m5 above exercise the same code on
+    * real model scores (model-coupled → rows-only). */
+  private def detScored(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"),
+      col("o_totalprice").as("p"))
+
+  private def m4bMetricsDeterministic(spark: SparkSession, dir: String): DataFrame = {
+    val scored = detScored(spark, dir)
+    val aucV = graft.ml.Metrics.auc(scored, "label", col("p"))
+    graft.ml.Metrics.confusion(scored, "label", col("p"), 150000.0)
+      .withColumn("auc", round(lit(aucV), 6))
+  }
+
+  // i/20.0 lands on short-decimal doubles ("0.15", "0.3") — DuckDB
+  // parses those to the identical 64-bit value, whereas the naive
+  // 0.05+i*0.05 accumulation yields 0.15000000000000002-style literals
+  // that round-trip differently through DuckDB's DECIMAL parser
+  private val sweepThresholds: Seq[Double] = (2 to 18).map(_ / 20.0)
+
+  private def m5bSweepDeterministic(spark: SparkSession, dir: String): DataFrame =
+    LinkPredict.thresholdSweepScores(
+      detScored(spark, dir).select(col("label"), (col("p") / 600000.0).as("p")),
+      col("p"), sweepThresholds)
 
   // M5: threshold sweep (LR for speed; sweep itself is the operator)
   private def m5ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
@@ -161,11 +175,118 @@ object GraphML {
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
     "m2_multidate_discount" -> (m2MultiDateMetrics(_, _)),
     "m4_confusion_matrix" -> (m4ConfusionMatrix(_, _)),
+    "m4b_metrics_deterministic" -> (m4bMetricsDeterministic(_, _)),
     "m5_threshold_sweep" -> (m5ThresholdSweep(_, _)),
+    "m5b_sweep_deterministic" -> (m5bSweepDeterministic(_, _)),
     "m7_mlp_metrics" -> (m7MlpMetrics(_, _)),
     "m11_feature_importance" -> (m11FeatureImportance(_, _)))
 
+  /** DuckDB mirror of GraphX staticPageRank(5): initial rank 1.0, five
+    * unrolled `0.15 + 0.85·Σ(rank/outdeg)` passes over the raw edge
+    * multiset (multi-edges each carry a message, exactly as
+    * aggregateMessages does), then the final ranks scaled so they sum to
+    * |V| (PageRank.normalizeRankSum, non-personalized branch — verified
+    * against the Spark 4.1 bytecode: runWithOptions delegates with
+    * normalized=true). Vertices are edge endpoints only (Graph.fromEdges).
+    * Both engines order by the ROUNDED rank with id tiebreak, so the
+    * top-100 cut is identical as long as the rounded values agree. */
+  private def pageRankSql(iters: Int, k: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT v.id, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.rank / d.od) AS s
+         |    FROM edges e JOIN pr${i - 1} p ON p.id = e.src
+         |    JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${GraphSql.edgesCte},
+       |verts AS (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |deg AS (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+       |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts),
+       |$steps,
+       |fin AS (
+       |  SELECT id, round(rank * (SELECT count(*) FROM verts) /
+       |    (SELECT sum(rank) FROM pr$iters), 6) AS rank
+       |  FROM pr$iters)
+       |SELECT id, rank FROM fin ORDER BY rank DESC, id ASC LIMIT $k""".stripMargin
+  }
+
+  // deterministic (label, score) set shared by the m4b/m5b oracles
+  private val detScoredCte =
+    """scored AS (
+      |  SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE) AS label,
+      |         o_totalprice AS p
+      |  FROM orders)""".stripMargin
+
+  /** Mann–Whitney AUC mirror of graft.ml.Metrics.auc. npos·avg_rank is
+    * always a half-integer below 2^52, so the sum is EXACT under any
+    * aggregation order — the AUC matches Spark bit-for-bit, no rounding
+    * slack needed (round(6) kept for presentation parity only). */
+  private val m4bSql =
+    s"""WITH $detScoredCte,
+       |by_score AS (
+       |  SELECT p AS s, count(*) AS n, sum(label) AS npos FROM scored GROUP BY p),
+       |ranked AS (
+       |  SELECT n, npos,
+       |    coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) + (n + 1.0) / 2.0 AS avg_rank
+       |  FROM by_score),
+       |aucagg AS (
+       |  SELECT sum(npos * avg_rank) AS rank_pos, sum(npos) AS np,
+       |         sum(n - npos) AS nn
+       |  FROM ranked),
+       |conf AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN p >= 150000.0 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN p >= 150000.0 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN p < 150000.0 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN p < 150000.0 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM scored),
+       |m AS (
+       |  SELECT tp, fp, fn, tn,
+       |    round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy,
+       |    round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS "precision",
+       |    round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall
+       |  FROM conf)
+       |SELECT tp, fp, fn, tn, accuracy, "precision", recall,
+       |  round(CASE WHEN "precision" + recall = 0.0 THEN 0.0
+       |    ELSE 2.0 * "precision" * recall / ("precision" + recall) END, 6) AS f1,
+       |  (SELECT round((rank_pos - np * (np + 1.0) / 2.0) / (np * nn), 6)
+       |   FROM aucagg) AS auc
+       |FROM m""".stripMargin
+
+  private val m5bSql = {
+    // full-precision literals: Double.toString round-trips, so DuckDB
+    // parses the exact same 64-bit threshold values Scala computed
+    val ths = sweepThresholds.map(java.lang.Double.toString).mkString(", ")
+    s"""WITH $detScoredCte,
+       |sc AS (SELECT label, p / CAST(600000.0 AS DOUBLE) AS p FROM scored),
+       |th AS (SELECT CAST(unnest([$ths]) AS DOUBLE) AS threshold),
+       |agg AS (
+       |  SELECT threshold,
+       |    CAST(sum(CASE WHEN p >= threshold AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN p >= threshold AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN p < threshold AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM sc CROSS JOIN th GROUP BY threshold),
+       |pr AS (
+       |  SELECT threshold, tp, fp, fn,
+       |    CASE WHEN tp + fp = 0 THEN CAST(0.0 AS DOUBLE)
+       |      ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS "precision",
+       |    CASE WHEN tp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+       |      ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+       |  FROM agg)
+       |SELECT threshold, tp, fp, fn, "precision", recall,
+       |  CASE WHEN "precision" + recall = 0.0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE 2.0 * "precision" * recall / ("precision" + recall) END AS f1
+       |FROM pr ORDER BY threshold""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "gx_pagerank" -> pageRankSql(iters = 5, k = 100),
+    "m4b_metrics_deterministic" -> m4bSql,
+    "m5b_sweep_deterministic" -> m5bSql,
     "g6_dvid_versioning" ->
       s"""WITH ${GraphSql.nodesCte},
          |${GraphSql.edgesCte},

@@ -265,9 +265,18 @@ object LinkPredict {
   def thresholdSweep(scored: DataFrame, thresholds: Seq[Double]): DataFrame = {
     val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability"))
       .getItem(1)
+    thresholdSweepScores(scored.select(col("label"), p1.as("p")),
+      col("p"), thresholds)
+  }
+
+  /** The same sweep over a plain score column (no MLlib vector coupling)
+    * — lets the operator run on any (label, score) frame, which is also
+    * what the deterministic-score oracle entry exercises. */
+  def thresholdSweepScores(scored: DataFrame, score: org.apache.spark.sql.Column,
+                           thresholds: Seq[Double]): DataFrame = {
     val sp = scored.sparkSession
     import sp.implicits._
-    val base = scored.select(col("label"), p1.as("p"))
+    val base = scored.select(col("label"), score.as("p"))
       .crossJoin(thresholds.toDF("threshold"))
     val agg = base.groupBy("threshold").agg(
       sum(when(col("p") >= col("threshold") && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),

@@ -36,4 +36,28 @@ object Metrics {
     if (np == 0 || nn == 0) 0.0
     else (rankPos - np * (np + 1.0) / 2.0) / (np * nn)
   }
+
+  /** M4's classification-report row at one operating point: confusion
+    * counts + accuracy/precision/recall/F1, as a single aggregate job. */
+  def confusion(scored: DataFrame, labelCol: String, score: Column,
+                threshold: Double): DataFrame = {
+    val pred = score >= threshold
+    val y = col(labelCol)
+    val agg = scored.agg(
+      sum(when(pred && y === 1.0, 1L).otherwise(0L)).as("tp"),
+      sum(when(pred && y === 0.0, 1L).otherwise(0L)).as("fp"),
+      sum(when(!pred && y === 1.0, 1L).otherwise(0L)).as("fn"),
+      sum(when(!pred && y === 0.0, 1L).otherwise(0L)).as("tn"))
+    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+      round(col("tp").cast("double") /
+        greatest(col("tp") + col("fp"), lit(1L)), 6).as("precision"),
+      round(col("tp").cast("double") /
+        greatest(col("tp") + col("fn"), lit(1L)), 6).as("recall"))
+      .withColumn("f1", round(
+        when(col("precision") + col("recall") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))), 6))
+  }
 }

@@ -43,8 +43,11 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           // rows within a micro-batch are not ordered — sort (bounded by
-          // per-user batch volume, fine for AvailableNow replays)
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // per-user batch volume, fine for AvailableNow replays).
+          // getTime floors to millis; getNanos restores the fractional
+          // second so the order matches a full-precision ORDER BY ts
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))
           var st = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
           sorted.foreach { e =>
