@@ -58,7 +58,10 @@ object Strategies {
        |cand0 AS (
        |  SELECT c.customer, c.acctbal, p.product, p.category, p.price
        |  FROM cust c CROSS JOIN parts p
-       |  WHERE NOT EXISTS (SELECT 1 FROM purchased q
+       |  WHERE $uCand < least(CAST(1.0 AS DOUBLE),
+       |          CAST(8000.0 AS DOUBLE) /
+       |          CAST(greatest((SELECT count(*) FROM parts), 1) AS DOUBLE))
+       |    AND NOT EXISTS (SELECT 1 FROM purchased q
        |                    WHERE q.customer = c.customer AND q.product = p.product)),
        |cand AS (
        |  SELECT * FROM (

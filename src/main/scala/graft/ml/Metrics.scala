@@ -37,6 +37,48 @@ object Metrics {
     else (rankPos - np * (np + 1.0) / 2.0) / (np * nn)
   }
 
+  /** ROC-AUC and PR-AUC together from ONE grouped pass over the scores.
+    * ROC is the same Mann–Whitney statistic as `auc`; PR-AUC is the
+    * trapezoidal area over the tie-grouped precision-recall curve with
+    * MLlib's (0, p₁) starting point — computed exactly over every
+    * distinct score instead of MLlib's 1000-bin downsampling, in two
+    * small jobs over one cached frame instead of its multi-stage RDD
+    * pipeline. Same 100 TB note as `auc`: quantize scores first. */
+  def binaryAucs(scored: DataFrame, labelCol: String,
+                 scoreCol: Column): (Double, Double) = {
+    val byScore = scored.select(col(labelCol).cast("double").as("y"), scoreCol.as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("npos"))
+      .cache()
+    try {
+      val tot = byScore.agg(sum("n").as("nn"), sum("npos").as("np")).head()
+      val (nTotal, pTotal) = (tot.getLong(0), tot.getDouble(1))
+      if (pTotal == 0 || pTotal == nTotal) return (0.0, 0.0)
+      // descending-score cumulatives give the PR curve directly and the
+      // ascending rank arithmetic by complement: rows-before(asc) = N − cum(desc)
+      val wDesc = Window.orderBy(col("s").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = byScore
+        .withColumn("cn", sum("n").over(wDesc))
+        .withColumn("cp", sum("npos").over(wDesc))
+        .withColumn("recall", col("cp") / pTotal)
+        .withColumn("prec", col("cp") / col("cn"))
+      val lagW = Window.orderBy(col("s").desc)
+      val agg = cum
+        .withColumn("prev_r", coalesce(lag("recall", 1).over(lagW), lit(0.0)))
+        // MLlib's curve starts at (0, p1): first trapezoid uses p1 twice
+        .withColumn("prev_p", coalesce(lag("prec", 1).over(lagW), col("prec")))
+        .agg(
+          sum(col("npos") * (lit(nTotal) - col("cn") + (col("n") + 1.0) / 2.0))
+            .as("rank_pos"),
+          sum((col("recall") - col("prev_r")) *
+            (col("prec") + col("prev_p")) / 2.0).as("pr_auc"))
+        .head()
+      val roc = (agg.getDouble(0) - pTotal * (pTotal + 1.0) / 2.0) /
+        (pTotal * (nTotal - pTotal))
+      (roc, agg.getDouble(1))
+    } finally byScore.unpersist()
+  }
+
   /** M4's classification-report row at one operating point: confusion
     * counts + accuracy/precision/recall/F1, as a single aggregate job. */
   def confusion(scored: DataFrame, labelCol: String, score: Column,

@@ -89,15 +89,26 @@ object Recommend {
         .select("customer", "product").distinct()
 
       // R2: deterministic candidate cap per customer (hash-ranked)
-      val candW = Window.partitionBy("customer")
-        .orderBy(ColFns.pseudoUniform(col("customer") * 131071 + col("product"), 3L),
-          col("product"))
+      val candU = ColFns.pseudoUniform(col("customer") * 131071 + col("product"), 3L)
+      val candW = Window.partitionBy("customer").orderBy(candU, col("product"))
       // broadcast only while the queried slice is bounded (it is for the
       // reference's per-customer serving shape); a full-corpus batch run
       // falls back to the shuffled anti-join
       val excl =
         if (cust.count() <= 100000L) broadcast(purchased) else purchased
+      // pre-filter by the SAME hash the cap window ranks on: only rows
+      // that can possibly be in the per-customer top-`candidateCap` by u
+      // need to enter the anti-join + window. 4× headroom over the cap
+      // makes a sub-cap survivor count a >50σ event even before noting
+      // that purchases remove only a handful of products per customer;
+      // the window then applies the EXACT cap. Shrinks the windowed row
+      // count by (1 − 4·cap/|parts|) — at |parts| ≫ cap (the 100 TB
+      // shape) the per-customer sort goes from |parts| to ~4·cap rows.
+      // Mirrored verbatim in the Strategies oracle SQL.
+      val nParts = parts.count()
+      val keepFrac = math.min(1.0, 4.0 * candidateCap / math.max(nParts, 1L))
       cust.crossJoin(parts)
+        .filter(candU < keepFrac)
         .join(excl, Seq("customer", "product"), "left_anti")
         .withColumn("cand_rn", row_number().over(candW))
         .filter(col("cand_rn") <= candidateCap)

@@ -17,7 +17,9 @@ object KnnCache {
   def topk(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     cache.computeIfAbsent((dir, k), _ => {
       val e = graft.core.Tables.embeddings(spark, dir)
-      Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k, symmetric = true)
+      // blocked kernel: bit-identical to bruteForceTopK (asserted in
+      // SimilaritySpec) without the n² pair shuffle
+      Similarity.bruteForceTopKBlocked(e, e, "vec_id", "embedding", k)
         .localCheckpoint(true)
     })
 }

@@ -75,6 +75,80 @@ object Similarity {
       .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Exact left-to-right dot product — the JVM twin of the
+    * ArrayDotProduct expression (same fold order, so identical bits). */
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Spark's round(_, 6): HALF_UP via BigDecimal, matching the Catalyst
+    * Round expression bit-for-bit. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Brute-force top-k as a broadcast kernel: the corpus (ids, vectors,
+    * norms) is collected and broadcast — the same memory contract as a
+    * broadcast hash join build side — and each partition scans its query
+    * rows against it with an O(n·k) insertion top-k. Compared to the
+    * crossJoin + window formulation this emits n·k rows instead of
+    * shuffling n² scored pairs, which is the difference between a wide
+    * exchange and a map-only stage at any scale where brute force is
+    * even admissible (corpus fits memory; otherwise lshTopK / ivfTopK).
+    *
+    * Bit-compatible with bruteForceTopK: same dot fold order, same
+    * cos = dot/(qn·cn) expression, same (cos desc, id asc) tie-break,
+    * same HALF_UP rounding — asserted equal in SimilaritySpec.
+    */
+  def bruteForceTopKBlocked(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String, k: Int): DataFrame = {
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val corpusRows = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val ids = corpusRows.map(_._1)
+    val vecs = corpusRows.map(_._2)
+    val norms = vecs.map(v => math.sqrt(dotArr(v, v)))
+    val bc = sp.sparkContext.broadcast((ids, vecs, norms))
+    queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (cids, cvecs, cnorms) = bc.value
+        it.flatMap { case (src, qv) =>
+          val qn = math.sqrt(dotArr(qv, qv))
+          val bestCos = new Array[Double](k)
+          val bestId = new Array[Long](k)
+          var filled = 0
+          var j = 0
+          while (j < cids.length) {
+            if (cids(j) != src) {
+              val c = dotArr(qv, cvecs(j)) / (qn * cnorms(j))
+              val id = cids(j)
+              // insertion position: ordered by (cos desc, id asc)
+              var pos = filled
+              while (pos > 0 && (c > bestCos(pos - 1) ||
+                (c == bestCos(pos - 1) && id < bestId(pos - 1)))) pos -= 1
+              if (pos < k) {
+                val upto = math.min(filled, k - 1)
+                var m = upto
+                while (m > pos) {
+                  bestCos(m) = bestCos(m - 1); bestId(m) = bestId(m - 1); m -= 1
+                }
+                bestCos(pos) = c; bestId(pos) = id
+                if (filled < k) filled += 1
+              }
+            }
+            j += 1
+          }
+          (0 until filled).map(r => (src, r + 1, bestId(r), round6(bestCos(r))))
+        }
+      }.toDF("src", "rn", "dst", "cos")
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane `j`,
     * dimension `i` — pure integer math, mirrored in SQL below. */
   private def planeComponent(j: Int, i: Int): Double =

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Physical-plan shape assertions — the properties that decide whether a
+  * query survives a 100×/1000× scale-up: filters and projections must
+  * reach the parquet scan, small dimension joins must broadcast, and an
+  * operator must not shuffle more often than its algebra requires.
+  * `.explain("formatted")` by hand is how these were first checked; the
+  * spec pins them against regressions.
+  *
+  * Scan assertions read the pre-AQE `sparkPlan` (scan pushdown/pruning
+  * is decided at planning); join/exchange assertions read the final
+  * adaptive plan's rendering, because AQE wraps stages in leaf
+  * QueryStageExec nodes that tree-collect does not descend into.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+
+  private def finalPlanString(df: DataFrame): String = {
+    df.collect() // force execution so AQE finalizes the plan
+    // drop the "== Initial Plan ==" echo — only the executed stages count
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("P4: the temporal cutoff is pushed down to the lineitem scan") {
+    val df = graft.catalog.Relational.queries("p4_temporal_cutoff")(spark, sfDir)
+    val ss = scans(df)
+    assert(ss.nonEmpty)
+    val pushed = ss.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("LessThanOrEqual(l_shipdate"),
+      s"cutoff not pushed to scan: $pushed")
+  }
+
+  test("P10: projection prunes the lineitem read schema to used columns") {
+    val df = graft.catalog.Relational.queries("p10_projection_rename")(spark, sfDir)
+    val ss = scans(df)
+    assert(ss.nonEmpty)
+    val read = ss.head.metadata.getOrElse("ReadSchema", "")
+    // l_partkey sits right after l_orderkey in table order: if the scan
+    // read full rows it would appear; the projection uses 6 of 12+ cols
+    assert(read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"unpruned read schema: $read")
+  }
+
+  test("J5: the feature-lookup joins broadcast the dimension sides") {
+    val df = graft.catalog.Relational.queries("j5_feature_lookup_join")(spark, sfDir)
+    val plan = finalPlanString(df)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected customer+part broadcast joins, plan:\n$plan")
+  }
+
+  test("E1: windowed event aggregation shuffles at most twice") {
+    val df = graft.catalog.Analytics.queries("e1_event_windows")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // one exchange for the group-by, one range partitioning for the
+    // final orderBy — anything more means the aggregation re-shuffles
+    val exchanges = "\\+- Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$plan")
+  }
+}

@@ -82,6 +82,17 @@ class SimilaritySpec extends SparkSpec {
     assert(fullSet === bruteSet)
   }
 
+  test("blocked kernel output is identical to the window formulation") {
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val window = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5,
+      symmetric = true).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val blocked = Similarity.bruteForceTopKBlocked(e, e, "vec_id", "embedding", 5)
+      .collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(blocked === window) // exact: same dots, ranks, ties, rounding
+  }
+
   test("similarityStats aggregates per source") {
     val e = graft.core.Tables.embeddings(spark, sfDir).limit(50)
     val stats = Similarity.similarityStats(
