@@ -98,6 +98,29 @@ object TextSim {
       md5(col("text")).as("content_md5"))
       .orderBy("doc_id")
 
+  // T5: the composed corpus-selection query every training-data pipeline
+  // ends with — keep docs that are (a) the canonical copy of their exact-
+  // dup group (d1), (b) the target language (t1), and (c) above the
+  // quality bar (t2). One pass over the corpus + a broadcast join against
+  // the (hash → canonical id) table; all predicates compare the ROUNDED
+  // ratios so the SQL mirror filters identical values.
+  private def t5CorpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val canon = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"))
+    TextAnalysis.qualityFeatures(docs, "text")
+      .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+      .withColumn("h", md5(col("text")))
+      .join(broadcast(canon), "h")
+      .filter(col("doc_id") === col("keep_id"))
+      .filter(col("lang_pred") === "en" &&
+        col("n_tokens") >= 10 &&
+        col("punct_ratio") < 0.2 &&
+        col("stopword_ratio") >= 0.02)
+      .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "source")
+      .orderBy("doc_id")
+  }
+
   // Multimodal plumbing: opaque binary column + typed metadata. The text
   // column stands in for the payload; decode is a stub by design (no
   // codec libs in this container) — the schema/partition/metadata path is
@@ -125,6 +148,7 @@ object TextSim {
     "t2_quality_score" -> (t2Quality(_, _)),
     "t3_token_count" -> (t3TokenCount(_, _)),
     "t4_fingerprint" -> (t4Fingerprint(_, _)),
+    "t5_corpus_filter" -> (t5CorpusFilter(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)))
 
   // ---- oracles ----
@@ -289,6 +313,31 @@ object TextSim {
         |              i -> i * ascii(substr(text, i, 1)))) % 1000000007 END AS BIGINT) AS fp,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_corpus_filter" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, source,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |    len(text) AS n_char,
+         |    len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |        x -> list_contains(['the','a','and','of','to','in','is','that'], x))) AS n_stop,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    round(CASE WHEN n_char = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_char END, 6) AS punct_ratio,
+         |    round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END, 6) AS stopword_ratio,
+         |    $langHitCols
+         |  FROM b),
+         |l AS (SELECT *, $langArgmax AS lang_pred FROM q),
+         |canon AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+         |SELECT l.doc_id, l.n_tokens, l.punct_ratio, l.stopword_ratio, l.source
+         |FROM l JOIN documents d ON d.doc_id = l.doc_id
+         |JOIN canon c ON c.h = md5(d.text)
+         |WHERE l.doc_id = c.keep_id AND l.lang_pred = 'en'
+         |  AND l.n_tokens >= 10 AND l.punct_ratio < 0.2 AND l.stopword_ratio >= 0.02
+         |ORDER BY l.doc_id""".stripMargin,
     "mm1_binary_metadata" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5, source
         |FROM documents ORDER BY doc_id""".stripMargin)
