@@ -387,6 +387,19 @@ object Analytics {
       .orderBy("user_id", "session_start")
   }
 
+  // E5: streaming exact dedup (dropDuplicatesWithinWatermark) — D1's
+  // streaming face. Projected to the key columns only, so the emitted
+  // row per key is deterministic regardless of which arrival won, and
+  // the oracle is a plain batch DISTINCT.
+  private def e5StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runAvailableNow(spark, dir, df =>
+        graft.streaming.EventStream.dedupStream(
+          df.select(col("ts"), col("user_id"), col("event_type")),
+          Seq("user_id", "event_type"))
+          .select("user_id", "event_type"),
+        queryName = s"e5_dedup_${math.abs(dir.hashCode)}")
+      .orderBy("user_id", "event_type")
+
   // P6: inactive-node prune — drop customers with no purchase activity
   // in the 730 days before the cutoff (Node2vec_algorithm_inscripton.py:57-87)
   private def p6InactivePrune(spark: SparkSession, dir: String): DataFrame = {
@@ -448,6 +461,7 @@ object Analytics {
     "e2_sessionize" -> (e2Sessionize(_, _)),
     "e3_stream_windows" -> (e3StreamWindows(_, _)),
     "e4_stream_sessionize" -> (e4StreamSessionize(_, _)),
+    "e5_stream_dedup" -> (e5StreamDedup(_, _)),
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -713,5 +727,8 @@ object Analytics {
         |a2 AS (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_id FROM agg)
         |SELECT user_id, session_start, n_events, duration_sec
         |FROM a2 WHERE session_id < last_id
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+    "e5_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
 }

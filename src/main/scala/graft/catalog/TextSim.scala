@@ -98,6 +98,16 @@ object TextSim {
       md5(col("text")).as("content_md5"))
       .orderBy("doc_id")
 
+  // T6: winnowing fingerprints (MOSS selection) per document — the
+  // plagiarism/copy-detection signature; output is order-insensitive
+  // (count + extremes of the distinct selected set)
+  private def t6Winnowing(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnow(Tables.documents(spark, dir).select("doc_id", "text"),
+        "text", "fps", k = 5, w = 4)
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
+      .orderBy("doc_id")
+
   // T5: the composed corpus-selection query every training-data pipeline
   // ends with — keep docs that are (a) the canonical copy of their exact-
   // dup group (d1), (b) the target language (t1), and (c) above the
@@ -149,6 +159,7 @@ object TextSim {
     "t3_token_count" -> (t3TokenCount(_, _)),
     "t4_fingerprint" -> (t4Fingerprint(_, _)),
     "t5_corpus_filter" -> (t5CorpusFilter(_, _)),
+    "t6_winnowing" -> (t6Winnowing(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)))
 
   // ---- oracles ----
@@ -338,6 +349,27 @@ object TextSim {
          |WHERE l.doc_id = c.keep_id AND l.lang_pred = 'en'
          |  AND l.n_tokens >= 10 AND l.punct_ratio < 0.2 AND l.stopword_ratio >= 0.02
          |ORDER BY l.doc_id""".stripMargin,
+    "t6_winnowing" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(norm) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(generate_series(1, len(norm) - 4),
+        |                i -> md5(substr(norm, i, 5))) END AS grams
+        |  FROM n),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(grams) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(grams) - 3 < 1 THEN [list_min(grams)]
+        |         ELSE list_transform(generate_series(1, len(grams) - 3),
+        |                j -> list_min(grams[j:j+3])) END AS sel
+        |  FROM g),
+        |f AS (SELECT doc_id, list_distinct(sel) AS fps FROM s)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+        |       list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM f ORDER BY doc_id""".stripMargin,
     "mm1_binary_metadata" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5, source
         |FROM documents ORDER BY doc_id""".stripMargin)

@@ -65,6 +65,40 @@ object TextAnalysis {
         round(when(nTok === 0, 0.0).otherwise(stops.cast("double") / nTok), 6))
   }
 
+  /** Winnowing fingerprint selection (the MOSS scheme): hash every
+    * k-gram, slide a w-window over the hash sequence, keep each window's
+    * minimum — guarantees any shared substring of length ≥ k+w−1 yields
+    * a shared fingerprint, with ~2/(w+1) of grams selected. All builtin
+    * higher-order functions over md5 hex strings (min = lexicographic),
+    * so the DuckDB mirror reproduces it exactly.
+    *
+    * DataFrame-shaped on purpose: the gram-hash array MUST be a bound
+    * column before the window pass. Inlining it as one Column tree puts
+    * the whole md5-per-position computation inside the window lambda,
+    * and Catalyst re-evaluates the lambda body per window — O(n²) md5
+    * calls per document (measured: a catalog query that finishes in
+    * ~2 s hung for 10+ minutes). Two projections keep it O(n); the
+    * multi-reference of the expensive alias also stops CollapseProject
+    * from re-inlining it. */
+  def winnow(df: DataFrame, textCol: String, outCol: String,
+             k: Int = 5, w: Int = 4): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // sequence(1,0) descends rather than being empty — guard short docs
+    val gramsExpr = when(length(norm) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => md5(norm.substr(i, lit(k)))))
+    val grams = col("__winnow_grams")
+    val nWin = size(grams) - (w - 1)
+    val selected =
+      when(size(grams) === 0, array().cast("array<string>"))
+        .when(nWin < 1, array(array_min(grams)))
+        .otherwise(transform(sequence(lit(1), nWin),
+          j => array_min(slice(grams, j, lit(w)))))
+    df.withColumn("__winnow_grams", gramsExpr)
+      .withColumn(outCol, array_distinct(selected))
+      .drop("__winnow_grams")
+  }
+
   /** Document fingerprint: position-weighted character sum (a rolling-
     * hash-style signature that is order-sensitive, unlike a bag-of-chars
     * sum) modulo 1e9+7, plus md5 for exactness. Pure integer math —

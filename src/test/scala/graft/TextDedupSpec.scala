@@ -63,6 +63,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out === Seq(0, 0, 1, 2))
   }
 
+  test("winnowing: shared substring ≥ k+w−1 chars ⇒ shared fingerprint; short docs still fingerprinted") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text with quick brown fox inside it"),
+      (3L, "zzzz"), // shorter than k → no grams
+      (4L, "abcdef") // grams < w → single min fingerprint
+    ).toDF("doc_id", "text")
+    val fps = graft.text.TextAnalysis.winnow(docs, "text", "fps", k = 5, w = 4)
+      .select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // "quick brown fox" (15 chars ≥ k+w−1 = 8) appears in docs 1 and 2
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert(fps(3L).isEmpty)
+    assert(fps(4L).size === 1)
+    // selection is a subset of all gram hashes and non-empty for real text
+    assert(fps(1L).nonEmpty && fps(2L).nonEmpty)
+  }
+
   test("fingerprint is order-sensitive (rolling-hash property)") {
     val df = Seq("abc", "cba", "abc").toDF("t")
     val fp = df.select(TextAnalysis.fingerprint($"t").as("f"))
