@@ -91,10 +91,20 @@ object LinkPredict {
 
     val cust = Tables.customer(spark, dir).select(col("c_custkey").as("customer"))
     val part = Tables.part(spark, dir).select(col("p_partkey").as("product"))
-    val negCand = cust.filter(pmod(col("customer"), lit(3)) === 0)
-      .crossJoin(part.filter(pmod(col("product"), lit(7)) === 0))
+    // J4's target is a ~1:1 class ratio (xgboost_model_training.py:124-141).
+    // The keep-fraction must be derived from the candidate cross join's
+    // OWN size — it grows quadratically with scale, so tying it to
+    // posFrac (as an earlier version did) silently degraded the ratio to
+    // 12:1 at sf0.1 and would be ~120:1 at sf1. Two dimension counts fix
+    // the target at min(cap, |pos|) negatives regardless of scale.
+    val custSel = cust.filter(pmod(col("customer"), lit(3)) === 0)
+    val partSel = part.filter(pmod(col("product"), lit(7)) === 0)
+    val negBase = custSel.count() * partSel.count()
+    val negTarget = math.min(cap.toLong, posN)
+    val negFrac = math.min(1.0, negTarget.toDouble / math.max(negBase, 1L))
+    val negCand = custSel.crossJoin(partSel)
       .filter(ColFns.pseudoUniform(col("customer") * 977 + col("product"), 37L) <
-        posFrac * 0.5)
+        negFrac)
     val neg = timed("neg anti-join") {
       negCand.join(pos.select("customer", "product"),
           Seq("customer", "product"), "left_anti")
@@ -172,7 +182,7 @@ object LinkPredict {
         (m, featureNames.zip(m.featureImportances.toArray))
       case "lr" =>
         val m = new LogisticRegression().setLabelCol("label").setFeaturesCol("features")
-          .setWeightCol("w").setMaxIter(25).setRegParam(0.01)
+          .setWeightCol("w").setMaxIter(15).setRegParam(0.01)
           .fit(weighted)
         (m, featureNames.zip(m.coefficients.toArray.map(math.abs)))
     } }

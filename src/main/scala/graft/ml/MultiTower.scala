@@ -29,7 +29,8 @@ object MultiTower {
 
   final case class Result(metrics: Map[String, Double])
 
-  def train(spark: SparkSession, data: DataFrame, seed: Long = 42L): Result = {
+  def train(spark: SparkSession, data: DataFrame, seed: Long = 42L,
+            maxIter: Int = 40): Result = {
     val stages = towers.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       Seq(
         new VectorAssembler().setInputCols(cols.toArray).setOutputCol(s"${name}_raw"),
@@ -43,7 +44,7 @@ object MultiTower {
     val mlp = new MultilayerPerceptronClassifier()
       .setLabelCol("label").setFeaturesCol("features")
       .setLayers(Array(nFeatures, 16, 8, 2))
-      .setMaxIter(60).setSeed(seed).setBlockSize(128)
+      .setMaxIter(maxIter).setSeed(seed).setBlockSize(128)
     val pipeline = new Pipeline().setStages((stages :+ concat :+ mlp).toArray)
 
     // few fat partitions: L-BFGS runs maxIter jobs over the cached
