@@ -173,8 +173,13 @@ object TextSim {
       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
       |        FROM documents))""".stripMargin
 
+  // pre-hashed shingles (one md5 each; signature components slice it)
+  private val hashedShingleCte =
+    s"""$shingleCte,
+       |hsh AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh)""".stripMargin
+
   private def minhashSql(j: Int): String =
-    s"list_min(list_transform(sh, s -> md5(concat('$j', '|', s))))"
+    s"list_min(list_transform(hs, h -> substr(h, ${j * 8 + 1}, 8)))"
 
   private val langHitCols: String = {
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
@@ -196,12 +201,12 @@ object TextSim {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
     "d2_minhash_lsh" ->
-      s"""WITH $shingleCte,
+      s"""WITH $hashedShingleCte,
          |signed AS (
          |  SELECT doc_id AS doc,
          |    concat_ws('_', ${minhashSql(0)}, ${minhashSql(1)}) AS band_0,
          |    concat_ws('_', ${minhashSql(2)}, ${minhashSql(3)}) AS band_1
-         |  FROM sh),
+         |  FROM hsh),
          |bands AS (
          |  SELECT 0 AS band, band_0 AS sig, doc FROM signed
          |  UNION ALL

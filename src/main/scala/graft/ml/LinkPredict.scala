@@ -92,15 +92,20 @@ object LinkPredict {
     val cust = Tables.customer(spark, dir).select(col("c_custkey").as("customer"))
     val part = Tables.part(spark, dir).select(col("p_partkey").as("product"))
     // J4's target is a ~1:1 class ratio (xgboost_model_training.py:124-141).
-    // The keep-fraction must be derived from the candidate cross join's
-    // OWN size — it grows quadratically with scale, so tying it to
+    // The keep-fraction must be derived from the candidate pool's OWN
+    // measured size — it grows quadratically with scale, so tying it to
     // posFrac (as an earlier version did) silently degraded the ratio to
-    // 12:1 at sf0.1 and would be ~120:1 at sf1. Two dimension counts fix
-    // the target at min(cap, |pos|) negatives regardless of scale.
-    val custSel = cust.filter(pmod(col("customer"), lit(3)) === 0)
-    val partSel = part.filter(pmod(col("product"), lit(7)) === 0)
-    val negBase = custSel.count() * partSel.count()
+    // 12:1 at sf0.1 and would be ~120:1 at sf1. The %3/%7 dimension
+    // pre-thinning bounds the streamed cross-join size at scale, but at
+    // small scale it would starve the pool below the target — apply it
+    // only while the thinned pool keeps ≥4× headroom over the target.
     val negTarget = math.min(cap.toLong, posN)
+    val nCust = cust.count(); val nPart = part.count()
+    val thin = nCust / 3 * (nPart / 7) >= negTarget * 4
+    val custSel = if (thin) cust.filter(pmod(col("customer"), lit(3)) === 0) else cust
+    val partSel = if (thin) part.filter(pmod(col("product"), lit(7)) === 0) else part
+    val negBase =
+      (if (thin) custSel.count() else nCust) * (if (thin) partSel.count() else nPart)
     val negFrac = math.min(1.0, negTarget.toDouble / math.max(negBase, 1L))
     val negCand = custSel.crossJoin(partSel)
       .filter(ColFns.pseudoUniform(col("customer") * 977 + col("product"), 37L) <
@@ -152,9 +157,8 @@ object LinkPredict {
   def train(spark: SparkSession, data: DataFrame,
             algo: String = "gbt", maxIter: Int = 10, seed: Long = 42L,
             maxDepth: Int = 5): TrainResult = {
-    val assembled = new VectorAssembler()
-      .setInputCols(featureNames.toArray).setOutputCol("features")
-      .transform(data.coalesce(8))
+    val assembled = FeatureLayout
+      .assemble(data.coalesce(8), FeatureLayout.DiscountV1)
       .withColumn("split",
         when(ColFns.pseudoUniform(
           xxhash64(col("customer"), col("product")), 41L) < 0.8, "train")

@@ -27,6 +27,16 @@ object Dedup {
   def minhash(shingleCol: Column, j: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(j.toString), lit("|"), s))))
 
+  /** MinHash component j derived from a PRE-HASHED shingle array: the
+    * minimum of the j-th 8-hex-digit slice of each md5. One md5 per
+    * shingle serves all `32/8 = 4` components (md5 bits are independent
+    * across slices, which is all min-hashing needs) — vs `minhash`,
+    * which pays a fresh md5 per shingle per component. `hashedCol` must
+    * be a bound column (see winnow: an inlined tree re-evaluates the
+    * md5 array per lambda element). */
+  def minhashSlice(hashedCol: Column, j: Int): Column =
+    array_min(transform(hashedCol, h => h.substr(j * 8 + 1, 8)))
+
   /** Explode-free shingle column used by the dedup pipelines below.
     * Normalization stays in codegen'd builtins; shingling itself is the
     * custom CharShingles expression (single pass, distinct-preserving)
@@ -41,9 +51,14 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 5, bands: Int = 2, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= 4, "slice scheme yields 4 components per md5")
+    // one md5 per shingle, materialized as a bound column; every
+    // signature component is then a cheap slice-min over it
     val sh = docs.select(col(idCol).as("doc"), shingleArray(col(textCol), n).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => md5(s)))
     val sigCols = (0 until bands).map { b =>
-      val mins = (0 until rowsPerBand).map(r => minhash(col("sh"), b * rowsPerBand + r))
+      val mins = (0 until rowsPerBand).map(r =>
+        minhashSlice(col("hs"), b * rowsPerBand + r))
       concat_ws("_", mins: _*).as(s"band_$b")
     }
     val signed = sh.select(col("doc") +: sigCols: _*)

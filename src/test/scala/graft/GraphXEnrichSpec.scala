@@ -23,6 +23,15 @@ class GraphXEnrichSpec extends SparkSpec {
     assert(cc("a") === "a" && cc("c") === "c") // canonical = lowest member id
   }
 
+  test("union-find fast path matches the GraphX path exactly") {
+    val g = GraphBuilder.fromTpch(spark, sfDir)
+    val seq = GraphXAnalytics.connectedComponents(spark, g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    val gx = GraphXAnalytics.connectedComponents(spark, g, seqMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(seq === gx)
+  }
+
   test("GraphX degrees agree with the DataFrame A2 operator") {
     val g = GraphBuilder.fromTpch(spark, sfDir)
     val gx = GraphXAnalytics.degrees(spark, g)
