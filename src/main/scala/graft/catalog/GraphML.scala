@@ -105,22 +105,24 @@ object GraphML {
       .withColumn("auc", round(lit(aucV), 6))
   }
 
-  // i/20.0 lands on short-decimal doubles ("0.15", "0.3") — DuckDB
-  // parses those to the identical 64-bit value, whereas the naive
+  // i/100.0 lands on short-decimal doubles ("0.15", "0.3") — DuckDB
+  // parses those to the identical 64-bit value, whereas a naive
   // 0.05+i*0.05 accumulation yields 0.15000000000000002-style literals
-  // that round-trip differently through DuckDB's DECIMAL parser
-  private val sweepThresholds: Seq[Double] = (2 to 18).map(_ / 20.0)
+  // that round-trip differently through DuckDB's DECIMAL parser. Grid =
+  // the reference's 0.10..0.90 step 0.01.
+  private val sweepThresholds: Seq[Double] = (10 to 90).map(_ / 100.0)
 
   private def m5bSweepDeterministic(spark: SparkSession, dir: String): DataFrame =
     LinkPredict.thresholdSweepScores(
       detScored(spark, dir).select(col("label"), (col("p") / 600000.0).as("p")),
       col("p"), sweepThresholds)
 
-  // M5: threshold sweep (LR for speed; sweep itself is the operator)
+  // M5: threshold sweep (LR for speed; sweep itself is the operator) —
+  // the reference's exact grid: 0.10..0.90 step 0.01 targeting F1≈0.80
+  // (xgboost_training_for_big_data.py:662-691)
   private def m5ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val r = fit(spark, dir, "lr")
-    LinkPredict.thresholdSweep(r.scoredVal,
-      (1 to 17).map(i => 0.05 + i * 0.05))
+    LinkPredict.thresholdSweep(r.scoredVal, (10 to 90).map(_ / 100.0))
   }
 
   // M11: gain-style feature importances

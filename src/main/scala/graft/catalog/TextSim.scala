@@ -91,6 +91,22 @@ object TextSim {
       regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("word_tokens"))
       .orderBy("doc_id")
 
+  /** GPT-2-style pretokenizer unit count — the "BPE-ish" token estimate
+    * (contractions, space-prefixed letter/digit runs, punctuation runs,
+    * whitespace). The pattern avoids every construct whose semantics
+    * differ between Java regex (Spark) and RE2 (DuckDB): no backrefs,
+    * no lookaround; \\p{L}/\\p{N} and leftmost-first alternation agree
+    * (verified on mixed-Unicode samples). */
+  private val bpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  private def t3bBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(bpePattern)).cast("long").as("bpe_tokens"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"))
+      .orderBy("doc_id")
+
   private def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -157,6 +173,7 @@ object TextSim {
     "t1_language_id" -> (t1LangId(_, _)),
     "t2_quality_score" -> (t2Quality(_, _)),
     "t3_token_count" -> (t3TokenCount(_, _)),
+    "t3b_bpe_tokens" -> (t3bBpeTokens(_, _)),
     "t4_fingerprint" -> (t4Fingerprint(_, _)),
     "t5_corpus_filter" -> (t5CorpusFilter(_, _)),
     "t6_winnowing" -> (t6Winnowing(_, _)),
@@ -322,6 +339,12 @@ object TextSim {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3b_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${bpePattern.replace("'", "''")}')) AS BIGINT) AS bpe_tokens,
+         |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN len(text) = 0 THEN 0

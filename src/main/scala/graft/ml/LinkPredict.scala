@@ -307,4 +307,12 @@ object LinkPredict {
             (col("precision") + col("recall"))))
       .orderBy("threshold")
   }
+
+  /** M5's decision rule: the threshold whose F1 lands closest to the
+    * target — the reference tunes toward F1 ≈ 0.80, not max-F1
+    * (xgboost_training_for_big_data.py:727-729). Deterministic tie-break
+    * on the lower threshold. */
+  def pickThreshold(swept: DataFrame, targetF1: Double = 0.80): Double =
+    swept.orderBy(abs(col("f1") - targetF1).asc, col("threshold").asc)
+      .select("threshold").head().getDouble(0)
 }

@@ -58,4 +58,15 @@ class LinkPredictSpec extends SparkSpec {
       val f1 = row.getAs[Double]("f1"); f1 >= 0.0 && f1 <= 1.0
     })
   }
+
+  test("pickThreshold selects the F1 value closest to the target") {
+    import spark.implicits._
+    val swept = Seq((0.1, 0.70), (0.2, 0.79), (0.3, 0.83), (0.4, 0.50))
+      .toDF("threshold", "f1")
+    assert(LinkPredict.pickThreshold(swept, 0.80) === 0.2)
+    // ties break toward the lower threshold (0.25/0.75 vs target 0.5:
+    // both gaps are exactly 0.25 in binary floating point)
+    val tied = Seq((0.1, 0.25), (0.2, 0.75)).toDF("threshold", "f1")
+    assert(LinkPredict.pickThreshold(tied, 0.50) === 0.1)
+  }
 }
