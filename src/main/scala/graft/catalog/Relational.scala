@@ -63,6 +63,22 @@ object Relational {
     spark.read.parquet(path).orderBy("o_orderstatus")
   }
 
+  // S5/S7: GraphML export → re-import roundtrip; the label/type counts
+  // must come back exactly as the graph had them, so a1's oracle doubles
+  // as this entry's oracle. Exercises the distributed XML render and the
+  // regexp re-parse (incl. &amp;-escaping of ids) under the hash gate.
+  private def s5GraphmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.graph.GraphBuilder.fromTpch(spark, dir)
+    val path = tmpDir("s5_graphml")
+    graft.sources.GraphMLSink.write(g, path)
+    val back = graft.sources.GraphMLSource.read(spark, path)
+    back.nodes.groupBy("label").agg(count(lit(1)).as("cnt"))
+      .select(lit("node").as("kind"), col("label").as("name"), col("cnt"))
+      .unionByName(back.edges.groupBy("type").agg(count(lit(1)).as("cnt"))
+        .select(lit("edge").as("kind"), col("type").as("name"), col("cnt")))
+      .orderBy("kind", "name")
+  }
+
   // P1: dropna any-column (First_Data_injection.py:40,69,91)
   private def p1DropNa(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).na.drop("any").orderBy("o_orderkey")
@@ -253,6 +269,7 @@ object Relational {
     "p9_dvid_predicate" -> (p9DvidPredicate(_, _)),
     "s2_csv_badrow_filter" -> (s2CsvBadRows(_, _)),
     "s4_parquet_sink_roundtrip" -> (s4ParquetRoundtrip(_, _)),
+    "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
     "p3_notin_filter" -> (p3NotIn(_, _)),
@@ -283,6 +300,9 @@ object Relational {
     "s4_parquet_sink_roundtrip" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the roundtrip must reproduce the graph's own label counts — same
+    // oracle as a1_label_counts by construction
+    "s5_graphml_roundtrip" -> Analytics.oracles("a1_label_counts"),
     "p1_dropna_any" ->
       """SELECT * FROM orders
         |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
