@@ -285,8 +285,38 @@ object GraphML {
        |FROM pr ORDER BY threshold""".stripMargin
   }
 
+  /** DuckDB mirror of connected components: min-label propagation over
+    * the undirected edge set, unrolled `rounds` times. Converges to the
+    * exact CC once `rounds` ≥ the farthest distance from any node to its
+    * component's minimum-id node — the e-commerce graph's brand/location
+    * hubs keep that distance small, and 24 rounds carries a large
+    * margin. Labels are min STRING ids, matching the Spark side's canon
+    * (min(id) per component; string order is binary in both engines). */
+  private def ccSql(rounds: Int): String = {
+    // every l_i references l_{i-1} twice — MATERIALIZED stops DuckDB
+    // from inlining the chain (2^rounds expansion otherwise, which
+    // exhausts file handles re-opening the parquet scans)
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT p.id, least(p.lbl, coalesce(m.minn, p.lbl)) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN (
+         |    SELECT u.dst AS id, min(q.lbl) AS minn
+         |    FROM und u JOIN l${i - 1} q ON q.id = u.src
+         |    GROUP BY u.dst) m ON m.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${GraphSql.edgesCte},
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |verts AS (SELECT DISTINCT src AS id FROM und),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts),
+       |$steps
+       |SELECT lbl AS component, count(*) AS size FROM l$rounds
+       |GROUP BY lbl ORDER BY size DESC, component ASC""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "gx_pagerank" -> pageRankSql(iters = 5, k = 100),
+    "gx_connected_components" -> ccSql(rounds = 24),
     "m4b_metrics_deterministic" -> m4bSql,
     "m5b_sweep_deterministic" -> m5bSql,
     "g6_dvid_versioning" ->
