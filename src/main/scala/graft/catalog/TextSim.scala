@@ -160,6 +160,29 @@ object TextSim {
       col("source"))
       .orderBy("doc_id")
 
+  // MM2/MM3: the batch-decode and resize-plan paths under the oracle
+  // gate. The stub decoder derives metadata from Arrays.hashCode of the
+  // payload bytes — pure integer math, and the documents corpus is
+  // single-byte text (t4's ascii() oracle passes), so DuckDB replays the
+  // exact hash with a [1]-seeded list_reduce over ascii codes.
+  private def mm2Media(spark: SparkSession, dir: String) =
+    graft.multimodal.Multimodal.decode(
+      graft.multimodal.Multimodal.asMedia(
+        Tables.documents(spark, dir), "doc_id", "text", "image", "source"))
+
+  private def mm2DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    mm2Media(spark, dir).select(
+      col("media_id"), col("width"), col("height"), col("channels"),
+      col("byte_len"),
+      when(size(col("features")) >= 1, element_at(col("features"), 1)).as("f0"),
+      when(size(col("features")) >= 8, element_at(col("features"), 8)).as("f7"))
+      .orderBy("media_id")
+
+  private def mm3ResizePlan(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.resize(mm2Media(spark, dir), 224, 224)
+      .drop("modality")
+      .orderBy("media_id")
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_minhash_lsh" -> (d2MinhashLsh(_, _)),
@@ -177,7 +200,9 @@ object TextSim {
     "t4_fingerprint" -> (t4Fingerprint(_, _)),
     "t5_corpus_filter" -> (t5CorpusFilter(_, _)),
     "t6_winnowing" -> (t6Winnowing(_, _)),
-    "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)))
+    "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
+    "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
+    "mm3_resize_plan" -> (mm3ResizePlan(_, _)))
 
   // ---- oracles ----
 
@@ -400,5 +425,57 @@ object TextSim {
         |FROM f ORDER BY doc_id""".stripMargin,
     "mm1_binary_metadata" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5, source
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Arrays.hashCode replay: fold(1)(31·acc + byte) in unsigned mod-2^32
+    // arithmetic, re-signed at the end; trunc-toward-zero division and
+    // floorMod mirror the JVM's int semantics. Bytes = ascii codes (the
+    // corpus is single-byte; asserted by the octet_length check in
+    // mm1 and the t4 ascii oracle).
+    "mm2_decode_features" ->
+      """WITH h AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |    list_reduce([CAST(1 AS BIGINT)] || list_transform(generate_series(1, len(text)),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |      (a, b) -> (31 * a + b) % 4294967296) AS hraw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, byte_len,
+        |    CASE WHEN hraw >= 2147483648 THEN hraw - 4294967296 ELSE hraw END AS h32
+        |  FROM h)
+        |SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN byte_len = 0 THEN 0
+        |       ELSE 64 + ((h32 % 960) + 960) % 960 END AS INT) AS width,
+        |  CAST(CASE WHEN byte_len = 0 THEN 0
+        |       ELSE 64 + ((CAST(trunc(h32 / 7.0) AS BIGINT) % 960) + 960) % 960 END AS INT) AS height,
+        |  CAST(CASE WHEN byte_len = 0 THEN 0 ELSE 3 END AS INT) AS channels,
+        |  CAST(byte_len AS BIGINT) AS byte_len,
+        |  CASE WHEN byte_len = 0 THEN NULL
+        |       ELSE CAST(((h32 % 1000) + 1000) % 1000 AS FLOAT) / CAST(1000.0 AS FLOAT) END AS f0,
+        |  CASE WHEN byte_len = 0 THEN NULL
+        |       ELSE CAST(((CAST(trunc(h32 / 8.0) AS BIGINT) % 1000) + 1000) % 1000 AS FLOAT) / CAST(1000.0 AS FLOAT) END AS f7
+        |FROM s ORDER BY media_id""".stripMargin,
+    "mm3_resize_plan" ->
+      """WITH h AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |    list_reduce([CAST(1 AS BIGINT)] || list_transform(generate_series(1, len(text)),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |      (a, b) -> (31 * a + b) % 4294967296) AS hraw
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hraw >= 2147483648 THEN hraw - 4294967296 ELSE hraw END AS h32
+        |  FROM h),
+        |d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(64 + ((h32 % 960) + 960) % 960 AS INT) AS width,
+        |    CAST(64 + ((CAST(trunc(h32 / 7.0) AS BIGINT) % 960) + 960) % 960 AS INT) AS height
+        |  FROM s),
+        |r AS (
+        |  SELECT media_id, width, height,
+        |    least(CAST(224.0 AS DOUBLE) / width, CAST(224.0 AS DOUBLE) / height) AS sc
+        |  FROM d)
+        |SELECT media_id, width, height, round(sc, 6) AS scale,
+        |  greatest(CAST(round(width * sc) AS INT), 1) AS out_width,
+        |  greatest(CAST(round(height * sc) AS INT), 1) AS out_height
+        |FROM r ORDER BY media_id""".stripMargin)
 }
