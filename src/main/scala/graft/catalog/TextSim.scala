@@ -71,6 +71,12 @@ object TextSim {
     Similarity.similarityStats(graft.sim.KnnCache.topk(spark, dir, 5))
       .orderBy("src")
 
+  // int8 embedding quantization (the 100 TB storage path: 4× smaller
+  // than float32); per-vector scale + quantized-range summary
+  private def simQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy("id")
+
   // ---- text analysis ----
 
   private def t1LangId(spark: SparkSession, dir: String): DataFrame =
@@ -183,6 +189,16 @@ object TextSim {
       .drop("modality")
       .orderBy("media_id")
 
+  // MM4: deterministic frame sampling over the payload byte range (the
+  // video stand-in: every-kth-offset extraction, exercising the
+  // explode/array shape a real frame sampler produces)
+  private def mm4FrameSample(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.frameSample(
+        graft.multimodal.Multimodal.asMedia(
+          Tables.documents(spark, dir), "doc_id", "text", "video", "source"),
+        everyK = 100)
+      .orderBy("media_id", "frame_no")
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_minhash_lsh" -> (d2MinhashLsh(_, _)),
@@ -202,7 +218,9 @@ object TextSim {
     "t6_winnowing" -> (t6Winnowing(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
-    "mm3_resize_plan" -> (mm3ResizePlan(_, _)))
+    "mm3_resize_plan" -> (mm3ResizePlan(_, _)),
+    "mm4_frame_sample" -> (mm4FrameSample(_, _)),
+    "sim_quantize_int8" -> (simQuantizeInt8(_, _)))
 
   // ---- oracles ----
 
@@ -477,5 +495,34 @@ object TextSim {
         |SELECT media_id, width, height, round(sc, 6) AS scale,
         |  greatest(CAST(round(width * sc) AS INT), 1) AS out_width,
         |  greatest(CAST(round(height * sc) AS INT), 1) AS out_height
-        |FROM r ORDER BY media_id""".stripMargin)
+        |FROM r ORDER BY media_id""".stripMargin,
+    "mm4_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id,
+        |    unnest(generate_series(0, greatest((byte_len - 1) // 100, 0))) AS idx
+        |  FROM m)
+        |SELECT media_id, CAST(idx AS INT) AS frame_no,
+        |       CAST(idx * 100 AS BIGINT) AS byte_offset
+        |FROM f ORDER BY media_id, frame_no""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH b AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) /
+        |      CAST(127.0 AS DOUBLE) AS sc
+        |  FROM b),
+        |q AS (
+        |  SELECT id, sc,
+        |    list_transform(v, x -> CAST(round(x / sc) AS INT)) AS qv
+        |  FROM s)
+        |SELECT id, round(sc, 9) AS scale, CAST(len(qv) AS INT) AS n_dims,
+        |  CAST(list_min(qv) AS INT) AS q_min, CAST(list_max(qv) AS INT) AS q_max,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum
+        |FROM q ORDER BY id""".stripMargin)
 }

@@ -149,6 +149,28 @@ object Similarity {
       }.toDF("src", "rn", "dst", "cos")
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * operator a 100 TB embedding corpus needs (4× smaller than float32,
+    * 8× smaller than float64): per-vector scale = max|x|/127, values
+    * round to [-127, 127]. Pure column math (one codegen'd projection),
+    * mirrored exactly in SQL. The scale is bound as a column before the
+    * quantize lambda — inlined, it would be re-evaluated per element. */
+  def quantizeInt8(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val sc = col("__scale")
+    vectors
+      .withColumn("__v", v)
+      .withColumn("__scale",
+        greatest(array_max(transform(col("__v"), x => abs(x))), lit(1e-12)) / 127.0)
+      .withColumn("__q", transform(col("__v"), x => round(x / sc).cast("int")))
+      .select(col(idCol).as("id"),
+        round(sc, 9).as("scale"),
+        size(col("__q")).as("n_dims"),
+        array_min(col("__q")).as("q_min"),
+        array_max(col("__q")).as("q_max"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane `j`,
     * dimension `i` — pure integer math, mirrored in SQL below. */
   private def planeComponent(j: Int, i: Int): Double =
