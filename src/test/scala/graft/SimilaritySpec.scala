@@ -93,6 +93,19 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked === window) // exact: same dots, ranks, ties, rounding
   }
 
+  test("int8 quantization: range bounded, max magnitude hits ±127, scale positive") {
+    val e = graft.core.Tables.embeddings(spark, sfDir).limit(100)
+    val q = Similarity.quantizeInt8(e, "vec_id", "embedding").collect()
+    assert(q.length === 100)
+    q.foreach { r =>
+      val (scale, qMin, qMax) = (r.getDouble(1), r.getInt(3), r.getInt(4))
+      assert(scale > 0)
+      assert(qMin >= -127 && qMax <= 127)
+      // the element defining the scale quantizes to ±127 exactly
+      assert(math.max(math.abs(qMin), math.abs(qMax)) === 127)
+    }
+  }
+
   test("similarityStats aggregates per source") {
     val e = graft.core.Tables.embeddings(spark, sfDir).limit(50)
     val stats = Similarity.similarityStats(
