@@ -36,18 +36,12 @@ object TextSim {
         bucket = col("n_chars"), n = 5, minJaccard = 0.1)
       .orderBy("doc_a", "doc_b")
 
-  private def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("src"), col("embedding").as("qv"))
-      .withColumn("qn", Similarity.norm(col("qv")))
-    val b = e.select(col("vec_id").as("dst"), col("embedding").as("cv"))
-      .withColumn("cn", Similarity.norm(col("cv")))
-    a.join(b, col("src") < col("dst"))
-      .withColumn("cos", Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .filter(col("cos") >= 0.4)
-      .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"))
+  // blocked kernel (no n² pair shuffle) — bit-compatible with the
+  // crossJoin formulation, which remains the shape the oracle mirrors
+  private def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.thresholdJoinBlocked(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", minCos = 0.4)
       .orderBy("src", "dst")
-  }
 
   // ---- similarity search ----
 

@@ -149,6 +149,44 @@ object Similarity {
       }.toDF("src", "rn", "dst", "cos")
   }
 
+  /** Threshold similarity self-join as a broadcast kernel (the blocked
+    * sibling of bruteForceTopKBlocked for near-dup detection): emits
+    * each unordered pair (a < b) with cos ≥ minCos, scanning each
+    * partition's vectors against the broadcast corpus restricted to
+    * larger ids. Bit-compatible with the crossJoin formulation — same
+    * dot fold, same cos expression, same rounding. */
+  def thresholdJoinBlocked(vectors: DataFrame, idCol: String, vecCol: String,
+                           minCos: Double): DataFrame = {
+    val sp = vectors.sparkSession
+    import sp.implicits._
+    val rows = vectors
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val ids = rows.map(_._1)
+    val vecs = rows.map(_._2)
+    val norms = vecs.map(v => math.sqrt(dotArr(v, v)))
+    val bc = sp.sparkContext.broadcast((ids, vecs, norms))
+    vectors.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (cids, cvecs, cnorms) = bc.value
+        it.flatMap { case (src, qv) =>
+          val qn = math.sqrt(dotArr(qv, qv))
+          // only ids strictly greater than src: each pair evaluated once
+          var lo = java.util.Arrays.binarySearch(cids, src)
+          lo = (if (lo < 0) -lo - 1 else lo + 1)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          var j = lo
+          while (j < cids.length) {
+            val c = dotArr(qv, cvecs(j)) / (qn * cnorms(j))
+            if (c >= minCos) out += ((src, cids(j), round6(c)))
+            j += 1
+          }
+          out
+        }
+      }.toDF("src", "dst", "cos")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * operator a 100 TB embedding corpus needs (4× smaller than float32,
     * 8× smaller than float64): per-vector scale = max|x|/127, values
