@@ -68,7 +68,13 @@ object Relational {
   // as this entry's oracle. Exercises the distributed XML render and the
   // regexp re-parse (incl. &amp;-escaping of ids) under the hash gate.
   private def s5GraphmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val g = graft.graph.GraphBuilder.fromTpch(spark, dir)
+    val g0 = graft.graph.GraphBuilder.fromTpch(spark, dir)
+    // dvid = 1 (the initial injection, the reference's first
+    // write_graphml) — GraphML is a single-document serial format, so
+    // the export entry is bounded by design; the full graph's canonical
+    // interchange is the parquet store
+    val g = graft.graph.PropertyGraph(
+      g0.nodes.filter(col("dvid") === 1), g0.edges.filter(col("dvid") === 1))
     val path = tmpDir("s5_graphml")
     graft.sources.GraphMLSink.write(g, path)
     val back = graft.sources.GraphMLSource.read(spark, path)
@@ -300,9 +306,16 @@ object Relational {
     "s4_parquet_sink_roundtrip" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    // the roundtrip must reproduce the graph's own label counts — same
-    // oracle as a1_label_counts by construction
-    "s5_graphml_roundtrip" -> Analytics.oracles("a1_label_counts"),
+    // the roundtrip must reproduce the dvid-1 subgraph's label counts
+    "s5_graphml_roundtrip" ->
+      s"""WITH ${graft.graph.GraphSql.nodesCte},
+         |${graft.graph.GraphSql.edgesCte},
+         |h AS (
+         |  SELECT 'node' AS kind, label AS name, count(*) AS cnt
+         |  FROM nodes WHERE dvid = 1 GROUP BY label
+         |  UNION ALL
+         |  SELECT 'edge', type, count(*) FROM edges WHERE dvid = 1 GROUP BY type)
+         |SELECT kind, name, cnt FROM h ORDER BY kind, name""".stripMargin,
     "p1_dropna_any" ->
       """SELECT * FROM orders
         |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL

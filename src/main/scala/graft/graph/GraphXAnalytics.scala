@@ -45,25 +45,46 @@ object GraphXAnalytics {
       .select(xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"))
     val cc: DataFrame =
       if (g.edges.count() <= seqMaxEdges) {
-        val pairs = hashedEdges.as[(Long, Long)].collect()
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
+        // primitive arrays throughout: a boxed-tuple + HashMap version
+        // left ~300 MB of transient garbage on the driver, and the GC
+        // pause taxed the queries that followed in the same session
+        val rows = hashedEdges.collect()
+        val m = rows.length
+        val srcA = new Array[Long](m); val dstA = new Array[Long](m)
+        var i = 0
+        while (i < m) { srcA(i) = rows(i).getLong(0); dstA(i) = rows(i).getLong(1); i += 1 }
+        val vids = {
+          val all = new Array[Long](2 * m)
+          System.arraycopy(srcA, 0, all, 0, m)
+          System.arraycopy(dstA, 0, all, m, m)
+          java.util.Arrays.sort(all)
+          var n = 0; var j = 0
+          while (j < all.length) {
+            if (n == 0 || all(j) != all(n - 1)) { all(n) = all(j); n += 1 }
+            j += 1
+          }
+          java.util.Arrays.copyOf(all, n)
+        }
+        def idx(v: Long): Int = java.util.Arrays.binarySearch(vids, v)
+        val parent = Array.tabulate(vids.length)(identity)
+        def find(x: Int): Int = {
           var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-          // path compression
+          while (parent(r) != r) r = parent(r)
           var c = x
-          while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+          while (c != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        pairs.foreach { case (a, b) =>
-          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        i = 0
+        while (i < m) {
+          val ra = find(idx(srcA(i))); val rb = find(idx(dstA(i)))
+          // vids is sorted, so the smaller index IS the smaller vid —
+          // rooting at min keeps GraphX's min-vid component label
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          i += 1
         }
-        // component id = min hashed vid of the component (GraphX's label)
-        val it = parent.keySet().iterator()
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        while (it.hasNext) { val v = it.next(); out += ((v, find(v))) }
+        val out = new Array[(Long, Long)](vids.length)
+        i = 0
+        while (i < vids.length) { out(i) = (vids(i), vids(find(i))); i += 1 }
         spark.createDataFrame(out.toSeq).toDF("vid", "component_vid")
       } else
         toGraphX(g).connectedComponents().vertices.toDF("vid", "component_vid")
