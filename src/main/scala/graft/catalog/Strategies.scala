@@ -18,11 +18,22 @@ object Strategies {
       customerFilter = pmod(col("c_custkey"), lit(50)) === 1,
       queryMonth = 12, topN = 3, candidateCap = 2000)
 
+  // the display step (F3): enrichment join + message formatting over the
+  // diverse strategy's output — %d/%s/%.2f format parity between Java's
+  // Formatter and DuckDB's printf holds because every float lands on a
+  // nearest-double of a 2-decimal value (never exactly half an ulp away
+  // from a decimal boundary, so both engines' roundings agree)
+  private def recQ5Enriched(spark: SparkSession, dir: String): DataFrame =
+    Recommend.enrich(spark, dir, run("diverse")(spark, dir), queryMonth = 12)
+      .select(col("customer"), col("rank"), col("product"), col("message"))
+      .orderBy("customer", "rank")
+
   val queries: Map[String, Q] = Map(
     "rec_q1_diverse" -> (run("diverse")(_, _)),
     "rec_q2_softmax" -> (run("softmax")(_, _)),
     "rec_q3_stochastic" -> (run("stochastic")(_, _)),
-    "rec_q4_adam" -> (run("adam")(_, _)))
+    "rec_q4_adam" -> (run("adam")(_, _)),
+    "rec_q5_enriched" -> (recQ5Enriched(_, _)))
 
   /** DuckDB mirror of Recommend.topK for a given strategy. Every numeric
     * step reproduces the Scala pipeline exactly (same formulas, same
@@ -84,9 +95,22 @@ object Strategies {
        |WHERE rank <= 3 ORDER BY customer, rank""".stripMargin
   }
 
+  private val q5Oracle: String = {
+    val uDisc = ColFns.pseudoUniformSql("r.product * 12 + 12", 11L)
+    val disc = s"round(0.30 + $uDisc * 0.20, 2)"
+    s"""SELECT r.customer, r.rank, r.product,
+       |  printf('#%d for customer %d: %s (%s, size %d) at %.2f (%.0f%% off)',
+       |    r.rank, r.customer, p.p_name, r.category, p.p_size,
+       |    round(p.p_retailprice * (1.0 - $disc), 2), $disc * 100) AS message
+       |FROM (${oracle(Recommend.strategies("diverse"))}) r
+       |JOIN part p ON p.p_partkey = r.product
+       |ORDER BY r.customer, r.rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "rec_q1_diverse" -> oracle(Recommend.strategies("diverse")),
     "rec_q2_softmax" -> oracle(Recommend.strategies("softmax")),
     "rec_q3_stochastic" -> oracle(Recommend.strategies("stochastic")),
-    "rec_q4_adam" -> oracle(Recommend.strategies("adam")))
+    "rec_q4_adam" -> oracle(Recommend.strategies("adam")),
+    "rec_q5_enriched" -> q5Oracle)
 }
