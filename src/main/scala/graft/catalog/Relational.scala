@@ -244,6 +244,17 @@ object Relational {
         Seq("c_custkey"), "left_anti")
       .orderBy("c_custkey")
 
+  // U4: set intersection (completes the §2.6 family: users who both
+  // clicked AND purchased) — Dataset.intersect = INTERSECT (set
+  // semantics, dedup included)
+  private def u4Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(
+        ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy("user_id")
+  }
+
   // W5: deterministic head
   private def w5Limit(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).orderBy("o_orderkey")
@@ -292,6 +303,7 @@ object Relational {
     "u1_union_missing_columns" -> (u1UnionMissing(_, _)),
     "u2_set_difference" -> (u2SetDifference(_, _)),
     "u3_distinct_dedup" -> (u3Distinct(_, _)),
+    "u4_intersect" -> (u4Intersect(_, _)),
     "w5_limit_head" -> (w5Limit(_, _)))
 
   private val pu7 = ColFns.pseudoUniformSql("ck * 131 + pk", 7L)
@@ -433,6 +445,11 @@ object Relational {
     "u3_distinct_dedup" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "u4_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
     "w5_limit_head" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 3""".stripMargin)
