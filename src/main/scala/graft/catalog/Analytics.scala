@@ -273,6 +273,27 @@ object Analytics {
         round(pow(col("c_acctbal") / 1000.0, 2), 6).as("bal_sq"))
       .orderBy("c_custkey")
 
+  // F12/F14: numeric guards — clip via greatest/least, NaN scrub via
+  // nanvl, null-safe defaults via nullif→coalesce
+  // (took_recommandations_softmaxsampling_discount.py:215-241;
+  // update_features_after_every_fold.py:86-91). The NaN branch is forced
+  // deterministically (every 7th line) so the scrub path is actually
+  // exercised; DuckDB mirrors nanvl with isnan() — its 0.0/0.0 is NULL,
+  // not NaN, so the NaN must be injected as a literal on both sides.
+  private def f12F14Guards(spark: SparkSession, dir: String): DataFrame = {
+    val ratio = when(pmod(col("l_orderkey") + col("l_linenumber"), lit(7)) === 0,
+        lit(Double.NaN))
+      .otherwise(col("l_extendedprice") / col("l_quantity"))
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      least(greatest(col("l_discount"), lit(0.02)), lit(0.08)).as("discount_clipped"),
+      // no round(): the raw quotient of identical doubles is bit-exact in
+      // both engines, while round() implementations differ at boundaries
+      nanvl(ratio, lit(0.0)).as("unit_price"),
+      coalesce(nullif(col("l_returnflag"), lit("N")), lit("Unknown")).as("flag_filled"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // F13: temperature softmax within group (took_recommandations_softmaxsampling_discount.py:215-231)
   private def f13Softmax(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")
@@ -450,6 +471,7 @@ object Analytics {
     "f5_multiformat_dates" -> (f5MultiFormatDates(_, _)),
     "f7_f8_date_math" -> (f7F8DateMath(_, _)),
     "f11_interactions" -> (f11Interactions(_, _)),
+    "f12_f14_guards" -> (f12F14Guards(_, _)),
     "f13_softmax" -> (f13Softmax(_, _)),
     "r1_seeded_sample" -> (r1SeededSample(_, _)),
     "r3_edge_dropout" -> (r3EdgeDropout(_, _)),
@@ -631,6 +653,18 @@ object Analytics {
         |  round(power(c_acctbal / 1000.0, 2), 6) AS bal_sq
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c_custkey""".stripMargin,
+    "f12_f14_guards" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    least(greatest(l_discount, 0.02), 0.08) AS discount_clipped,
+        |    CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+        |         ELSE l_extendedprice / l_quantity END AS ratio,
+        |    coalesce(nullif(l_returnflag, 'N'), 'Unknown') AS flag_filled
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, discount_clipped,
+        |  CASE WHEN isnan(ratio) THEN 0.0 ELSE ratio END AS unit_price,
+        |  flag_filled
+        |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f13_softmax" ->
       """WITH w AS (SELECT c_custkey, c_mktsegment, exp(c_acctbal / 1000.0 / 2.5) AS wt FROM customer)
         |SELECT c_custkey, c_mktsegment,

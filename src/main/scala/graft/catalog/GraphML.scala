@@ -152,6 +152,92 @@ object GraphML {
       .metrics.toSeq.sortBy(_._1).toDF("metric", "value")
   }
 
+  // S8: JSON metrics history sink/source roundtrip — deterministic
+  // data-derived "metrics" (no model coupling) appended twice to the
+  // registry's line-JSON history and read back; the oracle recomputes
+  // both epochs straight from orders. Exercises appendHistory's
+  // serialization and readHistory's parse under the hash gate
+  // (xgboost_training_for_big_data.py:858-887 perf history).
+  private def s8HistoryRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val metrics = Tables.orders(spark, dir).groupBy("o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("v"))
+      .collect().map(r => s"total_${r.getString(0)}" -> r.getDouble(1)).toMap
+    val path = s"/tmp/graft_roundtrip/s8_history.json"
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+    graft.ml.ModelRegistry.appendHistory(path, metrics)
+    graft.ml.ModelRegistry.appendHistory(path, metrics.map { case (k, v) => k -> (v + 1.0) })
+    graft.ml.ModelRegistry.readHistory(path).zipWithIndex.flatMap { case (m, i) =>
+      m.toSeq.sortBy(_._1).map { case (k, v) => (i.toLong, k, v) }
+    }.toDF("epoch", "metric", "value").orderBy("epoch", "metric")
+  }
+
+  // M6: pre-retrain compatibility probe as a DETERMINISTIC policy query:
+  // the "previous" AUC (first half of the data, monotone stored-value
+  // score) goes through the JSON history file exactly as the registry
+  // records real fits; the "new" AUC comes from the second half; the
+  // alert fires on a drop > 0.02 (xgboost_training_for_big_data
+  // .py:858-873). Double.toString round-trips, so the history hop is
+  // bit-exact and the whole policy sits under the DuckDB hash gate.
+  // (compatProbe on real saved models is exercised in ModelRegistrySpec.)
+  private def m6CompatProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"),
+      col("o_totalprice").as("p"))
+    val prevAuc = graft.ml.Metrics.auc(
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0), "label", col("p"))
+    val path = "/tmp/graft_roundtrip/m6_history.json"
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+    graft.ml.ModelRegistry.appendHistory(path, Map("auc_val" -> prevAuc))
+    val prev = graft.ml.ModelRegistry.readHistory(path).last("auc_val")
+    val newAuc = graft.ml.Metrics.auc(
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1), "label", col("p"))
+    val drop = prev - newAuc
+    Seq((BigDecimal(prev).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(newAuc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      // + 0.0 normalizes IEEE -0.0 (DuckDB's round keeps the sign of a
+      // negative drop that rounds to zero; BigDecimal has no -0)
+      BigDecimal(drop).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0,
+      if (drop > 0.02) 1L else 0L))
+      .toDF("prev_auc", "new_auc", "auc_drop", "alert")
+  }
+
+  // M8: per-tower standardization — MLlib StandardScaler fit per feature
+  // block exactly as the multi-tower trainer scales its towers
+  // (Neural_network_multi_towered_training.py:610-631), on integer-count
+  // features so both engines' moments are effectively exact. round(4):
+  // the scaler's streaming moments differ from SQL's exact-sum moments
+  // by ~1e-12 relative, far inside 1e-4 but not inside 1e-7.
+  private def m8TowerScaling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+    import org.apache.spark.ml.functions.vector_to_array
+    val orders = Tables.orders(spark, dir)
+    val degT = orders.groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).cast("double").as("n_orders"))
+    val lineT = orders
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).cast("double").as("n_lines"), sum("l_quantity").as("total_qty"))
+    val feats = degT.join(lineT, Seq("ck"))
+    val assembled = new VectorAssembler().setInputCols(Array("n_lines", "total_qty"))
+      .setOutputCol("t2").transform(
+        new VectorAssembler().setInputCols(Array("n_orders"))
+          .setOutputCol("t1").transform(feats))
+    val sc1 = new StandardScaler().setInputCol("t1").setOutputCol("t1s")
+      .setWithMean(true).setWithStd(true).fit(assembled)
+    val sc2 = new StandardScaler().setInputCol("t2").setOutputCol("t2s")
+      .setWithMean(true).setWithStd(true).fit(assembled)
+    sc2.transform(sc1.transform(assembled))
+      .select(col("ck").as("c_custkey"),
+        // + 0.0: z-scores straddle zero, and a negative value rounding
+        // to zero is -0.0 in DuckDB but +0.0 after Spark's round
+        (round(vector_to_array(col("t1s")).getItem(0), 4) + lit(0.0)).as("z_orders"),
+        (round(vector_to_array(col("t2s")).getItem(0), 4) + lit(0.0)).as("z_lines"),
+        (round(vector_to_array(col("t2s")).getItem(1), 4) + lit(0.0)).as("z_qty"))
+      .orderBy("c_custkey")
+  }
+
   // GraphX-engine analytics (materialized from the DataFrame tables on
   // demand): weakly connected components and PageRank over the full
   // e-commerce graph
@@ -181,7 +267,10 @@ object GraphML {
     "m5_threshold_sweep" -> (m5ThresholdSweep(_, _)),
     "m5b_sweep_deterministic" -> (m5bSweepDeterministic(_, _)),
     "m7_mlp_metrics" -> (m7MlpMetrics(_, _)),
-    "m11_feature_importance" -> (m11FeatureImportance(_, _)))
+    "m11_feature_importance" -> (m11FeatureImportance(_, _)),
+    "s8_history_roundtrip" -> (s8HistoryRoundtrip(_, _)),
+    "m6_compat_probe" -> (m6CompatProbe(_, _)),
+    "m8_tower_scaling" -> (m8TowerScaling(_, _)))
 
   /** DuckDB mirror of GraphX staticPageRank(5): initial rank 1.0, five
     * unrolled `0.15 + 0.85·Σ(rank/outdeg)` passes over the raw edge
@@ -314,7 +403,67 @@ object GraphML {
        |GROUP BY lbl ORDER BY size DESC, component ASC""".stripMargin
   }
 
+  /** Mann–Whitney AUC over one parity slice of orders (the m4b exact-AUC
+    * technique, parameterized): every sum is a half-integer < 2^52, so
+    * the statistic is bit-exact in any engine. */
+  private def m6AucCte(tag: String, parity: Int): String =
+    s"""${tag}b AS (
+       |  SELECT p AS s, count(*) AS n, sum(label) AS npos FROM s0
+       |  WHERE o_orderkey % 2 = $parity GROUP BY p),
+       |${tag}r AS (
+       |  SELECT n, npos,
+       |    coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) + (n + 1.0) / 2.0 AS avg_rank
+       |  FROM ${tag}b),
+       |${tag}a AS (
+       |  SELECT sum(npos * avg_rank) AS rank_pos, sum(npos) AS np,
+       |         sum(n - npos) AS nn FROM ${tag}r),
+       |$tag AS (SELECT (rank_pos - np * (np + 1.0) / 2.0) / (np * nn) AS auc
+       |         FROM ${tag}a)""".stripMargin
+
+  private val m6Sql =
+    s"""WITH s0 AS (
+       |  SELECT o_orderkey,
+       |    CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE) AS label,
+       |    o_totalprice AS p
+       |  FROM orders),
+       |${m6AucCte("prev", 0)},
+       |${m6AucCte("neww", 1)}
+       |SELECT round(prev.auc, 6) AS prev_auc, round(neww.auc, 6) AS new_auc,
+       |  round(prev.auc - neww.auc, 6) + 0.0 AS auc_drop,
+       |  CAST(CASE WHEN prev.auc - neww.auc > 0.02 THEN 1 ELSE 0 END AS BIGINT) AS alert
+       |FROM prev, neww""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s8_history_roundtrip" ->
+      """WITH m AS (
+        |  SELECT 'total_' || o_orderstatus AS metric, round(sum(o_totalprice), 2) AS v
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT CAST(0 AS BIGINT) AS epoch, metric, v AS value FROM m
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), metric, v + 1.0 FROM m
+        |ORDER BY epoch, metric""".stripMargin,
+    "m6_compat_probe" -> m6Sql,
+    "m8_tower_scaling" ->
+      """WITH degt AS (
+        |  SELECT o_custkey AS ck, CAST(count(*) AS DOUBLE) AS n_orders
+        |  FROM orders GROUP BY o_custkey),
+        |linet AS (
+        |  SELECT o_custkey AS ck, CAST(count(*) AS DOUBLE) AS n_lines,
+        |         sum(l_quantity) AS total_qty
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_custkey),
+        |f AS (SELECT d.ck, d.n_orders, l.n_lines, l.total_qty
+        |      FROM degt d JOIN linet l USING (ck)),
+        |s AS (SELECT *,
+        |  avg(n_orders) OVER () AS m1, stddev_samp(n_orders) OVER () AS s1,
+        |  avg(n_lines) OVER () AS m2, stddev_samp(n_lines) OVER () AS s2,
+        |  avg(total_qty) OVER () AS m3, stddev_samp(total_qty) OVER () AS s3
+        |  FROM f)
+        |SELECT ck AS c_custkey,
+        |  round((n_orders - m1) / s1, 4) + 0.0 AS z_orders,
+        |  round((n_lines - m2) / s2, 4) + 0.0 AS z_lines,
+        |  round((total_qty - m3) / s3, 4) + 0.0 AS z_qty
+        |FROM s ORDER BY c_custkey""".stripMargin,
     "gx_pagerank" -> pageRankSql(iters = 5, k = 100),
     "gx_connected_components" -> ccSql(rounds = 24),
     "m4b_metrics_deterministic" -> m4bSql,

@@ -279,8 +279,46 @@ object Relational {
       .filter(col("dvid") === 3)
       .groupBy("type").agg(count(lit(1)).as("cnt")).orderBy("type")
 
+  // J9/F14: graph-attr feature injection — per-node attrs pulled into
+  // the feature table with the reference's fallback constants (-1
+  // degree, 0.0 balance, 'Unknown' segment, 999 recency;
+  // update_features_after_every_fold.py:76-113). Left join so customers
+  // with no activity exercise every fallback. At scale this is a
+  // shuffle-on-c_custkey join of two pre-aggregated sides — no row
+  // explosion, and the aggregate side is map-side combined.
+  private def j9FeatureInjection(spark: SparkSession, dir: String): DataFrame = {
+    val acts = Tables.orders(spark, dir).groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("degree"), max(col("o_orderdate")).as("latest"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .join(acts, Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("degree"), lit(-1L)).as("degree"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
+        coalesce(col("c_mktsegment"), lit("Unknown")).as("segment"),
+        coalesce(
+          datediff(lit(java.sql.Date.valueOf("2002-06-01")), col("latest")).cast("long"),
+          lit(999L)).as("recency_days"))
+      .orderBy("c_custkey")
+  }
+
+  // R2: candidate-set cap — the reference bounds scoring work at
+  // 2000/1500 candidates per query via a seeded sample
+  // (took_recommandations_softmaxsampling_discount.py:187-189;
+  // took_recommandations_adamsampling_discount.py:225-227). Hash-ordered
+  // limit, not rand(): deterministic under any partitioning, so the cap
+  // is AQE/retry-safe and replayable by the oracle.
+  private def r2CandidateCap(spark: SparkSession, dir: String): DataFrame =
+    graft.recommend.Recommend.validProducts(Tables.part(spark, dir))
+      .select(col("p_partkey").as("product"))
+      .orderBy(ColFns.pseudoUniform(col("product"), 47L).asc, col("product").asc)
+      .limit(1500)
+      .orderBy("product")
+
   val queries: Map[String, Q] = Map(
     "s1_csv_scan_normalize" -> (s1CsvScan(_, _)),
+    "j9_feature_injection" -> (j9FeatureInjection(_, _)),
+    "r2_candidate_cap" -> (r2CandidateCap(_, _)),
     "p5_edge_time_filter" -> (p5EdgeTimeFilter(_, _)),
     "p8_label_predicate" -> (p8LabelPredicate(_, _)),
     "p9_dvid_predicate" -> (p9DvidPredicate(_, _)),
@@ -307,8 +345,27 @@ object Relational {
     "w5_limit_head" -> (w5Limit(_, _)))
 
   private val pu7 = ColFns.pseudoUniformSql("ck * 131 + pk", 7L)
+  private val pu47 = ColFns.pseudoUniformSql("product", 47L)
 
   val oracles: Map[String, String] = Map(
+    "j9_feature_injection" ->
+      """WITH acts AS (
+        |  SELECT o_custkey AS c_custkey, count(*) AS degree, max(o_orderdate) AS latest
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.c_custkey,
+        |       coalesce(a.degree, -1) AS degree,
+        |       coalesce(c.c_acctbal, 0.0) AS acctbal,
+        |       coalesce(c.c_mktsegment, 'Unknown') AS segment,
+        |       coalesce(date_diff('day', CAST(a.latest AS DATE), DATE '2002-06-01'), 999) AS recency_days
+        |FROM customer c LEFT JOIN acts a USING (c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "r2_candidate_cap" ->
+      s"""WITH valid AS (
+         |  SELECT p_partkey AS product FROM part
+         |  WHERE p_size > 0 AND p_retailprice > 0 AND p_brand IS NOT NULL
+         |    AND p_brand NOT IN ('N/A','Unknown','')),
+         |cap AS (SELECT product FROM valid ORDER BY $pu47, product LIMIT 1500)
+         |SELECT product FROM cap ORDER BY product""".stripMargin,
     "s1_csv_scan_normalize" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

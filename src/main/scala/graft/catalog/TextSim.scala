@@ -71,6 +71,20 @@ object TextSim {
     Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
       .orderBy("id")
 
+  // F10: the embedding dot-product / cosine scalar in isolation — the
+  // codegen ArrayDotProduct expression every KNN/ANN kernel builds on
+  // (xgboost_training_for_big_data.py:359) — over consecutive-id pairs.
+  private def f10DotProduct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = e.select((col("vec_id") - 1).as("src"), col("embedding").as("eb"))
+    a.join(b, "src")
+      .select(col("src"),
+        round(Similarity.dot(col("ea"), col("eb")), 6).as("dot"),
+        round(Similarity.cosine(col("ea"), col("eb")), 6).as("cos"))
+      .orderBy("src")
+  }
+
   // ---- text analysis ----
 
   private def t1LangId(spark: SparkSession, dir: String): DataFrame =
@@ -214,7 +228,8 @@ object TextSim {
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
     "mm3_resize_plan" -> (mm3ResizePlan(_, _)),
     "mm4_frame_sample" -> (mm4FrameSample(_, _)),
-    "sim_quantize_int8" -> (simQuantizeInt8(_, _)))
+    "sim_quantize_int8" -> (simQuantizeInt8(_, _)),
+    "f10_dot_product" -> (f10DotProduct(_, _)))
 
   // ---- oracles ----
 
@@ -334,6 +349,15 @@ object TextSim {
          |r AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
          |      FROM scored)
          |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= 5 ORDER BY src, rn""".stripMargin
+    },
+    "f10_dot_product" -> {
+      val dotAB = Similarity.dotSql("ea", "eb", DIM)
+      val cosAB = Similarity.cosineSql("ea", "eb", DIM)
+      s"""WITH a AS (SELECT vec_id AS src, embedding AS ea FROM embeddings),
+         |b AS (SELECT vec_id - 1 AS src, embedding AS eb FROM embeddings),
+         |j AS (SELECT a.src, ea, eb FROM a JOIN b USING (src))
+         |SELECT src, round($dotAB, 6) AS dot, round($cosAB, 6) AS cos
+         |FROM j ORDER BY src""".stripMargin
     },
     "a10_similarity_stats" -> {
       val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-3 catalog additions (beyond
+  * CatalogSpec's smoke checks and the DuckDB hash gate): the cap,
+  * fallback, policy, and scaling operators behave as SURVEY §2 specifies
+  * on any input, not just the one the oracle replays. */
+class CatalogGuardsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("r2_candidate_cap: bounded, deterministic subset of valid products") {
+    val cap = run("r2_candidate_cap").cache()
+    assert(cap.count() <= 1500)
+    val valid = graft.recommend.Recommend
+      .validProducts(graft.core.Tables.part(spark, sfDir))
+      .select(col("p_partkey").as("product"))
+    assert(cap.join(valid, Seq("product"), "left_anti").count() === 0)
+    // hash-seeded, so a rerun picks the identical set
+    assert(run("r2_candidate_cap").exceptAll(cap).count() === 0)
+  }
+
+  test("j9_feature_injection: inactive customers get the fallback constants") {
+    val f = run("j9_feature_injection").cache()
+    val inactive = f.filter(col("degree") === -1L)
+    assert(inactive.filter(col("recency_days") =!= 999L).count() === 0)
+    // active customers carry real aggregates
+    assert(f.filter(col("degree") > 0).count() > 0)
+  }
+
+  test("m6_compat_probe: alert agrees with the 0.02 drop policy") {
+    val row = run("m6_compat_probe").head()
+    val drop = row.getAs[Double]("auc_drop")
+    val alert = row.getAs[Long]("alert")
+    assert((drop > 0.02) === (alert == 1L))
+    assert(row.getAs[Double]("prev_auc") >= 0.0 && row.getAs[Double]("prev_auc") <= 1.0)
+  }
+
+  test("m8_tower_scaling: scaled features are standardized") {
+    val z = run("m8_tower_scaling")
+    val stats = z.agg(avg("z_orders").as("m"), stddev_samp("z_qty").as("s")).head()
+    assert(math.abs(stats.getAs[Double]("m")) < 1e-3)
+    assert(math.abs(stats.getAs[Double]("s") - 1.0) < 1e-3)
+  }
+
+  test("s8_history_roundtrip: two epochs, second shifted by +1.0") {
+    val h = run("s8_history_roundtrip").cache()
+    val byEpoch = h.groupBy("epoch").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byEpoch.keySet === Set(0L, 1L))
+    val joined = h.filter(col("epoch") === 0).as("a")
+      .join(h.filter(col("epoch") === 1).as("b"), Seq("metric"))
+      .select((col("b.value") - col("a.value")).as("d")).collect()
+    assert(joined.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("f10_dot_product: cosine bounded, dot consistent with self-norm") {
+    import graft.sim.Similarity
+    val e = graft.core.Tables.embeddings(spark, sfDir).limit(50)
+    val self = e.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("d"),
+      Similarity.norm(col("embedding")).as("n")).collect()
+    self.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1) * r.getDouble(1)) < 1e-6) }
+    val cosBad = run("f10_dot_product")
+      .filter(col("cos") < -1.000001 || col("cos") > 1.000001).count()
+    assert(cosBad === 0)
+  }
+
+  test("f12_f14_guards: clip bounds hold and forced NaNs are scrubbed") {
+    val g = run("f12_f14_guards").cache()
+    assert(g.filter(col("discount_clipped") < 0.02 || col("discount_clipped") > 0.08)
+      .count() === 0)
+    val forced = g.filter(pmod(col("l_orderkey") + col("l_linenumber"), lit(7)) === 0)
+    assert(forced.count() > 0)
+    assert(forced.filter(col("unit_price") =!= 0.0).count() === 0)
+    assert(g.filter(col("flag_filled") === "N").count() === 0)
+  }
+}
