@@ -158,13 +158,13 @@ object Relational {
 
   // J3/G5/U3: 2-hop positive-pair extraction (xgboost_model_training.py:85-103)
   private def j3TwoHop(spark: SparkSession, dir: String): DataFrame =
-    Links.positivePairs(graft.graph.GraphBuilder.fromTpch(spark, dir).edges)
+    Links.positivePairsCached(spark, dir)
       .orderBy("customer", "product")
 
   // J4/U2/R-family: deterministic hash-thinned negative sampling
   // (xgboost_model_training.py:124-141)
   private def j4NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
-    val pos = Links.positivePairs(graft.graph.GraphBuilder.fromTpch(spark, dir).edges)
+    val pos = Links.positivePairsCached(spark, dir)
     Links.negativePairs(Tables.customer(spark, dir), Tables.part(spark, dir),
         pos, "c_custkey", "p_partkey")
       .orderBy("customer", "product")
@@ -197,12 +197,19 @@ object Relational {
       .select(col("c_custkey").as("customer"))
     val valid = graft.recommend.Recommend.validProducts(Tables.part(spark, dir))
       .select(col("p_partkey").as("product"))
+    // restrict the exclusion build side to the queried customers FIRST
+    // (the same shape Recommend.candidates uses): the orders⋈lineitem
+    // distinct then runs on the 1% slice instead of every customer's
+    // history, and the anti-join build side broadcasts — the plan that
+    // still works when orders is 100 TB and the queried slice is small
     val purchased = Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("customer"), col("l_partkey").as("product"))
-      .distinct()
+      .select(col("o_custkey").as("customer"), col("o_orderkey").as("ok"))
+      .join(broadcast(cust), Seq("customer"), "left_semi")
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("product")), "ok")
+      .select("customer", "product").distinct()
     cust.crossJoin(valid)
-      .join(purchased, Seq("customer", "product"), "left_anti")
+      .join(broadcast(purchased), Seq("customer", "product"), "left_anti")
       .orderBy("customer", "product")
   }
 

@@ -39,9 +39,33 @@ object TextSim {
   // blocked kernel (no n² pair shuffle) — bit-compatible with the
   // crossJoin formulation, which remains the shape the oracle mirrors
   private def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.thresholdJoinBlocked(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", minCos = 0.4)
+    graft.sim.KnnCache.neardupPairs(spark, dir, minCos = 0.4)
       .orderBy("src", "dst")
+
+  // D6: dedup-cluster resolution — the "keep one copy" step a training
+  // pipeline runs AFTER pair detection: connected components over the
+  // near-dup pairs (d5's threshold join), canonical doc = the cluster's
+  // minimum id, singletons keep themselves. At 100 TB the pair graph is
+  // orders of magnitude smaller than the corpus (it only contains docs
+  // with a near-dup), so the CC runs on the reduced edge set; the
+  // corpus-sized step is one broadcast-able left join back.
+  private def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = graft.sim.KnnCache.neardupPairs(spark, dir, minCos = 0.4)
+    val g = graft.graph.PropertyGraph(
+      emb.select(col("vec_id").cast("string").as("id")),
+      pairs.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")))
+    val cc = graft.graph.GraphXAnalytics.connectedComponents(spark, g)
+      .withColumnRenamed("id", "vid_s")
+    emb.select(col("vec_id"))
+      .join(cc, col("vec_id").cast("string") === col("vid_s"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id").cast("string")).as("canonical"))
+      .withColumn("kept",
+        (col("vec_id").cast("string") === col("canonical")).cast("int"))
+      .orderBy("vec_id")
+  }
 
   // ---- similarity search ----
 
@@ -213,6 +237,7 @@ object TextSim {
     "d3_simhash" -> (d3Simhash(_, _)),
     "d4_ngram_jaccard" -> (d4NgramJaccard(_, _)),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup(_, _)),
+    "d6_dedup_clusters" -> (d6DedupClusters(_, _)),
     "j7_knn_topk" -> (simBruteTopK(_, _)),
     "sim_lsh_topk" -> (simLshTopK(_, _)),
     "sim_ivf_topk" -> (simIvfTopK(_, _)),
@@ -321,6 +346,40 @@ object TextSim {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE $dotAB / (a.nrm * b.nrm) >= 0.4
          |ORDER BY src, dst""".stripMargin
+    },
+    "d6_dedup_clusters" -> {
+      // min-VARCHAR-label propagation unrolled 16 rounds over the
+      // undirected near-dup pair graph (same technique as the CC
+      // oracle in GraphML; MATERIALIZED stops exponential CTE inlining).
+      // Near-dup clusters are shallow — 16 rounds carries a wide margin
+      // over the observed diameter.
+      val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
+      val steps = (1 to 16).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT p.id, least(p.lbl, coalesce(m.minn, p.lbl)) AS lbl
+           |  FROM l${i - 1} p LEFT JOIN (
+           |    SELECT u.dst AS id, min(q.lbl) AS minn
+           |    FROM und u JOIN l${i - 1} q ON q.id = u.src
+           |    GROUP BY u.dst) m ON m.id = p.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
+         |           FROM embeddings),
+         |pairs AS MATERIALIZED (
+         |  SELECT CAST(a.vec_id AS VARCHAR) AS src, CAST(b.vec_id AS VARCHAR) AS dst
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE $dotAB / (a.nrm * b.nrm) >= 0.4),
+         |und AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM und),
+         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts),
+         |$steps
+         |SELECT e.vec_id,
+         |  coalesce(l16.lbl, CAST(e.vec_id AS VARCHAR)) AS canonical,
+         |  CAST(CAST(e.vec_id AS VARCHAR) = coalesce(l16.lbl, CAST(e.vec_id AS VARCHAR))
+         |       AS INTEGER) AS kept
+         |FROM embeddings e LEFT JOIN l16 ON l16.id = CAST(e.vec_id AS VARCHAR)
+         |ORDER BY e.vec_id""".stripMargin
     },
     "j7_knn_topk" -> {
       val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)

@@ -24,6 +24,18 @@ object Links {
       .select("customer", "product").distinct()
   }
 
+  // several catalog operators (J3, J4) consume the same positive-pair
+  // table — memoize it per sf dir like the other session caches
+  // (GraphBuilder.fromTpch, KnnCache.topk), materialized so the 2-hop
+  // join + distinct shuffle runs once per session
+  private val posCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def positivePairsCached(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame =
+    posCache.computeIfAbsent(dir, _ =>
+      positivePairs(graft.graph.GraphBuilder.fromTpch(spark, dir).edges)
+        .localCheckpoint(true))
+
   /** J4/U2: negative sampling as a deterministic hash-thinned cross join
     * anti-joined against positives. The reference uses a seeded rejection
     * loop (xgboost_model_training.py:124-141); we replace `rand(seed)`

@@ -22,4 +22,16 @@ object KnnCache {
       Similarity.bruteForceTopKBlocked(e, e, "vec_id", "embedding", k)
         .localCheckpoint(true)
     })
+
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), DataFrame]()
+
+  /** The near-dup pair table (threshold cosine self-join), shared by the
+    * pair-report operator (D5) and the cluster-resolution operator (D6). */
+  def neardupPairs(spark: SparkSession, dir: String, minCos: Double): DataFrame =
+    pairCache.computeIfAbsent((dir, minCos), _ => {
+      val e = graft.core.Tables.embeddings(spark, dir)
+      Similarity.thresholdJoinBlocked(e, "vec_id", "embedding", minCos)
+        .localCheckpoint(true)
+    })
 }

@@ -67,6 +67,24 @@ class CatalogGuardsSpec extends SparkSpec {
     assert(cosBad === 0)
   }
 
+  test("d6_dedup_clusters: near-dup pairs share a canonical; canonical is a member") {
+    val clusters = run("d6_dedup_clusters").cache()
+    val pairs = graft.sim.KnnCache.neardupPairs(spark, sfDir, 0.4)
+    val a = clusters.select(col("vec_id").as("src"), col("canonical").as("ca"))
+    val b = clusters.select(col("vec_id").as("dst"), col("canonical").as("cb"))
+    // both ends of every detected pair resolve to the same canonical doc
+    assert(pairs.join(a, "src").join(b, "dst")
+      .filter(col("ca") =!= col("cb")).count() === 0)
+    // the canonical id is itself a member of the corpus and is kept
+    val canon = clusters.select(col("canonical").as("cid")).distinct()
+    val kept = clusters.filter(col("kept") === 1)
+      .select(col("vec_id").cast("string").as("cid"))
+    assert(canon.join(kept, Seq("cid"), "left_anti").count() === 0)
+    // exactly one kept doc per cluster
+    assert(clusters.groupBy("canonical").agg(sum("kept").as("k"))
+      .filter(col("k") =!= 1).count() === 0)
+  }
+
   test("f12_f14_guards: clip bounds hold and forced NaNs are scrubbed") {
     val g = run("f12_f14_guards").cache()
     assert(g.filter(col("discount_clipped") < 0.02 || col("discount_clipped") > 0.08)
