@@ -15,6 +15,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JVM/session warm-up: one trivial shuffle job so the first
+    // measured query doesn't absorb classloading + codegen compiler
+    // startup (~4 s) — standard latency-bench hygiene; wall-clock still
+    // pays it, per-query numbers just stop misattributing it
+    spark.range(100000).groupBy(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.lit(7L))).count().count()
     // optional arg: comma-separated query names to restrict the run
     val only = args.headOption.map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -24,17 +24,29 @@ object Links {
       .select("customer", "product").distinct()
   }
 
-  // several catalog operators (J3, J4) consume the same positive-pair
-  // table — memoize it per sf dir like the other session caches
-  // (GraphBuilder.fromTpch, KnnCache.topk), materialized so the 2-hop
-  // join + distinct shuffle runs once per session
-  private val posCache =
+  // The distinct purchase-pair table is consumed by several operators
+  // (J3/J4's graph-id view, the ML training corpus) — ONE numeric
+  // materialization per sf dir backs them all, like the other session
+  // caches (GraphBuilder.fromTpch, KnnCache). The graph-id view is a
+  // pure projection over it (no extra shuffle); its equivalence to the
+  // 2-hop edge traversal is pinned by GraphLinksSpec and by j3's oracle.
+  private val posNumCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def purchasePairsNumeric(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame =
+    posNumCache.computeIfAbsent(dir, _ => {
+      val o = graft.core.Tables.orders(spark, dir)
+      val li = graft.core.Tables.lineitem(spark, dir)
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("customer"), col("l_partkey").as("product"))
+        .distinct().localCheckpoint(true)
+    })
+
   def positivePairsCached(spark: org.apache.spark.sql.SparkSession,
                           dir: String): DataFrame =
-    posCache.computeIfAbsent(dir, _ =>
-      positivePairs(graft.graph.GraphBuilder.fromTpch(spark, dir).edges)
-        .localCheckpoint(true))
+    purchasePairsNumeric(spark, dir).select(
+      concat(lit("cust_"), col("customer")).as("customer"),
+      concat(lit("part_"), col("product")).as("product"))
 
   /** J4/U2: negative sampling as a deterministic hash-thinned cross join
     * anti-joined against positives. The reference uses a seeded rejection

@@ -79,11 +79,8 @@ object LinkPredict {
     // the anti-join's build side) — unchecked, each replays the
     // orders⋈lineitem join + distinct shuffle
     val pos = timed("pos pairs") {
-      orders.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("customer"), col("l_partkey").as("product"))
-        .distinct()
-        .withColumn("label", lit(1.0))
-        .localCheckpoint(true) }
+      graft.graph.Links.purchasePairsNumeric(spark, dir)
+        .withColumn("label", lit(1.0)) }
     val posN = pos.count()
     val posFrac = math.min(1.0, cap.toDouble / math.max(posN, 1L))
     val posCapped = pos.filter(

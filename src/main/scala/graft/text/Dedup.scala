@@ -61,7 +61,10 @@ object Dedup {
         minhashSlice(col("hs"), b * rowsPerBand + r))
       concat_ws("_", mins: _*).as(s"band_$b")
     }
-    val signed = sh.select(col("doc") +: sigCols: _*)
+    // materialized: the signature table feeds BOTH sides of the
+    // candidate self-join, and Spark does not share the subplan across
+    // join sides — unmaterialized, every shingle md5 runs twice
+    val signed = sh.select(col("doc") +: sigCols: _*).localCheckpoint(true)
     val bandDf = (0 until bands).map { b =>
       signed.select(lit(b).as("band"), col(s"band_$b").as("sig"), col("doc"))
     }.reduce(_ unionAll _)
@@ -94,8 +97,10 @@ object Dedup {
     * pass a coarse signature (e.g. a band or length bucket). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    bucket: Column, n: Int = 5, minJaccard: Double = 0.0): DataFrame = {
+    // materialized: `base` is consumed four times (both explode sides +
+    // both size lookups); without it the shingle build runs 4×
     val base = docs.select(col(idCol).as("doc"), bucket.as("bucket"),
-      shingleArray(col(textCol), n).as("sh"))
+      shingleArray(col(textCol), n).as("sh")).localCheckpoint(true)
     val sizes = base.select(col("doc"), col("bucket"), size(col("sh")).as("n_sh"))
     val ex = base.select(col("doc"), col("bucket"), explode(col("sh")).as("s"))
     val a = ex.select(col("bucket"), col("doc").as("doc_a"), col("s"))

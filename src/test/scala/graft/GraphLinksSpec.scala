@@ -22,6 +22,13 @@ class GraphLinksSpec extends SparkSpec {
     assert(degSum === 2 * g.edges.count())
   }
 
+  test("cached pair view equals the 2-hop edge traversal") {
+    val fromEdges = Links.positivePairs(g.edges)
+    val cached = Links.positivePairsCached(spark, sfDir)
+    assert(cached.exceptAll(fromEdges).count() === 0)
+    assert(fromEdges.exceptAll(cached).count() === 0)
+  }
+
   test("negative pairs are disjoint from positives") {
     val pos = Links.positivePairs(g.edges)
     val neg = Links.negativePairs(

@@ -53,6 +53,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhj >= 2, s"expected customer+part broadcast joins, plan:\n$plan")
   }
 
+  test("J6: purchased exclusion broadcasts the per-slice build sides") {
+    val df = graft.catalog.Relational.queries("j6_purchased_exclusion")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // the customer semi-join AND the anti-join build side must broadcast:
+    // at 100 TB the full purchased history neither broadcasts nor should
+    // it be computed — only the queried slice's history is
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected semi-join + anti-join broadcasts, plan:\n$plan")
+  }
+
+  test("J9: feature injection pre-aggregates before the join (no row explosion)") {
+    val df = graft.catalog.Relational.queries("j9_feature_injection")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // the orders side must be reduced by a partial (map-side) aggregate
+    // before any exchange — joining raw orders first would carry every
+    // order row through the shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregate before the feature join:\n$plan")
+  }
+
+  test("R2: the candidate cap plans as a global top-k, not a full sort") {
+    val df = graft.catalog.Relational.queries("r2_candidate_cap")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // orderBy+limit must fuse into TakeOrderedAndProject — a full sort
+    // followed by limit would shuffle-sort the whole candidate corpus
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"cap did not fuse into top-k:\n$plan")
+  }
+
   test("E1: windowed event aggregation shuffles at most twice") {
     val df = graft.catalog.Analytics.queries("e1_event_windows")(spark, sfDir)
     val plan = finalPlanString(df)
