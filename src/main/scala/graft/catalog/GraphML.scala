@@ -34,13 +34,13 @@ object GraphML {
   // G3: node2vec embeddings on the customer–product bipartite graph
   // (deterministic hash-based walks + Word2Vec)
   private def g3Node2Vec(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.orders(spark, dir)
-      .filter(pmod(col("o_custkey"), lit(10)) === 1)
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("cust_"), col("o_custkey")).as("src"),
-        concat(lit("part_"), col("l_partkey")).as("dst"))
-    // no .distinct(): neighborTable's collect_set dedups inside its own
-    // shuffle, so a pre-dedup here would only add a second exchange
+    // the bipartite edge list is a slice of the session's materialized
+    // purchase-pair table (same neighbor sets: collect_set dedups either
+    // way) — no re-join of orders⋈lineitem per walk run
+    val edges = graft.graph.Links.purchasePairsNumeric(spark, dir)
+      .filter(pmod(col("customer"), lit(10)) === 1)
+      .select(concat(lit("cust_"), col("customer")).as("src"),
+        concat(lit("part_"), col("product")).as("dst"))
     val emb = Node2Vec.embeddings(spark, edges,
       Node2Vec.Params(numWalks = 2, walkLength = 6, dim = 16))
     emb.select(col("id"), size(col("embedding")).as("dim"))
