@@ -322,10 +322,37 @@ object Relational {
       .limit(1500)
       .orderBy("product")
 
+  // The plain-SQL surface (graft.core.Views): the same engine driven
+  // entirely through spark.sql over registered views — here a 3-way
+  // revenue rollup and the 2-hop graph traversal as SQL text. The SQL is
+  // ANSI enough that the oracle runs it nearly verbatim.
+  private def sqlRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT n_name AS nation,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin)
+  }
+
+  private def sqlGraph2Hop(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT p.src AS customer, c.dst AS product, count(*) AS n_paths
+        |FROM graph_edges p JOIN graph_edges c ON p.dst = c.src
+        |WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
+        |GROUP BY p.src, c.dst ORDER BY customer, product""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_csv_scan_normalize" -> (s1CsvScan(_, _)),
     "j9_feature_injection" -> (j9FeatureInjection(_, _)),
     "r2_candidate_cap" -> (r2CandidateCap(_, _)),
+    "sql_revenue_rollup" -> (sqlRevenueByNation(_, _)),
+    "sql_graph_2hop" -> (sqlGraph2Hop(_, _)),
     "p5_edge_time_filter" -> (p5EdgeTimeFilter(_, _)),
     "p8_label_predicate" -> (p8LabelPredicate(_, _)),
     "p9_dvid_predicate" -> (p9DvidPredicate(_, _)),
@@ -355,6 +382,20 @@ object Relational {
   private val pu47 = ColFns.pseudoUniformSql("product", 47L)
 
   val oracles: Map[String, String] = Map(
+    "sql_revenue_rollup" ->
+      """SELECT n_name AS nation,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "sql_graph_2hop" ->
+      s"""WITH ${graft.graph.GraphSql.edgesCte}
+         |SELECT p.src AS customer, c.dst AS product, count(*) AS n_paths
+         |FROM edges p JOIN edges c ON p.dst = c.src
+         |WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
+         |GROUP BY p.src, c.dst ORDER BY customer, product""".stripMargin,
     "j9_feature_injection" ->
       """WITH acts AS (
         |  SELECT o_custkey AS c_custkey, count(*) AS degree, max(o_orderdate) AS latest

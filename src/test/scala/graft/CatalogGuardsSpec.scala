@@ -67,6 +67,16 @@ class CatalogGuardsSpec extends SparkSpec {
     assert(cosBad === 0)
   }
 
+  test("sql surface: spark.sql over registered views equals the Column API") {
+    graft.core.Views.register(spark, sfDir)
+    val sql = spark.sql(
+      "SELECT count(*) AS n FROM graph_edges WHERE type = 'PURCHASED'").head().getLong(0)
+    val api = graft.graph.GraphBuilder.fromTpch(spark, sfDir)
+      .edges.filter(col("type") === "PURCHASED").count()
+    assert(sql === api)
+    assert(run("sql_revenue_rollup").count() > 0)
+  }
+
   test("d6_dedup_clusters: near-dup pairs share a canonical; canonical is a member") {
     val clusters = run("d6_dedup_clusters").cache()
     val pairs = graft.sim.KnnCache.neardupPairs(spark, sfDir, 0.4)
