@@ -421,6 +421,47 @@ object Analytics {
         queryName = s"e5_dedup_${math.abs(dir.hashCode)}")
       .orderBy("user_id", "event_type")
 
+  // E6: stream–static enrichment join — the event stream joined per
+  // micro-batch against the broadcast customer dimension, rolled up by
+  // nation (Complete mode flushes the running aggregate). Same DuckDB
+  // oracle as the batch form: stream/batch parity is the contract.
+  private def e6StreamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runAvailableNow(spark, dir, df =>
+        graft.streaming.EventStream.enrichedCounts(df,
+          Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))),
+        queryName = s"e6_enrich_${math.abs(dir.hashCode)}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("c_nationkey"), col("n"), round(col("total_value"), 4).as("total_value"))
+      .orderBy("c_nationkey")
+
+  // A15: hierarchical rollup (flag → status → grand total) — the
+  // grouping-sets surface the reference lacks but any analytics engine
+  // at scale needs; one pass, partial aggregation per grouping set.
+  private def a15Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  // A16: sketch aggregates (HLL distinct count, approximate quantiles) —
+  // the constant-memory summaries a 100 TB profile pass runs instead of
+  // exact distinct/sort. Estimates are implementation-specific → no
+  // cross-engine oracle (rows-only); CatalogGuardsSpec pins the
+  // documented error bounds against the exact answers.
+  private def a16ApproxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      approx_count_distinct(col("l_partkey")).as("nd_parts"),
+      approx_count_distinct(col("l_orderkey")).as("nd_orders"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("pcts"))
+      .select(col("nd_parts"), col("nd_orders"),
+        col("pcts").getItem(0).as("p50_price"),
+        col("pcts").getItem(1).as("p95_price"))
+  }
+
   // P6: inactive-node prune — drop customers with no purchase activity
   // in the 730 days before the cutoff (Node2vec_algorithm_inscripton.py:57-87)
   private def p6InactivePrune(spark: SparkSession, dir: String): DataFrame = {
@@ -484,9 +525,22 @@ object Analytics {
     "e3_stream_windows" -> (e3StreamWindows(_, _)),
     "e4_stream_sessionize" -> (e4StreamSessionize(_, _)),
     "e5_stream_dedup" -> (e5StreamDedup(_, _)),
+    "e6_stream_static_join" -> (e6StreamStaticJoin(_, _)),
+    "a15_rollup" -> (a15Rollup(_, _)),
+    "a16_approx_sketches" -> (a16ApproxSketches(_, _)),
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "e6_stream_static_join" ->
+      """SELECT c_nationkey, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "a15_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         |  round(sum(l_extendedprice),2) AS sum_base_price,

@@ -27,6 +27,15 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream–static enrichment join: each micro-batch joins the event
+    * stream against a broadcast dimension table (no streaming state) and
+    * rolls the enriched rows up — the shape that holds when the stream
+    * is unbounded and the dimension is the small side. */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

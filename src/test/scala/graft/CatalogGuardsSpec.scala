@@ -95,6 +95,22 @@ class CatalogGuardsSpec extends SparkSpec {
       .filter(col("k") =!= 1).count() === 0)
   }
 
+  test("a16_approx_sketches: estimates sit within documented error bounds") {
+    val row = run("a16_approx_sketches").head()
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val exact = li.agg(
+      countDistinct(col("l_partkey")).as("p"),
+      countDistinct(col("l_orderkey")).as("o"),
+      min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi")).head()
+    // HLL++ default rsd = 0.05; allow 3× margin for small inputs
+    def relErr(est: Long, act: Long) = math.abs(est - act).toDouble / act
+    assert(relErr(row.getAs[Long]("nd_parts"), exact.getAs[Long]("p")) < 0.15)
+    assert(relErr(row.getAs[Long]("nd_orders"), exact.getAs[Long]("o")) < 0.15)
+    val (p50, p95) = (row.getAs[Double]("p50_price"), row.getAs[Double]("p95_price"))
+    assert(p50 <= p95)
+    assert(p50 >= exact.getAs[Double]("lo") && p95 <= exact.getAs[Double]("hi"))
+  }
+
   test("f12_f14_guards: clip bounds hold and forced NaNs are scrubbed") {
     val g = run("f12_f14_guards").cache()
     assert(g.filter(col("discount_clipped") < 0.02 || col("discount_clipped") > 0.08)

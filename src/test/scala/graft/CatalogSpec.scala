@@ -23,7 +23,8 @@ class CatalogSpec extends SparkSpec {
     // outputs plus the KMeans-quantized ANN (no SQL mirror for the
     // quantizer; pair-level parity asserted in SimilaritySpec)
     assert(rowsOnly.forall(n =>
-      n.startsWith("g") || n.startsWith("m") || n == "sim_ivf_topk"),
+      n.startsWith("g") || n.startsWith("m") ||
+        Set("sim_ivf_topk", "a16_approx_sketches")(n)),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
