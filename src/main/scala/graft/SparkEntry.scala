@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.catalog.{Analytics, GraphML, Relational, Strategies, TextSim}
+import graft.catalog.{Analytics, GraphML, Relational, ScaleOps, Strategies, TextSim}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ TextSim.queries ++
-      Strategies.queries ++ GraphML.queries
+      Strategies.queries ++ GraphML.queries ++ ScaleOps.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ TextSim.oracles ++
-      Strategies.oracles ++ GraphML.oracles
+      Strategies.oracles ++ GraphML.oracles ++ ScaleOps.oracles
 }

@@ -1,0 +1,231 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sim.Similarity
+
+/** Operator catalog, part 6: the scale-mechanics operators — the join
+  * shapes a 100 TB pipeline needs beyond plain equi-joins, each proven
+  * result-identical to its naive formulation under the DuckDB hash gate:
+  *
+  *  - j10: salted skewed equi-join (graft.functions.Skew) — one hot
+  *    key's single reducer becomes N parallel reducers, result unchanged.
+  *  - j11: as-of join (latest prior click per purchase) as ONE shuffle:
+  *    union-tag + running `last(ignoreNulls)` window, instead of a
+  *    per-row inequality join (which explodes at scale).
+  *  - j12: time-range (band) join via bounded bucket fan-out: each probe
+  *    row joins exactly 2 coarse time buckets instead of the whole
+  *    history of its key, then the exact band predicate filters.
+  *  - sim_recall: ANN quality measurement as a query — recall@k of the
+  *    LSH path against the brute-force ground truth (the check you run
+  *    before trusting an approximate index at scale).
+  *  - e7: the dvid injection pattern as Structured Streaming —
+  *    foreachBatch appends each arriving file batch to the
+  *    dvid-partitioned store (EventStream.incrementalIngest).
+  */
+object ScaleOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DIM = 64
+
+  // J10: salted join on a maximally skewed key (l_returnflag has 3
+  // values — every key is a hot key). Result must equal the plain join
+  // exactly; only the physical key distribution changes.
+  private def j10SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val dim = Tables.lineitem(spark, dir).select("l_returnflag").distinct()
+      .withColumn("flag_name", concat(lit("flag_"), col("l_returnflag")))
+    graft.functions.Skew.saltedJoin(fact, dim, Seq("l_returnflag"), salts = 8)
+      .groupBy("flag_name")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("total_qty"))
+      .orderBy("flag_name")
+  }
+
+  // J11: as-of join — for each purchase event, the latest click of the
+  // same user at-or-before the purchase time. The scalable shape: tag
+  // both sides, ONE shuffle on user_id, and a running last(ignoreNulls)
+  // window — never a per-row inequality join. Ties (click ts == purchase
+  // ts) count as prior (kind orders clicks first); equal-ts clicks
+  // resolve to the max event_id (ascending order, last wins).
+  private def j11AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("timestamp").as("click_ts"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        coalesce(col("last_click_id"), lit(-1L)).as("last_click_id"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("last_click_ts")),
+          lit(-1L)).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  // J12: band join — clicks in the 30 minutes before each purchase by
+  // the same user. Scale shape: coarse 30-min time buckets bound the
+  // fan-out (each purchase probes exactly 2 buckets of its user), the
+  // exact band predicate filters after the equi-join on (user, bucket).
+  private def j12RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val BIN = 1800L * 1000000L // band width in microseconds
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"), col("value"))
+      .withColumn("bin", floor(col("cus") / BIN))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pus"))
+    val probed = purchases
+      .withColumn("bin", explode(array(floor(col("pus") / BIN) - 1, floor(col("pus") / BIN))))
+    val agg = probed.join(clicks, Seq("user_id", "bin"))
+      .filter(col("cus") >= col("pus") - BIN && col("cus") < col("pus"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+    purchases.select("event_id", "user_id")
+      .join(agg, Seq("event_id"), "left")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_clicks"),
+        coalesce(col("v"), lit(0.0)).as("click_value"))
+      .orderBy("purchase_id")
+  }
+
+  // ANN recall@5 of the sign-LSH path against the brute-force ground
+  // truth. Integer hit counts with ONE final division keep the statistic
+  // bit-exact across engines (no accumulated float error to round away).
+  private def simRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val brute = graft.sim.KnnCache.topk(spark, dir, 5).select("src", "dst")
+    val lsh = Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dim = DIM, nPlanes = 8, k = 5).select("src", "dst")
+    val perQuery = brute.groupBy("src").agg(count(lit(1)).as("n_true"))
+      .join(brute.join(lsh, Seq("src", "dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("hits")), Seq("src"), "left")
+      .select(col("src"), col("n_true"), coalesce(col("hits"), lit(0L)).as("hits"))
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      sum("hits").as("hits"),
+      sum("n_true").as("n_true"),
+      (sum("hits").cast("double") / sum("n_true")).as("recall_micro"),
+      min("hits").as("min_hits"),
+      sum(when(col("hits") === col("n_true"), 1L).otherwise(0L)).as("n_perfect"))
+  }
+
+  // E7/§2.12: incremental dvid ingest as Structured Streaming — two
+  // "injection" file drops, each drained by a foreachBatch
+  // Trigger.AvailableNow run appending to the dvid-partitioned store;
+  // the readback per-dvid histogram is the reference's injection
+  // verification (fifth_data_injection.py:154-158) over a stream.
+  private def e7IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get("/tmp/graft_stream/e7")
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val ev = Tables.events(spark, dir)
+    val store = s"$base/store"
+    Seq(0, 1).foreach { i =>
+      val src = s"$base/src$i"
+      ev.filter(pmod(col("event_id"), lit(2)) === i).write.parquet(src)
+      graft.streaming.EventStream.incrementalIngest(spark, src, store, startDvid = i + 1)
+    }
+    spark.read.parquet(store)
+      .groupBy("dvid", "event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("dvid", "event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "j10_salted_skew_join" -> (j10SaltedJoin(_, _)),
+    "j11_asof_join" -> (j11AsOfJoin(_, _)),
+    "j12_range_join" -> (j12RangeJoin(_, _)),
+    "sim_recall_eval" -> (simRecallEval(_, _)),
+    "e7_incremental_ingest" -> (e7IncrementalIngest(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "j10_salted_skew_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS flag_name FROM lineitem)
+        |SELECT d.flag_name, count(*) AS n_lines, round(sum(l.l_quantity), 2) AS total_qty
+        |FROM lineitem l JOIN dim d USING (l_returnflag)
+        |GROUP BY d.flag_name ORDER BY d.flag_name""".stripMargin,
+    "j11_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, 0 AS kind, event_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, event_id, NULL, NULL
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, kind, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+        |    last_value(click_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, kind, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lct
+        |  FROM tagged)
+        |SELECT event_id AS purchase_id, user_id,
+        |       coalesce(lc, -1) AS last_click_id,
+        |       coalesce(epoch_us(ts) - epoch_us(lct), -1) AS gap_us
+        |FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin,
+    "j12_range_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |agg AS (
+        |  SELECT p.event_id, count(*) AS n, round(sum(c.value), 2) AS v
+        |  FROM purch p JOIN clicks c ON c.user_id = p.user_id
+        |   AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        |   AND epoch_us(c.ts) < epoch_us(p.ts)
+        |  GROUP BY p.event_id)
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       coalesce(a.n, 0) AS n_clicks, coalesce(a.v, 0.0) AS click_value
+        |FROM purch p LEFT JOIN agg a USING (event_id)
+        |ORDER BY purchase_id""".stripMargin,
+    "sim_recall_eval" -> {
+      val bucket = Similarity.lshBucketSql("embedding", DIM, 8)
+      val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
+      s"""WITH n AS (SELECT vec_id, embedding, $bucket AS bucket,
+         |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
+         |           FROM embeddings),
+         |bscored AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |bt AS (SELECT src, dst FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |  FROM bscored) WHERE rn <= 5),
+         |lscored AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ls AS (SELECT src, dst FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |  FROM lscored) WHERE rn <= 5),
+         |hits AS (
+         |  SELECT b.src, count(*) AS h FROM bt b JOIN ls l ON l.src = b.src AND l.dst = b.dst
+         |  GROUP BY b.src),
+         |per AS (
+         |  SELECT base.src, base.nt, coalesce(h.h, 0) AS h
+         |  FROM (SELECT src, count(*) AS nt FROM bt GROUP BY src) base
+         |  LEFT JOIN hits h USING (src))
+         |SELECT count(*) AS n_queries,
+         |       sum(h) AS hits, sum(nt) AS n_true,
+         |       CAST(sum(h) AS DOUBLE) / sum(nt) AS recall_micro,
+         |       min(h) AS min_hits,
+         |       CAST(sum(CASE WHEN h = nt THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+         |FROM per""".stripMargin
+    },
+    "e7_incremental_ingest" ->
+      """SELECT CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS dvid,
+        |       event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY dvid, event_type""".stripMargin)
+}

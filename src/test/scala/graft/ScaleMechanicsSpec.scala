@@ -23,6 +23,50 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("as-of join (j11) matches the naive per-row inequality join") {
+    val q = graft.catalog.ScaleOps.queries("j11_asof_join")(spark, sfDir)
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("cts"), $"event_id".as("cid"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("pts"))
+    // naive: join every purchase to ALL prior clicks, keep the max
+    // (ts, event_id) one — the O(n·m) formulation the operator avoids
+    val naive = purch.join(clicks, Seq("user_id"), "left")
+      .filter($"cts".isNull || $"cts" <= $"pts")
+      .groupBy("purchase_id")
+      .agg(max_by($"cid", struct($"cts", $"cid")).as("expect_click"))
+    val joined = q.join(naive, Seq("purchase_id"))
+    assert(joined.filter(
+      coalesce($"expect_click", lit(-1L)) =!= $"last_click_id").count() === 0)
+  }
+
+  test("range join (j12) bucket fan-out matches the naive band join") {
+    val q = graft.catalog.ScaleOps.queries("j12_range_join")(spark, sfDir)
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("cus"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", unix_micros($"ts").as("pus"))
+    val naive = purch.join(clicks, Seq("user_id"), "left")
+      .withColumn("hit",
+        when($"cus" >= $"pus" - 1800000000L && $"cus" < $"pus", 1L).otherwise(0L))
+      .groupBy("purchase_id").agg(sum($"hit").as("expect_n"))
+    val joined = q.join(naive, Seq("purchase_id"))
+    assert(joined.filter($"n_clicks" =!= $"expect_n").count() === 0)
+  }
+
+  test("ANN recall eval is a valid statistic (0 ≤ recall ≤ 1, counts consistent)") {
+    val r = graft.catalog.ScaleOps.queries("sim_recall_eval")(spark, sfDir).head()
+    val n = r.getAs[Long]("n_queries"); val hits = r.getAs[Long]("hits")
+    val nTrue = r.getAs[Long]("n_true"); val recall = r.getAs[Double]("recall_micro")
+    assert(n > 0 && nTrue === n * 5)
+    assert(hits >= 0 && hits <= nTrue)
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(math.abs(recall - hits.toDouble / nTrue) < 1e-12)
+    assert(r.getAs[Long]("n_perfect") <= n)
+  }
+
   test("bucketed tables join without a shuffle; result matches plain join") {
     import graft.functions.Bucketing
     val orders = graft.core.Tables.orders(spark, sfDir)
