@@ -36,14 +36,22 @@ object GraphML {
   private def g3Node2Vec(spark: SparkSession, dir: String): DataFrame = {
     // the bipartite edge list is a slice of the session's materialized
     // purchase-pair table (same neighbor sets: collect_set dedups either
-    // way) — no re-join of orders⋈lineitem per walk run
+    // way) — no re-join of orders⋈lineitem per walk run. Node ids are
+    // parity-encoded longs (customer→2k, part→2k+1) so the walk engine's
+    // per-candidate ops run on longs, not strings; labels are restored
+    // after the embedding fit.
     val edges = graft.graph.Links.purchasePairsNumeric(spark, dir)
       .filter(pmod(col("customer"), lit(10)) === 1)
-      .select(concat(lit("cust_"), col("customer")).as("src"),
-        concat(lit("part_"), col("product")).as("dst"))
+      .select((col("customer") * 2).as("src"),
+        (col("product") * 2 + 1).as("dst"))
     val emb = Node2Vec.embeddings(spark, edges,
       Node2Vec.Params(numWalks = 2, walkLength = 6, dim = 16))
-    emb.select(col("id"), size(col("embedding")).as("dim"))
+    val n = col("id").cast("long")
+    emb.select(
+      when(n % 2 === 0, concat(lit("cust_"), (n / 2).cast("long")))
+        .otherwise(concat(lit("part_"), ((n - 1) / 2).cast("long")))
+        .as("id"),
+      size(col("embedding")).as("dim"))
       .orderBy("id")
   }
 
@@ -435,6 +443,22 @@ object GraphML {
        |FROM prev, neww""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // g3's (id, dim) surface is fully determined by the walk graph:
+    // every adjacency node starts numWalks walks, and minCount=0 keeps
+    // every walked word in the Word2Vec vocabulary — so the id set is
+    // exactly the distinct endpoints of the bipartite slice and dim is
+    // the configured vector size. (The vector VALUES are model-coupled;
+    // their invariants live in GraphAlgoSpec.)
+    "g3_node2vec_embeddings" ->
+      """WITH pp AS (
+        |  SELECT DISTINCT o_custkey AS customer, l_partkey AS product
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 10 = 1),
+        |n AS (
+        |  SELECT 'cust_' || customer AS id FROM (SELECT DISTINCT customer FROM pp)
+        |  UNION ALL
+        |  SELECT 'part_' || product FROM (SELECT DISTINCT product FROM pp))
+        |SELECT id, CAST(16 AS INTEGER) AS dim FROM n ORDER BY id""".stripMargin,
     "s8_history_roundtrip" ->
       """WITH m AS (
         |  SELECT 'total_' || o_orderstatus AS metric, round(sum(o_totalprice), 2) AS v

@@ -172,9 +172,17 @@ object TextSim {
     val docs = Tables.documents(spark, dir)
     val canon = docs.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep_id"))
-    TextAnalysis.qualityFeatures(docs, "text")
+    // materialize the featured slice BEFORE filtering: predicate pushdown
+    // would otherwise clone the (expensive) language-ID/token expressions
+    // into a pre-projection Filter, evaluating them twice per row — the
+    // checkpoint is one narrow pass and the filters run on stored columns
+    val featured = TextAnalysis.qualityFeatures(docs, "text")
       .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
       .withColumn("h", md5(col("text")))
+      .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "source", "lang_pred", "h")
+      .localCheckpoint(true)
+    featured
       .join(broadcast(canon), "h")
       .filter(col("doc_id") === col("keep_id"))
       .filter(col("lang_pred") === "en" &&

@@ -122,7 +122,19 @@ object Node2Vec {
     // materialize: Word2Vec makes several passes (vocab count + training)
     // and would otherwise replay the whole walk-join chain each time
     val t0 = System.nanoTime()
-    val w = walks(spark, edges, prm).localCheckpoint(true)
+    // Word2Vec consumes string "sentences"; the walk engine itself is
+    // id-type-agnostic — feeding NUMERIC node ids keeps every
+    // per-candidate lambda op (equality, array_contains, xxhash64) on
+    // longs instead of UTF8Strings (~2× per-step cost), so callers map
+    // label↔number around this boundary and we cast once here.
+    val w0 = walks(spark, edges, prm)
+    val w = (if (w0.schema("walk").dataType ==
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, true) ||
+        w0.schema("walk").dataType ==
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false))
+      w0
+    else w0.withColumn("walk", col("walk").cast("array<string>")))
+      .localCheckpoint(true)
     if (sys.env.contains("GRAFT_N2V_DEBUG"))
       println(f"[n2v] walks: ${(System.nanoTime() - t0) / 1e9}%.2f s (${w.count()} walks)")
     val t1 = System.nanoTime()
