@@ -67,6 +67,55 @@ object TextSim {
       .orderBy("vec_id")
   }
 
+  // D7: incremental near-dup dedup — the production shape at 100 TB: a
+  // new injection (doc_id % 3 == 0) is checked against the EXISTING
+  // corpus's signature store (band signatures; doc_id % 3 != 0), so the
+  // store is never re-paired with itself — candidate generation is a
+  // join of the incoming bands against the stored bands, and only
+  // candidate pairs pay the exact-Jaccard verification.
+  private def d7IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+        Dedup.shingleArray(col("text"), 5).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => md5(s)))
+    // one signature table serves banding AND verification (materialized:
+    // it feeds three joins)
+    val signed = sh.select(
+        col("doc_id"), col("sh"),
+        concat_ws("_", Dedup.minhashSlice(col("hs"), 0),
+          Dedup.minhashSlice(col("hs"), 1)).as("band_0"),
+        concat_ws("_", Dedup.minhashSlice(col("hs"), 2),
+          Dedup.minhashSlice(col("hs"), 3)).as("band_1"))
+      .localCheckpoint(true)
+    val bands = Seq(0, 1).map(b =>
+        signed.select(col("doc_id"), lit(b).as("band"), col(s"band_$b").as("sig")))
+      .reduce(_ unionAll _)
+    val store = bands.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("band"), col("sig"), col("doc_id").as("store_doc"))
+    val incoming = bands.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val cand = incoming.join(store, Seq("band", "sig"))
+      .select("doc_id", "store_doc").distinct()
+    val pairs = cand
+      .join(signed.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(signed.select(col("doc_id").as("store_doc"), col("sh").as("sh_b")),
+        "store_doc")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // integer counts + ONE division = bit-exact across engines
+      .withColumn("j", col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+    val per = pairs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("j") >= 0.1, 1L).otherwise(0L)).as("n_dups"),
+      min(when(col("j") >= 0.1, col("store_doc"))).as("dup_of"))
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   // ---- similarity search ----
 
   private def simBruteTopK(spark: SparkSession, dir: String): DataFrame =
@@ -246,6 +295,7 @@ object TextSim {
     "d4_ngram_jaccard" -> (d4NgramJaccard(_, _)),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup(_, _)),
     "d6_dedup_clusters" -> (d6DedupClusters(_, _)),
+    "d7_incremental_dedup" -> (d7IncrementalDedup(_, _)),
     "j7_knn_topk" -> (simBruteTopK(_, _)),
     "sim_lsh_topk" -> (simLshTopK(_, _)),
     "sim_ivf_topk" -> (simIvfTopK(_, _)),
@@ -355,6 +405,39 @@ object TextSim {
          |WHERE $dotAB / (a.nrm * b.nrm) >= 0.4
          |ORDER BY src, dst""".stripMargin
     },
+    "d7_incremental_dedup" ->
+      s"""WITH $hashedShingleCte,
+         |signed AS (
+         |  SELECT s.doc_id, s.sh,
+         |    concat_ws('_', ${minhashSql(0)}, ${minhashSql(1)}) AS band_0,
+         |    concat_ws('_', ${minhashSql(2)}, ${minhashSql(3)}) AS band_1
+         |  FROM sh s JOIN hsh h ON s.doc_id = h.doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, band_0 AS sig FROM signed
+         |  UNION ALL
+         |  SELECT doc_id, 1, band_1 FROM signed),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id, s.doc_id AS store_doc
+         |  FROM bands i JOIN bands s ON i.band = s.band AND i.sig = s.sig
+         |  WHERE i.doc_id % 3 = 0 AND s.doc_id % 3 <> 0),
+         |pairs AS (
+         |  SELECT c.doc_id, c.store_doc,
+         |    len(list_intersect(a.sh, b.sh)) AS n_inter,
+         |    len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM cand c
+         |  JOIN signed a ON a.doc_id = c.doc_id
+         |  JOIN signed b ON b.doc_id = c.store_doc),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_candidates,
+         |    CAST(sum(CASE WHEN CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.1
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |    min(CASE WHEN CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.1
+         |        THEN store_doc END) AS dup_of
+         |  FROM pairs GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
+         |  coalesce(p.n_dups, 0) AS n_dups, coalesce(p.dup_of, -1) AS dup_of
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
     "d6_dedup_clusters" -> {
       // min-VARCHAR-label propagation unrolled 16 rounds over the
       // undirected near-dup pair graph (same technique as the CC
