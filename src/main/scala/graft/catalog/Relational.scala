@@ -347,7 +347,20 @@ object Relational {
         |GROUP BY p.src, c.dst ORDER BY customer, product""".stripMargin)
   }
 
+  // The custom Catalyst expressions (ArrayDotProduct codegen,
+  // CharShingles) driven through plain SQL text — the §2.13 surface as a
+  // user of the SQL entry point sees it.
+  private def sqlExtensionFns(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT e.vec_id, round(graft_dot(e.embedding, e.embedding), 6) AS norm2,
+        |       size(graft_shingles(d.text, 5)) AS n_shingles
+        |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_extension_fns" -> (sqlExtensionFns(_, _)),
     "s1_csv_scan_normalize" -> (s1CsvScan(_, _)),
     "j9_feature_injection" -> (j9FeatureInjection(_, _)),
     "r2_candidate_cap" -> (r2CandidateCap(_, _)),
@@ -382,6 +395,15 @@ object Relational {
   private val pu47 = ColFns.pseudoUniformSql("product", 47L)
 
   val oracles: Map[String, String] = Map(
+    "sql_extension_fns" -> {
+      val dot = graft.sim.Similarity.dotSql("embedding", "embedding", 64)
+      s"""SELECT e.vec_id, round($dot, 6) AS norm2,
+         |  CAST(len(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(d.text) - 4, 1)),
+         |    i -> substr(d.text, i, 5)))) AS INTEGER) AS n_shingles
+         |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    },
     "sql_revenue_rollup" ->
       """SELECT n_name AS nation,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

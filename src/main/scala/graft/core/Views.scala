@@ -28,5 +28,15 @@ object Views {
     val g = graft.graph.GraphBuilder.fromTpch(spark, dir)
     g.nodes.createOrReplaceTempView("graph_nodes")
     g.edges.createOrReplaceTempView("graph_edges")
+    // the custom Catalyst expressions as SQL functions — same registry
+    // entries GraftExtensions injects at session build; registering here
+    // too makes the SQL surface self-contained for sessions built
+    // without `spark.sql.extensions`
+    val reg = spark.sessionState.functionRegistry
+    Seq(graft.plans.GraftExtensions.arrayDot,
+        graft.plans.GraftExtensions.charShingles).foreach {
+      case (id, inf, builder) =>
+        if (!reg.functionExists(id)) reg.registerFunction(id, inf, builder)
+    }
   }
 }
