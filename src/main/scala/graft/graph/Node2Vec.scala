@@ -82,22 +82,39 @@ object Node2Vec {
       col("nbrs").as("prev_nbrs"),
       array(col("src"), element_at(col("nbrs"), firstIdx)).as("path"))
 
+    val longIds = adj0.schema("nbrs").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
     for (step <- 2 until prm.walkLength) {
       val joined = state.join(adj.withColumnRenamed("src", "cur"), Seq("cur"), "inner")
       // candidate weight α: back to prev → 1/p; neighbor of prev → 1;
       // else → 1/q  (Grover & Leskovec 2016). Weighted pick via the
       // exponential-race trick — argmin(-ln(u_c)/w_c) — which is O(deg)
       // per step instead of an O(deg²) prefix-sum scan, and needs only a
-      // per-candidate deterministic hash.
-      val keyed = transform(col("nbrs"), c => {
-        val w = when(c === col("prev"), lit(1.0 / prm.p))
-          .when(array_contains(col("prev_nbrs"), c), lit(1.0))
-          .otherwise(lit(1.0 / prm.q))
-        val u = ColFns.pseudoUniform(
-          xxhash64(col("walk_id"), lit(step), c), prm.seed)
-        struct((-log(u + lit(1e-12)) / w).as("key"), c.as("pick"))
-      })
-      val picked = array_min(keyed).getField("pick")
+      // per-candidate deterministic hash. Long-id graphs take the custom
+      // WeightedStepPick expression (one tight primitive loop + binary
+      // search over the sorted prev_nbrs); other id types take the
+      // equivalent higher-order-function tree, which HOF-interprets a
+      // lambda per candidate.
+      val picked =
+        if (longIds)
+          graft.plans.expressions.weighted_step_pick(
+            col("nbrs"), col("prev_nbrs"), col("prev"),
+            xxhash64(col("walk_id"), lit(step)),
+            1.0 / prm.p, 1.0 / prm.q, prm.seed)
+        else {
+          val keyed = transform(col("nbrs"), c => {
+            val w = when(c === col("prev"), lit(1.0 / prm.p))
+              .when(array_contains(col("prev_nbrs"), c), lit(1.0))
+              .otherwise(lit(1.0 / prm.q))
+            val u = ColFns.pseudoUniform(
+              xxhash64(col("walk_id"), lit(step), c), prm.seed)
+            struct((-log(u + lit(1e-12)) / w).as("key"), c.as("pick"))
+          })
+          array_min(keyed).getField("pick")
+        }
       state = joined.select(
         col("walk_id"),
         col("cur").as("prev"),

@@ -100,6 +100,82 @@ case class CharShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** The node2vec walk step's weighted candidate pick for LONG node ids —
+  * replaces `array_min(transform(nbrs, c -> struct(-ln(u)/w, c)))`,
+  * whose lambda tree evaluates interpreted per candidate (higher-order
+  * functions are CodegenFallback). Exponential-race semantics are
+  * preserved exactly: weight = 1/p when c == prev, 1 when c ∈
+  * prev_nbrs, else 1/q (Grover & Leskovec 2016); u is the engine's
+  * hash-based pseudo-uniform over XXH64(c, baseHash), with baseHash =
+  * xxhash64(walk_id, step) computed once per row by the (codegen'd)
+  * builtin — identical chaining to xxhash64(walk_id, step, c).
+  * `prevNbrs` MUST be sorted ascending (Node2Vec.neighborTable sorts),
+  * turning the membership test into a binary search: the per-step cost
+  * is O(deg·log deg) primitive ops in one tight loop.
+  */
+case class WeightedStepPick(nbrs: Expression, prevNbrs: Expression,
+    prev: Expression, baseHash: Expression,
+    invP: Double, invQ: Double, seed: Long)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(nbrs, prevNbrs, prev, baseHash)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def arrLong(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (arrLong(nbrs.dataType) && arrLong(prevNbrs.dataType) &&
+        prev.dataType == LongType && baseHash.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"WeightedStepPick needs (array<long>, array<long>, long, long), got " +
+        s"(${nbrs.dataType}, ${prevNbrs.dataType}, ${prev.dataType}, ${baseHash.dataType})")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val ns = nbrs.eval(input).asInstanceOf[ArrayData]
+    if (ns == null || ns.numElements() == 0) return null
+    val ps = prevNbrs.eval(input).asInstanceOf[ArrayData]
+    val pv = prev.eval(input).asInstanceOf[Long]
+    val h0 = baseHash.eval(input).asInstanceOf[Long]
+    val pArr = if (ps == null) Array.emptyLongArray else ps.toLongArray()
+    var bestKey = Double.PositiveInfinity
+    var bestPick = Long.MaxValue
+    var found = false
+    var i = 0
+    val n = ns.numElements()
+    while (i < n) {
+      val c = ns.getLong(i)
+      val w =
+        if (c == pv) invP
+        else if (java.util.Arrays.binarySearch(pArr, c) >= 0) 1.0
+        else invQ
+      val h = XXH64.hashLong(c, h0)
+      // the engine's pseudo-uniform (ColFns.pseudoUniform), inlined on
+      // primitives: pmod(pmod(h,999983)·2654435761 + seed·40503, 1000003)/1000003
+      val m1 = ((h % 999983L) + 999983L) % 999983L
+      val mixed = ((m1 * 2654435761L + seed * 40503L) % 1000003L + 1000003L) % 1000003L
+      val u = mixed.toDouble / 1000003.0
+      // StrictMath.log: Spark's Log expression uses it, keeping this
+      // path bit-identical to the HOF formulation on the same inputs
+      val key = -java.lang.StrictMath.log(u + 1e-12) / w
+      if (key < bestKey || (key == bestKey && c < bestPick)) {
+        bestKey = key; bestPick = c; found = true
+      }
+      i += 1
+    }
+    if (found) bestPick else null
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WeightedStepPick =
+    copy(nbrs = newChildren(0), prevNbrs = newChildren(1),
+      prev = newChildren(2), baseHash = newChildren(3))
+}
+
 object expressions {
   import org.apache.spark.sql.GraftColumnBridge._
 
@@ -109,4 +185,10 @@ object expressions {
 
   def char_shingles(s: Column, n: Int): Column =
     toColumn(CharShingles(toExpression(s), n))
+
+  def weighted_step_pick(nbrs: Column, prevNbrs: Column, prev: Column,
+                         baseHash: Column, invP: Double, invQ: Double,
+                         seed: Long): Column =
+    toColumn(WeightedStepPick(toExpression(nbrs), toExpression(prevNbrs),
+      toExpression(prev), toExpression(baseHash), invP, invQ, seed))
 }

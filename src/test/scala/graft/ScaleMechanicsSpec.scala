@@ -67,6 +67,29 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_perfect") <= n)
   }
 
+  test("WeightedStepPick is bit-identical to the HOF walk-step formulation") {
+    import graft.functions.ColFns
+    val df = spark.range(500).toDF("i")
+      .withColumn("walk_id", concat($"i".cast("string"), lit("#0")))
+      .withColumn("prev", $"i" % 7)
+      .withColumn("nbrs", array_sort(array($"i" % 11, $"i" % 7, $"i" % 5 + 20, $"i" % 3 + 40)))
+      .withColumn("prev_nbrs", array_sort(array($"i" % 11, $"i" % 13 + 5)))
+    val step = 3; val p = 1.0; val q = 0.5; val seed = 42L
+    val keyed = transform($"nbrs", c => {
+      val w = when(c === $"prev", lit(1.0 / p))
+        .when(array_contains($"prev_nbrs", c), lit(1.0))
+        .otherwise(lit(1.0 / q))
+      val u = ColFns.pseudoUniform(xxhash64($"walk_id", lit(step), c), seed)
+      struct((-log(u + lit(1e-12)) / w).as("key"), c.as("pick"))
+    })
+    val both = df.select(
+      array_min(keyed).getField("pick").as("hof"),
+      graft.plans.expressions.weighted_step_pick(
+        $"nbrs", $"prev_nbrs", $"prev",
+        xxhash64($"walk_id", lit(step)), 1.0 / p, 1.0 / q, seed).as("fast"))
+    assert(both.filter($"hof" =!= $"fast").count() === 0)
+  }
+
   test("bucketed tables join without a shuffle; result matches plain join") {
     import graft.functions.Bucketing
     val orders = graft.core.Tables.orders(spark, sfDir)
