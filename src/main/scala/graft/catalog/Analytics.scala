@@ -434,6 +434,20 @@ object Analytics {
       .select(col("c_nationkey"), col("n"), round(col("total_value"), 4).as("total_value"))
       .orderBy("c_nationkey")
 
+  // E8: watermarked stream–stream interval join — purchases ⋈ the same
+  // user's clicks in the 30 minutes before, then a batch rollup of the
+  // materialized matches. Same band semantics as j12_range_join's inner
+  // aggregate, so the DuckDB oracle is shared shape: stream/batch
+  // parity is the contract.
+  private def e8StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runAvailableNow(spark, dir, df =>
+        graft.streaming.EventStream.intervalJoin(df)
+          .select("purchase_id", "p_user", "c_value"),
+        queryName = s"e8_ivj_${math.abs(dir.hashCode)}")
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks"), round(sum("c_value"), 2).as("click_value"))
+      .orderBy("purchase_id")
+
   // A15: hierarchical rollup (flag → status → grand total) — the
   // grouping-sets surface the reference lacks but any analytics engine
   // at scale needs; one pass, partial aggregation per grouping set.
@@ -526,11 +540,23 @@ object Analytics {
     "e4_stream_sessionize" -> (e4StreamSessionize(_, _)),
     "e5_stream_dedup" -> (e5StreamDedup(_, _)),
     "e6_stream_static_join" -> (e6StreamStaticJoin(_, _)),
+    "e8_stream_interval_join" -> (e8StreamIntervalJoin(_, _)),
     "a15_rollup" -> (a15Rollup(_, _)),
     "a16_approx_sketches" -> (a16ApproxSketches(_, _)),
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "e8_stream_interval_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+        |       round(sum(c.value), 2) AS click_value
+        |FROM purch p JOIN clicks c ON c.user_id = p.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        | AND epoch_us(c.ts) < epoch_us(p.ts)
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
     "e6_stream_static_join" ->
       """SELECT c_nationkey, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey

@@ -88,6 +88,26 @@ object EventStream {
       // dropDuplicates(keys :+ "ts") would only catch identical-ts replays.
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream–stream interval join: purchases matched to the same user's
+    * clicks in the `bandSec` seconds before the purchase — the
+    * streaming twin of the batch band join (j12_range_join's inner
+    * part). Watermarks on BOTH sides plus the explicit time-band
+    * predicate let the planner bound the join state: click state older
+    * than (watermark − band) is evicted, so state is O(band × rate),
+    * not O(stream). */
+  def intervalJoin(events: DataFrame, bandSec: Long = 1800): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks, expr(
+      s"c_user = p_user AND c_ts >= p_ts - interval $bandSec seconds AND c_ts < p_ts"))
+  }
+
   /** Incremental dvid ingest as a stream (§2.12): each micro-batch of
     * arriving event files is appended to a dvid-partitioned store via
     * foreachBatch — the Structured-Streaming twin of
