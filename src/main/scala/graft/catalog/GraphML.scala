@@ -262,12 +262,47 @@ object GraphML {
       .orderBy(desc("rank"), asc("id")).limit(100)
   }
 
+  // GraphX triangle count on the KNN similarity graph (the e-commerce
+  // property graph is multi-partite — triangles only exist among mutual
+  // similarity neighbors). Clustering structure = community cohesion
+  // evidence; counts are exact and carry a 3-way self-join SQL oracle.
+  private def gxTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphXAnalytics.triangles(spark,
+        graft.sim.KnnCache.topk(spark, dir, 5).select("src", "dst"))
+      .select(col("id").cast("long").as("vec_id"), col("triangles"))
+      .orderBy("vec_id")
+
+  // G6/§2.12 depth: SCD2 interval versioning — the dvid-tagged upsert
+  // history (j2's injections) rewritten as validity intervals per key:
+  // valid_from = the version that wrote the row, valid_to = the next
+  // version minus one (9999 = still current). One window pass, the
+  // standard warehouse "time-travel by version" layout.
+  private def g7Scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val inj1 = o.filter(pmod(col("o_orderkey"), lit(5)).isin(0, 1))
+      .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"), lit(1).as("dvid"))
+    val inj2 = o.filter(pmod(col("o_orderkey"), lit(5)).isin(1, 2))
+      .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        (col("o_totalprice") * 1.1).as("price"), lit(2).as("dvid"))
+    val w = Window.partitionBy("id").orderBy("dvid")
+    inj1.unionByName(inj2)
+      .withColumn("valid_to",
+        coalesce(lead(col("dvid"), 1).over(w) - 1, lit(9999)))
+      .select(col("id"), col("status"), col("price"),
+        col("dvid").as("valid_from"), col("valid_to"))
+      .orderBy("id", "valid_from")
+  }
+
   val queries: Map[String, Q] = Map(
     "g2_louvain_communities" -> (g2Louvain(_, _)),
     "g3_node2vec_embeddings" -> (g3Node2Vec(_, _)),
     "g6_dvid_versioning" -> (g6DvidVersioning(_, _)),
     "gx_connected_components" -> (gxConnectedComponents(_, _)),
     "gx_pagerank" -> (gxPageRank(_, _)),
+    "gx_triangles" -> (gxTriangles(_, _)),
+    "g7_scd2_intervals" -> (g7Scd2Intervals(_, _)),
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
     "m2_multidate_discount" -> (m2MultiDateMetrics(_, _)),
     "m4_confusion_matrix" -> (m4ConfusionMatrix(_, _)),
@@ -489,6 +524,43 @@ object GraphML {
         |  round((total_qty - m3) / s3, 4) + 0.0 AS z_qty
         |FROM s ORDER BY c_custkey""".stripMargin,
     "gx_pagerank" -> pageRankSql(iters = 5, k = 100),
+    "gx_triangles" -> {
+      val dotAB = graft.sim.Similarity.dotSql("a.embedding", "b.embedding", 64)
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |            sqrt(${graft.sim.Similarity.dotSql("embedding", "embedding", 64)}) AS nrm
+         |           FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |topk AS (SELECT src, dst FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |  FROM scored) WHERE rn <= 5),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM topk WHERE src <> dst),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1
+         |  JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pv AS (SELECT x AS v FROM tri
+         |       UNION ALL SELECT y FROM tri
+         |       UNION ALL SELECT z FROM tri),
+         |cnt AS (SELECT v, count(*) AS t FROM pv GROUP BY v),
+         |verts AS (SELECT DISTINCT a AS v FROM und UNION SELECT b FROM und)
+         |SELECT v AS vec_id, coalesce(t, 0) AS triangles
+         |FROM verts LEFT JOIN cnt USING (v) ORDER BY vec_id""".stripMargin
+    },
+    "g7_scd2_intervals" ->
+      """WITH inj AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS price, 1 AS dvid
+        |  FROM orders WHERE o_orderkey % 5 IN (0,1)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1, 2
+        |  FROM orders WHERE o_orderkey % 5 IN (1,2))
+        |SELECT id, status, price, dvid AS valid_from,
+        |  coalesce(lead(dvid) OVER (PARTITION BY id ORDER BY dvid) - 1, 9999) AS valid_to
+        |FROM inj ORDER BY id, valid_from""".stripMargin,
     "gx_connected_components" -> ccSql(rounds = 24),
     "m4b_metrics_deterministic" -> m4bSql,
     "m5b_sweep_deterministic" -> m5bSql,

@@ -359,8 +359,42 @@ object Relational {
         |ORDER BY e.vec_id""".stripMargin)
   }
 
+  // Classic decision-support shapes on the SQL surface (TPC-H Q3/Q18
+  // analogues): a 3-way join + grouped revenue top-N, and a
+  // having-filtered semi-join — the plans every warehouse query planner
+  // must get right (pushdown into all scans, broadcast dims, partial
+  // aggs, top-N sort limit).
+  private def sqlShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  private def sqlLargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum(l_quantity) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_extension_fns" -> (sqlExtensionFns(_, _)),
+    "sql_q3_shipping_priority" -> (sqlShippingPriority(_, _)),
+    "sql_q18_large_orders" -> (sqlLargeOrders(_, _)),
     "s1_csv_scan_normalize" -> (s1CsvScan(_, _)),
     "j9_feature_injection" -> (j9FeatureInjection(_, _)),
     "r2_candidate_cap" -> (r2CandidateCap(_, _)),
@@ -395,6 +429,27 @@ object Relational {
   private val pu47 = ColFns.pseudoUniformSql("product", 47L)
 
   val oracles: Map[String, String] = Map(
+    // l_quantity is integer-valued in this generator, so the HAVING
+    // threshold and the un-rounded qty sums are exact in any order
+    "sql_q3_shipping_priority" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "sql_q18_large_orders" ->
+      """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum(l_quantity) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "sql_extension_fns" -> {
       val dot = graft.sim.Similarity.dotSql("embedding", "embedding", 64)
       s"""SELECT e.vec_id, round($dot, 6) AS norm2,

@@ -103,6 +103,24 @@ object GraphXAnalytics {
       .select(col("id"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Triangle count per vertex over an arbitrary (src, dst) edge
+    * DataFrame, treated as undirected (GraphX canonicalizes + dedups
+    * internally). Ids of any type — hashed via their string form to
+    * GraphX Long vertex ids, translated back through the kept mapping. */
+  def triangles(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val vm = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+      .select(col("id"), xxhash64(col("id").cast("string")).as("vid"))
+    val edgeRdd = edges
+      .select(xxhash64(col("src").cast("string")).as("s"),
+        xxhash64(col("dst").cast("string")).as("d"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    Graph.fromEdges(edgeRdd, ()).triangleCount().vertices.toDF("vid", "tri")
+      .join(vm, "vid")
+      .select(col("id"), col("tri").cast("long").as("triangles"))
+  }
+
   /** GraphX total degrees — cross-checks the DataFrame A2 operator. */
   def degrees(spark: SparkSession, g: PropertyGraph): DataFrame = {
     import spark.implicits._
