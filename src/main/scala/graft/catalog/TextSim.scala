@@ -144,6 +144,13 @@ object TextSim {
     Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
       .orderBy("id")
 
+  // product-quantization codes (the 32× storage path: 64 float32 dims →
+  // 8 byte codes); hash-sampled codebook → full DuckDB oracle
+  private def simPqCodes(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(Tables.embeddings(spark, dir), "vec_id", "embedding", DIM)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
   // F10: the embedding dot-product / cosine scalar in isolation — the
   // codegen ArrayDotProduct expression every KNN/ANN kernel builds on
   // (xgboost_training_for_big_data.py:359) — over consecutive-id pairs.
@@ -312,6 +319,7 @@ object TextSim {
     "mm3_resize_plan" -> (mm3ResizePlan(_, _)),
     "mm4_frame_sample" -> (mm4FrameSample(_, _)),
     "sim_quantize_int8" -> (simQuantizeInt8(_, _)),
+    "sim_pq_codes" -> (simPqCodes(_, _)),
     "f10_dot_product" -> (f10DotProduct(_, _)))
 
   // ---- oracles ----
@@ -675,6 +683,8 @@ object TextSim {
         |SELECT media_id, CAST(idx AS INT) AS frame_no,
         |       CAST(idx * 100 AS BIGINT) AS byte_offset
         |FROM f ORDER BY media_id, frame_no""".stripMargin,
+    "sim_pq_codes" ->
+      Similarity.pqCodesSql("embeddings", "vec_id", "embedding", DIM),
     "sim_quantize_int8" ->
       """WITH b AS (
         |  SELECT vec_id AS id,

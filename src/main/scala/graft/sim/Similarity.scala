@@ -209,6 +209,71 @@ object Similarity {
         aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"))
   }
 
+  /** Product-quantization codes: `dim` split into `nSub` subspaces; the
+    * codebook per subspace is the corresponding subvectors of
+    * `codebookSize` hash-chosen corpus rows (the same deterministic
+    * hash-sampled codebook the IVF hash-quantizer uses, so the whole
+    * operator replays in SQL — a KMeans-trained codebook slots into the
+    * identical interface); code = argmin-L2 codeword per subspace with
+    * a lower-code tie-break. The PQ storage path complementing int8:
+    * 64 float32 dims → `nSub` byte codes (32× at 8×16), and ADC scoring
+    * becomes nSub table lookups per candidate. */
+  def pqCodes(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+              nSub: Int = 8, codebookSize: Int = 16, salt: Long = 17L): DataFrame = {
+    import graft.functions.ColFns
+    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
+    val subLen = dim / nSub
+    val base = vectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val centW = Window.orderBy(ColFns.pseudoUniform(col("cid"), salt).asc, col("cid").asc)
+    val cents = vectors.select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("code", row_number().over(centW))
+      .filter(col("code") <= codebookSize)
+      .select("code", "cv")
+    val aggs = (0 until nSub).map { s =>
+      val sv = slice(col("v"), s * subLen + 1, subLen)
+      val cs = slice(col("cv"), s * subLen + 1, subLen)
+      // |v_s|² is constant per id — rank codewords by |c_s|² − 2·v_s·c_s
+      val d = dot(cs, cs) - lit(2.0) * dot(sv, cs)
+      min_by(col("code"), struct(d.as("d"), col("code"))).as(s"c$s")
+    }
+    base.crossJoin(broadcast(cents)).groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB mirror of `pqCodes`. */
+  def pqCodesSql(table: String, idCol: String, vecCol: String, dim: Int,
+                 nSub: Int = 8, codebookSize: Int = 16, salt: Long = 17L): String = {
+    val subLen = dim / nSub
+    def sdot(a: String, b: String, s: Int): String =
+      (s * subLen + 1 to (s + 1) * subLen).map(i =>
+        s"CAST(list_extract($a,$i) AS DOUBLE)*CAST(list_extract($b,$i) AS DOUBLE)")
+        .mkString("(", " + ", ")")
+    val dCols = (0 until nSub).map(s =>
+      s"${sdot("cv", "cv", s)} - 2.0*${sdot("v", "cv", s)} AS d$s").mkString(",\n  ")
+    // DuckDB's min_by takes no composite ordering — rank per subspace
+    // with an explicit (distance, code) window instead
+    val rCols = (0 until nSub).map(s =>
+      s"row_number() OVER (PARTITION BY id ORDER BY d$s ASC, code ASC) AS r$s")
+      .mkString(",\n  ")
+    val picks = (0 until nSub).map(s =>
+      s"CAST(max(CASE WHEN r$s = 1 THEN code END) AS INTEGER) AS c$s").mkString(", ")
+    val pu = graft.functions.ColFns.pseudoUniformSql("cid", salt)
+    s"""WITH base AS (SELECT $idCol AS id, $vecCol AS v FROM $table),
+       |cands AS (SELECT $idCol AS cid, $vecCol AS cv FROM $table),
+       |cents AS (SELECT code, cv FROM (
+       |  SELECT cv, row_number() OVER (ORDER BY $pu ASC, cid ASC) AS code
+       |  FROM cands) WHERE code <= $codebookSize),
+       |pairs AS (SELECT id, code,
+       |  $dCols
+       |  FROM base CROSS JOIN cents),
+       |ranked AS (SELECT id, code,
+       |  $rCols
+       |  FROM pairs)
+       |SELECT id AS vec_id, $picks
+       |FROM ranked GROUP BY id ORDER BY vec_id""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane `j`,
     * dimension `i` — pure integer math, mirrored in SQL below. */
   private def planeComponent(j: Int, i: Int): Double =

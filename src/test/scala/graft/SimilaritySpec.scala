@@ -106,6 +106,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ codes: in codebook range, deterministic, codewords self-assign") {
+    import graft.functions.ColFns
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val codes = Similarity.pqCodes(e, "vec_id", "embedding", dim = 64).cache()
+    assert(codes.count() === e.count())
+    val codeCols = (0 until 8).map(s => col(s"c$s"))
+    val outOfRange = codes.filter(
+      codeCols.map(c => c < 1 || c > 16).reduce(_ || _)).count()
+    assert(outOfRange === 0)
+    // a codeword row's nearest codeword per subspace is itself (d = 0)
+    val centW = Window.orderBy(ColFns.pseudoUniform($"cid", 17L).asc, $"cid".asc)
+    val chosen = e.select($"vec_id".as("cid"))
+      .withColumn("code", org.apache.spark.sql.functions.row_number().over(centW))
+      .filter($"code" <= 16)
+    val selfMiss = codes.join(chosen, codes("id") === chosen("cid"))
+      .filter(codeCols.map(c => c =!= $"code").reduce(_ || _)).count()
+    assert(selfMiss === 0)
+  }
+
   test("similarityStats aggregates per source") {
     val e = graft.core.Tables.embeddings(spark, sfDir).limit(50)
     val stats = Similarity.similarityStats(
