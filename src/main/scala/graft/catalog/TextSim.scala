@@ -151,6 +151,16 @@ object TextSim {
       .withColumnRenamed("id", "vec_id")
       .orderBy("vec_id")
 
+  // T7: fixed-size token chunking with overlap (50-token windows,
+  // 10-token overlap) — documents become model-ready training windows;
+  // chunk text is hashed so the hash gate checks content, not a blob
+  private def t7Chunking(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(spark, dir), "doc_id", "text",
+        chunkSize = 50, overlap = 10)
+      .select(col("doc_id"), col("chunk_no"), col("n_chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_no")
+
   // F10: the embedding dot-product / cosine scalar in isolation — the
   // codegen ArrayDotProduct expression every KNN/ANN kernel builds on
   // (xgboost_training_for_big_data.py:359) — over consecutive-id pairs.
@@ -314,6 +324,7 @@ object TextSim {
     "t4_fingerprint" -> (t4Fingerprint(_, _)),
     "t5_corpus_filter" -> (t5CorpusFilter(_, _)),
     "t6_winnowing" -> (t6Winnowing(_, _)),
+    "t7_chunking" -> (t7Chunking(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
     "mm3_resize_plan" -> (mm3ResizePlan(_, _)),
@@ -596,6 +607,26 @@ object TextSim {
          |WHERE l.doc_id = c.keep_id AND l.lang_pred = 'en'
          |  AND l.n_tokens >= 10 AND l.punct_ratio < 0.2 AND l.stopword_ratio >= 0.02
          |ORDER BY l.doc_id""".stripMargin,
+    "t7_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    CAST(unnest(generate_series(0,
+        |      CASE WHEN n <= 50 THEN 0
+        |           ELSE CAST(ceil(CAST(n - 10 AS DOUBLE) / 40) AS INTEGER) - 1 END)) AS INTEGER)
+        |      AS chunk_no
+        |  FROM t WHERE n > 0),
+        |s AS (
+        |  SELECT doc_id, chunk_no,
+        |    list_slice(toks, chunk_no * 40 + 1, least(chunk_no * 40 + 50, n)) AS ct
+        |  FROM c)
+        |SELECT doc_id, chunk_no, CAST(len(ct) AS INTEGER) AS n_chunk_tokens,
+        |       md5(array_to_string(ct, ' ')) AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
     "t6_winnowing" ->
       """WITH n AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm

@@ -65,6 +65,31 @@ object TextAnalysis {
         round(when(nTok === 0, 0.0).otherwise(stops.cast("double") / nTok), 6))
   }
 
+  /** Fixed-size token chunking with overlap — the training-data prep
+    * step that turns documents into model-ready windows. Chunk i covers
+    * tokens [i·stride, i·stride + chunkSize) with stride = chunkSize −
+    * overlap; the final chunk may be short; every token is covered
+    * exactly ceil-many chunks. Pure builtins (sequence → explode →
+    * slice): one generator row per chunk, no UDF, no driver loop — at
+    * 100 TB this is a map-only pass whose output is ~n/stride rows per
+    * doc. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int = 50, overlap: Int = 10): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    val stride = chunkSize - overlap
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"),
+      tokenCount(col(textCol)).as("n"))
+    val nChunks = when(col("n") <= chunkSize, 1)
+      .otherwise(ceil((col("n") - lit(overlap)).cast("double") / stride).cast("int"))
+    base.filter(col("n") > 0)
+      .withColumn("chunk_no", explode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("chunk_no"),
+        slice(col("toks"), col("chunk_no") * stride + 1, lit(chunkSize)).as("chunk_toks"))
+      .withColumn("n_chunk_tokens", size(col("chunk_toks")))
+      .withColumn("chunk_text", concat_ws(" ", col("chunk_toks")))
+      .drop("chunk_toks")
+  }
+
   /** Winnowing fingerprint selection (the MOSS scheme): hash every
     * k-gram, slide a w-window over the hash sequence, keep each window's
     * minimum — guarantees any shared substring of length ≥ k+w−1 yields

@@ -6,6 +6,20 @@ import graft.text.{Dedup, TextAnalysis}
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunking covers every token exactly once plus the declared overlap") {
+    import graft.text.TextAnalysis
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val chunks = TextAnalysis.chunk(docs, "doc_id", "text", chunkSize = 50, overlap = 10)
+    assert(chunks.filter($"n_chunk_tokens" > 50 || $"n_chunk_tokens" < 1).count() === 0)
+    // coverage identity: Σ chunk lens = n_tokens + overlap·(chunks − 1)
+    val agg = chunks.groupBy("doc_id")
+      .agg(sum("n_chunk_tokens").as("s"), count(lit(1)).as("c"))
+    val toks = docs.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+    val bad = agg.join(toks, "doc_id")
+      .filter($"s" =!= $"n" + lit(10) * ($"c" - 1)).count()
+    assert(bad === 0)
+  }
+
   test("exact dedup groups identical texts under one canonical id") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "unique text"))
       .toDF("doc_id", "text")
