@@ -151,6 +151,14 @@ object TextSim {
       .withColumnRenamed("id", "vec_id")
       .orderBy("vec_id")
 
+  // ADC search over the PQ codes: LSH-bucket pruning + per-candidate
+  // scoring from the 8-byte codes against the exact query vector — the
+  // compressed-corpus ANN query path end to end
+  private def simPqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqAdcTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        dim = DIM, k = 5)
+      .orderBy("src", "rn")
+
   // T7: fixed-size token chunking with overlap (50-token windows,
   // 10-token overlap) — documents become model-ready training windows;
   // chunk text is hashed so the hash gate checks content, not a blob
@@ -331,6 +339,7 @@ object TextSim {
     "mm4_frame_sample" -> (mm4FrameSample(_, _)),
     "sim_quantize_int8" -> (simQuantizeInt8(_, _)),
     "sim_pq_codes" -> (simPqCodes(_, _)),
+    "sim_pq_adc_topk" -> (simPqAdcTopK(_, _)),
     "f10_dot_product" -> (f10DotProduct(_, _)))
 
   // ---- oracles ----
@@ -716,6 +725,8 @@ object TextSim {
         |FROM f ORDER BY media_id, frame_no""".stripMargin,
     "sim_pq_codes" ->
       Similarity.pqCodesSql("embeddings", "vec_id", "embedding", DIM),
+    "sim_pq_adc_topk" ->
+      Similarity.pqAdcTopKSql("embeddings", "vec_id", "embedding", DIM, k = 5),
     "sim_quantize_int8" ->
       """WITH b AS (
         |  SELECT vec_id AS id,

@@ -274,6 +274,98 @@ object Similarity {
        |FROM ranked GROUP BY id ORDER BY vec_id""".stripMargin
   }
 
+  /** ADC (asymmetric distance computation) top-k over PQ codes: the
+    * production ANN shape at 100 TB — candidates are pruned by a cheap
+    * sign-LSH bucket, then scored from their `nSub`-byte PQ codes
+    * against the query's EXACT vector, never touching the candidates'
+    * original floats. Per candidate the score is nSub codebook lookups:
+    * rank by Σ_s (|c_s|² − 2·q_s·c_s) (the query's |q_s|² terms are
+    * constant per query, exactly the IVF ranking trick). The codebook
+    * joins are nSub broadcasts of `codebookSize` rows. */
+  def pqAdcTopK(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+                k: Int, nSub: Int = 8, codebookSize: Int = 16,
+                nPlanes: Int = 6, salt: Long = 17L): DataFrame = {
+    import graft.functions.ColFns
+    require(dim % nSub == 0)
+    val subLen = dim / nSub
+    val codes = pqCodes(vectors, idCol, vecCol, dim, nSub, codebookSize, salt)
+    val base = vectors.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
+    val qs = base.select(col("id").as("src"), col("v").as("qv"), col("bucket"))
+    val xs = base.select(col("id").as("dst"), col("bucket"))
+      .join(codes.withColumnRenamed("id", "dst"), "dst")
+    val centW = Window.orderBy(ColFns.pseudoUniform(col("cid"), salt).asc, col("cid").asc)
+    val cents = vectors.select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("code", row_number().over(centW))
+      .filter(col("code") <= codebookSize)
+    var cur = qs.join(xs, Seq("bucket")).filter(col("src") =!= col("dst"))
+    val terms = (0 until nSub).map { s =>
+      val cs = cents.select(col("code").as(s"k$s"),
+        slice(col("cv"), s * subLen + 1, subLen).as(s"cw$s"))
+      cur = cur.join(broadcast(cs), col(s"c$s") === col(s"k$s"))
+      dot(col(s"cw$s"), col(s"cw$s")) -
+        lit(2.0) * dot(slice(col("qv"), s * subLen + 1, subLen), col(s"cw$s"))
+    }
+    val w = Window.partitionBy("src").orderBy(col("adc").asc, col("dst").asc)
+    cur.withColumn("adc", terms.reduce(_ + _))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("rn"), col("dst"), round(col("adc"), 6).as("adc"))
+  }
+
+  /** DuckDB mirror of `pqAdcTopK`. */
+  def pqAdcTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
+                   k: Int, nSub: Int = 8, codebookSize: Int = 16,
+                   nPlanes: Int = 6, salt: Long = 17L): String = {
+    val subLen = dim / nSub
+    def sdot(a: String, b: String, s: Int): String =
+      (s * subLen + 1 to (s + 1) * subLen).map(i =>
+        s"CAST(list_extract($a,$i) AS DOUBLE)*CAST(list_extract($b,$i) AS DOUBLE)")
+        .mkString("(", " + ", ")")
+    val pu = graft.functions.ColFns.pseudoUniformSql("cid", salt)
+    val dCols = (0 until nSub).map(s =>
+      s"${sdot("cv", "cv", s)} - 2.0*${sdot("v", "cv", s)} AS d$s").mkString(",\n  ")
+    val rCols = (0 until nSub).map(s =>
+      s"row_number() OVER (PARTITION BY id ORDER BY d$s ASC, code ASC) AS r$s")
+      .mkString(",\n  ")
+    val picks = (0 until nSub).map(s =>
+      s"max(CASE WHEN r$s = 1 THEN code END) AS c$s").mkString(", ")
+    val bucket = lshBucketSql(vecCol, dim, nPlanes)
+    val centJoins = (0 until nSub).map(s =>
+      s"JOIN cents k$s ON k$s.code = p.c$s").mkString("\n  ")
+    val adc = (0 until nSub).map(s =>
+      s"(${sdot(s"k$s.cv", s"k$s.cv", s)} - 2.0*${sdot("p.qv", s"k$s.cv", s)})")
+      .mkString(" + ")
+    s"""WITH cands AS (SELECT $idCol AS cid, $vecCol AS cv FROM $table),
+       |cents AS (SELECT code, cv FROM (
+       |  SELECT cv, row_number() OVER (ORDER BY $pu ASC, cid ASC) AS code
+       |  FROM cands) WHERE code <= $codebookSize),
+       |cpairs AS (SELECT b.$idCol AS id, c.code,
+       |  $dCols
+       |  FROM (SELECT $idCol, $vecCol AS v FROM $table) b CROSS JOIN cents c),
+       |cranked AS (SELECT id, code,
+       |  $rCols
+       |  FROM cpairs),
+       |codes AS (SELECT id, $picks FROM cranked GROUP BY id),
+       |base AS (SELECT $idCol AS id, $vecCol AS v, $bucket AS bucket FROM $table),
+       |p AS (
+       |  SELECT q.id AS src, q.v AS qv, x.id AS dst,
+       |         ${(0 until nSub).map(s => s"c.c$s").mkString(", ")}
+       |  FROM base q JOIN base x ON q.bucket = x.bucket AND q.id <> x.id
+       |  JOIN codes c ON c.id = x.id),
+       |scored AS (
+       |  SELECT p.src, p.dst, $adc AS adc
+       |  FROM p
+       |  $centJoins),
+       |r AS (SELECT src, dst, adc,
+       |  row_number() OVER (PARTITION BY src ORDER BY adc ASC, dst ASC) AS rn
+       |  FROM scored)
+       |SELECT src, rn, dst, round(adc, 6) AS adc FROM r WHERE rn <= $k
+       |ORDER BY src, rn""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane `j`,
     * dimension `i` — pure integer math, mirrored in SQL below. */
   private def planeComponent(j: Int, i: Int): Double =
