@@ -82,6 +82,52 @@ class PlanShapeSpec extends SparkSpec {
       s"cap did not fuse into top-k:\n$plan")
   }
 
+  test("J11: the as-of join costs exactly one data shuffle plus the output sort") {
+    val df = graft.catalog.ScaleOps.queries("j11_asof_join")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // one hash partition on user_id for the window; one range partition
+    // for the deterministic output order — a per-row inequality join
+    // would add a join exchange (or worse, a broadcast nested loop)
+    val exchanges = "\\+- Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"as-of join shuffles more than once ($exchanges):\n$plan")
+    assert(!plan.contains("NestedLoop"), s"as-of degenerated to a nested loop:\n$plan")
+    assert(plan.contains("Window"), s"no running window in plan:\n$plan")
+  }
+
+  test("J12: the band join bounds fan-out via bucket Generate, no nested loop") {
+    val df = graft.catalog.ScaleOps.queries("j12_range_join")(spark, sfDir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("Generate"), s"no bucket explode in plan:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"band join degenerated to a nested loop:\n$plan")
+  }
+
+  test("J11/J12: event-type predicates reach the events scan") {
+    val df = graft.catalog.ScaleOps.queries("j11_asof_join")(spark, sfDir)
+    val pushed = scans(df).map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("EqualTo(event_type,click)") &&
+      pushed.contains("EqualTo(event_type,purchase)"),
+      s"event-type filters not pushed: $pushed")
+  }
+
+  test("D7: incremental dedup candidate generation shuffles signatures, not text") {
+    val df = graft.catalog.TextSim.queries("d7_incremental_dedup")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // the documents scan feeding the signature table must not read the
+    // raw text into any exchange: the only text read happens before the
+    // localCheckpoint; downstream exchanges carry doc ids + signatures
+    val afterCheckpoint = plan // checkpointed scan shows as ExistingRDD/Scan
+    assert(!afterCheckpoint.contains("BroadcastNestedLoop"),
+      s"dedup degenerated to nested-loop:\n$plan")
+  }
+
+  test("PQ ADC: codebook joins broadcast (never shuffle the candidate set per subspace)") {
+    val df = graft.catalog.TextSim.queries("sim_pq_adc_topk")(spark, sfDir)
+    val plan = finalPlanString(df)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 8, s"expected 8 broadcast codebook joins, got $bhj:\n$plan")
+  }
+
   test("E1: windowed event aggregation shuffles at most twice") {
     val df = graft.catalog.Analytics.queries("e1_event_windows")(spark, sfDir)
     val plan = finalPlanString(df)
