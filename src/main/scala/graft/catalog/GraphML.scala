@@ -272,6 +272,15 @@ object GraphML {
       .select(col("id").cast("long").as("vec_id"), col("triangles"))
       .orderBy("vec_id")
 
+  // Deterministic sync label propagation on the KNN similarity graph —
+  // 4 rounds, most-frequent-neighbor label with min-label tie-break;
+  // per-round SQL mirror (same unrolled-CTE technique as PageRank/CC)
+  private def gxLabelPropagation(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphXAnalytics.labelPropagation(spark,
+        graft.sim.KnnCache.topk(spark, dir, 5).select("src", "dst"), rounds = 4)
+      .select(col("id").cast("long").as("vec_id"), col("lbl").cast("long").as("label"))
+      .orderBy("vec_id")
+
   // G6/§2.12 depth: SCD2 interval versioning — the dvid-tagged upsert
   // history (j2's injections) rewritten as validity intervals per key:
   // valid_from = the version that wrote the row, valid_to = the next
@@ -302,6 +311,7 @@ object GraphML {
     "gx_connected_components" -> (gxConnectedComponents(_, _)),
     "gx_pagerank" -> (gxPageRank(_, _)),
     "gx_triangles" -> (gxTriangles(_, _)),
+    "gx_label_propagation" -> (gxLabelPropagation(_, _)),
     "g7_scd2_intervals" -> (g7Scd2Intervals(_, _)),
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
     "m2_multidate_discount" -> (m2MultiDateMetrics(_, _)),
@@ -550,6 +560,34 @@ object GraphML {
          |verts AS (SELECT DISTINCT a AS v FROM und UNION SELECT b FROM und)
          |SELECT v AS vec_id, coalesce(t, 0) AS triangles
          |FROM verts LEFT JOIN cnt USING (v) ORDER BY vec_id""".stripMargin
+    },
+    "gx_label_propagation" -> {
+      val dotAB = graft.sim.Similarity.dotSql("a.embedding", "b.embedding", 64)
+      val steps = (1 to 4).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT id, lbl FROM (
+           |    SELECT u.dst AS id, q.lbl,
+           |      row_number() OVER (PARTITION BY u.dst
+           |        ORDER BY count(*) DESC, q.lbl ASC) AS rn
+           |    FROM und u JOIN l${i - 1} q ON q.id = u.src
+           |    GROUP BY u.dst, q.lbl) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |            sqrt(${graft.sim.Similarity.dotSql("embedding", "embedding", 64)}) AS nrm
+         |           FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |topk AS (SELECT src, dst FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |  FROM scored) WHERE rn <= 5),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM topk UNION ALL SELECT dst, src FROM topk)),
+         |verts AS (SELECT DISTINCT src AS id FROM und),
+         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts),
+         |$steps
+         |SELECT id AS vec_id, lbl AS label FROM l4 ORDER BY vec_id""".stripMargin
     },
     "g7_scd2_intervals" ->
       """WITH inj AS (

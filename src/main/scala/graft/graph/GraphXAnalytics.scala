@@ -121,6 +121,37 @@ object GraphXAnalytics {
       .select(col("id"), col("tri").cast("long").as("triangles"))
   }
 
+  /** Deterministic synchronous label propagation (the LPA community
+    * substitute SURVEY §2.10 notes for G2): labels start as own id;
+    * each round every vertex adopts the most frequent label among its
+    * neighbors, ties broken by the smaller label. Unlike GraphX's
+    * LabelPropagation (hash-map merge, unspecified tie order) this is
+    * fully deterministic and therefore SQL-replayable round by round.
+    * Edges are treated as an undirected DISTINCT pair set. One shuffle
+    * per round (the neighbor-label groupBy); lineage truncated per
+    * round. */
+  def labelPropagation(spark: SparkSession, edges: DataFrame,
+                       rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val verts = und.select(col("src").as("id")).distinct()
+    var labels = verts.select(col("id"), col("id").as("lbl"))
+    val w = Window.partitionBy("id").orderBy(desc("cnt"), asc("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("id", "lbl")
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** GraphX total degrees — cross-checks the DataFrame A2 operator. */
   def degrees(spark: SparkSession, g: PropertyGraph): DataFrame = {
     import spark.implicits._
