@@ -434,6 +434,25 @@ object Analytics {
       .select(col("c_nationkey"), col("n"), round(col("total_value"), 4).as("total_value"))
       .orderBy("c_nationkey")
 
+  // W7: rolling time-RANGE window — per order, the same customer's
+  // order count and revenue over the preceding 90 days (inclusive).
+  // RANGE frames (not ROWS): same-day peers all join the frame, so the
+  // result is partitioning- and tie-independent. Revenue is summed in
+  // exact integer cents — windowed double sums associate differently
+  // across engines, cents don't.
+  private def w7RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+        .cast("long").as("d"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-90, 0)
+    o.select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_90d"),
+        sum("cents").over(w).as("rev_cents_90d"))
+      .orderBy("o_orderkey")
+  }
+
   // E8: watermarked stream–stream interval join — purchases ⋈ the same
   // user's clicks in the 30 minutes before, then a batch rollup of the
   // materialized matches. Same band semantics as j12_range_join's inner
@@ -521,6 +540,7 @@ object Analytics {
     "a13_community_summary" -> (a13CommunitySummary(_, _)),
     "a14_timestamp_diagnostics" -> (a14TimestampDiagnostics(_, _)),
     "w2_topn_by_score" -> (w2TopNByScore(_, _)),
+    "w7_rolling_window" -> (w7RollingWindow(_, _)),
     "w3_category_cap" -> (w3CategoryCap(_, _)),
     "f1_string_normalize" -> (f1StringNormalize(_, _)),
     "f5_multiformat_dates" -> (f5MultiFormatDates(_, _)),
@@ -546,6 +566,18 @@ object Analytics {
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "w7_rolling_window" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY d
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS n_90d,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_cents_90d
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     "e8_stream_interval_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
