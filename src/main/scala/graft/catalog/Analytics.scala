@@ -467,6 +467,44 @@ object Analytics {
       .agg(count(lit(1)).as("n_clicks"), round(sum("c_value"), 2).as("click_value"))
       .orderBy("purchase_id")
 
+  // A17: pivot — order counts and revenue spread across order-status
+  // columns per nation (explicit value list keeps the schema static,
+  // which is also the scale rule: pivot over an unbounded value set
+  // means a driver-side distinct first).
+  private def a17Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+    joined.groupBy(col("n_name").as("nation"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("nation"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy("nation")
+  }
+
+  // A18: unpivot/melt — the per-status counts folded back to long form
+  // (the inverse reshaping; Spark's unpivot = the `stack` generator)
+  private def a18Unpivot(spark: SparkSession, dir: String): DataFrame =
+    a17Pivot(spark, dir)
+      .unpivot(Array(col("nation")),
+        Array(col("n_f"), col("n_o"), col("n_p")), "status", "n")
+      .orderBy("nation", "status")
+
+  // F16: JSON field extraction — the events table's props column is a
+  // JSON document; pull the numeric field and aggregate it per event
+  // type (get_json_object stays inside codegen; at scale prefer an
+  // explicit from_json schema so pruning works)
+  private def f16JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum("k").as("k_sum"))
+      .orderBy("event_type")
+
   // A15: hierarchical rollup (flag → status → grand total) — the
   // grouping-sets surface the reference lacks but any analytics engine
   // at scale needs; one pass, partial aggregation per grouping set.
@@ -562,10 +600,47 @@ object Analytics {
     "e6_stream_static_join" -> (e6StreamStaticJoin(_, _)),
     "e8_stream_interval_join" -> (e8StreamIntervalJoin(_, _)),
     "a15_rollup" -> (a15Rollup(_, _)),
+    "a17_pivot" -> (a17Pivot(_, _)),
+    "a18_unpivot" -> (a18Unpivot(_, _)),
+    "f16_json_extract" -> (f16JsonExtract(_, _)),
     "a16_approx_sketches" -> (a16ApproxSketches(_, _)),
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "a17_pivot" ->
+      """SELECT n_name AS nation,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "a18_unpivot" ->
+      """WITH p AS (
+        |  SELECT n_name AS nation, o_orderstatus AS s, count(*) AS n
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, o_orderstatus),
+        |w AS (
+        |  SELECT nation, 'n_f' AS status,
+        |    CAST(coalesce(max(CASE WHEN s = 'F' THEN n END), 0) AS BIGINT) AS n
+        |  FROM p GROUP BY nation
+        |  UNION ALL
+        |  SELECT nation, 'n_o',
+        |    CAST(coalesce(max(CASE WHEN s = 'O' THEN n END), 0) AS BIGINT)
+        |  FROM p GROUP BY nation
+        |  UNION ALL
+        |  SELECT nation, 'n_p',
+        |    CAST(coalesce(max(CASE WHEN s = 'P' THEN n END), 0) AS BIGINT)
+        |  FROM p GROUP BY nation)
+        |SELECT nation, status, n FROM w ORDER BY nation, status""".stripMargin,
+    "f16_json_extract" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "w7_rolling_window" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey,
