@@ -116,6 +116,27 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  // D8: fuzzy entity matching with blocking — candidate (a, b) pairs
+  // whose names sit within Levenshtein distance 2, generated only
+  // WITHIN a block (last-2-chars key), never as a full cross join: the
+  // ER primitive for the reference's customer-identity drift (SURVEY
+  // §7.4 trap 5 — dvid≥2 injections mint new ids for the same human).
+  // At corpus scale the block key bounds the candidate set exactly like
+  // the dedup bands bound theirs.
+  private def d8FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      .withColumn("blk", expr("right(name_a, 2)"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      .withColumn("blk", expr("right(name_b, 2)"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- similarity search ----
 
   private def simBruteTopK(spark: SparkSession, dir: String): DataFrame =
@@ -321,6 +342,7 @@ object TextSim {
     "d5_embedding_neardup" -> (d5EmbeddingNearDup(_, _)),
     "d6_dedup_clusters" -> (d6DedupClusters(_, _)),
     "d7_incremental_dedup" -> (d7IncrementalDedup(_, _)),
+    "d8_fuzzy_match" -> (d8FuzzyMatch(_, _)),
     "j7_knn_topk" -> (simBruteTopK(_, _)),
     "sim_lsh_topk" -> (simLshTopK(_, _)),
     "sim_ivf_topk" -> (simIvfTopK(_, _)),
@@ -433,6 +455,17 @@ object TextSim {
          |WHERE $dotAB / (a.nrm * b.nrm) >= 0.4
          |ORDER BY src, dst""".stripMargin
     },
+    "d8_fuzzy_match" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS id_a, c_name AS name_a, right(c_name, 2) AS blk
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS id_b, c_name AS name_b, right(c_name, 2) AS blk
+        |  FROM customer)
+        |SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        |FROM a JOIN b USING (blk)
+        |WHERE id_a < id_b AND levenshtein(name_a, name_b) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "d7_incremental_dedup" ->
       s"""WITH $hashedShingleCte,
          |signed AS (
