@@ -153,7 +153,7 @@ object LinkPredict {
     * this floor only kicks in when partitions are near-empty. */
   def train(spark: SparkSession, data: DataFrame,
             algo: String = "gbt", maxIter: Int = 10, seed: Long = 42L,
-            maxDepth: Int = 5): TrainResult = {
+            maxDepth: Int = 5, lrMaxIter: Int = 15): TrainResult = {
     val assembled = FeatureLayout
       .assemble(data.coalesce(8), FeatureLayout.DiscountV1)
       .withColumn("split",
@@ -183,7 +183,7 @@ object LinkPredict {
         (m, featureNames.zip(m.featureImportances.toArray))
       case "lr" =>
         val m = new LogisticRegression().setLabelCol("label").setFeaturesCol("features")
-          .setWeightCol("w").setMaxIter(15).setRegParam(0.01)
+          .setWeightCol("w").setMaxIter(lrMaxIter).setRegParam(0.01)
           .fit(weighted)
         (m, featureNames.zip(m.coefficients.toArray.map(math.abs)))
     } }
