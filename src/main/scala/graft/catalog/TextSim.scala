@@ -77,7 +77,7 @@ object TextSim {
     val docs = Tables.documents(spark, dir)
     val sh = docs.select(col("doc_id"),
         Dedup.shingleArray(col("text"), 5).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => md5(s)))
+      .withColumn("hs", graft.plans.expressions.array_md5(col("sh")))
     // one signature table serves banding AND verification (materialized:
     // it feeds three joins)
     val signed = sh.select(

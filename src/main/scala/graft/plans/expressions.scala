@@ -100,6 +100,45 @@ case class CharShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** md5 of every element of a string array in one tight loop — replaces
+  * `transform(arr, s -> md5(s))`, which HOF-interprets a lambda (and a
+  * fresh Md5 expression eval) per element. The dedup pipelines hash
+  * every shingle of every document (~10⁶–10⁹ md5s at corpus scale), so
+  * the per-call overhead is the dominant constant. DigestUtils.md5Hex
+  * over the UTF8 bytes is exactly what Spark's Md5 expression computes,
+  * keeping DuckDB-oracle equality intact. */
+case class ArrayMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ArrayMd5 needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.fromString(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          arr.getUTF8String(i).getBytes))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ArrayMd5 =
+    copy(child = c)
+}
+
 /** The node2vec walk step's weighted candidate pick for LONG node ids —
   * replaces `array_min(transform(nbrs, c -> struct(-ln(u)/w, c)))`,
   * whose lambda tree evaluates interpreted per candidate (higher-order
@@ -185,6 +224,9 @@ object expressions {
 
   def char_shingles(s: Column, n: Int): Column =
     toColumn(CharShingles(toExpression(s), n))
+
+  def array_md5(arr: Column): Column =
+    toColumn(ArrayMd5(toExpression(arr)))
 
   def weighted_step_pick(nbrs: Column, prevNbrs: Column, prev: Column,
                          baseHash: Column, invP: Double, invQ: Double,

@@ -55,7 +55,7 @@ object Dedup {
     // one md5 per shingle, materialized as a bound column; every
     // signature component is then a cheap slice-min over it
     val sh = docs.select(col(idCol).as("doc"), shingleArray(col(textCol), n).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => md5(s)))
+      .withColumn("hs", graft.plans.expressions.array_md5(col("sh")))
     val sigCols = (0 until bands).map { b =>
       val mins = (0 until rowsPerBand).map(r =>
         minhashSlice(col("hs"), b * rowsPerBand + r))

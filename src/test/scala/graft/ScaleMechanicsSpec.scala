@@ -67,6 +67,15 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_perfect") <= n)
   }
 
+  test("ArrayMd5 matches transform(arr, s -> md5(s)) exactly") {
+    val df = graft.core.Tables.documents(spark, sfDir)
+      .select(graft.text.Dedup.shingleArray($"text", 5).as("sh"))
+    val both = df.select(
+      transform($"sh", s => md5(s)).as("hof"),
+      graft.plans.expressions.array_md5($"sh").as("fast"))
+    assert(both.filter($"hof" =!= $"fast").count() === 0)
+  }
+
   test("WeightedStepPick is bit-identical to the HOF walk-step formulation") {
     import graft.functions.ColFns
     val df = spark.range(500).toDF("i")
