@@ -190,6 +190,16 @@ object TextSim {
         md5(col("chunk_text")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_no")
 
+  // T8: language-ID evaluation — predicted vs labeled language as a
+  // confusion rollup (the same quality-measurement-as-a-query pattern
+  // as sim_recall_eval: never trust a heuristic at corpus scale without
+  // a measured confusion)
+  private def t8LangConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
   // F10: the embedding dot-product / cosine scalar in isolation — the
   // codegen ArrayDotProduct expression every KNN/ANN kernel builds on
   // (xgboost_training_for_big_data.py:359) — over consecutive-id pairs.
@@ -355,6 +365,7 @@ object TextSim {
     "t5_corpus_filter" -> (t5CorpusFilter(_, _)),
     "t6_winnowing" -> (t6Winnowing(_, _)),
     "t7_chunking" -> (t7Chunking(_, _)),
+    "t8_lang_confusion" -> (t8LangConfusion(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
     "mm3_resize_plan" -> (mm3ResizePlan(_, _)),
@@ -589,6 +600,12 @@ object TextSim {
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
          |h AS (SELECT doc_id, $langHitCols FROM t)
          |SELECT doc_id, $langArgmax AS lang_pred FROM h ORDER BY doc_id""".stripMargin,
+    "t8_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |h AS (SELECT doc_id, lang, $langHitCols FROM t),
+         |p AS (SELECT lang, $langArgmax AS lang_pred FROM h)
+         |SELECT lang, lang_pred, count(*) AS n FROM p
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
     "t2_quality_score" ->
       """WITH b AS (
         |  SELECT doc_id, text,
