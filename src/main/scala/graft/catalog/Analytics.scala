@@ -434,6 +434,30 @@ object Analytics {
       .select(col("c_nationkey"), col("n"), round(col("total_value"), 4).as("total_value"))
       .orderBy("c_nationkey")
 
+  // E9: funnel analysis — ordered sequence completion per user
+  // (view → first click AFTER that view → first purchase AFTER that
+  // click), rolled up to per-stage user counts and median step delays.
+  // Each stage is a keyed aggregate over the prior stage's anchor time:
+  // three shuffles on user_id total, no per-user event sorting.
+  private def e9Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("vt"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("t") > col("vt"))
+      .groupBy("user_id").agg(min("t").as("ct"), first("vt").as("vt"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("t") > col("ct"))
+      .groupBy("user_id").agg(min("t").as("pt"), first("ct").as("ct"))
+    val row = v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_click_after"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase_after"),
+        sum(col("pt") - col("ct")).as("sum_purchase_delay_us")))
+    row.select(col("n_view"), col("n_click_after"), col("n_purchase_after"),
+      col("sum_purchase_delay_us"))
+  }
+
   // W7: rolling time-RANGE window — per order, the same customer's
   // order count and revenue over the preceding 90 days (inclusive).
   // RANGE frames (not ROWS): same-day peers all join the frame, so the
@@ -579,6 +603,7 @@ object Analytics {
     "a14_timestamp_diagnostics" -> (a14TimestampDiagnostics(_, _)),
     "w2_topn_by_score" -> (w2TopNByScore(_, _)),
     "w7_rolling_window" -> (w7RollingWindow(_, _)),
+    "e9_funnel" -> (e9Funnel(_, _)),
     "w3_category_cap" -> (w3CategoryCap(_, _)),
     "f1_string_normalize" -> (f1StringNormalize(_, _)),
     "f5_multiformat_dates" -> (f5MultiFormatDates(_, _)),
@@ -607,6 +632,21 @@ object Analytics {
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "e9_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS vt FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.t) AS ct, min(v.vt) AS vt
+        |      FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.t > v.vt GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.t) AS pt, min(c.ct) AS ct
+        |      FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.t > c.ct GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click_after,
+        |       (SELECT count(*) FROM p) AS n_purchase_after,
+        |       (SELECT CAST(sum(pt - ct) AS BIGINT) FROM p) AS sum_purchase_delay_us""".stripMargin,
     "a17_pivot" ->
       """SELECT n_name AS nation,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
