@@ -285,6 +285,33 @@ object GraphML {
       .select(col("id").cast("long").as("vec_id"), col("lbl").cast("long").as("label"))
       .orderBy("vec_id")
 
+  // k-core peeling of the KNN similarity graph: k=6, 2 bounded rounds
+  // (the full 6-core is empty — round 3 peels the last 71 survivors —
+  // so the bounded-rounds contract doubles as the interesting slice of
+  // the peeling cascade: 500 -> 306 -> 71 nodes); SQL oracle unrolls
+  // exactly the same rounds
+  private def gxKCore(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphXAnalytics.kCore(spark,
+        graft.sim.KnnCache.topk(spark, dir, 5).select("src", "dst"), k = 6, rounds = 2)
+      .select(col("id").cast("long").as("vec_id"), col("core_degree"))
+      .orderBy("vec_id")
+
+  // M9 (eval depth): calibration curve over the deterministic scored set
+  // — decile score buckets vs observed positive rate; integer counts +
+  // one division per bucket keep it bit-exact (the reliability check a
+  // production scorer ships with)
+  private def m9Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = detScored(spark, dir)
+      .select(col("label"), least(lit(9L),
+        floor(col("p") / 60000.0).cast("long")).as("bucket"))
+    scored.groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("label").cast("long")).as("n_pos"),
+        (sum(col("label").cast("long")).cast("double") / count(lit(1)))
+          .as("pos_rate"))
+      .orderBy("bucket")
+  }
+
   // G6/§2.12 depth: SCD2 interval versioning — the dvid-tagged upsert
   // history (j2's injections) rewritten as validity intervals per key:
   // valid_from = the version that wrote the row, valid_to = the next
@@ -316,6 +343,8 @@ object GraphML {
     "gx_pagerank" -> (gxPageRank(_, _)),
     "gx_triangles" -> (gxTriangles(_, _)),
     "gx_label_propagation" -> (gxLabelPropagation(_, _)),
+    "gx_kcore" -> (gxKCore(_, _)),
+    "m9_calibration" -> (m9Calibration(_, _)),
     "g7_scd2_intervals" -> (g7Scd2Intervals(_, _)),
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
     "m2_multidate_discount" -> (m2MultiDateMetrics(_, _)),
@@ -593,6 +622,41 @@ object GraphML {
          |$steps
          |SELECT id AS vec_id, lbl AS label FROM l4 ORDER BY vec_id""".stripMargin
     },
+    "gx_kcore" -> {
+      val dotAB = graft.sim.Similarity.dotSql("a.embedding", "b.embedding", 64)
+      val steps = (1 to 2).map { i =>
+        s"""u$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM u${i - 1} e
+           |  JOIN (SELECT src AS id FROM u${i - 1} GROUP BY src HAVING count(*) >= 6) ka
+           |    ON ka.id = e.src
+           |  JOIN (SELECT src AS id FROM u${i - 1} GROUP BY src HAVING count(*) >= 6) kb
+           |    ON kb.id = e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |            sqrt(${graft.sim.Similarity.dotSql("embedding", "embedding", 64)}) AS nrm
+         |           FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |topk AS (SELECT src, dst FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |  FROM scored) WHERE rn <= 5),
+         |u0 AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM topk UNION ALL SELECT dst, src FROM topk)),
+         |$steps
+         |SELECT src AS vec_id, count(*) AS core_degree
+         |FROM u2 GROUP BY src ORDER BY vec_id""".stripMargin
+    },
+    "m9_calibration" ->
+      s"""WITH $detScoredCte,
+         |b AS (SELECT label,
+         |        least(CAST(9 AS BIGINT), CAST(floor(p / 60000.0) AS BIGINT)) AS bucket
+         |      FROM scored)
+         |SELECT bucket, count(*) AS n,
+         |  CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS n_pos,
+         |  CAST(sum(CAST(label AS BIGINT)) AS DOUBLE) / count(*) AS pos_rate
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "g7_scd2_intervals" ->
       """WITH inj AS (
         |  SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS price, 1 AS dvid

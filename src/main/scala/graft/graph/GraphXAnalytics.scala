@@ -152,6 +152,31 @@ object GraphXAnalytics {
     labels
   }
 
+  /** k-core peeling, `rounds` synchronous iterations: each round drops
+    * every vertex whose degree in the SURVIVING subgraph is < k, then
+    * restricts the edge set to survivors. A fixed round count (rather
+    * than run-to-fixpoint) keeps the operator's cost bounded and its
+    * result exactly SQL-replayable; on graphs whose peeling converges
+    * faster the extra rounds are no-ops. Edges are undirected DISTINCT
+    * pairs; one degree-aggregate shuffle per round. */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int,
+            rounds: Int = 6): DataFrame = {
+    var und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = und.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("id")
+      und = und
+        .join(keep.withColumnRenamed("id", "src"), "src")
+        .join(keep.withColumnRenamed("id", "dst"), "dst")
+        .select("src", "dst").localCheckpoint(true)
+    }
+    und.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** GraphX total degrees — cross-checks the DataFrame A2 operator. */
   def degrees(spark: SparkSession, g: PropertyGraph): DataFrame = {
     import spark.implicits._
