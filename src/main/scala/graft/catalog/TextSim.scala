@@ -137,6 +137,29 @@ object TextSim {
       .orderBy("id_a", "id_b")
   }
 
+  // D9: entity resolution — d8's fuzzy candidate pairs resolved to
+  // canonical entities by connected components (the d6 pattern applied
+  // to ER): every customer maps to its component's lexicographically
+  // minimum id-string (ids compared as strings on both engines),
+  // singletons map to themselves. The pair graph is block-bounded, so
+  // components are small and the CC runs on the reduced edge set.
+  private def d9EntityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d8FuzzyMatch(spark, dir)
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val g = graft.graph.PropertyGraph(
+      cust.select(col("c_custkey").cast("string").as("id")),
+      pairs.select(col("id_a").cast("string").as("src"),
+        col("id_b").cast("string").as("dst")))
+    val cc = graft.graph.GraphXAnalytics.connectedComponents(spark, g)
+      .withColumnRenamed("id", "cid_s")
+    cust.join(cc, col("c_custkey").cast("string") === col("cid_s"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("component"), col("c_custkey").cast("string")).as("entity"))
+      .withColumn("is_canonical",
+        (col("c_custkey").cast("string") === col("entity")).cast("int"))
+      .orderBy("c_custkey")
+  }
+
   // ---- similarity search ----
 
   private def simBruteTopK(spark: SparkSession, dir: String): DataFrame =
@@ -353,6 +376,7 @@ object TextSim {
     "d6_dedup_clusters" -> (d6DedupClusters(_, _)),
     "d7_incremental_dedup" -> (d7IncrementalDedup(_, _)),
     "d8_fuzzy_match" -> (d8FuzzyMatch(_, _)),
+    "d9_entity_clusters" -> (d9EntityClusters(_, _)),
     "j7_knn_topk" -> (simBruteTopK(_, _)),
     "sim_lsh_topk" -> (simLshTopK(_, _)),
     "sim_ivf_topk" -> (simIvfTopK(_, _)),
@@ -465,6 +489,40 @@ object TextSim {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE $dotAB / (a.nrm * b.nrm) >= 0.4
          |ORDER BY src, dst""".stripMargin
+    },
+    "d9_entity_clusters" -> {
+      // min-VARCHAR-label propagation unrolled over the fuzzy-pair graph
+      // (components are bounded by the d8 block, so 16 rounds carries a
+      // wide margin over the component diameter)
+      val steps = (1 to 16).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT p.id, least(p.lbl, coalesce(m.minn, p.lbl)) AS lbl
+           |  FROM l${i - 1} p LEFT JOIN (
+           |    SELECT u.dst AS id, min(q.lbl) AS minn
+           |    FROM und u JOIN l${i - 1} q ON q.id = u.src
+           |    GROUP BY u.dst) m ON m.id = p.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH a AS (
+         |  SELECT c_custkey AS id_a, c_name AS name_a, right(c_name, 2) AS blk
+         |  FROM customer),
+         |b AS (
+         |  SELECT c_custkey AS id_b, c_name AS name_b, right(c_name, 2) AS blk
+         |  FROM customer),
+         |pairs AS (
+         |  SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+         |  FROM a JOIN b USING (blk)
+         |  WHERE id_a < id_b AND levenshtein(name_a, name_b) <= 2),
+         |und AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM und),
+         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts),
+         |$steps
+         |SELECT c.c_custkey,
+         |  coalesce(l16.lbl, CAST(c.c_custkey AS VARCHAR)) AS entity,
+         |  CAST(CAST(c.c_custkey AS VARCHAR) =
+         |    coalesce(l16.lbl, CAST(c.c_custkey AS VARCHAR)) AS INTEGER) AS is_canonical
+         |FROM customer c LEFT JOIN l16 ON l16.id = CAST(c.c_custkey AS VARCHAR)
+         |ORDER BY c.c_custkey""".stripMargin
     },
     "d8_fuzzy_match" ->
       """WITH a AS (
