@@ -359,6 +359,26 @@ object Relational {
         |ORDER BY e.vec_id""".stripMargin)
   }
 
+  // S10: schema evolution — a dvid-partitioned store whose later
+  // injection added a column; mergeSchema reconciles, earlier rows read
+  // NULL for the new column (the append-only injection store's survival
+  // rule: producers may add columns, never retype them).
+  private def s10SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("s10_evolving")
+    val o = Tables.orders(spark, dir)
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/dvid=1")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority").as("priority"))
+      .write.mode("overwrite").parquet(s"$path/dvid=2")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("dvid"), coalesce(col("priority"), lit("NONE")).as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("dvid", "priority")
+  }
+
   // Classic decision-support shapes on the SQL surface (TPC-H Q3/Q18
   // analogues): a 3-way join + grouped revenue top-N, and a
   // having-filtered semi-join — the plans every warehouse query planner
@@ -394,6 +414,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "sql_extension_fns" -> (sqlExtensionFns(_, _)),
     "sql_q3_shipping_priority" -> (sqlShippingPriority(_, _)),
+    "s10_schema_evolution" -> (s10SchemaEvolution(_, _)),
     "sql_q18_large_orders" -> (sqlLargeOrders(_, _)),
     "s1_csv_scan_normalize" -> (s1CsvScan(_, _)),
     "j9_feature_injection" -> (j9FeatureInjection(_, _)),
@@ -429,6 +450,16 @@ object Relational {
   private val pu47 = ColFns.pseudoUniformSql("product", 47L)
 
   val oracles: Map[String, String] = Map(
+    "s10_schema_evolution" ->
+      """WITH ev AS (
+        |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS priority, 1 AS dvid
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority, 2
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT dvid, coalesce(priority, 'NONE') AS priority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM ev GROUP BY dvid, coalesce(priority, 'NONE') ORDER BY dvid, priority""".stripMargin,
     // l_quantity is integer-valued in this generator, so the HAVING
     // threshold and the un-rounded qty sums are exact in any order
     "sql_q3_shipping_priority" ->
