@@ -118,25 +118,27 @@ object TextSim {
 
   // D8: fuzzy entity matching with blocking — candidate (a, b) pairs
   // whose names sit within Levenshtein distance 2, generated only
-  // WITHIN a block (last-3-chars key — the block size is the quadratic
-  // knob: 2 chars blew up to ~300k pairs at sf0.1), never as a full cross join: the
+  // WITHIN a block (last-2-chars key), never as a full cross join: the
   // ER primitive for the reference's customer-identity drift (SURVEY
   // §7.4 trap 5 — dvid≥2 injections mint new ids for the same human).
-  // At corpus scale the block key bounds the candidate set exactly like
-  // the dedup bands bound theirs.
-  private def d8FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
-    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
-      .withColumn("blk", expr("right(name_a, 3)"))
-    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
-      .withColumn("blk", expr("right(name_b, 3)"))
-    a.join(b, "blk")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 2)
-      .select("id_a", "id_b", "dist")
-      .orderBy("id_a", "id_b")
-  }
+  // At corpus scale the block key is the quadratic knob, and the
+  // materialized pair table is shared with d9's resolution step.
+  private val fuzzyPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def d8FuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairCache.computeIfAbsent(dir, _ => {
+      val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+        .withColumn("blk", expr("right(name_a, 2)"))
+      val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+        .withColumn("blk", expr("right(name_b, 2)"))
+      a.join(b, "blk")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+        .localCheckpoint(true)
+    }).orderBy("id_a", "id_b")
 
   // D9: entity resolution — d8's fuzzy candidate pairs resolved to
   // canonical entities by connected components (the d6 pattern applied
@@ -504,10 +506,10 @@ object TextSim {
            |    GROUP BY u.dst) m ON m.id = p.id)""".stripMargin
       }.mkString(",\n")
       s"""WITH a AS (
-         |  SELECT c_custkey AS id_a, c_name AS name_a, right(c_name, 3) AS blk
+         |  SELECT c_custkey AS id_a, c_name AS name_a, right(c_name, 2) AS blk
          |  FROM customer),
          |b AS (
-         |  SELECT c_custkey AS id_b, c_name AS name_b, right(c_name, 3) AS blk
+         |  SELECT c_custkey AS id_b, c_name AS name_b, right(c_name, 2) AS blk
          |  FROM customer),
          |pairs AS (
          |  SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
@@ -527,10 +529,10 @@ object TextSim {
     },
     "d8_fuzzy_match" ->
       """WITH a AS (
-        |  SELECT c_custkey AS id_a, c_name AS name_a, right(c_name, 3) AS blk
+        |  SELECT c_custkey AS id_a, c_name AS name_a, right(c_name, 2) AS blk
         |  FROM customer),
         |b AS (
-        |  SELECT c_custkey AS id_b, c_name AS name_b, right(c_name, 3) AS blk
+        |  SELECT c_custkey AS id_b, c_name AS name_b, right(c_name, 2) AS blk
         |  FROM customer)
         |SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
         |FROM a JOIN b USING (blk)
