@@ -444,12 +444,15 @@ object Analytics {
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("t").as("vt"))
+    // min() over the (constant-per-group) anchor, mirroring the oracle —
+    // first() would be flagged as order-dependent even though the value
+    // is unique per user here
     val c = ev.filter(col("event_type") === "click")
       .join(v, "user_id").filter(col("t") > col("vt"))
-      .groupBy("user_id").agg(min("t").as("ct"), first("vt").as("vt"))
+      .groupBy("user_id").agg(min("t").as("ct"), min("vt").as("vt"))
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("t") > col("ct"))
-      .groupBy("user_id").agg(min("t").as("pt"), first("ct").as("ct"))
+      .groupBy("user_id").agg(min("t").as("pt"), min("ct").as("ct"))
     val row = v.agg(count(lit(1)).as("n_view")).crossJoin(
       c.agg(count(lit(1)).as("n_click_after"))).crossJoin(
       p.agg(count(lit(1)).as("n_purchase_after"),

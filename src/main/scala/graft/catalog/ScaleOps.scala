@@ -128,8 +128,10 @@ object ScaleOps {
     val base = java.nio.file.Paths.get("/tmp/graft_stream/e7")
     if (java.nio.file.Files.exists(base)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
     val ev = Tables.events(spark, dir)
     val store = s"$base/store"

@@ -178,8 +178,11 @@ case class WeightedStepPick(nbrs: Expression, prevNbrs: Expression,
     val ns = nbrs.eval(input).asInstanceOf[ArrayData]
     if (ns == null || ns.numElements() == 0) return null
     val ps = prevNbrs.eval(input).asInstanceOf[ArrayData]
-    val pv = prev.eval(input).asInstanceOf[Long]
-    val h0 = baseHash.eval(input).asInstanceOf[Long]
+    val pvBoxed = prev.eval(input)
+    val h0Boxed = baseHash.eval(input)
+    if (pvBoxed == null || h0Boxed == null) return null
+    val pv = pvBoxed.asInstanceOf[Long]
+    val h0 = h0Boxed.asInstanceOf[Long]
     val pArr = if (ps == null) Array.emptyLongArray else ps.toLongArray()
     var bestKey = Double.PositiveInfinity
     var bestPick = Long.MaxValue
