@@ -532,6 +532,32 @@ object Analytics {
       .agg(count(col("k")).as("n_with_k"), sum("k").as("k_sum"))
       .orderBy("event_type")
 
+  // A19: exact percentiles (median/p90) per group — the exact
+  // counterpart of a16's approx sketches; l_quantity is integer-valued
+  // so the interpolated values are exact binary fractions in both
+  // engines.
+  private def a19ExactPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  // W8: lag/lead sequence windows — per customer, the gap in days since
+  // their previous order (first order → -1). Deterministic ordering by
+  // (date, orderkey); integer day arithmetic.
+  private def w8LagLead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+        .cast("long").as("d"))
+    val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    o.select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("d") - lag("d", 1).over(w), lit(-1L)).as("days_since_prev"),
+        coalesce(lead("d", 1).over(w) - col("d"), lit(-1L)).as("days_to_next"))
+      .orderBy("o_orderkey")
+  }
+
   // A15: hierarchical rollup (flag → status → grand total) — the
   // grouping-sets surface the reference lacks but any analytics engine
   // at scale needs; one pass, partial aggregation per grouping set.
@@ -629,12 +655,31 @@ object Analytics {
     "e8_stream_interval_join" -> (e8StreamIntervalJoin(_, _)),
     "a15_rollup" -> (a15Rollup(_, _)),
     "a17_pivot" -> (a17Pivot(_, _)),
+    "a19_exact_percentiles" -> (a19ExactPercentiles(_, _)),
+    "w8_lag_lead" -> (w8LagLead(_, _)),
     "a18_unpivot" -> (a18Unpivot(_, _)),
     "f16_json_extract" -> (f16JsonExtract(_, _)),
     "a16_approx_sketches" -> (a16ApproxSketches(_, _)),
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "a19_exact_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "w8_lag_lead" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  coalesce(d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey), -1)
+        |    AS days_since_prev,
+        |  coalesce(lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) - d, -1)
+        |    AS days_to_next
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     "e9_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
