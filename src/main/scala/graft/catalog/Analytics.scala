@@ -558,6 +558,22 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  // A20: cohort retention — users bucketed by first-activity week; per
+  // (cohort, week-offset) the count of still-active users. Two keyed
+  // aggregates and a broadcast-able first-week join — the standard
+  // retention matrix, shuffle-bounded by |users|, not |events|.
+  private def a20CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val WEEK = 7L * 24 * 3600 * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), floor(unix_micros(col("ts")) / WEEK).as("wk"))
+      .distinct()
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort", "week_offset")
+  }
+
   // A15: hierarchical rollup (flag → status → grand total) — the
   // grouping-sets surface the reference lacks but any analytics engine
   // at scale needs; one pass, partial aggregation per grouping set.
@@ -656,6 +672,7 @@ object Analytics {
     "a15_rollup" -> (a15Rollup(_, _)),
     "a17_pivot" -> (a17Pivot(_, _)),
     "a19_exact_percentiles" -> (a19ExactPercentiles(_, _)),
+    "a20_cohort_retention" -> (a20CohortRetention(_, _)),
     "w8_lag_lead" -> (w8LagLead(_, _)),
     "a18_unpivot" -> (a18Unpivot(_, _)),
     "f16_json_extract" -> (f16JsonExtract(_, _)),
@@ -663,6 +680,17 @@ object Analytics {
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "a20_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id)
+        |SELECT f.cohort, e.wk - f.cohort AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY f.cohort, e.wk - f.cohort
+        |ORDER BY cohort, week_offset""".stripMargin,
     "a19_exact_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
