@@ -28,7 +28,23 @@ object Strategies {
       .select(col("customer"), col("rank"), col("product"), col("message"))
       .orderBy("customer", "rank")
 
+  // Q3's discount_events tracking as an append-only log (SURVEY §7.4
+  // trap 4): the reference MUTATES product attrs per simulated date;
+  // here the log is the pure discount function materialized per
+  // (product, simulated month), filtered to promotion-grade events.
+  private def recQ6DiscountEvents(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Recommend.validProducts(graft.core.Tables.part(spark, dir))
+      .select(col("p_partkey").as("product"))
+    Seq(3, 6, 9, 12).map { m =>
+      parts.select(col("product"), lit(m).as("month"),
+        Recommend.seasonalDiscount(col("product"), lit(m)).as("discount"))
+    }.reduce(_ unionByName _)
+      .filter(col("discount") >= 0.2)
+      .orderBy("product", "month")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rec_q6_discount_events" -> (recQ6DiscountEvents(_, _)),
     "rec_q1_diverse" -> (run("diverse")(_, _)),
     "rec_q2_softmax" -> (run("softmax")(_, _)),
     "rec_q3_stochastic" -> (run("stochastic")(_, _)),
@@ -108,6 +124,23 @@ object Strategies {
   }
 
   val oracles: Map[String, String] = Map(
+    "rec_q6_discount_events" -> {
+      val u = ColFns.pseudoUniformSql("product * 12 + month", 11L)
+      s"""WITH valid AS (
+         |  SELECT p_partkey AS product FROM part
+         |  WHERE p_size > 0 AND p_retailprice > 0 AND p_brand IS NOT NULL
+         |    AND p_brand NOT IN ('N/A','Unknown','')),
+         |pm AS (SELECT product, CAST(unnest([3, 6, 9, 12]) AS INTEGER) AS month
+         |       FROM valid),
+         |d AS (SELECT product, month,
+         |  CASE WHEN month = 12 THEN round(0.30 + $u * 0.20, 2)
+         |       WHEN month IN (6, 7, 11) THEN round(0.15 + $u * 0.15, 2)
+         |       WHEN month IN (1, 2, 8) THEN round(0.05 + $u * 0.10, 2)
+         |       ELSE round($u * 0.05, 2) END AS discount
+         |  FROM pm)
+         |SELECT product, month, discount FROM d
+         |WHERE discount >= 0.2 ORDER BY product, month""".stripMargin
+    },
     "rec_q1_diverse" -> oracle(Recommend.strategies("diverse")),
     "rec_q2_softmax" -> oracle(Recommend.strategies("softmax")),
     "rec_q3_stochastic" -> oracle(Recommend.strategies("stochastic")),
