@@ -28,6 +28,30 @@ object Injections {
       spark.read.parquet(s"$graphDir/nodes"),
       spark.read.parquet(s"$graphDir/edges"))
 
+  /** Small-file compaction for one table of the store: every dvid
+    * partition is rewritten into one file (hash-partitioning by dvid
+    * puts each version's rows in a single task). Append-only ingestion
+    * accretes a file per micro-batch per partition; at 100 TB the file
+    * count — not the byte count — becomes the scan bottleneck (footer
+    * reads, task scheduling), so compaction is a standing maintenance
+    * job. Rewrite happens to a staging dir first and swaps in, so a
+    * crash never leaves a partial store. */
+  def compact(spark: SparkSession, tableDir: String): Unit = {
+    val staged = s"$tableDir.compacting"
+    spark.read.parquet(tableDir)
+      .repartition(col("dvid"))
+      .write.mode(SaveMode.Overwrite).partitionBy("dvid").parquet(staged)
+    val dir = new java.io.File(tableDir)
+    val bak = new java.io.File(s"$tableDir.old")
+    if (bak.exists()) { def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }; rm(bak) }
+    dir.renameTo(bak)
+    new java.io.File(staged).renameTo(dir)
+    def rm2(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm2)); f.delete() }
+    rm2(bak)
+  }
+
   /** The injection verification report (A1 + dvid counts — the
     * reference prints this after every injection). */
   def report(g: PropertyGraph): DataFrame =

@@ -68,6 +68,28 @@ class PipelineArtifactsSpec extends SparkSpec {
     assert(pruned.count() === 1)
   }
 
+  test("G6: compaction rewrites each dvid partition to one file, content unchanged") {
+    val dir = s"$tmp/compact/orders"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$tmp/compact"))
+    val o = graft.core.Tables.orders(spark, sfDir)
+      .withColumn("dvid", (pmod($"o_orderkey", lit(2)) + 1).cast("int"))
+    // simulate accreted micro-batches: 6 appends → many small files
+    (1 to 6).foreach { _ =>
+      o.sample(0.2, 7L).write.mode("append").partitionBy("dvid").parquet(dir)
+    }
+    def files(): Int = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(dir), Array("parquet"), true).size()
+    val before = spark.read.parquet(dir).groupBy("dvid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nBefore = files()
+    Injections.compact(spark, dir)
+    val after = spark.read.parquet(dir).groupBy("dvid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after === before, "compaction changed row counts")
+    assert(files() === 2, s"expected 1 file per dvid, had $nBefore before, ${files()} after")
+    assert(files() < nBefore)
+  }
+
   test("§3.2 fold: embeddings → knn → louvain → features in one pass") {
     val g = graft.graph.GraphBuilder.fromTpch(spark, sfDir)
     val small = PropertyGraph(g.nodes,
