@@ -77,6 +77,19 @@ object GraphML {
     trained.computeIfAbsent((dir, algo), _ =>
       LinkPredict.train(spark, LinkPredict.trainingSetCached(spark, dir, cap = 20000), algo))
 
+  // M0: the training corpus ITSELF under the hash gate — every m-entry
+  // fits on this frame, so its assembly (J3 positives, J4 hash-thinned
+  // negatives with the measured-pool keep-fraction, J5 feature joins,
+  // A8 temporal aggregates, F8 discount, F11 interaction, F14 fallback
+  // fills) is replayed end-to-end by DuckDB. All values are either raw
+  // parquet doubles, integer-derived casts, or single products — no
+  // rounding needed anywhere.
+  private def m0TrainingCorpus(spark: SparkSession, dir: String): DataFrame =
+    LinkPredict.trainingSetCached(spark, dir, cap = 20000)
+      .select("customer", "product", "label", "cust_frequency", "cust_recency",
+        "acctbal", "part_popularity", "price", "discount", "bal_x_price")
+      .orderBy("customer", "product")
+
   // M1/M3/M4/M10: GBT link model + policy-gate metrics as one row
   private def m1GbtMetrics(spark: SparkSession, dir: String): DataFrame = {
     val r = fit(spark, dir, "gbt")
@@ -346,6 +359,7 @@ object GraphML {
     "gx_kcore" -> (gxKCore(_, _)),
     "m9_calibration" -> (m9Calibration(_, _)),
     "g7_scd2_intervals" -> (g7Scd2Intervals(_, _)),
+    "m0_training_corpus" -> (m0TrainingCorpus(_, _)),
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
     "m2_multidate_discount" -> (m2MultiDateMetrics(_, _)),
     "m4_confusion_matrix" -> (m4ConfusionMatrix(_, _)),
@@ -521,6 +535,81 @@ object GraphML {
        |FROM prev, neww""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "m0_training_corpus" -> {
+      import graft.functions.ColFns
+      val puPos = ColFns.pseudoUniformSql("customer * 131 + product", 31L)
+      val puNeg = ColFns.pseudoUniformSql("c.customer * 977 + p.product", 37L)
+      val puDisc = ColFns.pseudoUniformSql("product * 12 + 12", 11L)
+      s"""WITH pos AS (
+         |  SELECT DISTINCT o_custkey AS customer, l_partkey AS product
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |counts AS (
+         |  SELECT (SELECT count(*) FROM customer) AS ncust,
+         |         (SELECT count(*) FROM part) AS npart,
+         |         (SELECT count(*) FROM pos) AS posn),
+         |params AS (
+         |  SELECT
+         |    least(CAST(1.0 AS DOUBLE),
+         |      CAST(20000 AS DOUBLE) / greatest(posn, 1)) AS posfrac,
+         |    least(posn, 20000) AS negtarget,
+         |    CASE WHEN (ncust // 3) * (npart // 7) >= least(posn, 20000) * 4
+         |         THEN 1 ELSE 0 END AS thin
+         |  FROM counts),
+         |csel AS (
+         |  SELECT c_custkey AS customer FROM customer
+         |  WHERE (SELECT thin FROM params) = 1 AND c_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT c_custkey FROM customer WHERE (SELECT thin FROM params) = 0),
+         |psel AS (
+         |  SELECT p_partkey AS product FROM part
+         |  WHERE (SELECT thin FROM params) = 1 AND p_partkey % 7 = 0
+         |  UNION ALL
+         |  SELECT p_partkey FROM part WHERE (SELECT thin FROM params) = 0),
+         |negfrac AS (
+         |  SELECT least(CAST(1.0 AS DOUBLE),
+         |    CAST((SELECT negtarget FROM params) AS DOUBLE) /
+         |    greatest((SELECT count(*) FROM csel) * (SELECT count(*) FROM psel), 1)) AS f),
+         |poscap AS (
+         |  SELECT customer, product, CAST(1.0 AS DOUBLE) AS label FROM pos
+         |  WHERE $puPos < (SELECT posfrac FROM params)),
+         |neg AS (
+         |  SELECT c.customer, p.product, CAST(0.0 AS DOUBLE) AS label
+         |  FROM csel c CROSS JOIN psel p
+         |  WHERE $puNeg < (SELECT f FROM negfrac)
+         |    AND NOT EXISTS (SELECT 1 FROM pos
+         |                    WHERE pos.customer = c.customer AND pos.product = p.product)),
+         |pairs AS (SELECT * FROM poscap UNION ALL SELECT * FROM neg),
+         |custf AS (
+         |  SELECT o.o_custkey AS customer,
+         |    CAST(count(*) AS DOUBLE) AS cust_frequency,
+         |    CAST(date_diff('day', CAST(max(o.o_orderdate) AS DATE),
+         |      DATE '2002-01-01') AS DOUBLE) AS cust_recency
+         |  FROM orders o GROUP BY o.o_custkey),
+         |custf2 AS (
+         |  SELECT f.customer, f.cust_frequency, f.cust_recency, c.c_acctbal AS acctbal
+         |  FROM custf f JOIN customer c ON c.c_custkey = f.customer),
+         |partf AS (
+         |  SELECT l_partkey AS product, CAST(count(*) AS DOUBLE) AS part_popularity
+         |  FROM lineitem GROUP BY l_partkey),
+         |partf2 AS (
+         |  SELECT pf.product, pf.part_popularity, p.p_retailprice AS price
+         |  FROM partf pf JOIN part p ON p.p_partkey = pf.product),
+         |j AS (
+         |  SELECT pr.customer, pr.product, pr.label,
+         |    coalesce(cf.cust_frequency, 0.0) AS cust_frequency,
+         |    coalesce(cf.cust_recency, 999.0) AS cust_recency,
+         |    coalesce(cf.acctbal, 0.0) AS acctbal,
+         |    coalesce(pf.part_popularity, 0.0) AS part_popularity,
+         |    coalesce(pf.price, 0.0) AS price
+         |  FROM pairs pr
+         |  LEFT JOIN custf2 cf ON cf.customer = pr.customer
+         |  LEFT JOIN partf2 pf ON pf.product = pr.product)
+         |SELECT customer, product, label, cust_frequency, cust_recency, acctbal,
+         |  part_popularity, price,
+         |  round(0.30 + $puDisc * 0.20, 2) AS discount,
+         |  acctbal * price / 1000000.0 AS bal_x_price
+         |FROM j ORDER BY customer, product""".stripMargin
+    },
     // g3's (id, dim) surface is fully determined by the walk graph:
     // every adjacency node starts numWalks walks, and minCount=0 keeps
     // every walked word in the Word2Vec vocabulary — so the id set is
