@@ -262,6 +262,31 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // U5: multiset difference (EXCEPT ALL) — per user, one row per click
+  // BEYOND their purchase count (bag semantics; the set-op family's
+  // multiplicity-preserving half). Aggregated for a compact result.
+  private def u5ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click").select(col("user_id"))
+      .exceptAll(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .groupBy("user_id").agg(count(lit(1)).as("excess_clicks"))
+      .orderBy("user_id")
+  }
+
+  // P11: null-safe equality (<=>) — consecutive events by the SAME user
+  // where NULL user ids also match each other (IS NOT DISTINCT FROM):
+  // the join predicate plain '=' silently drops.
+  private def p11NullSafeEq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id")
+    val a = ev.select(col("event_id").as("eid"), col("user_id").as("ua"))
+    val b = ev.select((col("event_id") - 1).as("eid"), col("user_id").as("ub"))
+    a.join(b, a("eid") === b("eid"))
+      .filter(col("ua") <=> col("ub"))
+      .groupBy(coalesce(col("ua").cast("string"), lit("NULL")).as("user"))
+      .agg(count(lit(1)).as("n_consecutive"))
+      .orderBy("user")
+  }
+
   // W5: deterministic head
   private def w5Limit(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).orderBy("o_orderkey")
@@ -444,6 +469,8 @@ object Relational {
     "u2_set_difference" -> (u2SetDifference(_, _)),
     "u3_distinct_dedup" -> (u3Distinct(_, _)),
     "u4_intersect" -> (u4Intersect(_, _)),
+    "u5_except_all" -> (u5ExceptAll(_, _)),
+    "p11_null_safe_eq" -> (p11NullSafeEq(_, _)),
     "w5_limit_head" -> (w5Limit(_, _)))
 
   private val pu7 = ColFns.pseudoUniformSql("ck * 131 + pk", 7L)
@@ -663,6 +690,23 @@ object Relational {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+    "u5_except_all" ->
+      """WITH d AS (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS excess_clicks
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "p11_null_safe_eq" ->
+      """WITH e AS (SELECT event_id, user_id FROM events),
+        |j AS (
+        |  SELECT a.user_id AS ua
+        |  FROM e a JOIN e b ON a.event_id = b.event_id - 1
+        |  WHERE a.user_id IS NOT DISTINCT FROM b.user_id)
+        |SELECT coalesce(CAST(ua AS VARCHAR), 'NULL') AS user,
+        |       count(*) AS n_consecutive
+        |FROM j GROUP BY coalesce(CAST(ua AS VARCHAR), 'NULL')
+        |ORDER BY "user"""".stripMargin,
     "w5_limit_head" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 3""".stripMargin)
