@@ -574,6 +574,15 @@ object Analytics {
       .orderBy("cohort", "week_offset")
   }
 
+  // F17: date truncation — monthly revenue rollup via date_trunc (the
+  // calendar-bucketing primitive next to f7/f8's day math)
+  private def f17DateTrunc(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+
   // A15: hierarchical rollup (flag → status → grand total) — the
   // grouping-sets surface the reference lacks but any analytics engine
   // at scale needs; one pass, partial aggregation per grouping set.
@@ -673,6 +682,7 @@ object Analytics {
     "a17_pivot" -> (a17Pivot(_, _)),
     "a19_exact_percentiles" -> (a19ExactPercentiles(_, _)),
     "a20_cohort_retention" -> (a20CohortRetention(_, _)),
+    "f17_date_trunc" -> (f17DateTrunc(_, _)),
     "w8_lag_lead" -> (w8LagLead(_, _)),
     "a18_unpivot" -> (a18Unpivot(_, _)),
     "f16_json_extract" -> (f16JsonExtract(_, _)),
@@ -680,6 +690,10 @@ object Analytics {
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "f17_date_trunc" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     "a20_cohort_retention" ->
       """WITH e AS (
         |  SELECT DISTINCT user_id,

@@ -226,6 +226,23 @@ object TextSim {
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
+  // T9: corpus bigram frequencies — top-20 adjacent token pairs with a
+  // deterministic (count desc, bigram asc) cut; explode is map-side,
+  // the shuffle carries (bigram, partial count). The single-token guard
+  // matters: Spark's sequence(1, 0) counts DOWN, it doesn't yield empty.
+  private def t9TopBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1), i =>
+        concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+  }
+
   // F10: the embedding dot-product / cosine scalar in isolation — the
   // codegen ArrayDotProduct expression every KNN/ANN kernel builds on
   // (xgboost_training_for_big_data.py:359) — over consecutive-id pairs.
@@ -393,6 +410,7 @@ object TextSim {
     "t6_winnowing" -> (t6Winnowing(_, _)),
     "t7_chunking" -> (t7Chunking(_, _)),
     "t8_lang_confusion" -> (t8LangConfusion(_, _)),
+    "t9_top_bigrams" -> (t9TopBigrams(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
     "mm3_resize_plan" -> (mm3ResizePlan(_, _)),
@@ -661,6 +679,17 @@ object TextSim {
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
          |h AS (SELECT doc_id, $langHitCols FROM t)
          |SELECT doc_id, $langArgmax AS lang_pred FROM h ORDER BY doc_id""".stripMargin,
+    "t9_top_bigrams" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |b AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        |    list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])
+        |    ELSE [] END) AS bigram
+        |  FROM t)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
     "t8_lang_confusion" ->
       s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
          |h AS (SELECT doc_id, lang, $langHitCols FROM t),
