@@ -243,6 +243,32 @@ object TextSim {
       .limit(20)
   }
 
+  // T10: TF-IDF — term frequency × inverse document frequency, the
+  // classic corpus weighting: tf = count in doc, idf = ln((N+1)/(df+1))
+  // + 1 (smoothed), top-3 terms per document by (tfidf desc, term asc).
+  // One explode + two keyed aggregates + a broadcast idf join; round(6)
+  // absorbs the ≤1-ulp ln() divergence between engines.
+  private def t10Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val terms = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0))) + 1.0)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(df.select("term", "idf")), "term")
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   // F10: the embedding dot-product / cosine scalar in isolation — the
   // codegen ArrayDotProduct expression every KNN/ANN kernel builds on
   // (xgboost_training_for_big_data.py:359) — over consecutive-id pairs.
@@ -411,6 +437,7 @@ object TextSim {
     "t7_chunking" -> (t7Chunking(_, _)),
     "t8_lang_confusion" -> (t8LangConfusion(_, _)),
     "t9_top_bigrams" -> (t9TopBigrams(_, _)),
+    "t10_tfidf" -> (t10Tfidf(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
     "mm3_resize_plan" -> (mm3ResizePlan(_, _)),
@@ -679,6 +706,23 @@ object TextSim {
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
          |h AS (SELECT doc_id, $langHitCols FROM t)
          |SELECT doc_id, $langArgmax AS lang_pred FROM h ORDER BY doc_id""".stripMargin,
+    "t10_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |idf AS (
+        |  SELECT term,
+        |    ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0) /
+        |       (count(*) + CAST(1.0 AS DOUBLE))) + 1.0 AS idf
+        |  FROM tf GROUP BY term),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * idf.idf DESC, tf.term ASC) AS rank
+        |  FROM tf JOIN idf USING (term))
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, round(tfidf, 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "t9_top_bigrams" ->
       """WITH t AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
