@@ -325,6 +325,25 @@ object GraphML {
       .orderBy("bucket")
   }
 
+  // G8: bipartite projection — the customer–product purchase graph
+  // projected onto customer–customer co-purchase edges (shared products
+  // ≥ 3). Hub products are capped FIRST (≤ 30 distinct buyers): a hub
+  // with B buyers contributes B² projected pairs, so at corpus scale
+  // unfiltered projection explodes on exactly the products that carry
+  // the least similarity signal — the standard projection trick.
+  private def g8CopurchaseProjection(spark: SparkSession, dir: String): DataFrame = {
+    val pp = graft.graph.Links.purchasePairsNumeric(spark, dir)
+    val small = pp.groupBy("product").agg(count(lit(1)).as("buyers"))
+      .filter(col("buyers") <= 30).select("product")
+    val p = pp.join(small, "product")
+    val a = p.select(col("product"), col("customer").as("cust_a"))
+    val b = p.select(col("product"), col("customer").as("cust_b"))
+    a.join(b, "product").filter(col("cust_a") < col("cust_b"))
+      .groupBy("cust_a", "cust_b").agg(count(lit(1)).as("shared_products"))
+      .filter(col("shared_products") >= 3)
+      .orderBy("cust_a", "cust_b")
+  }
+
   // G6/§2.12 depth: SCD2 interval versioning — the dvid-tagged upsert
   // history (j2's injections) rewritten as validity intervals per key:
   // valid_from = the version that wrote the row, valid_to = the next
@@ -359,6 +378,7 @@ object GraphML {
     "gx_kcore" -> (gxKCore(_, _)),
     "m9_calibration" -> (m9Calibration(_, _)),
     "g7_scd2_intervals" -> (g7Scd2Intervals(_, _)),
+    "g8_copurchase_projection" -> (g8CopurchaseProjection(_, _)),
     "m0_training_corpus" -> (m0TrainingCorpus(_, _)),
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
     "m2_multidate_discount" -> (m2MultiDateMetrics(_, _)),
@@ -746,6 +766,19 @@ object GraphML {
          |  CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS n_pos,
          |  CAST(sum(CAST(label AS BIGINT)) AS DOUBLE) / count(*) AS pos_rate
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "g8_copurchase_projection" ->
+      """WITH pp AS (
+        |  SELECT DISTINCT o_custkey AS customer, l_partkey AS product
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |small AS (
+        |  SELECT product FROM pp GROUP BY product HAVING count(*) <= 30),
+        |p AS (SELECT pp.customer, pp.product FROM pp JOIN small USING (product))
+        |SELECT a.customer AS cust_a, b.customer AS cust_b,
+        |       count(*) AS shared_products
+        |FROM p a JOIN p b ON a.product = b.product AND a.customer < b.customer
+        |GROUP BY a.customer, b.customer
+        |HAVING count(*) >= 3
+        |ORDER BY cust_a, cust_b""".stripMargin,
     "g7_scd2_intervals" ->
       """WITH inj AS (
         |  SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS price, 1 AS dvid
