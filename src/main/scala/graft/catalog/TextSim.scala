@@ -269,6 +269,28 @@ object TextSim {
       .orderBy("doc_id", "rank")
   }
 
+  // T11: vocabulary pruning (min_df/max_df) — the corpus-prep filter
+  // run before any term weighting: drop terms in fewer than 2 docs
+  // (noise) or more than half the corpus (stop-like). Per doc: kept vs
+  // total token counts — the coverage a pruned vocabulary retains.
+  private def t11VocabPrune(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val terms = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val kept = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= nDocs * 9 / 10)
+      .select("term")
+    val keptCounts = terms.join(broadcast(kept), Seq("term"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("kept_tokens"))
+    terms.groupBy("doc_id").agg(count(lit(1)).as("total_tokens"))
+      .join(keptCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        col("total_tokens"))
+      .orderBy("doc_id")
+  }
+
   // F10: the embedding dot-product / cosine scalar in isolation — the
   // codegen ArrayDotProduct expression every KNN/ANN kernel builds on
   // (xgboost_training_for_big_data.py:359) — over consecutive-id pairs.
@@ -438,6 +460,7 @@ object TextSim {
     "t8_lang_confusion" -> (t8LangConfusion(_, _)),
     "t9_top_bigrams" -> (t9TopBigrams(_, _)),
     "t10_tfidf" -> (t10Tfidf(_, _)),
+    "t11_vocab_prune" -> (t11VocabPrune(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
     "mm3_resize_plan" -> (mm3ResizePlan(_, _)),
@@ -706,6 +729,22 @@ object TextSim {
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
          |h AS (SELECT doc_id, $langHitCols FROM t)
          |SELECT doc_id, $langArgmax AS lang_pred FROM h ORDER BY doc_id""".stripMargin,
+    "t11_vocab_prune" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |kept AS (
+        |  SELECT term FROM (SELECT DISTINCT doc_id, term FROM terms)
+        |  GROUP BY term
+        |  HAVING count(*) >= 2
+        |     AND count(*) <= (SELECT count(*) FROM documents) * 9 // 10),
+        |k AS (
+        |  SELECT t.doc_id, count(*) AS kept_tokens
+        |  FROM terms t WHERE t.term IN (SELECT term FROM kept)
+        |  GROUP BY t.doc_id),
+        |tot AS (SELECT doc_id, count(*) AS total_tokens FROM terms GROUP BY doc_id)
+        |SELECT tot.doc_id, coalesce(k.kept_tokens, 0) AS kept_tokens, tot.total_tokens
+        |FROM tot LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
     "t10_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
