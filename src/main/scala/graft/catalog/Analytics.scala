@@ -574,6 +574,23 @@ object Analytics {
       .orderBy("cohort", "week_offset")
   }
 
+  // A22: robust statistics — per-group median and MAD (median absolute
+  // deviation), the outlier-resistant counterparts of a3's mean/stddev:
+  // two exact-percentile passes, the second over |x − median| after a
+  // broadcast join of the per-group medians. Quantities are
+  // integer-valued so both interpolations are exact.
+  private def a22RobustStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_returnflag", "l_quantity")
+    val med = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"))
+    li.join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(min("median_qty").as("median_qty"),
+        percentile(abs(col("l_quantity") - col("median_qty")), lit(0.5)).as("mad_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   // F17: date truncation — monthly revenue rollup via date_trunc (the
   // calendar-bucketing primitive next to f7/f8's day math)
   private def f17DateTrunc(spark: SparkSession, dir: String): DataFrame =
@@ -683,6 +700,7 @@ object Analytics {
     "a19_exact_percentiles" -> (a19ExactPercentiles(_, _)),
     "a20_cohort_retention" -> (a20CohortRetention(_, _)),
     "f17_date_trunc" -> (f17DateTrunc(_, _)),
+    "a22_robust_stats" -> (a22RobustStats(_, _)),
     "w8_lag_lead" -> (w8LagLead(_, _)),
     "a18_unpivot" -> (a18Unpivot(_, _)),
     "f16_json_extract" -> (f16JsonExtract(_, _)),
@@ -690,6 +708,15 @@ object Analytics {
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "a22_robust_stats" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, min(m.median_qty) AS median_qty,
+        |  quantile_cont(abs(l.l_quantity - m.median_qty), 0.5) AS mad_qty,
+        |  count(*) AS n
+        |FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "f17_date_trunc" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
