@@ -102,10 +102,16 @@ object ScaleOps {
   // ANN recall@5 of the sign-LSH path against the brute-force ground
   // truth. Integer hit counts with ONE final division keep the statistic
   // bit-exact across engines (no accumulated float error to round away).
+  // Both top-5 sets rank on the 6-decimal cosine with a dst tie-break
+  // (rankRounded) — ranking on the raw double would let engine-side
+  // fold-order noise flip rank 5 between near-equal cosines and change
+  // the hit set.
   private def simRecallEval(spark: SparkSession, dir: String): DataFrame = {
-    val brute = graft.sim.KnnCache.topk(spark, dir, 5).select("src", "dst")
-    val lsh = Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      dim = DIM, nPlanes = 8, k = 5).select("src", "dst")
+    val e = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopKBlocked(e, e, "vec_id", "embedding",
+      k = 5, rankRounded = true).select("src", "dst")
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
+      dim = DIM, nPlanes = 8, k = 5, rankRounded = true).select("src", "dst")
     val perQuery = brute.groupBy("src").agg(count(lit(1)).as("n_true"))
       .join(brute.join(lsh, Seq("src", "dst"), "left_semi")
         .groupBy("src").agg(count(lit(1)).as("hits")), Seq("src"), "left")
@@ -204,13 +210,13 @@ object ScaleOps {
          |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
          |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
          |bt AS (SELECT src, dst FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY round(cos, 6) DESC, dst ASC) AS rn
          |  FROM bscored) WHERE rn <= 5),
          |lscored AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
          |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
          |ls AS (SELECT src, dst FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY round(cos, 6) DESC, dst ASC) AS rn
          |  FROM lscored) WHERE rn <= 5),
          |hits AS (
          |  SELECT b.src, count(*) AS h FROM bt b JOIN ls l ON l.src = b.src AND l.dst = b.dst
@@ -220,7 +226,7 @@ object ScaleOps {
          |  FROM (SELECT src, count(*) AS nt FROM bt GROUP BY src) base
          |  LEFT JOIN hits h USING (src))
          |SELECT count(*) AS n_queries,
-         |       sum(h) AS hits, sum(nt) AS n_true,
+         |       CAST(sum(h) AS BIGINT) AS hits, CAST(sum(nt) AS BIGINT) AS n_true,
          |       CAST(sum(h) AS DOUBLE) / sum(nt) AS recall_micro,
          |       min(h) AS min_hits,
          |       CAST(sum(CASE WHEN h = nt THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect

@@ -104,7 +104,8 @@ object Similarity {
     * same HALF_UP rounding — asserted equal in SimilaritySpec.
     */
   def bruteForceTopKBlocked(queries: DataFrame, corpus: DataFrame,
-                            idCol: String, vecCol: String, k: Int): DataFrame = {
+                            idCol: String, vecCol: String, k: Int,
+                            rankRounded: Boolean = false): DataFrame = {
     val sp = queries.sparkSession
     import sp.implicits._
     val corpusRows = corpus
@@ -126,7 +127,11 @@ object Similarity {
           var j = 0
           while (j < cids.length) {
             if (cids(j) != src) {
-              val c = dotArr(qv, cvecs(j)) / (qn * cnorms(j))
+              val raw = dotArr(qv, cvecs(j)) / (qn * cnorms(j))
+              // rankRounded: order by the 6-decimal value the query
+              // emits, so near-equal cosines rank identically across
+              // engines (ties resolve on id)
+              val c = if (rankRounded) round6(raw) else raw
               val id = cids(j)
               // insertion position: ordered by (cos desc, id asc)
               var pos = filled
@@ -409,7 +414,8 @@ object Similarity {
     * bruteForceTopK; a vector with no bucket-mates simply yields no rows
     * (approximate semantics, documented). */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
-              dim: Int, nPlanes: Int, k: Int): DataFrame = {
+              dim: Int, nPlanes: Int, k: Int,
+              rankRounded: Boolean = false): DataFrame = {
     val withBucket = vectors.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), dim, nPlanes).as("bucket"),
@@ -420,7 +426,8 @@ object Similarity {
       col("bucket"), col("nrm").as("cn"))
     val scored = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    val rankCol = if (rankRounded) round(col("cos"), 6) else col("cos")
+    val w = Window.partitionBy("src").orderBy(rankCol.desc, col("dst").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
