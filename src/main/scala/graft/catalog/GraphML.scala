@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.graph.{GraphSql, Louvain, Node2Vec}
@@ -207,18 +208,36 @@ object GraphML {
     r.importances.toDF("feature", "importance").orderBy(desc("importance"))
   }
 
+  // The m2 pair of LR fits and the m7 MLP fit are deterministic pure
+  // functions of the dir — memoize per (app, dir) so the rows-only
+  // entries and their deterministic twins (m2b/m7b) share one fit.
+  private val m2Cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (LinkPredict.TrainResult, LinkPredict.TrainResult)]()
+  private def m2Fits(spark: SparkSession, dir: String)
+      : (LinkPredict.TrainResult, LinkPredict.TrainResult) =
+    m2Cache.computeIfAbsent((spark.sparkContext.applicationId, dir), _ => {
+      // lrMaxIter = 8: measured convergence point on the 4-month corpus —
+      // auc_val/overfit_gap identical to 5 decimals at 6/8/10/15 iters
+      val withD = LinkPredict.train(spark,
+        LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = true), "lr",
+        lrMaxIter = 8)
+      val noD = LinkPredict.train(spark,
+        LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = false), "lr",
+        lrMaxIter = 8)
+      (withD, noD)
+    })
+
+  private val m7Cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), graft.ml.MultiTower.Result]()
+  private def m7Fit(spark: SparkSession, dir: String): graft.ml.MultiTower.Result =
+    m7Cache.computeIfAbsent((spark.sparkContext.applicationId, dir), _ =>
+      graft.ml.MultiTower.train(spark, LinkPredict.trainingSetCached(spark, dir, cap = 20000)))
+
   // M2: discount model over the 4 simulated training dates + its
   // no-discount twin, as one comparison row each
   private def m2MultiDateMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // lrMaxIter = 8: measured convergence point on the 4-month corpus —
-    // auc_val/overfit_gap identical to 5 decimals at 6/8/10/15 iters
-    val withD = LinkPredict.train(spark,
-      LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = true), "lr",
-      lrMaxIter = 8)
-    val noD = LinkPredict.train(spark,
-      LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = false), "lr",
-      lrMaxIter = 8)
+    val (withD, noD) = m2Fits(spark, dir)
     Seq(("discount", withD.metrics("auc_val"), withD.metrics("n_train")),
       ("no_discount", noD.metrics("auc_val"), noD.metrics("n_train")))
       .toDF("model", "auc_val", "n_train")
@@ -227,8 +246,72 @@ object GraphML {
   // M7/M8: multi-tower MLP with per-tower standardization
   private def m7MlpMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.ml.MultiTower.train(spark, LinkPredict.trainingSetCached(spark, dir, cap = 20000))
-      .metrics.toSeq.sortBy(_._1).toDF("metric", "value")
+    m7Fit(spark, dir).metrics.toSeq.sortBy(_._1).toDF("metric", "value")
+  }
+
+  /** probability[1] of an MLlib probabilistic classifier's output. */
+  private def p1Col =
+    org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1)
+
+  /** Persist a scored frame under the per-SF artifact root and read it
+    * back — both engines then compute metrics from the SAME parquet
+    * bits (the m4b technique applied to REAL model scores: the fit is
+    * model-coupled, the metric math from persisted scores is not). */
+  private def artifact(spark: SparkSession, dir: String, name: String,
+                       df: DataFrame): DataFrame = {
+    val path = s"/tmp/graft_artifacts/${new java.io.File(dir).getName}/$name"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  // M1b: the GBT's validation scores persisted, then the full metric
+  // report (confusion at 0.5 + Mann–Whitney AUC) recomputed from the
+  // persisted bits — hash-gated twin of the rows-only m1.
+  private def m1bGbtDeterministic(spark: SparkSession, dir: String): DataFrame = {
+    val r = fit(spark, dir, "gbt")
+    val persisted = artifact(spark, dir, "m1_scored",
+      r.scoredVal.select(col("label"), p1Col.as("p")))
+    val aucV = graft.ml.Metrics.auc(persisted, "label", col("p"))
+    graft.ml.Metrics.confusion(persisted, "label", col("p"), 0.5)
+      .withColumn("auc", round(lit(aucV), 6))
+  }
+
+  // M2b: both multi-date LR models' validation scores persisted with a
+  // model tag; per-model AUC recomputed relationally from the bits.
+  private def m2bMultidateDeterministic(spark: SparkSession, dir: String): DataFrame = {
+    val (withD, noD) = m2Fits(spark, dir)
+    val persisted = artifact(spark, dir, "m2_scored",
+      withD.scoredVal.select(lit("discount").as("model"), col("label"), p1Col.as("p"))
+        .unionByName(
+          noD.scoredVal.select(lit("no_discount").as("model"), col("label"), p1Col.as("p"))))
+    val byScore = persisted.groupBy("model", "p")
+      .agg(count(lit(1)).as("n"), sum("label").as("npos"))
+    val w = Window.partitionBy("model").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore.withColumn("before", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("avg_rank", col("before") + (col("n") + 1.0) / 2.0)
+    ranked.groupBy("model").agg(
+      sum(col("npos") * col("avg_rank")).as("rank_pos"),
+      sum("npos").as("np"), sum(col("n") - col("npos")).as("nn"),
+      sum("n").as("n_val"))
+      .select(col("model"),
+        round((col("rank_pos") - col("np") * (col("np") + 1.0) / 2.0) /
+          (col("np") * col("nn")), 6).as("auc_val"),
+        col("n_val"))
+      .orderBy("model")
+  }
+
+  // M7b: the MLP's validation (label, p, prediction) persisted; AUC and
+  // accuracy recomputed from the bits.
+  private def m7bMlpDeterministic(spark: SparkSession, dir: String): DataFrame = {
+    val persisted = artifact(spark, dir, "m7_scored", m7Fit(spark, dir).scoredVal)
+    val aucV = graft.ml.Metrics.auc(persisted, "label", col("p"))
+    persisted.agg(
+      count(lit(1)).as("n_val"),
+      sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("n_val"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_val"), 6).as("accuracy"),
+        round(lit(aucV), 6).as("auc_val"))
   }
 
   // S8: JSON metrics history sink/source roundtrip — deterministic
@@ -436,12 +519,15 @@ object GraphML {
     "g8_copurchase_projection" -> (g8CopurchaseProjection(_, _)),
     "m0_training_corpus" -> (m0TrainingCorpus(_, _)),
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
+    "m1b_gbt_deterministic" -> (m1bGbtDeterministic(_, _)),
     "m2_multidate_discount" -> (m2MultiDateMetrics(_, _)),
+    "m2b_multidate_deterministic" -> (m2bMultidateDeterministic(_, _)),
     "m4_confusion_matrix" -> (m4ConfusionMatrix(_, _)),
     "m4b_metrics_deterministic" -> (m4bMetricsDeterministic(_, _)),
     "m5_threshold_sweep" -> (m5ThresholdSweep(_, _)),
     "m5b_sweep_deterministic" -> (m5bSweepDeterministic(_, _)),
     "m7_mlp_metrics" -> (m7MlpMetrics(_, _)),
+    "m7b_mlp_deterministic" -> (m7bMlpDeterministic(_, _)),
     "m11_feature_importance" -> (m11FeatureImportance(_, _)),
     "s8_history_roundtrip" -> (s8HistoryRoundtrip(_, _)),
     "m6_compat_probe" -> (m6CompatProbe(_, _)),
@@ -486,12 +572,15 @@ object GraphML {
       |         o_totalprice AS p
       |  FROM orders)""".stripMargin
 
-  /** Mann–Whitney AUC mirror of graft.ml.Metrics.auc. npos·avg_rank is
+  /** Mann–Whitney AUC + confusion report mirror of graft.ml.Metrics
+    * (auc + confusion) over a `scored(label, p)` CTE. npos·avg_rank is
     * always a half-integer below 2^52, so the sum is EXACT under any
     * aggregation order — the AUC matches Spark bit-for-bit, no rounding
-    * slack needed (round(6) kept for presentation parity only). */
-  private val m4bSql =
-    s"""WITH $detScoredCte,
+    * slack needed (round(6) kept for presentation parity only). Shared
+    * by m4b (deterministic price scores) and m1b (persisted GBT
+    * scores). */
+  private def metricsReportSql(scoredCte: String, threshold: String): String =
+    s"""WITH $scoredCte,
        |by_score AS (
        |  SELECT p AS s, count(*) AS n, sum(label) AS npos FROM scored GROUP BY p),
        |ranked AS (
@@ -505,10 +594,10 @@ object GraphML {
        |  FROM ranked),
        |conf AS (
        |  SELECT
-       |    CAST(sum(CASE WHEN p >= 150000.0 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-       |    CAST(sum(CASE WHEN p >= 150000.0 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-       |    CAST(sum(CASE WHEN p < 150000.0 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-       |    CAST(sum(CASE WHEN p < 150000.0 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |    CAST(sum(CASE WHEN p >= $threshold AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN p >= $threshold AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN p < $threshold AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN p < $threshold AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
        |  FROM scored),
        |m AS (
        |  SELECT tp, fp, fn, tn,
@@ -522,6 +611,59 @@ object GraphML {
        |  (SELECT round((rank_pos - np * (np + 1.0) / 2.0) / (np * nn), 6)
        |   FROM aucagg) AS auc
        |FROM m""".stripMargin
+
+  private val m4bSql = metricsReportSql(detScoredCte, "150000.0")
+
+  // the persisted-scores artifact root the twin oracles read — written
+  // by the entries at the correctness gate's SF (sf0.01)
+  private def artifactSql(name: String): String =
+    s"read_parquet('/tmp/graft_artifacts/sf0.01/$name/*.parquet')"
+
+  private val m1bSql = metricsReportSql(
+    s"scored AS (SELECT label, p FROM ${artifactSql("m1_scored")})", "0.5")
+
+  private val m2bSql =
+    s"""WITH sc AS (SELECT model, label, p FROM ${artifactSql("m2_scored")}),
+       |by_score AS (
+       |  SELECT model, p AS s, count(*) AS n, sum(label) AS npos
+       |  FROM sc GROUP BY model, p),
+       |ranked AS (
+       |  SELECT model, n, npos,
+       |    coalesce(sum(n) OVER (PARTITION BY model ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + (n + 1.0) / 2.0 AS avg_rank
+       |  FROM by_score),
+       |agg AS (
+       |  SELECT model, sum(npos * avg_rank) AS rank_pos, sum(npos) AS np,
+       |         sum(n - npos) AS nn, CAST(sum(n) AS BIGINT) AS n_val
+       |  FROM ranked GROUP BY model)
+       |SELECT model,
+       |       round((rank_pos - np * (np + 1.0) / 2.0) / (np * nn), 6) AS auc_val,
+       |       n_val
+       |FROM agg ORDER BY model""".stripMargin
+
+  private val m7bSql =
+    s"""WITH sc AS (SELECT label, p, prediction FROM ${artifactSql("m7_scored")}),
+       |by_score AS (
+       |  SELECT p AS s, count(*) AS n, sum(label) AS npos FROM sc GROUP BY p),
+       |ranked AS (
+       |  SELECT n, npos,
+       |    coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) + (n + 1.0) / 2.0 AS avg_rank
+       |  FROM by_score),
+       |aucagg AS (
+       |  SELECT sum(npos * avg_rank) AS rank_pos, sum(npos) AS np,
+       |         sum(n - npos) AS nn FROM ranked),
+       |acc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_val,
+       |         CAST(sum(CASE WHEN prediction = label THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_correct
+       |  FROM sc)
+       |SELECT n_val, n_correct,
+       |       round(CAST(n_correct AS DOUBLE) / n_val, 6) AS accuracy,
+       |       (SELECT round((rank_pos - np * (np + 1.0) / 2.0) / (np * nn), 6)
+       |        FROM aucagg) AS auc_val
+       |FROM acc""".stripMargin
 
   private val m5bSql = {
     // full-precision literals: Double.toString round-trips, so DuckDB
@@ -884,6 +1026,9 @@ object GraphML {
     "gx_connected_components" -> ccSql(rounds = 24),
     "m4b_metrics_deterministic" -> m4bSql,
     "m5b_sweep_deterministic" -> m5bSql,
+    "m1b_gbt_deterministic" -> m1bSql,
+    "m2b_multidate_deterministic" -> m2bSql,
+    "m7b_mlp_deterministic" -> m7bSql,
     "g6_dvid_versioning" ->
       s"""WITH ${GraphSql.nodesCte},
          |${GraphSql.edgesCte},

@@ -27,7 +27,10 @@ object MultiTower {
     "tw_temporal" -> Seq("cust_recency"),
     "tw_structured" -> Seq("acctbal", "price", "discount", "bal_x_price"))
 
-  final case class Result(metrics: Map[String, Double])
+  /** `scoredVal`: the validation set's (label, p, prediction) —
+    * materialized (localCheckpoint) so it survives the caches below and
+    * can be persisted by the deterministic-twin catalog entry (m7b). */
+  final case class Result(metrics: Map[String, Double], scoredVal: DataFrame)
 
   def train(spark: SparkSession, data: DataFrame, seed: Long = 42L,
             maxIter: Int = 40): Result = {
@@ -60,12 +63,15 @@ object MultiTower {
     try {
       val model = pipeline.fit(train)
       val scored = model.transform(test).cache()
-      val auc = Metrics.auc(scored, "label",
-        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
+      val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1)
+      val auc = Metrics.auc(scored, "label", p1)
       val acc = scored.filter(col("prediction") === col("label")).count().toDouble /
         math.max(scored.count(), 1L)
+      val scoredVal = scored.select(col("label"), p1.as("p"), col("prediction"))
+        .localCheckpoint(true)
       val r = Result(Map("auc_val" -> auc, "accuracy" -> acc,
-        "n_train" -> train.count().toDouble, "n_test" -> test.count().toDouble))
+        "n_train" -> train.count().toDouble, "n_test" -> test.count().toDouble),
+        scoredVal)
       scored.unpersist()
       r
     } finally { train.unpersist(); test.unpersist() }
