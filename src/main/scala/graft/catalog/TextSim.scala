@@ -118,27 +118,22 @@ object TextSim {
 
   // D8: fuzzy entity matching with blocking — candidate (a, b) pairs
   // whose names sit within Levenshtein distance 2, generated only
-  // WITHIN a block (last-2-chars key), never as a full cross join: the
-  // ER primitive for the reference's customer-identity drift (SURVEY
-  // §7.4 trap 5 — dvid≥2 injections mint new ids for the same human).
-  // At corpus scale the block key is the quadratic knob, and the
-  // materialized pair table is shared with d9's resolution step.
+  // WITHIN a composite (last-2-chars, length-bucket) block with banded
+  // fan-out and a per-block pair cap (Dedup.fuzzyBlockedPairs) — never
+  // a full cross join, never an unbounded quadratic block: the ER
+  // primitive for the reference's customer-identity drift (SURVEY
+  // §7.4 trap 5 — dvid≥2 injections mint new ids for the same human,
+  // second_third_and_forth_data_injection.py:76-77). The materialized
+  // pair table is shared with d9's resolution step; the cache is keyed
+  // by (app, dir) so a fresh session never sees a dead checkpoint.
   private val fuzzyPairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def d8FuzzyMatch(spark: SparkSession, dir: String): DataFrame =
-    fuzzyPairCache.computeIfAbsent(dir, _ => {
-      val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
-      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
-        .withColumn("blk", expr("right(name_a, 2)"))
-      val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
-        .withColumn("blk", expr("right(name_b, 2)"))
-      a.join(b, "blk")
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
-        .select("id_a", "id_b", "dist")
-        .localCheckpoint(true)
-    }).orderBy("id_a", "id_b")
+    fuzzyPairCache.computeIfAbsent((spark.sparkContext.applicationId, dir), _ =>
+      graft.text.Dedup.fuzzyBlockedPairs(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name")
+        .localCheckpoint(true)).orderBy("id_a", "id_b")
 
   // D9: entity resolution — d8's fuzzy candidate pairs resolved to
   // canonical entities by connected components (the d6 pattern applied

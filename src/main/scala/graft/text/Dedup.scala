@@ -117,4 +117,75 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
+
+  /** The 3 length buckets a probe row must visit so that every partner
+    * within edit distance `maxDist` is reachable: lev ≤ τ implies
+    * |len(a) − len(b)| ≤ τ, bucket floors are monotone and adjacent
+    * (bucketW > τ), so the floors of len−τ / len / len+τ cover every
+    * bucket a qualifying partner can live in. */
+  private def probeBins(name: Column, maxDist: Int, bucketW: Int): Column =
+    array_distinct(array(
+      floor((length(name) - maxDist) / bucketW).cast("int"),
+      floor(length(name) / bucketW).cast("int"),
+      floor((length(name) + maxDist) / bucketW).cast("int")))
+
+  /** Candidate-pair count per (blk, bin) block of `fuzzyBlockedPairs` —
+    * the audit its overflow policy runs on, and the bound
+    * ScaleMechanicsSpec asserts. */
+  def blockPairCounts(rows: DataFrame, nameCol: String, maxDist: Int = 2,
+                      bucketW: Int = 4): DataFrame = {
+    val probe = rows.select(col(nameCol).as("n"))
+      .withColumn("blk", substring(col("n"), -2, 2))
+      .withColumn("bin", explode(probeBins(col("n"), maxDist, bucketW)))
+      .groupBy("blk", "bin").agg(count(lit(1)).as("na"))
+    val index = rows.select(col(nameCol).as("n"))
+      .withColumn("blk", substring(col("n"), -2, 2))
+      .withColumn("bin", floor(length(col("n")) / bucketW).cast("int"))
+      .groupBy("blk", "bin").agg(count(lit(1)).as("nb"))
+    probe.join(index, Seq("blk", "bin"))
+      .select(col("blk"), col("bin"), (col("na") * col("nb")).as("cand_pairs"))
+  }
+
+  /** Fuzzy entity-matching pairs (the ER primitive): (id_a < id_b) whose
+    * names share the last-2-chars block and sit within Levenshtein
+    * `maxDist`. Composite banded blocking — the equi-join key is
+    * (suffix-2, length-bucket), the probe side fans out to the ≤3
+    * width-`bucketW` buckets covering [len−τ, len+τ], which provably
+    * loses no qualifying pair (see `probeBins`) while splitting a
+    * variable-length corpus's hot suffix blocks.
+    *
+    * Overflow policy: blocks whose candidate-pair count (na·nb) exceeds
+    * `pairCap` are DROPPED and logged — at 100 TB a degenerate key
+    * shared by millions of rows must surface as a logged recall gap,
+    * never as one straggler task doing billions of Levenshtein calls.
+    * The audit aggregate is one row per distinct block key (tiny). */
+  def fuzzyBlockedPairs(rows: DataFrame, idCol: String, nameCol: String,
+                        maxDist: Int = 2, bucketW: Int = 4,
+                        pairCap: Long = 1L << 22): DataFrame = {
+    require(bucketW > maxDist, "bucketW must exceed maxDist for 3-bin coverage")
+    val a = rows.select(col(idCol).as("id_a"), col(nameCol).as("name_a"))
+      .withColumn("blk", substring(col("name_a"), -2, 2))
+      .withColumn("bin", explode(probeBins(col("name_a"), maxDist, bucketW)))
+    val b = rows.select(col(idCol).as("id_b"), col(nameCol).as("name_b"))
+      .withColumn("blk", substring(col("name_b"), -2, 2))
+      .withColumn("bin", floor(length(col("name_b")) / bucketW).cast("int"))
+    val over = blockPairCounts(rows, nameCol, maxDist, bucketW)
+      .filter(col("cand_pairs") > pairCap)
+    val overRows = over.collect()
+    if (overRows.nonEmpty)
+      System.err.println(
+        s"[graft][fuzzy-match] OVERFLOW: dropping ${overRows.length} blocks over " +
+          s"pairCap=$pairCap: " + overRows.take(5).map(r =>
+          s"(blk=${r.getAs[String]("blk")},bin=${r.getAs[Int]("bin")}," +
+            s"pairs=${r.getAs[Long]("cand_pairs")})").mkString(", "))
+    val aOk =
+      if (overRows.isEmpty) a
+      else a.join(broadcast(over.select("blk", "bin")), Seq("blk", "bin"), "left_anti")
+    aOk.join(b, Seq("blk", "bin"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -67,6 +67,44 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_perfect") <= n)
   }
 
+  test("d8 banded blocking equals the naive suffix-block join; blocks bounded") {
+    val cust = graft.core.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name")
+    val banded = graft.text.Dedup.fuzzyBlockedPairs(cust, "c_custkey", "c_name")
+    // the naive formulation the operator replaces: one 2-char suffix
+    // block, quadratic within
+    val a = cust.select($"c_custkey".as("id_a"), $"c_name".as("name_a"),
+      expr("right(c_name, 2)").as("blk"))
+    val b = cust.select($"c_custkey".as("id_b"), $"c_name".as("name_b"),
+      expr("right(c_name, 2)").as("blk"))
+    val naive = a.join(b, "blk").filter($"id_a" < $"id_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 2)
+      .select("id_a", "id_b", "dist")
+    assert(banded.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(banded).count() === 0)
+    // the scale bound: no composite block exceeds the pair cap here,
+    // and the audit aggregate is one row per block key
+    val counts = graft.text.Dedup.blockPairCounts(cust, "c_name")
+    assert(counts.agg(max("cand_pairs")).head().getLong(0) <= (1L << 22))
+  }
+
+  test("d8 overflow policy drops oversized blocks and keeps the rest") {
+    // two suffix blocks: 'xx' has 40 same-length names (40·40 = 1600
+    // candidate pairs > cap 100 → dropped); 'yy' has 2 near-dup names
+    val big = (0 until 40).map(i => (i.toLong, f"name_$i%02d_xx"))
+    val small = Seq((100L, "other_aa_yy"), (101L, "other_ab_yy"))
+    val df = (big ++ small).toDF("id", "name")
+    val pairs = graft.text.Dedup.fuzzyBlockedPairs(df, "id", "name",
+      pairCap = 100L)
+    // the small block's lev-1 pair survives; nothing from the big block
+    assert(pairs.filter($"id_a" === 100L && $"id_b" === 101L).count() === 1)
+    assert(pairs.filter($"id_a" < 100L).count() === 0)
+    // with an ample cap the big block's pairs come back
+    val all = graft.text.Dedup.fuzzyBlockedPairs(df, "id", "name")
+    assert(all.filter($"id_a" < 100L).count() > 0)
+  }
+
   test("ArrayMd5 matches transform(arr, s -> md5(s)) exactly") {
     val df = graft.core.Tables.documents(spark, sfDir)
       .select(graft.text.Dedup.shingleArray($"text", 5).as("sh"))
