@@ -304,6 +304,20 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  // F15: category → integer codes, the reference's `.cat.codes` feature
+  // encoding (xgboost_training_for_big_data.py:133-134) via MLlib's
+  // StringIndexer (frequencyDesc, documented alphabetical tie-break) —
+  // mirrored in SQL as dense_rank over (count DESC, value ASC) − 1.
+  private def f15CategoryCodes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.StringIndexer
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val model = new StringIndexer().setInputCol("p_brand").setOutputCol("code")
+      .setStringOrderType("frequencyDesc").fit(part)
+    model.transform(part)
+      .select(col("p_partkey"), col("p_brand"), col("code").cast("int").as("brand_code"))
+      .orderBy("p_partkey")
+  }
+
   // R1: seeded fixed-fraction sample — hash-thinned, partitioning-proof
   // (second_third_and_forth_data_injection.py:66-69; SURVEY §7.4 trap 9)
   private def r1SeededSample(spark: SparkSession, dir: String): DataFrame =
@@ -682,6 +696,7 @@ object Analytics {
     "f11_interactions" -> (f11Interactions(_, _)),
     "f12_f14_guards" -> (f12F14Guards(_, _)),
     "f13_softmax" -> (f13Softmax(_, _)),
+    "f15_category_codes" -> (f15CategoryCodes(_, _)),
     "r1_seeded_sample" -> (r1SeededSample(_, _)),
     "r3_edge_dropout" -> (r3EdgeDropout(_, _)),
     "r4_stratified_split" -> (r4StratifiedSplit(_, _)),
@@ -1014,6 +1029,15 @@ object Analytics {
         |SELECT c_custkey, c_mktsegment,
         |  round(wt / sum(wt) OVER (PARTITION BY c_mktsegment), 6) AS prob
         |FROM w ORDER BY c_custkey""".stripMargin,
+    "f15_category_codes" ->
+      """WITH freq AS (SELECT p_brand, count(*) AS c FROM part GROUP BY p_brand),
+        |codes AS (
+        |  SELECT p_brand,
+        |    CAST(dense_rank() OVER (ORDER BY c DESC, p_brand ASC) - 1 AS INTEGER)
+        |      AS brand_code
+        |  FROM freq)
+        |SELECT p.p_partkey, p.p_brand, c.brand_code
+        |FROM part p JOIN codes c USING (p_brand) ORDER BY p.p_partkey""".stripMargin,
     "r1_seeded_sample" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |WHERE ${ColFns.pseudoUniformSql("o_orderkey", 42L)} < 0.05

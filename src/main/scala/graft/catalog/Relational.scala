@@ -53,6 +53,40 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  // S3: catalog scan — the product-attribute lookup table ingested with
+  // the reference's cleaning semantics (First_Data_injection.py:84-106):
+  // messy headers normalized, dropna, sku/design_no renames; scanned
+  // through ReferenceIngest.productCatalog itself.
+  private def s3CatalogScan(spark: SparkSession, dir: String): DataFrame = {
+    val messy = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), col("p_type"))
+      .toDF("SKU Code", "Design No.", "Brand", "Size", "Category")
+    val path = tmpDir("s3_catalog_csv")
+    messy.write.mode("overwrite").option("header", "true").csv(path)
+    graft.sources.ReferenceIngest.productCatalog(spark, path)
+      .select(col("sku").cast("long").as("sku"), col("design_no"),
+        col("brand"), col("size").cast("int").as("size"), col("category"))
+      .orderBy("sku")
+  }
+
+  // S6: graph checkpoint roundtrip — the engine's parquet handoff
+  // standing in for the reference's pickle (knowledge_graph_creation.py:
+  // 248): full graph appended to a dvid-partitioned store, reloaded,
+  // and attested by per-(label/type, dvid) histograms.
+  private def s6GraphCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.graph.GraphBuilder.fromTpch(spark, dir)
+    val path = tmpDir("s6_graph_checkpoint")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    graft.pipeline.Injections.append(g, path)
+    val back = graft.pipeline.Injections.load(spark, path)
+    back.nodes.groupBy("label", "dvid").agg(count(lit(1)).as("cnt"))
+      .select(lit("node").as("kind"), col("label").as("name"), col("dvid"), col("cnt"))
+      .unionByName(back.edges.groupBy("type", "dvid").agg(count(lit(1)).as("cnt"))
+        .select(lit("edge").as("kind"), col("type").as("name"), col("dvid"), col("cnt")))
+      .orderBy("kind", "name", "dvid")
+  }
+
   // S4/S6: parquet sink + re-scan (the engine's canonical checkpoint)
   private def s4ParquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val agg = Tables.orders(spark, dir).groupBy("o_orderstatus")
@@ -442,6 +476,8 @@ object Relational {
     "s10_schema_evolution" -> (s10SchemaEvolution(_, _)),
     "sql_q18_large_orders" -> (sqlLargeOrders(_, _)),
     "s1_csv_scan_normalize" -> (s1CsvScan(_, _)),
+    "s3_catalog_scan" -> (s3CatalogScan(_, _)),
+    "s6_graph_checkpoint" -> (s6GraphCheckpoint(_, _)),
     "j9_feature_injection" -> (j9FeatureInjection(_, _)),
     "r2_candidate_cap" -> (r2CandidateCap(_, _)),
     "sql_revenue_rollup" -> (sqlRevenueByNation(_, _)),
@@ -552,6 +588,23 @@ object Relational {
     "s1_csv_scan_normalize" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "s3_catalog_scan" ->
+      """SELECT p_partkey AS sku, p_name AS design_no, p_brand AS brand,
+        |       p_size AS size, p_type AS category
+        |FROM part
+        |WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL AND p_brand IS NOT NULL
+        |  AND p_size IS NOT NULL AND p_type IS NOT NULL
+        |ORDER BY sku""".stripMargin,
+    "s6_graph_checkpoint" ->
+      s"""WITH ${graft.graph.GraphSql.nodesCte},
+         |${graft.graph.GraphSql.edgesCte},
+         |h AS (
+         |  SELECT 'node' AS kind, label AS name, dvid, count(*) AS cnt
+         |  FROM nodes GROUP BY label, dvid
+         |  UNION ALL
+         |  SELECT 'edge', type, dvid, count(*) FROM edges GROUP BY type, dvid)
+         |SELECT kind, name, CAST(dvid AS INTEGER) AS dvid, cnt
+         |FROM h ORDER BY kind, name, dvid""".stripMargin,
     "s2_csv_badrow_filter" ->
       """SELECT p_partkey, p_name, p_brand, lower(p_type) AS type_norm, p_size, p_retailprice
         |FROM part WHERE p_brand NOT IN ('Brand#1','Brand#2') ORDER BY p_partkey""".stripMargin,
