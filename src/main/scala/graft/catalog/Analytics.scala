@@ -450,7 +450,9 @@ object Analytics {
 
   // E9: funnel analysis — ordered sequence completion per user
   // (view → first click AFTER that view → first purchase AFTER that
-  // click), rolled up to per-stage user counts and median step delays.
+  // click), rolled up to per-stage user counts and the summed
+  // click→purchase delay (sum_purchase_delay_us — integer-exact across
+  // engines, which a median of timestamps is not).
   // Each stage is a keyed aggregate over the prior stage's anchor time:
   // three shuffles on user_id total, no per-user event sorting.
   private def e9Funnel(spark: SparkSession, dir: String): DataFrame = {

@@ -131,7 +131,11 @@ object ScaleOps {
   // the readback per-dvid histogram is the reference's injection
   // verification (fifth_data_injection.py:154-158) over a stream.
   private def e7IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get("/tmp/graft_stream/e7")
+    // staging root keyed by the input dir (like e8's queryName) so
+    // concurrent runs against different SFs never clobber each other
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e7_$tag")
     if (java.nio.file.Files.exists(base)) {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(base)

@@ -41,15 +41,27 @@ object Injections {
     spark.read.parquet(tableDir)
       .repartition(col("dvid"))
       .write.mode(SaveMode.Overwrite).partitionBy("dvid").parquet(staged)
-    val dir = new java.io.File(tableDir)
-    val bak = new java.io.File(s"$tableDir.old")
-    if (bak.exists()) { def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }; rm(bak) }
-    dir.renameTo(bak)
-    new java.io.File(staged).renameTo(dir)
-    def rm2(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm2)); f.delete() }
-    rm2(bak)
+    // swap via Hadoop FileSystem (any store, not just local disk),
+    // checking every rename; the backup is deleted only after the new
+    // dir is verifiably in place, so a crash or failed rename leaves
+    // either the original table or a restorable `.old` backup — never
+    // a missing table path.
+    import org.apache.hadoop.fs.Path
+    val dirP = new Path(tableDir)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedP = new Path(staged)
+    val bakP = new Path(s"$tableDir.old")
+    if (fs.exists(bakP)) fs.delete(bakP, true)
+    if (!fs.rename(dirP, bakP))
+      throw new java.io.IOException(s"compact: cannot move $tableDir aside")
+    if (!fs.rename(stagedP, dirP)) {
+      val restored = fs.rename(bakP, dirP)
+      throw new java.io.IOException(s"compact: cannot swap in $staged" +
+        (if (restored) " (original restored)" else s" (original left at $bakP)"))
+    }
+    if (!fs.exists(dirP))
+      throw new java.io.IOException(s"compact: $tableDir missing after swap")
+    fs.delete(bakP, true)
   }
 
   /** The injection verification report (A1 + dvid counts — the

@@ -110,7 +110,13 @@ case class CharShingles(child: Expression, n: Int)
 case class ArrayMd5(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull follows the child: a null element md5s to a null
+  // element, exactly as the transform(arr, md5) it replaces
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -127,9 +133,11 @@ case class ArrayMd5(child: Expression)
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = UTF8String.fromString(
-        org.apache.commons.codec.digest.DigestUtils.md5Hex(
-          arr.getUTF8String(i).getBytes))
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else UTF8String.fromString(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            arr.getUTF8String(i).getBytes))
       i += 1
     }
     new GenericArrayData(out)
