@@ -505,7 +505,11 @@ object Analytics {
     graft.streaming.EventStream.runAvailableNow(spark, dir, df =>
         graft.streaming.EventStream.intervalJoin(df)
           .select("purchase_id", "p_user", "c_value"),
-        queryName = s"e8_ivj_${math.abs(dir.hashCode)}")
+        queryName = s"e8_ivj_${math.abs(dir.hashCode)}",
+        // 4 partitions: the join keeps 4 state stores per partition and
+        // this entry is a bounded correctness demo — 32 partitions of
+        // store setup was 8× fixed cost for the same answer
+        shufflePartitions = Some(4))
       .groupBy("purchase_id")
       .agg(count(lit(1)).as("n_clicks"), round(sum("c_value"), 2).as("click_value"))
       .orderBy("purchase_id")

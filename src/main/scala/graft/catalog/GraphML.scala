@@ -217,14 +217,24 @@ object GraphML {
       : (LinkPredict.TrainResult, LinkPredict.TrainResult) =
     m2Cache.computeIfAbsent((spark.sparkContext.applicationId, dir), _ => {
       // lrMaxIter = 8: measured convergence point on the 4-month corpus —
-      // auc_val/overfit_gap identical to 5 decimals at 6/8/10/15 iters
-      val withD = LinkPredict.train(spark,
+      // auc_val/overfit_gap identical to 5 decimals at 6/8/10/15 iters.
+      // The two fits share the materialized base corpus and run as
+      // CONCURRENT job groups — each L-BFGS pass is a small job that
+      // underfills the 32 cores, so overlapping the twins roughly
+      // halves the pair's wall time.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // build the shared cached base before forking (computeIfAbsent in
+      // trainingSetCached would otherwise serialize the twins anyway)
+      LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = true)
+      val fWith = Future(LinkPredict.train(spark,
         LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = true), "lr",
-        lrMaxIter = 8)
-      val noD = LinkPredict.train(spark,
+        lrMaxIter = 8))
+      val fNo = Future(LinkPredict.train(spark,
         LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = false), "lr",
-        lrMaxIter = 8)
-      (withD, noD)
+        lrMaxIter = 8))
+      (Await.result(fWith, Duration.Inf), Await.result(fNo, Duration.Inf))
     })
 
   private val m7Cache = new java.util.concurrent.ConcurrentHashMap[

@@ -130,10 +130,16 @@ object EventStream {
   /** Run a streaming query over the events parquet dir synchronously
     * (memory sink), returning the materialized result — used by tests
     * and the availableNow incremental-ingest path. */
+  /** `shufflePartitions`: stateful operators create one state store per
+    * shuffle partition per micro-batch (a stream–stream join keeps
+    * four). For a bounded catalog/demo run that fixed setup dominates,
+    * so callers may pin a small count for the query's duration; a
+    * production stream sizes this to its data and leaves it unset. */
   def runAvailableNow(spark: SparkSession, dir: String,
                       transform: DataFrame => DataFrame,
                       queryName: String,
-                      mode: OutputMode = OutputMode.Append): DataFrame = {
+                      mode: OutputMode = OutputMode.Append,
+                      shufflePartitions: Option[Int] = None): DataFrame = {
     // FileStreamSource requires a *directory*; the testdata table is a
     // single parquet file, so stage it into one (micro-batch ingest of a
     // dropped-in file is exactly the dvid-injection pattern anyway)
@@ -149,12 +155,17 @@ object EventStream {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else src
-    val q = transform(events).writeStream
-      .outputMode(mode)
-      .format("memory").queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = transform(events).writeStream
+        .outputMode(mode)
+        .format("memory").queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(queryName)
   }
 }

@@ -146,6 +146,23 @@ object Dedup {
       .select(col("blk"), col("bin"), (col("na") * col("nb")).as("cand_pairs"))
   }
 
+  /** The blocks `fuzzyBlockedPairs` will DROP at the given cap — run
+    * this alongside the pair job (or on a sample) to surface the recall
+    * gap the cap traded away; logs a summary line when non-empty. */
+  def overflowReport(rows: DataFrame, nameCol: String, maxDist: Int = 2,
+                     bucketW: Int = 4, pairCap: Long = 1L << 22): DataFrame = {
+    val over = blockPairCounts(rows, nameCol, maxDist, bucketW)
+      .filter(col("cand_pairs") > pairCap)
+    val rowsOver = over.collect()
+    if (rowsOver.nonEmpty)
+      System.err.println(
+        s"[graft][fuzzy-match] OVERFLOW: $pairCap-pair cap drops " +
+          s"${rowsOver.length} blocks: " + rowsOver.take(5).map(r =>
+          s"(blk=${r.getAs[String]("blk")},bin=${r.getAs[Int]("bin")}," +
+            s"pairs=${r.getAs[Long]("cand_pairs")})").mkString(", "))
+    over
+  }
+
   /** Fuzzy entity-matching pairs (the ER primitive): (id_a < id_b) whose
     * names share the last-2-chars block and sit within Levenshtein
     * `maxDist`. Composite banded blocking — the equi-join key is
@@ -155,10 +172,11 @@ object Dedup {
     * variable-length corpus's hot suffix blocks.
     *
     * Overflow policy: blocks whose candidate-pair count (na·nb) exceeds
-    * `pairCap` are DROPPED and logged — at 100 TB a degenerate key
-    * shared by millions of rows must surface as a logged recall gap,
-    * never as one straggler task doing billions of Levenshtein calls.
-    * The audit aggregate is one row per distinct block key (tiny). */
+    * `pairCap` are dropped DECLARATIVELY — a broadcast semi-join against
+    * the under-cap block keys, evaluated inside the one pair job, so at
+    * 100 TB a degenerate key shared by millions of rows becomes a
+    * surfaced recall gap (`overflowReport`), never one straggler task
+    * doing billions of Levenshtein calls. */
   def fuzzyBlockedPairs(rows: DataFrame, idCol: String, nameCol: String,
                         maxDist: Int = 2, bucketW: Int = 4,
                         pairCap: Long = 1L << 22): DataFrame = {
@@ -169,23 +187,17 @@ object Dedup {
     val b = rows.select(col(idCol).as("id_b"), col(nameCol).as("name_b"))
       .withColumn("blk", substring(col("name_b"), -2, 2))
       .withColumn("bin", floor(length(col("name_b")) / bucketW).cast("int"))
-    val over = blockPairCounts(rows, nameCol, maxDist, bucketW)
-      .filter(col("cand_pairs") > pairCap)
-    val overRows = over.collect()
-    if (overRows.nonEmpty)
-      System.err.println(
-        s"[graft][fuzzy-match] OVERFLOW: dropping ${overRows.length} blocks over " +
-          s"pairCap=$pairCap: " + overRows.take(5).map(r =>
-          s"(blk=${r.getAs[String]("blk")},bin=${r.getAs[Int]("bin")}," +
-            s"pairs=${r.getAs[Long]("cand_pairs")})").mkString(", "))
-    val aOk =
-      if (overRows.isEmpty) a
-      else a.join(broadcast(over.select("blk", "bin")), Seq("blk", "bin"), "left_anti")
-    aOk.join(b, Seq("blk", "bin"))
+    val ok = blockPairCounts(rows, nameCol, maxDist, bucketW)
+      .filter(col("cand_pairs") <= pairCap).select("blk", "bin")
+    a.join(broadcast(ok), Seq("blk", "bin"), "left_semi")
+      .join(b, Seq("blk", "bin"))
       .filter(col("id_a") < col("id_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // thresholded levenshtein: banded O(τ·n) with early exit instead
+      // of the full O(n·m) DP — returns the exact distance when ≤ τ
+      // (identical output) and −1 past the band
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
   }
 }
