@@ -65,11 +65,20 @@ object MultiTower {
       val scored = model.transform(test).cache()
       val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1)
       val auc = Metrics.auc(scored, "label", p1)
+      // train-side AUC feeds the reference's overfit gate
+      // (xgboost_training_for_big_data.py:523-529: reject when
+      // train_auc - val_auc > 0.06) applied to the MLP approximation —
+      // the same acceptance shape the reference imposes on its NN.
+      val scoredTrain = model.transform(train)
+      val aucTrain = Metrics.auc(scoredTrain, "label", p1)
+      val gap = aucTrain - auc
       val acc = scored.filter(col("prediction") === col("label")).count().toDouble /
         math.max(scored.count(), 1L)
       val scoredVal = scored.select(col("label"), p1.as("p"), col("prediction"))
         .localCheckpoint(true)
-      val r = Result(Map("auc_val" -> auc, "accuracy" -> acc,
+      val r = Result(Map("auc_val" -> auc, "auc_train" -> aucTrain,
+        "overfit_gap" -> gap, "gate_pass" -> (if (gap <= 0.06) 1.0 else 0.0),
+        "accuracy" -> acc,
         "n_train" -> train.count().toDouble, "n_test" -> test.count().toDouble),
         scoredVal)
       scored.unpersist()

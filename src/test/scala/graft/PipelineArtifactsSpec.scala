@@ -42,9 +42,15 @@ class PipelineArtifactsSpec extends SparkSpec {
     assert(dec >= 0.30 && mar <= 0.05)
   }
 
-  test("M7/M8: multi-tower MLP trains and separates classes") {
+  test("M7/M8: multi-tower MLP trains, separates classes, passes the overfit gate") {
     val r = MultiTower.train(spark, LinkPredict.trainingSet(spark, sfDir, cap = 5000))
     assert(r.metrics("auc_val") > 0.55, s"MLP AUC too low: ${r.metrics}")
+    // the reference's own acceptance shape (is_model_overfitting,
+    // xgboost_training_for_big_data.py:523-529) applied to the MLP
+    // approximation: train/val AUC gap must stay within 0.06
+    assert(r.metrics("overfit_gap") <= 0.06,
+      s"MLP overfits beyond the reference gate: ${r.metrics}")
+    assert(r.metrics("gate_pass") === 1.0, s"gate inconsistent: ${r.metrics}")
   }
 
   test("G6: dvid injections append partitions and report counts") {
