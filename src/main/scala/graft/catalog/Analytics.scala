@@ -383,6 +383,26 @@ object Analytics {
       .orderBy("segment")
   }
 
+  // R8: temperature-based domain mixing — the multilingual-corpus
+  // sampling rule (p_i ∝ c_i^α, α=0.5): per-language doc counts are
+  // raised to the temperature, normalized, and turned into a per-domain
+  // sample allocation for a fixed budget. The per-domain count table is
+  // tiny (one row per language) — at 100 TB this is a broadcast-able
+  // mixing plan computed from metadata, driving per-partition samplers.
+  private def r8TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.5
+    val budget = 200
+    val counts = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("wgt", pow(col("n_docs").cast("double"), alpha))
+      .withColumn("p", round(col("wgt") / sum("wgt").over(w), 6))
+      .withColumn("n_target", round(col("p") * budget, 0).cast("long"))
+      .select("lang", "n_docs", "p", "n_target")
+      .orderBy("lang")
+  }
+
   // Event-stream shaped: tumbling window aggregation (the batch twin of
   // the Structured Streaming path in graft.streaming)
   private def e1EventWindows(spark: SparkSession, dir: String): DataFrame =
@@ -709,6 +729,7 @@ object Analytics {
     "r5_feature_noise" -> (r5FeatureNoise(_, _)),
     "r6_oversample" -> (r6Oversample(_, _)),
     "r7_weighted_pick" -> (r7WeightedPick(_, _)),
+    "r8_temperature_mix" -> (r8TemperatureMix(_, _)),
     "e1_event_windows" -> (e1EventWindows(_, _)),
     "e2_sessionize" -> (e2Sessionize(_, _)),
     "e3_stream_windows" -> (e3StreamWindows(_, _)),
@@ -1085,6 +1106,12 @@ object Analytics {
          |      FROM x WHERE cumw >= $u * tot)
          |SELECT segment, ck AS picked FROM y WHERE rn = 1 ORDER BY segment""".stripMargin
     },
+    "r8_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE), 0.5) AS wgt FROM c),
+        |p AS (SELECT lang, n_docs, round(wgt / sum(wgt) OVER (), 6) AS p FROM w)
+        |SELECT lang, n_docs, p, CAST(round(p * 200, 0) AS BIGINT) AS n_target
+        |FROM p ORDER BY lang""".stripMargin,
     "e1_event_windows" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |  round(sum(value), 4) AS total_value

@@ -430,6 +430,105 @@ object TextSim {
         everyK = 100)
       .orderBy("media_id", "frame_no")
 
+  // T12: token-budget sequence packing — the pretraining prep step that
+  // concatenates the corpus token stream in doc_id order and slices it
+  // into fixed `budget`-token packs: each doc starts at the running
+  // token offset, pack_id = offset / budget. One window cumsum; at
+  // 100 TB the ordering key becomes a per-shard document order so the
+  // cumsum shuffles once per shard, never globally.
+  private def t12PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)).cast("long"))
+      .withColumn("pack_id", floor(col("offset") / budget))
+      .withColumn("offset_in_pack", col("offset") % budget)
+      .select("doc_id", "n_tokens", "offset", "pack_id", "offset_in_pack")
+      .orderBy("doc_id")
+  }
+
+  // T13: Gopher-style quality-rule flags (Rae et al. 2021 §A1.1 shape):
+  // word-count window, mean-word-length window, symbol ratio, stopword
+  // evidence — each rule a named 0/1 column plus the conjunction, so a
+  // corpus filter can both drop and EXPLAIN the drop. Pure column
+  // expressions — codegen'd single scan.
+  private def t13QualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nWords = TextAnalysis.tokenCount(t)
+    val meanLen = when(nWords === 0, 0.0)
+      .otherwise(length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
+    val symbols = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    val symbolRatio = when(length(t) === 0, 0.0)
+      .otherwise(symbols.cast("double") / length(t))
+    // distinct union across the language lists: a token shared by two
+    // lexicons ('la', 'un') must count once, matching the oracle's
+    // single merged list_contains list
+    val stopHits = TextAnalysis.stopwordHits(t,
+      TextAnalysis.stopwords.values.flatten.toSeq.distinct)
+    Tables.documents(spark, dir).select(
+        col("doc_id"), nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(symbolRatio, 6).as("symbol_ratio"),
+        stopHits.as("stop_hits"),
+        (nWords >= 20 && nWords <= 500).cast("int").as("flag_word_count"),
+        (meanLen >= 3.0 && meanLen <= 10.0).cast("int").as("flag_word_len"),
+        (symbolRatio < 0.1).cast("int").as("flag_symbol"),
+        (stopHits >= 2).cast("int").as("flag_stopword"))
+      .withColumn("passes",
+        (col("flag_word_count") === 1 && col("flag_word_len") === 1 &&
+          col("flag_symbol") === 1 && col("flag_stopword") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  // T14: PII masking — emails then long digit runs replaced by typed
+  // placeholders, with per-row mask counts for audit. The contact
+  // string is synthesized deterministically from name/key (the slim
+  // synthetic CRM lacks raw contact columns); the operator itself —
+  // ordered regex masking inside one codegen'd projection — is the
+  // 100 TB-real part. Email first: emails contain digit runs, so the
+  // reverse order would corrupt the address before it is matched.
+  private def t14PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numRe = "[0-9]{4,}"
+    val contact = concat(col("c_name"), lit(" <user"), col("c_custkey"),
+      lit("@example.com> ref "), (col("c_custkey") * 7919 + 104729).cast("string"))
+    Tables.customer(spark, dir).select(col("c_custkey"), contact.as("contact"))
+      .withColumn("n_emails", regexp_count(col("contact"), lit(emailRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("contact"), emailRe, "[EMAIL]"), numRe, "[NUM]"))
+      .withColumn("n_longnums", regexp_count(col("redacted"), lit("\\[NUM\\]")))
+      .select("c_custkey", "redacted", "n_emails", "n_longnums")
+      .orderBy("c_custkey")
+  }
+
+  // D10: benchmark-contamination check — distinct word 8-grams of the
+  // held-out benchmark slice (doc_id ≡ 0 mod 10) joined against the
+  // training slice's 8-grams; ≥3 shared grams flags the pair. The join
+  // key is the md5 of the gram (fixed 32-byte shuffle width, never the
+  // text); grams are distinct-ed per doc before the shuffle, so fan-out
+  // is bounded by document length, not corpus size.
+  private def d10Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val grams = docs.select(col("doc_id"), explode(array_distinct(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
+            md5(concat_ws(" ", slice(col("toks"), i, lit(n))))))
+          .otherwise(array().cast("array<string>")))).as("gram"))
+    val bench = grams.filter(col("doc_id") % 10 === 0)
+      .withColumnRenamed("doc_id", "bench_doc")
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+      .withColumnRenamed("doc_id", "train_doc")
+    train.join(bench, "gram")
+      .groupBy("train_doc", "bench_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("train_doc", "bench_doc")
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_minhash_lsh" -> (d2MinhashLsh(_, _)),
@@ -456,6 +555,10 @@ object TextSim {
     "t9_top_bigrams" -> (t9TopBigrams(_, _)),
     "t10_tfidf" -> (t10Tfidf(_, _)),
     "t11_vocab_prune" -> (t11VocabPrune(_, _)),
+    "t12_pack_sequences" -> (t12PackSequences(_, _)),
+    "t13_quality_rules" -> (t13QualityRules(_, _)),
+    "t14_pii_redact" -> (t14PiiRedact(_, _)),
+    "d10_contamination" -> (d10Contamination(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
     "mm3_resize_plan" -> (mm3ResizePlan(_, _)),
@@ -740,6 +843,88 @@ object TextSim {
         |tot AS (SELECT doc_id, count(*) AS total_tokens FROM terms GROUP BY doc_id)
         |SELECT tot.doc_id, coalesce(k.kept_tokens, 0) AS kept_tokens, tot.total_tokens
         |FROM tot LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "t12_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, "offset",
+        |  "offset" // 256 AS pack_id, "offset" % 256 AS offset_in_pack
+        |FROM off ORDER BY doc_id""".stripMargin,
+    "t13_quality_rules" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+        |    len(text) AS n_char,
+        |    len(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+        |    len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_sym,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','and','of','to','in','is','that',
+        |        'der','die','das','und','ist','nicht','ein','zu',
+        |        'el','la','los','que','de','un','una','es',
+        |        'le','les','et','est','une','des'], x))) AS stop_hits
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |         ELSE CAST(n_nonspace AS DOUBLE) / n_words END AS mean_word_len,
+        |    CASE WHEN n_char = 0 THEN 0.0
+        |         ELSE CAST(n_sym AS DOUBLE) / n_char END AS symbol_ratio,
+        |    stop_hits
+        |  FROM b)
+        |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+        |  round(symbol_ratio, 6) AS symbol_ratio, stop_hits,
+        |  CAST(n_words BETWEEN 20 AND 500 AS INT) AS flag_word_count,
+        |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS flag_word_len,
+        |  CAST(symbol_ratio < 0.1 AS INT) AS flag_symbol,
+        |  CAST(stop_hits >= 2 AS INT) AS flag_stopword,
+        |  CAST(n_words BETWEEN 20 AND 500 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio < 0.1 AND stop_hits >= 2 AS INT) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t14_pii_redact" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    c_name || ' <user' || c_custkey || '@example.com> ref '
+        |      || CAST(c_custkey * 7919 + 104729 AS VARCHAR) AS contact
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(
+        |    regexp_replace(contact,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{4,}', '[NUM]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(
+        |      regexp_replace(contact,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '[0-9]{4,}', '[NUM]', 'g'),
+        |    '\[NUM\]')) AS INT) AS n_longnums
+        |FROM c ORDER BY c_custkey""".stripMargin,
+    "d10_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 8 THEN
+        |      list_transform(generate_series(1, len(toks) - 7),
+        |        i -> md5(array_to_string(toks[i:i+7], ' ')))
+        |    ELSE [] END)) AS gram
+        |  FROM toks)
+        |SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+        |  count(*) AS n_shared
+        |FROM grams t JOIN grams b USING (gram)
+        |WHERE t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY train_doc, bench_doc""".stripMargin,
     "t10_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

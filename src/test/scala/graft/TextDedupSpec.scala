@@ -103,4 +103,59 @@ class TextDedupSpec extends SparkSpec {
     assert(fp(0) === fp(2))
     assert(fp(0) !== fp(1))
   }
+
+  test("t12 packing: offsets are the exact running token sum; packs hold the budget") {
+    val out = SparkEntry.queries("t12_pack_sequences")(spark, sfDir)
+      .select("doc_id", "n_tokens", "offset", "pack_id", "offset_in_pack")
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1)
+    var running = 0L
+    out.foreach { case (_, n, off, pack, inPack) =>
+      assert(off === running, s"offset drift at $off vs $running")
+      assert(pack === off / 256 && inPack === off % 256)
+      running += n
+    }
+    assert(running > 0)
+  }
+
+  test("t13 quality rules: passes is exactly the conjunction of the four flags") {
+    val df = SparkEntry.queries("t13_quality_rules")(spark, sfDir)
+    val bad = df.filter(
+      col("passes") =!= (col("flag_word_count") * col("flag_word_len") *
+        col("flag_symbol") * col("flag_stopword"))).count()
+    assert(bad === 0)
+    // both outcomes occur on the synthetic corpus (the filter filters)
+    assert(df.filter(col("passes") === 1).count() > 0)
+  }
+
+  test("t14 PII redaction: no emails or long digit runs survive masking") {
+    val df = SparkEntry.queries("t14_pii_redact")(spark, sfDir)
+    assert(df.filter(col("redacted").rlike("@")).count() === 0)
+    assert(df.filter(col("redacted").rlike("[0-9]{4,}")).count() === 0)
+    assert(df.filter(col("n_emails") =!= 1).count() === 0)
+    assert(df.filter(!col("redacted").contains("[EMAIL]")).count() === 0)
+  }
+
+  test("d10 contamination: pairs cross the benchmark boundary with ≥3 shared grams") {
+    val df = SparkEntry.queries("d10_contamination")(spark, sfDir)
+    assert(df.filter(col("train_doc") % 10 === 0).count() === 0)
+    assert(df.filter(col("bench_doc") % 10 =!= 0).count() === 0)
+    assert(df.filter(col("n_shared") < 3).count() === 0)
+    assert(df.count() > 0)
+  }
+
+  test("r8 temperature mix: probabilities normalize and flatten the head") {
+    val rows = SparkEntry.queries("r8_temperature_mix")(spark, sfDir)
+      .select("lang", "n_docs", "p")
+      .as[(String, Long, Double)].collect()
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // α=0.5 compresses the ratio: p-ratio between any two langs is the
+    // sqrt of their count-ratio, strictly flatter than proportional
+    val byCount = rows.sortBy(_._2)
+    val (lo, hi) = (byCount.head, byCount.last)
+    if (hi._2 > lo._2) {
+      val pRatio = hi._3 / lo._3
+      val cRatio = hi._2.toDouble / lo._2
+      assert(pRatio < cRatio && pRatio > 1.0 - 1e-9)
+    }
+  }
 }
