@@ -226,6 +226,63 @@ case class WeightedStepPick(nbrs: Expression, prevNbrs: Expression,
       prev = newChildren(2), baseHash = newChildren(3))
 }
 
+/** Whitespace-token hit counts against K lexicons in ONE pass over the
+  * text — replaces K × (regex split + higher-order filter +
+  * array_contains), which re-splits the string and interprets a lambda
+  * per token per lexicon. Tokenization matches split(trim(s), "\s+")
+  * exactly (same \s character class), so oracle equality is untouched;
+  * the language-ID / quality scan drops from K interpreted passes to a
+  * single substring walk with O(1) hash probes. */
+case class TokenHitCounts(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"TokenHitCounts needs string, got $other")
+    }
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    lists.map { ws =>
+      val s = new java.util.HashSet[String](ws.size * 2)
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  // Java regex \s — the exact class split(trim(s), "\s+") breaks on
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](sets.length)
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        val tok = s.substring(start, i)
+        var k = 0
+        while (k < counts.length) {
+          if (sets(k).contains(tok)) counts(k) += 1
+          k += 1
+        }
+      }
+    }
+    new GenericArrayData(counts.map(Int.box).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenHitCounts =
+    copy(child = c)
+}
+
 object expressions {
   import org.apache.spark.sql.GraftColumnBridge._
 
@@ -238,6 +295,9 @@ object expressions {
 
   def array_md5(arr: Column): Column =
     toColumn(ArrayMd5(toExpression(arr)))
+
+  def token_hit_counts(s: Column, lists: Seq[Seq[String]]): Column =
+    toColumn(TokenHitCounts(toExpression(s), lists))
 
   def weighted_step_pick(nbrs: Column, prevNbrs: Column, prev: Column,
                          baseHash: Column, invP: Double, invQ: Double,

@@ -25,21 +25,26 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
 
-  /** Count of tokens of `text` that appear in `words`. */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val arr = array(words.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(arr, t)))
-  }
+  /** Count of tokens of `text` that appear in `words` — one tight pass
+    * via the TokenHitCounts expression (the K×(split+filter) HOF
+    * formulation re-split the text and interpreted a lambda per token). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    element_at(graft.plans.expressions.token_hit_counts(text, Seq(words)), 1)
 
   /** Language ID: argmax over per-language stopword hit counts, ties
     * broken by language code order, 'und' (undetermined) when no list
-    * scores a hit. */
+    * scores a hit. All K lexicons are counted in ONE text pass
+    * (TokenHitCounts); the argmax fold runs over the small counts array. */
   def languageId(text: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(stopwordHits(text, stopwords(l)).as("hits"), lit(l).as("lang")))
-    // array_max over (hits, lang) structs orders by hits then lang —
-    // lexicographically later lang wins ties, so invert: take max of
-    // (hits, reversed-rank) … simpler: fold with explicit comparison.
+    val counts = graft.plans.expressions.token_hit_counts(
+      text, langs.map(stopwords))
+    // fold with explicit comparison: earlier language wins ties
+    // (the K element_at copies share one TokenHitCounts eval via
+    // Catalyst subexpression elimination — asserted by the t8 bench)
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      struct(element_at(counts, i + 1).as("hits"), lit(l).as("lang"))
+    }
     val best = scored.reduce { (a, b) =>
       when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
     }

@@ -105,6 +105,23 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(all.filter($"id_a" < 100L).count() > 0)
   }
 
+  test("TokenHitCounts matches the split+filter HOF formulation exactly") {
+    import graft.text.TextAnalysis
+    val lists = TextAnalysis.stopwords.keys.toSeq.sorted.map(TextAnalysis.stopwords)
+    val df = graft.core.Tables.documents(spark, sfDir)
+      .select($"text").unionByName(
+        Seq("", "   ", "the", " the\tthe\nthe ", "la un une des")
+          .toDF("text"))
+    val hof = lists.zipWithIndex.map { case (ws, i) =>
+      val arr = array(ws.map(lit): _*)
+      size(filter(split(trim($"text"), "\\s+"), t => array_contains(arr, t))).as(s"h$i")
+    }
+    val both = df.select(
+      array(hof: _*).as("hof"),
+      graft.plans.expressions.token_hit_counts($"text", lists).as("fast"))
+    assert(both.filter($"hof" =!= $"fast").count() === 0)
+  }
+
   test("ArrayMd5 matches transform(arr, s -> md5(s)) exactly") {
     val df = graft.core.Tables.documents(spark, sfDir)
       .select(graft.text.Dedup.shingleArray($"text", 5).as("sh"))
