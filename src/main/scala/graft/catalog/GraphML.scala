@@ -208,6 +208,21 @@ object GraphML {
     r.importances.toDF("feature", "importance").orderBy(desc("importance"))
   }
 
+  // M11b: the GBT's feature importances persisted, the ranked list
+  // recomputed relationally from the persisted bits — hash-gated twin
+  // of the rows-only m11 (the fit is model-coupled; ranking is not).
+  private def m11bImportanceRanked(spark: SparkSession, dir: String): DataFrame = {
+    val r = fit(spark, dir, "gbt")
+    import spark.implicits._
+    val persisted = artifact(spark, dir, "m11_importances",
+      r.importances.toDF("feature", "importance"))
+    persisted
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("importance"), asc("feature"))))
+      .select(col("rank"), col("feature"), round(col("importance"), 6).as("importance"))
+      .orderBy("rank")
+  }
+
   // The m2 pair of LR fits and the m7 MLP fit are deterministic pure
   // functions of the dir — memoize per (app, dir) so the rows-only
   // entries and their deterministic twins (m2b/m7b) share one fit.
@@ -539,6 +554,7 @@ object GraphML {
     "m7_mlp_metrics" -> (m7MlpMetrics(_, _)),
     "m7b_mlp_deterministic" -> (m7bMlpDeterministic(_, _)),
     "m11_feature_importance" -> (m11FeatureImportance(_, _)),
+    "m11b_importance_ranked" -> (m11bImportanceRanked(_, _)),
     "s8_history_roundtrip" -> (s8HistoryRoundtrip(_, _)),
     "m6_compat_probe" -> (m6CompatProbe(_, _)),
     "m8_tower_scaling" -> (m8TowerScaling(_, _)))
@@ -1037,6 +1053,10 @@ object GraphML {
     "m4b_metrics_deterministic" -> m4bSql,
     "m5b_sweep_deterministic" -> m5bSql,
     "m1b_gbt_deterministic" -> m1bSql,
+    "m11b_importance_ranked" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY importance DESC, feature ASC) AS INT) AS rank,
+         |  feature, round(importance, 6) AS importance
+         |FROM ${artifactSql("m11_importances")} ORDER BY rank""".stripMargin,
     "m2b_multidate_deterministic" -> m2bSql,
     "m7b_mlp_deterministic" -> m7bSql,
     "g6_dvid_versioning" ->
