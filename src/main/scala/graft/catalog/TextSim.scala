@@ -529,6 +529,60 @@ object TextSim {
       .orderBy("train_doc", "bench_doc")
   }
 
+  // T15: internal-repetition rule (the Gopher duplicate-n-gram test
+  // applied within a document): fraction of word 3-grams that are
+  // repeats of an earlier 3-gram in the same doc. High ratio = looping
+  // boilerplate; a standard pretraining drop rule. Map-only column
+  // math — no shuffle at all.
+  private def t15Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val n = 3
+    val toks = TextAnalysis.tokens(col("text"))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(when(col("n_grams") === 0, 0.0)
+          .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_grams")), 6))
+      .withColumn("flag_repetitive", (col("rep_ratio") > 0.2).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  // Incremental ANN index maintenance — the d7 pattern applied to the
+  // IVF index: the standing index's hash-picked centroids are built
+  // from the EXISTING corpus only (vec_id ≢ 0 mod 5); the "new arrival"
+  // batch is routed to its nearest list without touching the standing
+  // assignments. At 100 TB this is the nightly-ingest path: a
+  // broadcast join of the new batch against the nLists-row centroid
+  // table — no recluster, no recompare of the corpus.
+  private def simIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ColFns
+    import org.apache.spark.sql.expressions.Window
+    val nLists = 16
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val standing = e.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = e.filter(col("vec_id") % 5 === 0)
+    val centW = Window.orderBy(
+      ColFns.pseudoUniform(col("cid"), 13L).asc, col("cid").asc)
+    val cents = standing.select(col("vec_id").as("cid"), col("v").as("cv"))
+      .withColumn("list", row_number().over(centW))
+      .filter(col("list") <= nLists)
+      .select("list", "cv")
+    val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
+    arrivals.crossJoin(broadcast(cents))
+      .withColumn("rank_d", round(
+        Similarity.dot(col("cv"), col("cv")) -
+          lit(2.0) * Similarity.dot(col("v"), col("cv")), 6))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("list"), col("rank_d"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_minhash_lsh" -> (d2MinhashLsh(_, _)),
@@ -558,7 +612,9 @@ object TextSim {
     "t12_pack_sequences" -> (t12PackSequences(_, _)),
     "t13_quality_rules" -> (t13QualityRules(_, _)),
     "t14_pii_redact" -> (t14PiiRedact(_, _)),
+    "t15_repetition" -> (t15Repetition(_, _)),
     "d10_contamination" -> (d10Contamination(_, _)),
+    "sim_ivf_incremental" -> (simIvfIncremental(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
     "mm3_resize_plan" -> (mm3ResizePlan(_, _)),
@@ -908,6 +964,44 @@ object TextSim {
         |      '[0-9]{4,}', '[NUM]', 'g'),
         |    '\[NUM\]')) AS INT) AS n_longnums
         |FROM c ORDER BY c_custkey""".stripMargin,
+    "t15_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(generate_series(1, len(toks) - 2),
+        |        i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [] END AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents))
+        |SELECT doc_id, len(grams) AS n_grams,
+        |  len(list_distinct(grams)) AS n_distinct,
+        |  round(CASE WHEN len(grams) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) END, 6)
+        |    AS rep_ratio,
+        |  CAST(round(CASE WHEN len(grams) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) END, 6)
+        |    > 0.2 AS INT) AS flag_repetitive
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "sim_ivf_incremental" -> {
+      import graft.functions.ColFns
+      val u = ColFns.pseudoUniformSql("vec_id", 13L)
+      val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
+      val vc = Similarity.dotSql("a.v", "c.cv", DIM)
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cents AS (
+         |  SELECT list, cv FROM (
+         |    SELECT v AS cv,
+         |      row_number() OVER (ORDER BY $u ASC, vec_id ASC) AS list
+         |    FROM e WHERE vec_id % 5 <> 0)
+         |  WHERE list <= 16),
+         |ranked AS (
+         |  SELECT a.vec_id, c.list, round(($cc - 2.0 * $vc), 6) AS rank_d
+         |  FROM (SELECT * FROM e WHERE vec_id % 5 = 0) a CROSS JOIN cents c),
+         |arn AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY rank_d ASC, list ASC) AS arn FROM ranked)
+         |SELECT vec_id, list, rank_d FROM arn WHERE arn = 1
+         |ORDER BY vec_id""".stripMargin
+    },
     "d10_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -143,6 +143,24 @@ class TextDedupSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("t15 repetition: ratio bounded in [0,1) and distinct ≤ total") {
+    val df = SparkEntry.queries("t15_repetition")(spark, sfDir)
+    assert(df.filter(col("n_distinct") > col("n_grams")).count() === 0)
+    assert(df.filter(col("rep_ratio") < 0.0 || col("rep_ratio") >= 1.0).count() === 0)
+    assert(df.filter(
+      col("flag_repetitive") =!= (col("rep_ratio") > 0.2).cast("int")).count() === 0)
+  }
+
+  test("sim_ivf_incremental routes exactly the arrival batch, one list each") {
+    val df = SparkEntry.queries("sim_ivf_incremental")(spark, sfDir)
+    val nArrivals = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(df.count() === nArrivals)
+    assert(df.select("vec_id").distinct().count() === nArrivals)
+    assert(df.filter(col("vec_id") % 5 =!= 0).count() === 0)
+    assert(df.filter(col("list") < 1 || col("list") > 16).count() === 0)
+  }
+
   test("r8 temperature mix: probabilities normalize and flatten the head") {
     val rows = SparkEntry.queries("r8_temperature_mix")(spark, sfDir)
       .select("lang", "n_docs", "p")
