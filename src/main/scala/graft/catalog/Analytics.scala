@@ -668,6 +668,31 @@ object Analytics {
         col("pcts").getItem(1).as("p95_price"))
   }
 
+  // A16b: the sketch entry under the hash gate — exact distincts are
+  // recomputed by the oracle; the sketch side is gated as an INVARIANT
+  // (approx within 10% of exact, approx-p50 inside the exact p45–p55
+  // band), so a drifting HLL/KLL implementation flips a flag and fails
+  // the hash even though the sketch value itself has no SQL mirror.
+  private def a16bSketchBounds(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("nd_parts"),
+        approx_count_distinct(col("l_orderkey")).as("nd_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+        expr("percentile(l_extendedprice, 0.45)").as("p45"),
+        expr("percentile(l_extendedprice, 0.55)").as("p55"))
+      .select(
+        col("exact_parts"), col("exact_orders"),
+        (abs(col("nd_parts").cast("double") / col("exact_parts") - 1.0) <= 0.1)
+          .cast("int").as("parts_within_10pct"),
+        (abs(col("nd_orders").cast("double") / col("exact_orders") - 1.0) <= 0.1)
+          .cast("int").as("orders_within_10pct"),
+        (col("ap50") >= col("p45") && col("ap50") <= col("p55"))
+          .cast("int").as("p50_within_rank_band"))
+  }
+
   // P6: inactive-node prune — drop customers with no purchase activity
   // in the 730 days before the cutoff (Node2vec_algorithm_inscripton.py:57-87)
   private def p6InactivePrune(spark: SparkSession, dir: String): DataFrame = {
@@ -747,6 +772,7 @@ object Analytics {
     "a18_unpivot" -> (a18Unpivot(_, _)),
     "f16_json_extract" -> (f16JsonExtract(_, _)),
     "a16_approx_sketches" -> (a16ApproxSketches(_, _)),
+    "a16b_sketch_bounds" -> (a16bSketchBounds(_, _)),
     "p6_inactive_prune" -> (p6InactivePrune(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -1106,6 +1132,12 @@ object Analytics {
          |      FROM x WHERE cumw >= $u * tot)
          |SELECT segment, ck AS picked FROM y WHERE rn = 1 ORDER BY segment""".stripMargin
     },
+    "a16b_sketch_bounds" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  1 AS parts_within_10pct, 1 AS orders_within_10pct,
+        |  1 AS p50_within_rank_band
+        |FROM lineitem""".stripMargin,
     "r8_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |w AS (SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE), 0.5) AS wgt FROM c),

@@ -155,14 +155,88 @@ object ScaleOps {
       .orderBy("dvid", "event_type")
   }
 
+  // E10: watermark late-data semantics under the hash gate. One logical
+  // stream fed by two file drops sharing a checkpoint: the first drop
+  // carries the LATER half of the events (establishing watermark =
+  // max(ts) − 2 h), the second drop replays the EARLIER half as late
+  // arrivals. Late rows whose hour-window closed at or before the
+  // watermark are discarded by the engine; windows past the watermark
+  // finalize exactly once into the append sink. The emitted result is
+  // therefore a pure function of the split — on-time rows in finalized
+  // windows — which the oracle recomputes relationally. This is the
+  // at-scale guarantee that bounds streaming state: state is O(windows
+  // inside the watermark horizon), never O(history).
+  private def e10LateDataDrop(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e10_$tag")
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    val ev = Tables.events(spark, dir).select("event_id", "ts", "event_type", "value")
+    val Array(tminMu, tmaxMu) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val midMu = tminMu + (tmaxMu - tminMu) / 2
+    val src = s"$base/src"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    def drainDrop(batch: DataFrame, name: String): Unit = {
+      batch.write.parquet(s"$src/$name")
+      val schema = spark.read.parquet(s"$src/$name").schema
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(src)
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("total_value"))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    drainDrop(ev.filter(unix_micros(col("ts")) >= midMu), "ontime")
+    drainDrop(ev.filter(unix_micros(col("ts")) < midMu), "late")
+    spark.read.parquet(out).orderBy("window_start", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "j10_salted_skew_join" -> (j10SaltedJoin(_, _)),
     "j11_asof_join" -> (j11AsOfJoin(_, _)),
     "j12_range_join" -> (j12RangeJoin(_, _)),
     "sim_recall_eval" -> (simRecallEval(_, _)),
-    "e7_incremental_ingest" -> (e7IncrementalIngest(_, _)))
+    "e7_incremental_ingest" -> (e7IncrementalIngest(_, _)),
+    "e10_late_data_drop" -> (e10LateDataDrop(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // emitted = on-time (later-half) rows in windows finalized by the
+    // watermark (window end ≤ max(ts) − 2 h); the late replay of the
+    // earlier half is entirely below the watermark and discarded
+    "e10_late_data_drop" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+        |           FROM events),
+        |ontime AS (
+        |  SELECT e.* FROM events e, b
+        |  WHERE epoch_us(e.ts) >= b.tmin + (b.tmax - b.tmin) // 2)
+        |SELECT date_trunc('hour', o.ts) AS window_start, o.event_type,
+        |  count(*) AS n, round(sum(o.value), 4) AS total_value
+        |FROM ontime o, b
+        |WHERE epoch_us(date_trunc('hour', o.ts)) + 3600000000 <= b.tmax - 7200000000
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "j10_salted_skew_join" ->
       """WITH dim AS (
         |  SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS flag_name FROM lineitem)

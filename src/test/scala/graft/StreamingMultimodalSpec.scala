@@ -44,6 +44,24 @@ class StreamingMultimodalSpec extends SparkSpec {
       s"streaming dedup emitted ${out.count()} rows, expected $batchDistinct")
   }
 
+  test("e10: late replay below the watermark never reaches the sink") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("e10_late_data_drop")(spark, sfDir)
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val Array(tmin, tmax) = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = tmin + (tmax - tmin) / 2
+    // every emitted window closed at or before the watermark (max − 2 h)
+    val wmMu = tmax - 7200000000L
+    assert(out.filter(unix_micros($"window_start") + 3600000000L > wmMu).count() === 0)
+    // emitted totals equal the on-time rows of those windows — late
+    // (earlier-half) rows were dropped, not merged
+    val expect = ev.filter(unix_micros($"ts") >= mid)
+      .filter(unix_micros(date_trunc("hour", $"ts")) + 3600000000L <= wmMu)
+      .count()
+    assert(out.agg(sum("n")).head().getLong(0) === expect)
+  }
+
   test("multimodal decode preserves ids and emits the decoded schema") {
     val media = Multimodal.asMedia(
       graft.core.Tables.documents(spark, sfDir), "doc_id", "text", "image", "source")
