@@ -136,4 +136,44 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "\\+- Exchange ".r.findAllIn(plan).size
     assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$plan")
   }
+
+  test("SIM incremental: arrivals meet only the broadcast centroid table") {
+    val df = graft.catalog.TextSim.queries("sim_ivf_incremental")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // the 16-row centroid table must broadcast (nested-loop is fine for
+    // a cross join against a broadcast side); the standing corpus must
+    // never hash-shuffle against the arrivals
+    assert(plan.contains("BroadcastExchange"),
+      s"centroid table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"arrivals sort-merge-joined against the corpus:\n$plan")
+  }
+
+  test("D10: contamination joins 32-byte gram hashes, never document text") {
+    val df = graft.catalog.TextSim.queries("d10_contamination")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // both join inputs are (doc_id, md5(gram)) projections — if `text`
+    // or `toks` reaches an exchange the shuffle width blows up at scale
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("text") || l.contains("toks")),
+      s"document text reaches a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("T13: the quality-rule scan is one map-only codegen stage (no shuffle before sort)") {
+    val df = graft.catalog.TextSim.queries("t13_quality_rules")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // the only exchange allowed is the final orderBy's range partitioning
+    val hashEx = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 0, s"rule scan shuffles before the sort:\n$plan")
+  }
+
+  test("T12: packing costs exactly the one ordering exchange its algebra requires") {
+    val df = graft.catalog.TextSim.queries("t12_pack_sequences")(spark, sfDir)
+    val plan = finalPlanString(df)
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    // one global single-partition exchange for the cumsum window (the
+    // per-shard layout at scale keys it); the final orderBy reuses it
+    assert(exchanges <= 2, s"packing re-shuffles ($exchanges):\n$plan")
+  }
 }
