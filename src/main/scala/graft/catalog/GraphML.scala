@@ -208,6 +208,26 @@ object GraphML {
     r.importances.toDF("feature", "importance").orderBy(desc("importance"))
   }
 
+  // M12: the reference's NN training-loop semantics (M9/M10) as a
+  // catalog query — the per-epoch trajectory of the data-parallel AdamW
+  // loop (distributed gradient aggregate per epoch, driver-held
+  // optimizer state, plateau LR schedule, clipped global grad norm,
+  // pos_weight class balance, best-AUC checkpointing). Rows-only (the
+  // trajectory is model-coupled); the loop invariants are spec-asserted
+  // in PipelineArtifactsSpec.
+  private def m12AdamwLoop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // 15 epochs: enough to exercise improvement, plateau LR reduction
+    // and checkpoint-restore; each epoch is 2 jobs (grad agg + val AUC)
+    // so the entry's cost is scheduling-bound, not data-bound
+    val r = graft.ml.AdamWTrainer.train(
+      LinkPredict.trainingSetCached(spark, dir, cap = 20000), epochs = 15)
+    r.epochs.map(e => (e.epoch, math.round(e.trainLoss * 1e6) / 1e6,
+        math.round(e.aucVal * 1e6) / 1e6, e.lr,
+        math.round(e.gradNorm * 1e6) / 1e6, if (e.improved) 1 else 0))
+      .toDF("epoch", "train_loss", "auc_val", "lr", "grad_norm", "improved")
+  }
+
   // M11b: the GBT's feature importances persisted, the ranked list
   // recomputed relationally from the persisted bits — hash-gated twin
   // of the rows-only m11 (the fit is model-coupled; ranking is not).
@@ -555,6 +575,7 @@ object GraphML {
     "m7b_mlp_deterministic" -> (m7bMlpDeterministic(_, _)),
     "m11_feature_importance" -> (m11FeatureImportance(_, _)),
     "m11b_importance_ranked" -> (m11bImportanceRanked(_, _)),
+    "m12_adamw_loop" -> (m12AdamwLoop(_, _)),
     "s8_history_roundtrip" -> (s8HistoryRoundtrip(_, _)),
     "m6_compat_probe" -> (m6CompatProbe(_, _)),
     "m8_tower_scaling" -> (m8TowerScaling(_, _)))

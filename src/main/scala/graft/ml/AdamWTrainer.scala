@@ -1,0 +1,144 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ColFns
+
+/** The reference's neural TRAINING-LOOP semantics, data-parallel on
+  * Spark (SURVEY §2.11 M9/M10; reference
+  * Neural_network_multi_towered_training.py:703-790):
+  *
+  *  - AdamW (lr 0.02, weight_decay 1e-4, torch-default β/ε), decoupled
+  *    decay exactly as optim.AdamW (line 710)
+  *  - global gradient-norm clipping at 1.0 (clip_grad_norm_, line 732)
+  *  - ReduceLROnPlateau mode=max factor=0.5 on validation AUC
+  *    (line 711), patience scaled to the engine's epoch budget
+  *  - class imbalance via BCEWithLogitsLoss pos_weight (M10, line 709)
+  *  - best-AUC checkpoint + restore (lines 716-787), optional early stop
+  *
+  * The MODEL is a linear scorer over the engine's standardized link
+  * features — the tower-architecture divergence stays documented at
+  * MultiTower (SURVEY §7.4); this closes the loop-semantics divergence,
+  * which a user porting the reference NN hits first. The 100 TB shape:
+  * each epoch's gradient is ONE aggregate pass over the cached corpus
+  * (per-feature sum-reductions, map-side combined), the model is a
+  * per-epoch broadcast of d+1 doubles, and the optimizer state
+  * (2(d+1) doubles) lives on the driver — the classic data-parallel
+  * layout where nothing per-row ever leaves the executors.
+  */
+object AdamWTrainer {
+
+  final case class Epoch(epoch: Int, trainLoss: Double, aucVal: Double,
+                         lr: Double, gradNorm: Double, improved: Boolean)
+  final case class Result(weights: Array[Double], bias: Double,
+                          epochs: Seq[Epoch], bestAuc: Double, bestEpoch: Int)
+
+  /** `data`: rows with `label` (0/1 double) and the numeric feature
+    * columns `features`. Standardization is computed on the train split
+    * only (the reference fits scalers on train, line 807 `scalers`). */
+  def train(data: DataFrame, features: Seq[String] = LinkPredict.featureNames,
+            epochs: Int = 40, lr0: Double = 0.02, weightDecay: Double = 1e-4,
+            clipNorm: Double = 1.0, lrPatience: Int = 5, lrFactor: Double = 0.5,
+            earlyStop: Int = Int.MaxValue, seed: Long = 47L): Result = {
+    val d = features.size
+    val split = data.coalesce(8).withColumn("part",
+      when(ColFns.pseudoUniform(
+        xxhash64(col("customer"), col("product")), seed) < 0.8, "train")
+        .otherwise("val"))
+    // train-split moments for standardization (guard σ=0 → 1)
+    val momAgg = features.flatMap(c =>
+      Seq(avg(col(c)).as(s"mu_$c"), stddev_pop(col(c)).as(s"sd_$c")))
+    val mom = split.filter(col("part") === "train").agg(momAgg.head, momAgg.tail: _*).head()
+    val mu = features.indices.map(i => mom.getDouble(2 * i)).toArray
+    val sd = features.indices.map { i =>
+      val s = mom.getDouble(2 * i + 1); if (s > 0) s else 1.0
+    }.toArray
+    val xCols = features.zipWithIndex.map { case (c, i) =>
+      ((col(c) - mu(i)) / sd(i)).as(s"x$i")
+    }
+    val frame = split.select(xCols ++ Seq(col("label").as("y"), col("part")): _*)
+      .cache()
+    val trainDf = frame.filter(col("part") === "train")
+    val valDf = frame.filter(col("part") === "val")
+    try {
+      val nPos = trainDf.filter(col("y") === 1.0).count().toDouble
+      val nNeg = trainDf.count().toDouble - nPos
+      val posWeight = if (nPos > 0) nNeg / nPos else 1.0
+
+      val w = new Array[Double](d)
+      var b = 0.0
+      val mW = new Array[Double](d + 1) // AdamW first moments (last = bias)
+      val vW = new Array[Double](d + 1) // second moments
+      val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+      var lr = lr0
+      var bestAuc = 0.0
+      var bestEpoch = -1
+      var bestW: Array[Double] = w.clone(); var bestB = b
+      var plateau = 0; var sinceBest = 0
+      val log = Seq.newBuilder[Epoch]
+
+      def logit: Column = {
+        val wx = features.indices
+          .map(i => col(s"x$i") * lit(w(i)))
+          .foldLeft(lit(b): Column)(_ + _)
+        wx
+      }
+
+      var epoch = 0
+      var stopped = false
+      while (epoch < epochs && !stopped) {
+        // one distributed pass: per-feature gradient sums + loss
+        val z = logit
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        // dL/dz for BCEWithLogits with pos_weight pw:
+        //   (1−y)·σ(z) − pw·y·(1−σ(z))
+        val g = (lit(1.0) - col("y")) * p -
+          lit(posWeight) * col("y") * (lit(1.0) - p)
+        // numerically-stable BCE: max(z,0) − z·y + log(1+e^{−|z|}),
+        // positive term scaled by pw (the BCEWithLogitsLoss identity)
+        val perRow = (lit(1.0) + (lit(posWeight) - 1.0) * col("y")) *
+          (greatest(z, lit(0.0)) - z * col("y") + log1p(exp(-abs(z))))
+        val aggs = features.indices.map(i => sum(g * col(s"x$i")).as(s"g$i")) ++
+          Seq(sum(g).as("gb"), sum(perRow).as("loss"), count(lit(1)).as("n"))
+        val row = trainDf.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getLong(d + 2).toDouble
+        val grads = (0 until d).map(i => row.getDouble(i) / n).toArray
+        val gradB = row.getDouble(d) / n
+        val loss = row.getDouble(d + 1) / n
+
+        // clip_grad_norm_(max_norm=1.0): one global norm over all params
+        val norm = math.sqrt(grads.map(x => x * x).sum + gradB * gradB)
+        val scale = if (norm > clipNorm) clipNorm / norm else 1.0
+        val t = epoch + 1
+        val bc1 = 1.0 - math.pow(beta1, t)
+        val bc2 = 1.0 - math.pow(beta2, t)
+        def step(i: Int, grad: Double, prev: Double): Double = {
+          val gc = grad * scale
+          mW(i) = beta1 * mW(i) + (1 - beta1) * gc
+          vW(i) = beta2 * vW(i) + (1 - beta2) * gc * gc
+          // decoupled decay: wd applies to the PARAMETER, not the grad
+          prev - lr * (mW(i) / bc1 / (math.sqrt(vW(i) / bc2) + eps) +
+            weightDecay * prev)
+        }
+        // optim.AdamW decays every parameter in the group — the
+        // reference passes model.parameters() wholesale, bias included
+        for (i <- 0 until d) w(i) = step(i, grads(i), w(i))
+        b = step(d, gradB, b)
+
+        val auc = Metrics.auc(valDf.select(col("y").as("label"),
+          (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"))
+        val improved = auc > bestAuc + 1e-4
+        if (improved) {
+          bestAuc = auc; bestEpoch = epoch; bestW = w.clone(); bestB = b
+          plateau = 0; sinceBest = 0
+        } else { plateau += 1; sinceBest += 1 }
+        if (plateau > lrPatience) { lr *= lrFactor; plateau = 0 }
+        log += Epoch(epoch, loss, auc, lr, norm * scale, improved)
+        if (sinceBest >= earlyStop) stopped = true
+        epoch += 1
+      }
+      // restore the best checkpoint (reference line 787)
+      Result(bestW, bestB, log.result(), bestAuc, bestEpoch)
+    } finally frame.unpersist()
+  }
+}

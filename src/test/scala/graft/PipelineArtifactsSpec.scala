@@ -53,6 +53,25 @@ class PipelineArtifactsSpec extends SparkSpec {
     assert(r.metrics("gate_pass") === 1.0, s"gate inconsistent: ${r.metrics}")
   }
 
+  test("M9/M10: the AdamW loop learns, clips, schedules, and checkpoints like the reference") {
+    val r = graft.ml.AdamWTrainer.train(
+      LinkPredict.trainingSet(spark, sfDir, cap = 5000), epochs = 20)
+    val eps = r.epochs
+    assert(eps.size === 20)
+    // it learns: best validation AUC beats chance and loss decreases
+    assert(r.bestAuc > 0.55, s"AdamW loop failed to learn: $eps")
+    assert(eps.last.trainLoss < eps.head.trainLoss, s"loss did not decrease: $eps")
+    // checkpointing: bestAuc is exactly the max of the trajectory, at bestEpoch
+    assert(math.abs(r.bestAuc - eps.map(_.aucVal).max) < 1e-9)
+    assert(eps(r.bestEpoch).improved)
+    // clip_grad_norm: the applied gradient norm never exceeds max_norm=1.0
+    assert(eps.forall(_.gradNorm <= 1.0 + 1e-9), s"clip violated: $eps")
+    // ReduceLROnPlateau(factor=0.5): every lr is lr0 · 0.5^k, monotone non-increasing
+    val ratios = eps.map(e => math.log(0.02 / e.lr) / math.log(2.0))
+    assert(ratios.forall(x => math.abs(x - math.round(x)) < 1e-9), s"lr off-schedule: $eps")
+    assert(eps.sliding(2).forall { case Seq(a, c) => c.lr <= a.lr + 1e-12; case _ => true })
+  }
+
   test("G6: dvid injections append partitions and report counts") {
     val dir = s"$tmp/graph"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
