@@ -470,8 +470,31 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  // TPC-H Q5 analogue: the 6-table local-supplier-volume join — the
+  // join-ordering/broadcast-planning stress case of the SQL surface
+  // (region/nation broadcast; customer⋈orders⋈lineitem⋈supplier hash
+  // joins with the date filter pushed to the orders scan).
+  private def sqlLocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT n_name AS nation,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, nation""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_extension_fns" -> (sqlExtensionFns(_, _)),
+    "sql_q5_local_supplier" -> (sqlLocalSupplierVolume(_, _)),
     "sql_q3_shipping_priority" -> (sqlShippingPriority(_, _)),
     "s10_schema_evolution" -> (s10SchemaEvolution(_, _)),
     "sql_q18_large_orders" -> (sqlLargeOrders(_, _)),
@@ -553,6 +576,20 @@ object Relational {
          |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin
     },
+    "sql_q5_local_supplier" ->
+      """SELECT n_name AS nation,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, nation""".stripMargin,
     "sql_revenue_rollup" ->
       """SELECT n_name AS nation,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

@@ -137,6 +137,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$plan")
   }
 
+  test("Q5: the 6-table join broadcasts its dimension sides and pushes the date filter") {
+    val df = graft.catalog.Relational.queries("sql_q5_local_supplier")(spark, sfDir)
+    val plan = finalPlanString(df)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected supplier/nation/region broadcasts, got $bhj:\n$plan")
+    val pushed = scans(df).map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("o_orderdate"), s"date filter not pushed: $pushed")
+  }
+
   test("SIM incremental: arrivals meet only the broadcast centroid table") {
     val df = graft.catalog.TextSim.queries("sim_ivf_incremental")(spark, sfDir)
     val plan = finalPlanString(df)
