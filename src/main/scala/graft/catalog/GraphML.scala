@@ -26,9 +26,9 @@ object GraphML {
         col("cos").as("weight"))
 
   // The seeded Louvain partition is a deterministic pure function of the
-  // dir — detect once per (session, dir) and share between g2 (histogram)
-  // and g2b (modularity gate). Keyed by sessionUUID so a new session in
-  // the same JVM never sees a dead checkpointed plan.
+  // dir — detect once per (app, dir) and share between g2 (histogram)
+  // and g2b (modularity gate). Keyed by applicationId so a fresh
+  // context in the same JVM never sees a dead checkpointed plan.
   private val louvainCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def louvainPartition(spark: SparkSession, dir: String): DataFrame =
@@ -121,15 +121,18 @@ object GraphML {
       .select("kind", "dvid", "cnt").orderBy("kind", "dvid")
   }
 
-  // Deterministic training is memoized per (dir, algo) within the JVM —
-  // a model registry, so m1/m11 (and bench re-runs) share one fit
-  // instead of re-training per catalog entry.
+  // Deterministic training is memoized per (app, dir, algo) within the
+  // JVM — a model registry, so m1/m11 (and bench re-runs) share one fit
+  // instead of re-training per catalog entry. The applicationId key
+  // matters: m1b/m11b persist the result's localCheckpoint-backed
+  // frames, and a fresh context in the same JVM must never see a
+  // TrainResult holding a dead context's checkpoint blocks.
   private val trained =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), LinkPredict.TrainResult]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), LinkPredict.TrainResult]()
   // cap 20000 matches the MLP entry so every trainer shares ONE
   // materialized corpus per dir
   private def fit(spark: SparkSession, dir: String, algo: String): LinkPredict.TrainResult =
-    trained.computeIfAbsent((dir, algo), _ =>
+    trained.computeIfAbsent((spark.sparkContext.applicationId, dir, algo), _ =>
       LinkPredict.train(spark, LinkPredict.trainingSetCached(spark, dir, cap = 20000), algo))
 
   // M0: the training corpus ITSELF under the hash gate — every m-entry
@@ -224,8 +227,9 @@ object GraphML {
       LinkPredict.trainingSetCached(spark, dir, cap = 20000), epochs = 15)
     r.epochs.map(e => (e.epoch, math.round(e.trainLoss * 1e6) / 1e6,
         math.round(e.aucVal * 1e6) / 1e6, e.lr,
-        math.round(e.gradNorm * 1e6) / 1e6, if (e.improved) 1 else 0))
-      .toDF("epoch", "train_loss", "auc_val", "lr", "grad_norm", "improved")
+        math.round(e.gradNorm * 1e6) / 1e6, if (e.clipped) 1 else 0,
+        if (e.improved) 1 else 0))
+      .toDF("epoch", "train_loss", "auc_val", "lr", "grad_norm", "clipped", "improved")
   }
 
   // M11b: the GBT's feature importances persisted, the ranked list

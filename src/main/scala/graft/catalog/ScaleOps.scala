@@ -108,8 +108,11 @@ object ScaleOps {
   // the hit set.
   private def simRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val brute = Similarity.bruteForceTopKBlocked(e, e, "vec_id", "embedding",
-      k = 5, rankRounded = true).select("src", "dst")
+    // ground truth via the shared KnnCache materialization (rounded
+    // ranking variant) — the recall entry must not pay a second
+    // brute-force pass of the corpus per run
+    val brute = graft.sim.KnnCache.topk(spark, dir, k = 5, rankRounded = true)
+      .select("src", "dst")
     val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
       dim = DIM, nPlanes = 8, k = 5, rankRounded = true).select("src", "dst")
     val perQuery = brute.groupBy("src").agg(count(lit(1)).as("n_true"))
@@ -188,10 +191,11 @@ object ScaleOps {
     def drainDrop(batch: DataFrame, name: String): Unit = {
       batch.write.parquet(s"$src/$name")
       val schema = spark.read.parquet(s"$src/$name").schema
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = spark.readStream.schema(schema)
+      // cloned session: the 4-partition state-store pin stays scoped to
+      // this stream's SQLConf instead of mutating the shared session
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = ss.readStream.schema(schema)
           .option("recursiveFileLookup", "true").parquet(src)
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -206,8 +210,7 @@ object ScaleOps {
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
     }
     drainDrop(ev.filter(unix_micros(col("ts")) >= midMu), "ontime")
     drainDrop(ev.filter(unix_micros(col("ts")) < midMu), "late")

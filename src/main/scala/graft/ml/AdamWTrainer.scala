@@ -18,8 +18,13 @@ import graft.functions.ColFns
   *
   * The MODEL is a linear scorer over the engine's standardized link
   * features — the tower-architecture divergence stays documented at
-  * MultiTower (SURVEY §7.4); this closes the loop-semantics divergence,
-  * which a user porting the reference NN hits first. The 100 TB shape:
+  * MultiTower (SURVEY §7.4); this closes the optimizer/schedule/
+  * checkpoint-semantics divergence, which a user porting the reference
+  * NN hits first. Remaining documented divergence: one FULL-BATCH
+  * gradient step per epoch replaces the reference's batch-512
+  * minibatch loop (line 726) — per-epoch minibatching would serialize
+  * hundreds of tiny barriers per epoch on a cluster; the data-parallel
+  * shape keeps one aggregate per step, so "epoch" here ≡ one step. The 100 TB shape:
   * each epoch's gradient is ONE aggregate pass over the cached corpus
   * (per-feature sum-reductions, map-side combined), the model is a
   * per-epoch broadcast of d+1 doubles, and the optimizer state
@@ -28,8 +33,13 @@ import graft.functions.ColFns
   */
 object AdamWTrainer {
 
+  /** `gradNorm` is the PRE-clip total norm — what torch's
+    * clip_grad_norm_ returns and the reference would log; `clipped`
+    * marks epochs where the norm exceeded max_norm and the applied
+    * gradient was rescaled to it. */
   final case class Epoch(epoch: Int, trainLoss: Double, aucVal: Double,
-                         lr: Double, gradNorm: Double, improved: Boolean)
+                         lr: Double, gradNorm: Double, clipped: Boolean,
+                         improved: Boolean)
   final case class Result(weights: Array[Double], bias: Double,
                           epochs: Seq[Epoch], bestAuc: Double, bestEpoch: Int)
 
@@ -133,7 +143,7 @@ object AdamWTrainer {
           plateau = 0; sinceBest = 0
         } else { plateau += 1; sinceBest += 1 }
         if (plateau > lrPatience) { lr *= lrFactor; plateau = 0 }
-        log += Epoch(epoch, loss, auc, lr, norm * scale, improved)
+        log += Epoch(epoch, loss, auc, lr, norm, scale < 1.0, improved)
         if (sinceBest >= earlyStop) stopped = true
         epoch += 1
       }

@@ -41,10 +41,13 @@ object LinkPredict {
     * MLP, multi-date — consume the same corpus. Materializing once keeps
     * iterative trainers (L-BFGS/GBT passes) off the join plan. */
   private val setCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), DataFrame]()
   def trainingSetCached(spark: SparkSession, dir: String, cap: Int = 50000,
                         month: Int = 12): DataFrame =
-    setCache.computeIfAbsent((dir, cap, month), _ =>
+    // applicationId in the key: the value is a localCheckpoint-backed
+    // frame, and a fresh context in the same JVM must not see blocks of
+    // a dead one (same rule as the catalog-level caches)
+    setCache.computeIfAbsent((spark.sparkContext.applicationId, dir, cap, month), _ =>
       timed(s"trainingSet(cap=$cap)") {
         trainingSet(spark, dir, cap, month).localCheckpoint(true) })
 

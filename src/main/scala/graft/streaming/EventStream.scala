@@ -150,22 +150,23 @@ object EventStream {
       staged.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema).parquet(staged.toString)
+    // run the stream on a CLONED session (shared context, own SQLConf):
+    // pinning shuffle partitions there never leaks into — or races —
+    // queries planned concurrently on the caller's session
+    val ss = spark.newSession()
+    shufflePartitions.foreach(n =>
+      ss.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val src = ss.readStream.schema(schema).parquet(staged.toString)
     val events =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else src
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    shufflePartitions.foreach(n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
-      val q = transform(events).writeStream
-        .outputMode(mode)
-        .format("memory").queryName(queryName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    spark.table(queryName)
+    val q = transform(events).writeStream
+      .outputMode(mode)
+      .format("memory").queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(queryName)
   }
 }

@@ -187,8 +187,23 @@ object Dedup {
     val b = rows.select(col(idCol).as("id_b"), col(nameCol).as("name_b"))
       .withColumn("blk", substring(col("name_b"), -2, 2))
       .withColumn("bin", floor(length(col("name_b")) / bucketW).cast("int"))
-    val ok = blockPairCounts(rows, nameCol, maxDist, bucketW)
-      .filter(col("cand_pairs") <= pairCap).select("blk", "bin")
+    // ONE audit aggregate decides the block list AND surfaces the drop:
+    // the block table is bounded (|suffix-2| × |length bins|), so it
+    // collects to the driver and the keep-list broadcasts from there —
+    // no silent cap (the 100 TB rule: log what was dropped)
+    val counts = blockPairCounts(rows, nameCol, maxDist, bucketW).collect()
+    val over = counts.filter(_.getAs[Long]("cand_pairs") > pairCap)
+    if (over.nonEmpty)
+      System.err.println(
+        s"[graft][fuzzy-match] OVERFLOW: $pairCap-pair cap drops " +
+          s"${over.length} blocks: " + over.take(5).map(r =>
+          s"(blk=${r.getAs[String]("blk")},bin=${r.getAs[Int]("bin")}," +
+            s"pairs=${r.getAs[Long]("cand_pairs")})").mkString(", "))
+    val sp = rows.sparkSession
+    import sp.implicits._
+    val ok = counts.filter(_.getAs[Long]("cand_pairs") <= pairCap)
+      .map(r => (r.getAs[String]("blk"), r.getAs[Int]("bin"))).toSeq
+      .toDF("blk", "bin")
     a.join(broadcast(ok), Seq("blk", "bin"), "left_semi")
       .join(b, Seq("blk", "bin"))
       .filter(col("id_a") < col("id_b") &&

@@ -64,8 +64,10 @@ class PipelineArtifactsSpec extends SparkSpec {
     // checkpointing: bestAuc is exactly the max of the trajectory, at bestEpoch
     assert(math.abs(r.bestAuc - eps.map(_.aucVal).max) < 1e-9)
     assert(eps(r.bestEpoch).improved)
-    // clip_grad_norm: the applied gradient norm never exceeds max_norm=1.0
-    assert(eps.forall(_.gradNorm <= 1.0 + 1e-9), s"clip violated: $eps")
+    // clip_grad_norm: gradNorm is the PRE-clip norm (torch semantics);
+    // `clipped` must flag exactly the epochs whose norm exceeded 1.0
+    assert(eps.forall(e => e.clipped == (e.gradNorm > 1.0)), s"clip flag wrong: $eps")
+    assert(eps.forall(_.gradNorm > 0.0), s"degenerate gradient: $eps")
     // ReduceLROnPlateau(factor=0.5): every lr is lr0 · 0.5^k, monotone non-increasing
     val ratios = eps.map(e => math.log(0.02 / e.lr) / math.log(2.0))
     assert(ratios.forall(x => math.abs(x - math.round(x)) < 1e-9), s"lr off-schedule: $eps")

@@ -103,6 +103,11 @@ class ScaleMechanicsSpec extends SparkSpec {
     // with an ample cap the big block's pairs come back
     val all = graft.text.Dedup.fuzzyBlockedPairs(df, "id", "name")
     assert(all.filter($"id_a" < 100L).count() > 0)
+    // the audit surfaces exactly the dropped block (and only it)
+    val report = graft.text.Dedup.overflowReport(df, "name", pairCap = 100L)
+      .select("blk").as[String].collect()
+    assert(report.toSeq === Seq("xx"), s"overflow report wrong: ${report.toSeq}")
+    assert(graft.text.Dedup.overflowReport(df, "name").count() === 0)
   }
 
   test("TokenHitCounts matches the split+filter HOF formulation exactly") {
