@@ -80,12 +80,14 @@ object TextSim {
       .withColumn("hs", graft.plans.expressions.array_md5(col("sh")))
     // one signature table serves banding AND verification (materialized:
     // it feeds three joins)
-    val signed = sh.select(
+    val signed = sh
+      .withColumn("mins", graft.plans.expressions.minhash_slices(col("hs"), 4))
+      .select(
         col("doc_id"), col("sh"),
-        concat_ws("_", Dedup.minhashSlice(col("hs"), 0),
-          Dedup.minhashSlice(col("hs"), 1)).as("band_0"),
-        concat_ws("_", Dedup.minhashSlice(col("hs"), 2),
-          Dedup.minhashSlice(col("hs"), 3)).as("band_1"))
+        concat_ws("_", element_at(col("mins"), 1),
+          element_at(col("mins"), 2)).as("band_0"),
+        concat_ws("_", element_at(col("mins"), 3),
+          element_at(col("mins"), 4)).as("band_1"))
       .localCheckpoint(true)
     val bands = Seq(0, 1).map(b =>
         signed.select(col("doc_id"), lit(b).as("band"), col(s"band_$b").as("sig")))

@@ -283,6 +283,53 @@ case class TokenHitCounts(child: Expression, lists: Seq[Seq[String]])
     copy(child = c)
 }
 
+/** All `nSlices` MinHash signature components in ONE pass over the
+  * pre-hashed shingle array — replaces nSlices ×
+  * array_min(transform(hs, substr)), each an interpreted lambda per
+  * shingle. Component j is the minimum of the `width`-char substring
+  * at offset j·width of every md5 hex (binary UTF8String order — the
+  * same ordering array_min applies to strings, so results are
+  * bit-identical). Empty input yields all-null components, exactly as
+  * array_min over an empty transform. */
+case class MinhashSlices(child: Expression, nSlices: Int, width: Int = 8)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"MinhashSlices needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[Any](nSlices)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { // null elements skipped, as array_min does
+        val h = arr.getUTF8String(i)
+        var j = 0
+        while (j < nSlices) {
+          val s = h.substring(j * width, (j + 1) * width)
+          if (mins(j) == null ||
+              s.compareTo(mins(j).asInstanceOf[UTF8String]) < 0) mins(j) = s
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinhashSlices =
+    copy(child = c)
+}
+
 object expressions {
   import org.apache.spark.sql.GraftColumnBridge._
 
@@ -298,6 +345,9 @@ object expressions {
 
   def token_hit_counts(s: Column, lists: Seq[Seq[String]]): Column =
     toColumn(TokenHitCounts(toExpression(s), lists))
+
+  def minhash_slices(hs: Column, nSlices: Int, width: Int = 8): Column =
+    toColumn(MinhashSlices(toExpression(hs), nSlices, width))
 
   def weighted_step_pick(nbrs: Column, prevNbrs: Column, prev: Column,
                          baseHash: Column, invP: Double, invQ: Double,

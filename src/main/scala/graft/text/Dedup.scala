@@ -56,9 +56,14 @@ object Dedup {
     // signature component is then a cheap slice-min over it
     val sh = docs.select(col(idCol).as("doc"), shingleArray(col(textCol), n).as("sh"))
       .withColumn("hs", graft.plans.expressions.array_md5(col("sh")))
+      // all signature components in one pass (MinhashSlices) — the
+      // per-component transform+array_min interpreted a lambda per
+      // shingle per component
+      .withColumn("mins", graft.plans.expressions.minhash_slices(
+        col("hs"), bands * rowsPerBand))
     val sigCols = (0 until bands).map { b =>
       val mins = (0 until rowsPerBand).map(r =>
-        minhashSlice(col("hs"), b * rowsPerBand + r))
+        element_at(col("mins"), b * rowsPerBand + r + 1))
       concat_ws("_", mins: _*).as(s"band_$b")
     }
     // materialized: the signature table feeds BOTH sides of the

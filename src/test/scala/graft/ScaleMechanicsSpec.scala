@@ -127,6 +127,17 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(both.filter($"hof" =!= $"fast").count() === 0)
   }
 
+  test("MinhashSlices matches per-component array_min(transform(substr)) exactly") {
+    val df = graft.core.Tables.documents(spark, sfDir)
+      .select(graft.plans.expressions.array_md5(
+        graft.text.Dedup.shingleArray($"text", 5)).as("hs"))
+      .unionByName(Seq(Seq.empty[String]).toDF("hs")) // empty → all-null
+    val hof = (0 until 4).map(j => graft.text.Dedup.minhashSlice($"hs", j))
+    val both = df.select(array(hof: _*).as("hof"),
+      graft.plans.expressions.minhash_slices($"hs", 4).as("fast"))
+    assert(both.filter(!($"hof" <=> $"fast")).count() === 0)
+  }
+
   test("ArrayMd5 matches transform(arr, s -> md5(s)) exactly") {
     val df = graft.core.Tables.documents(spark, sfDir)
       .select(graft.text.Dedup.shingleArray($"text", 5).as("sh"))
