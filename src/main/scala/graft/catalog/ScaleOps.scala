@@ -172,7 +172,11 @@ object ScaleOps {
   private def e10LateDataDrop(spark: SparkSession, dir: String): DataFrame = {
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir))
-    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e10_$tag")
+    // applicationId in the path: two concurrent runs over the same sfDir
+    // (bench + test suite on a shared box) must not delete each other's
+    // checkpoint/out mid-stream — same rule as the memo caches
+    val base = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/e10_${spark.sparkContext.applicationId}_$tag")
     if (java.nio.file.Files.exists(base)) {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(base)
@@ -227,8 +231,10 @@ object ScaleOps {
 
   val oracles: Map[String, String] = Map(
     // emitted = on-time (later-half) rows in windows finalized by the
-    // watermark (window end ≤ max(ts) − 2 h); the late replay of the
-    // earlier half is entirely below the watermark and discarded
+    // watermark (window end STRICTLY < max(ts) − 2 h: Spark's append
+    // eviction predicate is attr ≤ watermarkMs − 1, so a window ending
+    // exactly at the watermark is never emitted); the late replay of
+    // the earlier half is entirely below the watermark and discarded
     "e10_late_data_drop" ->
       """WITH b AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
         |           FROM events),
@@ -238,7 +244,7 @@ object ScaleOps {
         |SELECT date_trunc('hour', o.ts) AS window_start, o.event_type,
         |  count(*) AS n, round(sum(o.value), 4) AS total_value
         |FROM ontime o, b
-        |WHERE epoch_us(date_trunc('hour', o.ts)) + 3600000000 <= b.tmax - 7200000000
+        |WHERE epoch_us(date_trunc('hour', o.ts)) + 3600000000 < b.tmax - 7200000000
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "j10_salted_skew_join" ->
       """WITH dim AS (

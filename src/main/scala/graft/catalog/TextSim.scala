@@ -131,11 +131,12 @@ object TextSim {
   private val fuzzyPairCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def d8FuzzyMatch(spark: SparkSession, dir: String): DataFrame =
-    fuzzyPairCache.computeIfAbsent((spark.sparkContext.applicationId, dir), _ =>
+    graft.core.AppCache.get(fuzzyPairCache,
+      (spark.sparkContext.applicationId, dir)) {
       graft.text.Dedup.fuzzyBlockedPairs(
         Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name")
-        .localCheckpoint(true)).orderBy("id_a", "id_b")
+        .localCheckpoint(true) }.orderBy("id_a", "id_b")
 
   // D9: entity resolution — d8's fuzzy candidate pairs resolved to
   // canonical entities by connected components (the d6 pattern applied

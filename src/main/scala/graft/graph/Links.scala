@@ -31,16 +31,17 @@ object Links {
   // pure projection over it (no extra shuffle); its equivalence to the
   // 2-hop edge traversal is pinned by GraphLinksSpec and by j3's oracle.
   private val posNumCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   def purchasePairsNumeric(spark: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame =
-    posNumCache.computeIfAbsent(dir, _ => {
+    graft.core.AppCache.get(posNumCache,
+      (spark.sparkContext.applicationId, dir)) {
       val o = graft.core.Tables.orders(spark, dir)
       val li = graft.core.Tables.lineitem(spark, dir)
       o.join(li, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("customer"), col("l_partkey").as("product"))
         .distinct().localCheckpoint(true)
-    })
+    }
 
   def positivePairsCached(spark: org.apache.spark.sql.SparkSession,
                           dir: String): DataFrame =

@@ -33,12 +33,13 @@ object GraphBuilder {
     * re-scan and re-transform the four source tables.
     */
   private val tpchCache =
-    new java.util.concurrent.ConcurrentHashMap[String, PropertyGraph]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), PropertyGraph]()
   def fromTpch(spark: SparkSession, dir: String): PropertyGraph =
-    tpchCache.computeIfAbsent(dir, _ => {
+    graft.core.AppCache.get(tpchCache,
+      (spark.sparkContext.applicationId, dir)) {
       val g = buildTpch(spark, dir)
       PropertyGraph(g.nodes.localCheckpoint(true), g.edges.localCheckpoint(true))
-    })
+    }
 
   /** The uncached construction (the memo above is the normal entry). */
   def buildTpch(spark: SparkSession, dir: String): PropertyGraph = {

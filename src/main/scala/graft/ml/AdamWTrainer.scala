@@ -84,6 +84,10 @@ object AdamWTrainer {
       var bestAuc = 0.0
       var bestEpoch = -1
       var bestW: Array[Double] = w.clone(); var bestB = b
+      // the plateau scheduler tracks its OWN best with the 1e-4
+      // threshold (torch ReduceLROnPlateau semantics: threshold affects
+      // the LR schedule, never checkpointing)
+      var schedBest = 0.0
       var plateau = 0; var sinceBest = 0
       val log = Seq.newBuilder[Epoch]
 
@@ -137,11 +141,19 @@ object AdamWTrainer {
 
         val auc = Metrics.auc(valDf.select(col("y").as("label"),
           (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"))
-        val improved = auc > bestAuc + 1e-4
+        // checkpoint on STRICT improvement (reference keeps the best
+        // model whenever val AUC beats the running best; the 1e-4
+        // threshold belongs to the scheduler only) — so bestAuc is
+        // exactly max(aucVal) and `improved` is exactly
+        // auc > running-max-of-previous, a pure window expression the
+        // m12b twin recomputes relationally in both engines
+        val improved = auc > bestAuc
         if (improved) {
           bestAuc = auc; bestEpoch = epoch; bestW = w.clone(); bestB = b
-          plateau = 0; sinceBest = 0
-        } else { plateau += 1; sinceBest += 1 }
+          sinceBest = 0
+        } else sinceBest += 1
+        if (auc > schedBest + 1e-4) { schedBest = auc; plateau = 0 }
+        else plateau += 1
         if (plateau > lrPatience) { lr *= lrFactor; plateau = 0 }
         log += Epoch(epoch, loss, auc, lr, norm, scale < 1.0, improved)
         if (sinceBest >= earlyStop) stopped = true

@@ -47,9 +47,10 @@ object LinkPredict {
     // applicationId in the key: the value is a localCheckpoint-backed
     // frame, and a fresh context in the same JVM must not see blocks of
     // a dead one (same rule as the catalog-level caches)
-    setCache.computeIfAbsent((spark.sparkContext.applicationId, dir, cap, month), _ =>
+    graft.core.AppCache.get(setCache,
+      (spark.sparkContext.applicationId, dir, cap, month)) {
       timed(s"trainingSet(cap=$cap)") {
-        trainingSet(spark, dir, cap, month).localCheckpoint(true) })
+        trainingSet(spark, dir, cap, month).localCheckpoint(true) } }
 
   /** M2: the discount model's multi-date training corpus — one slice per
     * simulated month with the discount recomputed per date, unioned with

@@ -65,11 +65,12 @@ object Recommend {
   /** Candidate generation (P7 ∖ J6 + R2 cap) is strategy-independent, so
     * the materialized frame is memoized per (dir, filter, cap) within the
     * session — the four Q* strategies differ only downstream of it. */
-  private val candCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+  private val candCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Int), DataFrame]()
   def candidates(spark: SparkSession, dir: String, customerFilter: Column,
                  candidateCap: Int): DataFrame =
-    candCache.computeIfAbsent((dir, customerFilter.toString, candidateCap), _ => {
+    graft.core.AppCache.get(candCache, (spark.sparkContext.applicationId,
+        dir, customerFilter.toString, candidateCap)) {
       val cust = Tables.customer(spark, dir).filter(customerFilter)
         .select(col("c_custkey").as("customer"), col("c_acctbal").as("acctbal"))
       val parts = validProducts(Tables.part(spark, dir))
@@ -113,7 +114,7 @@ object Recommend {
         .withColumn("cand_rn", row_number().over(candW))
         .filter(col("cand_rn") <= candidateCap)
         .localCheckpoint(true)
-    })
+    }
 
   /** The full pipeline for a set of customers at a simulated month.
     * Returns (customer, rank, product, category, prob). */

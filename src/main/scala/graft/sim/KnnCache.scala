@@ -19,15 +19,15 @@ object KnnCache {
 
   def topk(spark: SparkSession, dir: String, k: Int = 5,
            rankRounded: Boolean = false): DataFrame =
-    cache.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir, k, rankRounded), _ => {
+    graft.core.AppCache.get(cache,
+      (spark.sparkContext.applicationId, dir, k, rankRounded)) {
         val e = graft.core.Tables.embeddings(spark, dir)
         // blocked kernel: bit-identical to bruteForceTopK (asserted in
         // SimilaritySpec) without the n² pair shuffle
         Similarity.bruteForceTopKBlocked(e, e, "vec_id", "embedding", k,
             rankRounded = rankRounded)
           .localCheckpoint(true)
-      })
+      }
 
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Double), DataFrame]()
@@ -35,10 +35,10 @@ object KnnCache {
   /** The near-dup pair table (threshold cosine self-join), shared by the
     * pair-report operator (D5) and the cluster-resolution operator (D6). */
   def neardupPairs(spark: SparkSession, dir: String, minCos: Double): DataFrame =
-    pairCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir, minCos), _ => {
+    graft.core.AppCache.get(pairCache,
+      (spark.sparkContext.applicationId, dir, minCos)) {
         val e = graft.core.Tables.embeddings(spark, dir)
         Similarity.thresholdJoinBlocked(e, "vec_id", "embedding", minCos)
           .localCheckpoint(true)
-      })
+      }
 }

@@ -158,15 +158,20 @@ object Dedup {
                      bucketW: Int = 4, pairCap: Long = 1L << 22): DataFrame = {
     val over = blockPairCounts(rows, nameCol, maxDist, bucketW)
       .filter(col("cand_pairs") > pairCap)
-    val rowsOver = over.collect()
-    if (rowsOver.nonEmpty)
-      System.err.println(
-        s"[graft][fuzzy-match] OVERFLOW: $pairCap-pair cap drops " +
-          s"${rowsOver.length} blocks: " + rowsOver.take(5).map(r =>
-          s"(blk=${r.getAs[String]("blk")},bin=${r.getAs[Int]("bin")}," +
-            s"pairs=${r.getAs[Long]("cand_pairs")})").mkString(", "))
+    logOverflow(over.collect(), pairCap)
     over
   }
+
+  // the one overflow log line, shared by overflowReport and the inline
+  // audit in fuzzyBlockedPairs (never silent, never duplicated)
+  private def logOverflow(over: Array[org.apache.spark.sql.Row],
+                          pairCap: Long): Unit =
+    if (over.nonEmpty)
+      System.err.println(
+        s"[graft][fuzzy-match] OVERFLOW: $pairCap-pair cap drops " +
+          s"${over.length} blocks: " + over.take(5).map(r =>
+          s"(blk=${r.getAs[String]("blk")},bin=${r.getAs[Int]("bin")}," +
+            s"pairs=${r.getAs[Long]("cand_pairs")})").mkString(", "))
 
   /** Fuzzy entity-matching pairs (the ER primitive): (id_a < id_b) whose
     * names share the last-2-chars block and sit within Levenshtein
@@ -176,12 +181,14 @@ object Dedup {
     * loses no qualifying pair (see `probeBins`) while splitting a
     * variable-length corpus's hot suffix blocks.
     *
-    * Overflow policy: blocks whose candidate-pair count (na·nb) exceeds
-    * `pairCap` are dropped DECLARATIVELY — a broadcast semi-join against
-    * the under-cap block keys, evaluated inside the one pair job, so at
-    * 100 TB a degenerate key shared by millions of rows becomes a
-    * surfaced recall gap (`overflowReport`), never one straggler task
-    * doing billions of Levenshtein calls. */
+    * Overflow policy: the bounded block-audit table (|suffix-2| ×
+    * |length bins| keys, data-size-independent) is aggregated and
+    * collected at plan-construction time; blocks whose candidate-pair
+    * count (na·nb) exceeds `pairCap` are logged and dropped, and the
+    * under-cap keep-list broadcasts back into the pair job as a
+    * semi-join. At 100 TB a degenerate key shared by millions of rows
+    * becomes a surfaced recall gap (`overflowReport`), never one
+    * straggler task doing billions of Levenshtein calls. */
   def fuzzyBlockedPairs(rows: DataFrame, idCol: String, nameCol: String,
                         maxDist: Int = 2, bucketW: Int = 4,
                         pairCap: Long = 1L << 22): DataFrame = {
@@ -197,13 +204,7 @@ object Dedup {
     // collects to the driver and the keep-list broadcasts from there —
     // no silent cap (the 100 TB rule: log what was dropped)
     val counts = blockPairCounts(rows, nameCol, maxDist, bucketW).collect()
-    val over = counts.filter(_.getAs[Long]("cand_pairs") > pairCap)
-    if (over.nonEmpty)
-      System.err.println(
-        s"[graft][fuzzy-match] OVERFLOW: $pairCap-pair cap drops " +
-          s"${over.length} blocks: " + over.take(5).map(r =>
-          s"(blk=${r.getAs[String]("blk")},bin=${r.getAs[Int]("bin")}," +
-            s"pairs=${r.getAs[Long]("cand_pairs")})").mkString(", "))
+    logOverflow(counts.filter(_.getAs[Long]("cand_pairs") > pairCap), pairCap)
     val sp = rows.sparkSession
     import sp.implicits._
     val ok = counts.filter(_.getAs[Long]("cand_pairs") <= pairCap)

@@ -51,13 +51,15 @@ class StreamingMultimodalSpec extends SparkSpec {
     val Array(tmin, tmax) = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = tmin + (tmax - tmin) / 2
-    // every emitted window closed at or before the watermark (max − 2 h)
+    // every emitted window closed STRICTLY before the watermark
+    // (max − 2 h): Spark's append eviction is attr ≤ watermarkMs − 1,
+    // so a window ending exactly at the watermark is never emitted
     val wmMu = tmax - 7200000000L
-    assert(out.filter(unix_micros($"window_start") + 3600000000L > wmMu).count() === 0)
+    assert(out.filter(unix_micros($"window_start") + 3600000000L >= wmMu).count() === 0)
     // emitted totals equal the on-time rows of those windows — late
     // (earlier-half) rows were dropped, not merged
     val expect = ev.filter(unix_micros($"ts") >= mid)
-      .filter(unix_micros(date_trunc("hour", $"ts")) + 3600000000L <= wmMu)
+      .filter(unix_micros(date_trunc("hour", $"ts")) + 3600000000L < wmMu)
       .count()
     assert(out.agg(sum("n")).head().getLong(0) === expect)
   }
