@@ -295,6 +295,87 @@ object GraphML {
       .orderBy("epoch")
   }
 
+  // M3b: the incremental-trainer POLICY under the hash gate — two
+  // training rounds over the dir's corpus sharing a fresh registry
+  // (round 0 trains from scratch; round 1 probes the persisted model,
+  // then scratch-retrains per the reference's forced policy), the full
+  // decision trail persisted, and every policy rule re-derived
+  // relationally from the persisted measurements in both engines:
+  // SMOTE iff imbalance > 5:1, overfit gate iff gap ≤ 0.06, accept ≡
+  // gate, revert ≡ ¬accept, warm-start iff a prior round was accepted,
+  // probe alert iff drop > 0.02, history length ≡ cumulative accepts
+  // (reference xgboost_training_for_big_data.py:512-660).
+  private def m3bIncrementalPolicy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val state = s"/tmp/graft_artifacts/${new java.io.File(dir).getName}/" +
+      s"m3_state_${spark.sparkContext.applicationId}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+    val data = LinkPredict.trainingSetCached(spark, dir, cap = 20000)
+    val runs = Seq(0, 1).map { i =>
+      // lr at 8 iters: the policy is algo-agnostic and the LR fit is the
+      // cheap converged choice on this corpus (same rationale as m2)
+      val m = LinkPredict.incrementalTrain(spark, data, s"$state/model",
+        s"$state/history.jsonl", algo = "lr", lrMaxIter = 8)
+      (i, m("prev_exists").toInt, m("n_pos").toLong, m("n_neg").toLong,
+        m("imbalance_ratio"), m("smote_applied").toInt,
+        m("auc_train"), m("auc_val"), m("overfit_gap"), m("gate_pass").toInt,
+        m("probe_drop"), m("probe_alert").toInt, m("accepted").toInt,
+        m("reverted").toInt,
+        graft.ml.ModelRegistry.readHistory(s"$state/history.jsonl").length.toLong)
+    }
+    val persisted = artifact(spark, dir, "m3_policy",
+      runs.toDF("run", "prev_exists", "n_pos", "n_neg", "imb_ratio",
+        "smote_applied", "auc_train", "auc_val", "overfit_gap", "gate_pass",
+        "probe_drop", "probe_alert", "accepted", "reverted", "history_len"))
+    val wPrior = Window.orderBy("run").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("run").rowsBetween(Window.unboundedPreceding, 0)
+    persisted
+      .withColumn("accepted_before", coalesce(sum("accepted").over(wPrior), lit(0L)))
+      .select(col("run"), col("prev_exists"), col("n_pos"), col("n_neg"),
+        round(col("imb_ratio"), 6).as("imb_ratio"),
+        col("smote_applied"), round(col("auc_val"), 6).as("auc_val"),
+        round(col("overfit_gap"), 6).as("overfit_gap"),
+        col("gate_pass"), col("accepted"), col("reverted"), col("history_len"),
+        (col("smote_applied") === when(col("imb_ratio") > 5.0, 1).otherwise(0))
+          .cast("int").as("smote_ok"),
+        (col("gate_pass") === when(col("overfit_gap") <= 0.06, 1).otherwise(0))
+          .cast("int").as("gate_ok"),
+        (col("accepted") === col("gate_pass")).cast("int").as("accept_ok"),
+        (col("reverted") === lit(1) - col("accepted")).cast("int").as("revert_ok"),
+        (col("prev_exists") === when(col("accepted_before") > 0, 1).otherwise(0))
+          .cast("int").as("warm_ok"),
+        (col("probe_alert") === when(col("probe_drop") > 0.02, 1).otherwise(0))
+          .cast("int").as("probe_ok"),
+        (col("history_len") === sum("accepted").over(wCum)).cast("int").as("hist_ok"),
+        (col("imb_ratio") === col("n_neg").cast("double") / col("n_pos"))
+          .cast("int").as("ratio_ok"))
+      .orderBy("run")
+  }
+
+  // M10: the balanced class-weight computation under the hash gate —
+  // the train-split class counts persisted (the split rule is
+  // LinkPredict.train's own: hash(customer,product) seed 41, 0.8), the
+  // reference's compute_class_weight('balanced') ≡ n/(2·n_c)
+  // (Neural_network_multi_towered_training.py:647-649) recomputed
+  // relationally from the persisted counts in both engines. This is the
+  // exact weight LinkPredict.train binds to weightCol and AdamWTrainer
+  // folds into pos_weight.
+  private def m10ClassWeights(spark: SparkSession, dir: String): DataFrame = {
+    val data = LinkPredict.trainingSetCached(spark, dir, cap = 20000)
+    val trainSplit = data.filter(graft.functions.ColFns.pseudoUniform(
+      xxhash64(col("customer"), col("product")), 41L) < 0.8)
+    val persisted = artifact(spark, dir, "m10_class_counts",
+      trainSplit.groupBy("label").agg(count(lit(1)).as("n_c")))
+    val wAll = Window.orderBy("label")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    persisted
+      .withColumn("total", sum("n_c").over(wAll))
+      .select(col("label"), col("n_c"),
+        round(col("total").cast("double") / (lit(2.0) * col("n_c")), 6).as("weight"),
+        round(col("n_c").cast("double") / col("total"), 6).as("frac"))
+      .orderBy("label")
+  }
+
   // M11b: the GBT's feature importances persisted, the ranked list
   // recomputed relationally from the persisted bits — hash-gated twin
   // of the rows-only m11 (the fit is model-coupled; ranking is not).
@@ -646,6 +727,8 @@ object GraphML {
     "m11b_importance_ranked" -> (m11bImportanceRanked(_, _)),
     "m12_adamw_loop" -> (m12AdamwLoop(_, _)),
     "m12b_adamw_deterministic" -> (m12bAdamwDeterministic(_, _)),
+    "m3b_incremental_policy" -> (m3bIncrementalPolicy(_, _)),
+    "m10_class_weights" -> (m10ClassWeights(_, _)),
     "s8_history_roundtrip" -> (s8HistoryRoundtrip(_, _)),
     "m6_compat_probe" -> (m6CompatProbe(_, _)),
     "m8_tower_scaling" -> (m8TowerScaling(_, _)))
@@ -1172,6 +1255,34 @@ object GraphML {
          |  CAST(epoch = best_epoch AS INT) AS is_best,
          |  CAST(best_auc = max_auc AND best_epoch = argmax_epoch AS INT) AS best_ok
          |FROM w2 ORDER BY epoch""".stripMargin,
+    "m3b_incremental_policy" ->
+      s"""WITH t AS (SELECT * FROM ${artifactSql("m3_policy")}),
+         |w AS (SELECT t.*,
+         |    coalesce(sum(accepted) OVER (ORDER BY run
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS accepted_before,
+         |    sum(accepted) OVER (ORDER BY run
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_accepted
+         |  FROM t)
+         |SELECT run, prev_exists, n_pos, n_neg,
+         |  round(imb_ratio, 6) AS imb_ratio, smote_applied,
+         |  round(auc_val, 6) AS auc_val, round(overfit_gap, 6) AS overfit_gap,
+         |  gate_pass, accepted, reverted, history_len,
+         |  CAST(smote_applied = (CASE WHEN imb_ratio > 5.0 THEN 1 ELSE 0 END) AS INT) AS smote_ok,
+         |  CAST(gate_pass = (CASE WHEN overfit_gap <= 0.06 THEN 1 ELSE 0 END) AS INT) AS gate_ok,
+         |  CAST(accepted = gate_pass AS INT) AS accept_ok,
+         |  CAST(reverted = 1 - accepted AS INT) AS revert_ok,
+         |  CAST(prev_exists = (CASE WHEN accepted_before > 0 THEN 1 ELSE 0 END) AS INT) AS warm_ok,
+         |  CAST(probe_alert = (CASE WHEN probe_drop > 0.02 THEN 1 ELSE 0 END) AS INT) AS probe_ok,
+         |  CAST(history_len = cum_accepted AS INT) AS hist_ok,
+         |  CAST(imb_ratio = CAST(n_neg AS DOUBLE) / n_pos AS INT) AS ratio_ok
+         |FROM w ORDER BY run""".stripMargin,
+    "m10_class_weights" ->
+      s"""WITH t AS (SELECT * FROM ${artifactSql("m10_class_counts")}),
+         |s AS (SELECT CAST(sum(n_c) AS BIGINT) AS total FROM t)
+         |SELECT label, n_c,
+         |  round(CAST(total AS DOUBLE) / (2.0 * n_c), 6) AS weight,
+         |  round(CAST(n_c AS DOUBLE) / total, 6) AS frac
+         |FROM t, s ORDER BY label""".stripMargin,
     "m2b_multidate_deterministic" -> m2bSql,
     "m7b_mlp_deterministic" -> m7bSql,
     "g6_dvid_versioning" ->

@@ -242,25 +242,41 @@ object LinkPredict {
     }
   }
 
-  /** M3/M6: the incremental "big data" training policy — probe the
-    * previous model on the new corpus, retrain, apply the overfit gate
-    * (revert to previous on failure), persist model + history. Returns
-    * the decision trail. */
+  /** M3/M6: the incremental "big data" training policy — gate SMOTE on
+    * the incoming batch's imbalance ratio (reference applies it past
+    * 5:1, xgboost_training_for_big_data.py:563-581), probe the previous
+    * model on the new corpus (alert past a 0.02 AUC drop), retrain from
+    * scratch (the reference FORCES scratch retrains to break the
+    * overfitting-inheritance chain, line 627-636), apply the overfit
+    * gate (revert to previous on failure, line 654-660), persist
+    * model + history. Returns the full decision trail — every policy
+    * decision alongside the measurement it was made on, which is what
+    * the m3b catalog twin persists and re-derives relationally. */
   def incrementalTrain(spark: SparkSession, data: DataFrame,
                        modelPath: String, historyPath: String,
                        maxIter: Int = 15, algo: String = "gbt",
-                       maxDepth: Int = 5): Map[String, Double] = {
+                       maxDepth: Int = 5, lrMaxIter: Int = 15,
+                       smoteGate: Double = 5.0): Map[String, Double] = {
     val prevExists = new java.io.File(modelPath).exists()
-    val probeDrop =
-      if (!prevExists) 0.0
+    // imbalance diagnosis on the incoming batch (one aggregate job)
+    val cc = data.groupBy("label").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val nPos = math.max(cc.getOrElse(1.0, 0L), 1L)
+    val nNeg = math.max(cc.getOrElse(0.0, 0L), 1L)
+    val ratio = nNeg.toDouble / nPos
+    val smoteApplied = ratio > smoteGate
+    val corpus = if (smoteApplied) smoteOversample(data, smoteGate) else data
+    val probe =
+      if (!prevExists) ModelRegistry.CompatProbe(None, 0.0, 0.0, alert = false)
       else {
         val assembled = new VectorAssembler()
           .setInputCols(featureNames.toArray).setOutputCol("features")
           .transform(data)
         ModelRegistry.compatProbe(spark, modelPath, historyPath, assembled,
-          algo = algo).drop
+          algo = algo)
       }
-    val r = train(spark, data, algo, maxIter = maxIter, maxDepth = maxDepth)
+    val r = train(spark, corpus, algo, maxIter = maxIter, maxDepth = maxDepth,
+      lrMaxIter = lrMaxIter)
     val accept = r.metrics("gate_pass") == 1.0
     if (accept) {
       ModelRegistry.saveModel(
@@ -268,7 +284,12 @@ object LinkPredict {
       ModelRegistry.appendHistory(historyPath, r.metrics)
     }
     r.metrics ++ Map(
-      "probe_drop" -> probeDrop,
+      "prev_exists" -> (if (prevExists) 1.0 else 0.0),
+      "n_pos" -> nPos.toDouble, "n_neg" -> nNeg.toDouble,
+      "imbalance_ratio" -> ratio,
+      "smote_applied" -> (if (smoteApplied) 1.0 else 0.0),
+      "probe_drop" -> probe.drop,
+      "probe_alert" -> (if (probe.alert) 1.0 else 0.0),
       "accepted" -> (if (accept) 1.0 else 0.0),
       "reverted" -> (if (accept) 0.0 else 1.0))
   }
