@@ -77,17 +77,14 @@ object Recommend {
         .select(col("p_partkey").as("product"), col("p_brand").as("category"),
           col("p_retailprice").as("price"))
 
-      // J6: purchased exclusion via the 2-hop traversal — restricted to
-      // the queried customers FIRST (a semi-join against the small
-      // customer set), so the anti-join's build side shrinks from every
-      // customer's history to the queried slice and broadcasts; the big
-      // crossJoin side then avoids a shuffle entirely
-      val purchased = Tables.orders(spark, dir).select(col("o_custkey").as("customer"),
-          col("o_orderkey").as("ok"))
+      // J6: purchased exclusion via the 2-hop traversal — the session's
+      // ONE materialized purchase-pair table (shared with the J-family
+      // and the training-corpus assembly) semi-joined down to the
+      // queried slice, so the anti-join's build side shrinks from every
+      // customer's history to the queried customers and broadcasts; the
+      // big crossJoin side then avoids a shuffle entirely
+      val purchased = graft.graph.Links.purchasePairsNumeric(spark, dir)
         .join(broadcast(cust.select("customer")), Seq("customer"), "left_semi")
-        .join(Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"),
-          col("l_partkey").as("product")), "ok")
-        .select("customer", "product").distinct()
 
       // R2: deterministic candidate cap per customer (hash-ranked)
       val candU = ColFns.pseudoUniform(col("customer") * 131071 + col("product"), 3L)
@@ -99,16 +96,25 @@ object Recommend {
         if (cust.count() <= 100000L) broadcast(purchased) else purchased
       // pre-filter by the SAME hash the cap window ranks on: only rows
       // that can possibly be in the per-customer top-`candidateCap` by u
-      // need to enter the anti-join + window. 4× headroom over the cap
-      // makes a sub-cap survivor count a >50σ event even before noting
+      // need to enter the anti-join + window. 2× headroom over the cap
+      // makes a sub-cap survivor count a >30σ event even before noting
       // that purchases remove only a handful of products per customer;
       // the window then applies the EXACT cap. Shrinks the windowed row
-      // count by (1 − 4·cap/|parts|) — at |parts| ≫ cap (the 100 TB
-      // shape) the per-customer sort goes from |parts| to ~4·cap rows.
-      // Mirrored verbatim in the Strategies oracle SQL.
+      // count by (1 − 2·cap/|parts|) — at |parts| ≫ cap (the 100 TB
+      // shape) the per-customer sort goes from |parts| to ~2·cap rows.
+      // Mirrored verbatim in the Strategies oracle SQL. Both engines
+      // share the constant, so even a (astronomically unlikely)
+      // starvation event keeps the engines bit-identical.
       val nParts = parts.count()
-      val keepFrac = math.min(1.0, 4.0 * candidateCap / math.max(nParts, 1L))
-      cust.crossJoin(parts)
+      val keepFrac = math.min(1.0, 2.0 * candidateCap / math.max(nParts, 1L))
+      // stream the PART side repartitioned to the session's parallelism
+      // and broadcast the bounded customer slice: both inputs arrive as
+      // 1–2 parquet partitions, so a naive crossJoin would expand the
+      // |cust|×|parts| candidate space inside one task; this way the
+      // expansion + hash-filter + anti-join parallelize across the
+      // cluster and the only wide exchange left is the cap window's
+      parts.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(cust))
         .filter(candU < keepFrac)
         .join(excl, Seq("customer", "product"), "left_anti")
         .withColumn("cand_rn", row_number().over(candW))
