@@ -94,11 +94,74 @@ object GraphXAnalytics {
     withIds.join(canon, "component_vid").select(col("id"), col("component"))
   }
 
-  /** PageRank (standard damping 0.15), translated back to string ids. */
-  def pageRank(spark: SparkSession, g: PropertyGraph,
-               iters: Int = 10): DataFrame = {
+  /** PageRank (standard damping 0.15), translated back to string ids.
+    *
+    * Hybrid (same pattern as `connectedComponents`/Louvain): below
+    * `seqMaxEdges` the hashed edge list collects to the driver
+    * (16 bytes/edge) and the `iters` dense-array passes replace
+    * `iters` rounds of RDD jobs whose per-round scheduling floor
+    * dominates wall time at this size; above the threshold GraphX's
+    * `staticPageRank` runs. Both compute the identical recurrence —
+    * initial rank 1.0, `0.15 + 0.85·Σ rank/outdeg` per round over the
+    * raw edge MULTISET, final ranks normalized to sum |V| — and agree
+    * at the rounded-6 output (asserted in GraphXEnrichSpec; float sum
+    * order is the only difference, exactly as for the SQL oracle). */
+  def pageRank(spark: SparkSession, g: PropertyGraph, iters: Int = 10,
+               seqMaxEdges: Long = 5000000L): DataFrame = {
     import spark.implicits._
-    val pr = toGraphX(g).staticPageRank(iters).vertices.toDF("vid", "rank")
+    val pr: DataFrame =
+      if (g.edges.count() <= seqMaxEdges) {
+        val rows = g.edges
+          .select(xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"))
+          .collect()
+        val m = rows.length
+        val srcA = new Array[Long](m); val dstA = new Array[Long](m)
+        var i = 0
+        while (i < m) { srcA(i) = rows(i).getLong(0); dstA(i) = rows(i).getLong(1); i += 1 }
+        val vids = {
+          val all = new Array[Long](2 * m)
+          System.arraycopy(srcA, 0, all, 0, m)
+          System.arraycopy(dstA, 0, all, m, m)
+          java.util.Arrays.sort(all)
+          var n = 0; var j = 0
+          while (j < all.length) {
+            if (n == 0 || all(j) != all(n - 1)) { all(n) = all(j); n += 1 }
+            j += 1
+          }
+          java.util.Arrays.copyOf(all, n)
+        }
+        val n = vids.length
+        val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+        val outDeg = new Array[Int](n)
+        i = 0
+        while (i < m) {
+          srcI(i) = java.util.Arrays.binarySearch(vids, srcA(i))
+          dstI(i) = java.util.Arrays.binarySearch(vids, dstA(i))
+          outDeg(srcI(i)) += 1
+          i += 1
+        }
+        var rank = Array.fill(n)(1.0)
+        var it = 0
+        while (it < iters) {
+          val contrib = new Array[Double](n)
+          var e = 0
+          while (e < m) { contrib(dstI(e)) += rank(srcI(e)) / outDeg(srcI(e)); e += 1 }
+          val next = new Array[Double](n)
+          var v = 0
+          while (v < n) { next(v) = 0.15 + 0.85 * contrib(v); v += 1 }
+          rank = next
+          it += 1
+        }
+        // PageRank.normalizeRankSum (non-personalized): scale to sum |V|
+        var s = 0.0; i = 0
+        while (i < n) { s += rank(i); i += 1 }
+        val scale = n / s
+        val out = new Array[(Long, Double)](n)
+        i = 0
+        while (i < n) { out(i) = (vids(i), rank(i) * scale); i += 1 }
+        spark.createDataFrame(out.toSeq).toDF("vid", "rank")
+      } else
+        toGraphX(g).staticPageRank(iters).vertices.toDF("vid", "rank")
     pr.join(vertexMap(g), "vid")
       .select(col("id"), round(col("rank"), 6).as("rank"))
   }

@@ -32,6 +32,18 @@ class GraphXEnrichSpec extends SparkSpec {
     assert(seq === gx)
   }
 
+  test("PageRank dense-array fast path matches the GraphX path at round-6") {
+    val g = GraphBuilder.fromTpch(spark, sfDir)
+    val seq = GraphXAnalytics.pageRank(spark, g, iters = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gx = GraphXAnalytics.pageRank(spark, g, iters = 5, seqMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(seq.keySet === gx.keySet)
+    // identical recurrence, different float-sum order — rounded ranks agree
+    val diff = seq.count { case (k, v) => math.abs(v - gx(k)) > 1e-9 }
+    assert(diff === 0, s"$diff of ${seq.size} rounded ranks diverge")
+  }
+
   test("GraphX degrees agree with the DataFrame A2 operator") {
     val g = GraphBuilder.fromTpch(spark, sfDir)
     val gx = GraphXAnalytics.degrees(spark, g)
