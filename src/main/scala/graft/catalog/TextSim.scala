@@ -586,7 +586,78 @@ object TextSim {
       .orderBy("vec_id")
   }
 
+  // IVF index lifecycle, part 2 (complementing sim_ivf_incremental's
+  // ingest routing): BUILD/SERVE split. The build pass constructs the
+  // standing index — the nLists hash-picked centroids and the inverted
+  // lists (every vector assigned to its nearest centroid, with its
+  // norm precomputed) — and PERSISTS both as artifacts. The serve
+  // query then answers a probe batch (vec_id ≡ 0 mod 7) against the
+  // persisted index ONLY: nProbe-list routing is a broadcast join
+  // against the 16-row centroid artifact, scoring shuffles keyed by
+  // list id, and no plan node ever rescans the corpus — the 100 TB
+  // serving shape where the index outlives the batch that built it.
+  // Both engines recompute routing + scoring from the same parquet.
+  private def simIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ColFns
+    import org.apache.spark.sql.expressions.Window
+    val nLists = 16; val nProbe = 3; val k = 5
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // ---- build: one corpus pass → persisted centroids + inverted lists
+    val centW = Window.orderBy(
+      ColFns.pseudoUniform(col("cid"), 13L).asc, col("cid").asc)
+    val cents = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+      .withColumn("list", row_number().over(centW))
+      .filter(col("list") <= nLists)
+      .select("list", "cv")
+    val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
+    val lists = e.crossJoin(broadcast(cents))
+      .withColumn("rank_d",
+        Similarity.dot(col("cv"), col("cv")) -
+          lit(2.0) * Similarity.dot(col("v"), col("cv")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("list"), col("vec_id"), col("v"),
+        Similarity.norm(col("v")).as("nrm"))
+    val centA = artifact(spark, dir, "ivf_centroids", cents)
+    val listA = artifact(spark, dir, "ivf_lists", lists)
+    // ---- serve: probes meet only the persisted index
+    val q = listA.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("src"), col("v").as("qv"), col("nrm").as("qn"))
+    val pw = Window.partitionBy("src").orderBy(col("rank_d").asc, col("list").asc)
+    val probes = q.crossJoin(broadcast(centA))
+      .withColumn("rank_d",
+        Similarity.dot(col("cv"), col("cv")) -
+          lit(2.0) * Similarity.dot(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nProbe)
+      .select("src", "qv", "qn", "list")
+    val scored = probes.join(listA, Seq("list"))
+      .filter(col("src") =!= col("vec_id"))
+      .withColumn("cos",
+        Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("rn"), col("vec_id").as("dst"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("src", "rn")
+  }
+
+  // persisted-artifact plumbing (same scheme as the m-family twins):
+  // entries write under the per-SF artifact root; the oracles read the
+  // same bits at the correctness gate's SF
+  private def artifact(spark: SparkSession, dir: String, name: String,
+                       df: DataFrame): DataFrame = {
+    val path = s"/tmp/graft_artifacts/${new java.io.File(dir).getName}/$name"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+  private def artifactSql(name: String): String =
+    s"read_parquet('/tmp/graft_artifacts/sf0.01/$name/*.parquet')"
+
   val queries: Map[String, Q] = Map(
+    "sim_ivf_persisted" -> (simIvfPersisted(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_minhash_lsh" -> (d2MinhashLsh(_, _)),
     "d3_simhash" -> (d3Simhash(_, _)),
@@ -985,6 +1056,28 @@ object TextSim {
         |    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) END, 6)
         |    > 0.2 AS INT) AS flag_repetitive
         |FROM g ORDER BY doc_id""".stripMargin,
+    "sim_ivf_persisted" -> {
+      val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
+      val qc = Similarity.dotSql("q.qv", "c.cv", DIM)
+      val qd = Similarity.dotSql("p.qv", "l.v", DIM)
+      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_centroids")}),
+         |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf_lists")}),
+         |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn FROM lists WHERE vec_id % 7 = 0),
+         |pr AS (
+         |  SELECT q.src, q.qv, q.qn, c.list, ($cc - 2.0 * $qc) AS rank_d
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (SELECT * FROM (
+         |    SELECT pr.*, row_number() OVER (PARTITION BY src
+         |      ORDER BY rank_d ASC, list ASC) AS prn FROM pr)
+         |  WHERE prn <= 3),
+         |scored AS (
+         |  SELECT p.src, l.vec_id AS dst, $qd / (p.qn * l.nrm) AS cos
+         |  FROM probes p JOIN lists l USING (list) WHERE p.src <> l.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src
+         |        ORDER BY cos DESC, dst ASC) AS rn FROM scored)
+         |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= 5
+         |ORDER BY src, rn""".stripMargin
+    },
     "sim_ivf_incremental" -> {
       import graft.functions.ColFns
       val u = ColFns.pseudoUniformSql("vec_id", 13L)

@@ -158,6 +158,19 @@ class PlanShapeSpec extends SparkSpec {
       s"arrivals sort-merge-joined against the corpus:\n$plan")
   }
 
+  test("SIM persisted: the serve stage reads only the index artifacts, centroids broadcast") {
+    // build once (writes the artifacts), then inspect the returned
+    // serve plan: every scan must be an artifact read — the embeddings
+    // corpus file must not appear anywhere in the serve stage
+    val df = graft.catalog.TextSim.queries("sim_ivf_persisted")(spark, sfDir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("BroadcastExchange"), s"centroid table not broadcast:\n$plan")
+    val scanned = scans(df).flatMap(_.metadata.get("Location")).mkString
+    assert(scanned.contains("graft_artifacts"), s"no artifact scan found: $scanned")
+    assert(!scanned.contains("embeddings.parquet"),
+      s"serve stage rescans the corpus: $scanned")
+  }
+
   test("D10: contamination joins 32-byte gram hashes, never document text") {
     val df = graft.catalog.TextSim.queries("d10_contamination")(spark, sfDir)
     val plan = finalPlanString(df)
