@@ -389,7 +389,8 @@ object Relational {
     graft.core.Views.register(spark, dir)
     spark.sql(
       """SELECT n_name AS nation,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue,
         |       count(*) AS n_lines
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -446,7 +447,8 @@ object Relational {
   private def sqlShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Views.register(spark, dir)
     spark.sql(
-      """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      """SELECT l_orderkey, CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue,
         |       o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -478,7 +480,8 @@ object Relational {
     graft.core.Views.register(spark, dir)
     spark.sql(
       """SELECT n_name AS nation,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue,
         |       count(*) AS n_lines
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -492,7 +495,56 @@ object Relational {
         |ORDER BY revenue DESC, nation""".stripMargin)
   }
 
+  // TPC-H Q7 analogue: volume shipping between two nations by ship
+  // year — the dual-role dimension test (nation joins BOTH supplier and
+  // customer under an OR'd pair predicate; both sides must broadcast).
+  private def sqlVolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year, CAST(floor((CAST(sum(volume) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  // TPC-H Q10 analogue: returned-item revenue per customer, one
+  // quarter — the top-N-over-bigjoin shape (pushdown of BOTH the date
+  // and returnflag predicates into the scans, broadcast dims, partial
+  // aggs, rounded-revenue ordering with an id tie-break).
+  private def sqlReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name, CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue,
+        |       c_acctbal, n_name AS nation
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_q7_volume_shipping" -> (sqlVolumeShipping(_, _)),
+    "sql_q10_returned_items" -> (sqlReturnedItems(_, _)),
     "sql_extension_fns" -> (sqlExtensionFns(_, _)),
     "sql_q5_local_supplier" -> (sqlLocalSupplierVolume(_, _)),
     "sql_q3_shipping_priority" -> (sqlShippingPriority(_, _)),
@@ -549,7 +601,8 @@ object Relational {
     // l_quantity is integer-valued in this generator, so the HAVING
     // threshold and the un-rounded qty sums are exact in any order
     "sql_q3_shipping_priority" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      """SELECT l_orderkey, CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue,
         |       o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -576,9 +629,42 @@ object Relational {
          |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin
     },
+    "sql_q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, CAST(floor((CAST(sum(volume) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "sql_q10_returned_items" ->
+      """SELECT c_custkey, c_name, CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue,
+        |       c_acctbal, n_name AS nation
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "sql_q5_local_supplier" ->
       """SELECT n_name AS nation,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue,
         |       count(*) AS n_lines
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -592,7 +678,8 @@ object Relational {
         |ORDER BY revenue DESC, nation""".stripMargin,
     "sql_revenue_rollup" ->
       """SELECT n_name AS nation,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue,
         |       count(*) AS n_lines
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey

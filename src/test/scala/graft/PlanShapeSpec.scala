@@ -146,6 +146,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(pushed.contains("o_orderdate"), s"date filter not pushed: $pushed")
   }
 
+  test("Q7: nation broadcasts for both its roles and the shipdate filter is pushed") {
+    val df = graft.catalog.Relational.queries("sql_q7_volume_shipping")(spark, sfDir)
+    val plan = finalPlanString(df)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected both nation roles (and supplier) to broadcast, got $bhj:\n$plan")
+    val pushed = scans(df).map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("l_shipdate"), s"shipdate filter not pushed: $pushed")
+  }
+
+  test("Q10: returnflag + orderdate filters are pushed and the top-20 is a TakeOrdered") {
+    val df = graft.catalog.Relational.queries("sql_q10_returned_items")(spark, sfDir)
+    val plan = finalPlanString(df)
+    val pushed = scans(df).map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("l_returnflag"), s"returnflag not pushed: $pushed")
+    assert(pushed.contains("o_orderdate"), s"orderdate not pushed: $pushed")
+    // the LIMIT 20 must plan as a top-N (TakeOrderedAndProject), never a
+    // global sort of every customer group
+    assert(plan.contains("TakeOrderedAndProject"), s"top-N not planned:\n$plan")
+  }
+
   test("SIM incremental: arrivals meet only the broadcast centroid table") {
     val df = graft.catalog.TextSim.queries("sim_ivf_incremental")(spark, sfDir)
     val plan = finalPlanString(df)
