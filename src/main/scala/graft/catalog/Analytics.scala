@@ -17,15 +17,25 @@ object Analytics {
   private def graphPrelude(body: String): String =
     s"WITH ${GraphSql.nodesCte},\n${GraphSql.edgesCte},\n$body"
 
-  // Flagship aggregation (map-side partial agg + single shuffle)
-  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+  // Flagship aggregation (map-side partial agg + single shuffle).
+  // sum_disc_price aggregates exact integer cents and rounds in integer
+  // space: the exact 4-decimal sum of price·(1−disc) products lands on a
+  // half-cent ~1% of the time per group, where Spark's BigDecimal-string
+  // round and DuckDB's binary-double round disagree — the integer form
+  // is engine-independent by construction (same fix as the sql_q* suite).
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val centsSum = sum(
+      round(col("l_extendedprice") * 100, 0).cast("long") *
+        round((lit(1.0) - col("l_discount")) * 100, 0).cast("long"))
     Tables.lineitem(spark, dir).groupBy("l_returnflag", "l_linestatus").agg(
       round(sum("l_quantity"), 2).as("sum_qty"),
       round(sum("l_extendedprice"), 2).as("sum_base_price"),
-      round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+      (floor((centsSum.cast("double") + 50.0) / 100.0).cast("double") / 100.0)
+        .as("sum_disc_price"),
       round(avg("l_quantity"), 6).as("avg_qty"),
       count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   // A1: node/edge histogram — the reference's graph invariant report
   // (knowledge_graph_creation.py:217-226)
@@ -902,7 +912,9 @@ object Analytics {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         |  round(sum(l_extendedprice),2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)),2) AS sum_disc_price,
+        |  CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0)
+        |    / 100.0) AS DOUBLE) / 100.0 AS sum_disc_price,
         |  round(avg(l_quantity),6) AS avg_qty, count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
