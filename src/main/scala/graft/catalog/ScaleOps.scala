@@ -192,14 +192,22 @@ object ScaleOps {
     val src = s"$base/src"
     val out = s"$base/out"
     val ckpt = s"$base/ckpt"
+    // cloned session: the 4-partition state-store pin stays scoped to
+    // this stream's SQLConf instead of mutating the shared session
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // TWO separate AvailableNow runs sharing the checkpoint are
+    // semantically REQUIRED, not a convenience: Spark filters late rows
+    // with the PREVIOUS micro-batch's watermark (only eviction uses the
+    // current one), so a single run with maxFilesPerTrigger=1 would give
+    // the late batch a zero late-filter watermark — the replayed rows
+    // would enter state and flush as if on time (measured: 3370 windows
+    // instead of 1684). The run boundary forces the watermark into the
+    // commit log, which is exactly how a restarted nightly job sees it.
     def drainDrop(batch: DataFrame, name: String): Unit = {
       batch.write.parquet(s"$src/$name")
-      val schema = spark.read.parquet(s"$src/$name").schema
-      // cloned session: the 4-partition state-store pin stays scoped to
-      // this stream's SQLConf instead of mutating the shared session
-      val ss = spark.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = ss.readStream.schema(schema)
+      // the drop's schema IS the batch's schema — no infer-read job
+      val q = ss.readStream.schema(batch.schema)
           .option("recursiveFileLookup", "true").parquet(src)
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
