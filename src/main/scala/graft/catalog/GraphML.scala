@@ -295,6 +295,27 @@ object GraphML {
       .orderBy("epoch")
   }
 
+  // M13: the minibatch-stream AdamW demo — the one documented M9
+  // divergence (full-batch step vs the reference's batch-512 loop)
+  // closed as a demonstration entry: each stream micro-batch is one
+  // optimizer step. Rows-only (the trajectory is model-coupled; the
+  // mechanics are spec-asserted in PipelineArtifactsSpec).
+  private def m13MinibatchStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    // 2 epochs × 4 shards: enough steps to show descent + epoch replay;
+    // every extra shard is another per-step barrier (the cost the entry
+    // demonstrates), so the demo stays small by design
+    val r = graft.ml.AdamWTrainer.trainMinibatchStream(spark,
+      LinkPredict.trainingSetCached(spark, dir, cap = 20000),
+      epochs = 2, nBatches = 4,
+      stageDir = s"/tmp/graft_stream/m13_${spark.sparkContext.applicationId}_$tag")
+    r.steps.map(s => (s.epoch, s.step, math.round(s.trainLoss * 1e6) / 1e6,
+        math.round(s.gradNorm * 1e6) / 1e6, if (s.clipped) 1 else 0))
+      .toDF("epoch", "step", "train_loss", "grad_norm", "clipped")
+  }
+
   // M3b: the incremental-trainer POLICY under the hash gate — two
   // training rounds over the dir's corpus sharing a fresh registry
   // (round 0 trains from scratch; round 1 probes the persisted model,
@@ -729,6 +750,7 @@ object GraphML {
     "m12b_adamw_deterministic" -> (m12bAdamwDeterministic(_, _)),
     "m3b_incremental_policy" -> (m3bIncrementalPolicy(_, _)),
     "m10_class_weights" -> (m10ClassWeights(_, _)),
+    "m13_minibatch_stream" -> (m13MinibatchStream(_, _)),
     "s8_history_roundtrip" -> (s8HistoryRoundtrip(_, _)),
     "m6_compat_probe" -> (m6CompatProbe(_, _)),
     "m8_tower_scaling" -> (m8TowerScaling(_, _)))

@@ -163,4 +163,144 @@ object AdamWTrainer {
       Result(bestW, bestB, log.result(), bestAuc, bestEpoch)
     } finally frame.unpersist()
   }
+
+  final case class Step(epoch: Int, step: Int, trainLoss: Double,
+                        gradNorm: Double, clipped: Boolean)
+  final case class StreamResult(weights: Array[Double], bias: Double,
+                                steps: Seq[Step], aucVal: Double)
+
+  /** M9 minibatch-fidelity demo (closing the one divergence `train`
+    * documents): the SAME AdamW/clip/pos_weight update rule driven by
+    * MINIBATCH steps delivered as a file stream — the standardized train
+    * split is sharded into `nBatches` hash-keyed files, each epoch is
+    * one `Trigger.AvailableNow` run with `maxFilesPerTrigger=1`, and
+    * every micro-batch is one optimizer step (`foreachBatch` computes
+    * the batch gradient; the driver holds the optimizer state exactly
+    * as `train` does). Batch order is deterministic: one file per
+    * shard, named AND modification-stamped in shard order, so both of
+    * the file source's candidate orderings agree. What the entry makes
+    * visible is the COST of minibatch fidelity at scale: nBatches
+    * barriers per epoch versus `train`'s single aggregate — the reason
+    * the full-batch shape is the default (SURVEY §7.4).
+    */
+  def trainMinibatchStream(spark: org.apache.spark.sql.SparkSession,
+                           data: DataFrame,
+                           features: Seq[String] = LinkPredict.featureNames,
+                           epochs: Int = 2, nBatches: Int = 8,
+                           lr0: Double = 0.02, weightDecay: Double = 1e-4,
+                           clipNorm: Double = 1.0, seed: Long = 47L,
+                           stageDir: String): StreamResult = {
+    val d = features.size
+    val split = data.coalesce(8).withColumn("part",
+      when(ColFns.pseudoUniform(
+        xxhash64(col("customer"), col("product")), seed) < 0.8, "train")
+        .otherwise("val"))
+    val momAgg = features.flatMap(c =>
+      Seq(avg(col(c)).as(s"mu_$c"), stddev_pop(col(c)).as(s"sd_$c")))
+    val mom = split.filter(col("part") === "train").agg(momAgg.head, momAgg.tail: _*).head()
+    val mu = features.indices.map(i => mom.getDouble(2 * i)).toArray
+    val sd = features.indices.map { i =>
+      val s = mom.getDouble(2 * i + 1); if (s > 0) s else 1.0
+    }.toArray
+    val xCols = features.zipWithIndex.map { case (c, i) =>
+      ((col(c) - mu(i)) / sd(i)).as(s"x$i")
+    }
+    val bid = pmod(xxhash64(col("customer"), col("product"), lit(seed)), lit(nBatches))
+    val frame = split.select(xCols ++ Seq(col("label").as("y"), col("part"),
+      bid.cast("int").as("bid")): _*).cache()
+    try {
+      val trainDf = frame.filter(col("part") === "train")
+      val valDf = frame.filter(col("part") === "val")
+      val nPos = trainDf.filter(col("y") === 1.0).count().toDouble
+      val nNeg = trainDf.count().toDouble - nPos
+      val posWeight = if (nPos > 0) nNeg / nPos else 1.0
+
+      val base = java.nio.file.Paths.get(stageDir)
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(base)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+      val src = s"$stageDir/src"
+      val t0 = System.currentTimeMillis() - 3600000
+      (0 until nBatches).foreach { k =>
+        trainDf.filter(col("bid") === k).drop("part", "bid")
+          .coalesce(1).write.parquet(f"$src/b$k%02d")
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(f"$src/b$k%02d"))
+        try walk.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .foreach(p => java.nio.file.Files.setLastModifiedTime(
+            p, java.nio.file.attribute.FileTime.fromMillis(t0 + k * 1000L)))
+        finally walk.close()
+      }
+      val batchSchema = trainDf.drop("part", "bid").schema
+
+      val w = new Array[Double](d); var b = 0.0
+      val mW = new Array[Double](d + 1); val vW = new Array[Double](d + 1)
+      val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+      var t = 0
+      val log = Seq.newBuilder[Step]
+      // one cloned session per trainer: the stream's shuffle-partition
+      // pin must not leak into the shared session
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+
+      for (epoch <- 0 until epochs) {
+        var stepInEpoch = 0
+        val q = ss.readStream.schema(batchSchema)
+          .option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val z = features.indices
+              .map(i => col(s"x$i") * lit(w(i)))
+              .foldLeft(lit(b): org.apache.spark.sql.Column)(_ + _)
+            val p = lit(1.0) / (lit(1.0) + exp(-z))
+            val g = (lit(1.0) - col("y")) * p -
+              lit(posWeight) * col("y") * (lit(1.0) - p)
+            val perRow = (lit(1.0) + (lit(posWeight) - 1.0) * col("y")) *
+              (greatest(z, lit(0.0)) - z * col("y") + log1p(exp(-abs(z))))
+            val aggs = features.indices.map(i => sum(g * col(s"x$i")).as(s"g$i")) ++
+              Seq(sum(g).as("gb"), sum(perRow).as("loss"), count(lit(1)).as("n"))
+            val row = mb.agg(aggs.head, aggs.tail: _*).head()
+            val n = row.getLong(d + 2).toDouble
+            if (n > 0) {
+              val grads = (0 until d).map(i => row.getDouble(i) / n).toArray
+              val gradB = row.getDouble(d) / n
+              val loss = row.getDouble(d + 1) / n
+              val norm = math.sqrt(grads.map(x => x * x).sum + gradB * gradB)
+              val scale = if (norm > clipNorm) clipNorm / norm else 1.0
+              t += 1
+              val bc1 = 1.0 - math.pow(beta1, t)
+              val bc2 = 1.0 - math.pow(beta2, t)
+              def step(i: Int, grad: Double, prev: Double): Double = {
+                val gc = grad * scale
+                mW(i) = beta1 * mW(i) + (1 - beta1) * gc
+                vW(i) = beta2 * vW(i) + (1 - beta2) * gc * gc
+                prev - lr0 * (mW(i) / bc1 / (math.sqrt(vW(i) / bc2) + eps) +
+                  weightDecay * prev)
+              }
+              for (i <- 0 until d) w(i) = step(i, grads(i), w(i))
+              b = step(d, gradB, b)
+              log += Step(epoch, stepInEpoch, loss, norm, scale < 1.0)
+              stepInEpoch += 1
+            }
+          }
+          // fresh checkpoint per epoch: each epoch replays ALL shards
+          .option("checkpointLocation", s"$stageDir/ckpt_$epoch")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val logit = features.indices
+        .map(i => col(s"x$i") * lit(w(i)))
+        .foldLeft(lit(b): org.apache.spark.sql.Column)(_ + _)
+      val auc = Metrics.auc(valDf.select(col("y").as("label"),
+        (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"))
+      StreamResult(w, b, log.result(), auc)
+    } finally frame.unpersist()
+  }
 }

@@ -74,6 +74,26 @@ class PipelineArtifactsSpec extends SparkSpec {
     assert(eps.sliding(2).forall { case Seq(a, c) => c.lr <= a.lr + 1e-12; case _ => true })
   }
 
+  test("M9 minibatch stream: one optimizer step per micro-batch, deterministic, learns") {
+    val data = LinkPredict.trainingSet(spark, sfDir, cap = 5000)
+    def run() = graft.ml.AdamWTrainer.trainMinibatchStream(spark, data,
+      epochs = 2, nBatches = 4,
+      stageDir = s"$tmp/m13_stream")
+    val r = run()
+    // every shard of every epoch produced exactly one optimizer step
+    assert(r.steps.size === 2 * 4, s"steps: ${r.steps}")
+    assert(r.steps.map(s => (s.epoch, s.step)) ===
+      (for (e <- 0 until 2; s <- 0 until 4) yield (e, s)))
+    // it learns: loss decreases across the trajectory, val AUC beats chance
+    assert(r.steps.last.trainLoss < r.steps.head.trainLoss, s"no descent: ${r.steps}")
+    assert(r.aucVal > 0.5, s"failed to learn: ${r.aucVal}")
+    // the batch order is pinned (name + mtime agree), so a re-run
+    // reproduces the trajectory bit-for-bit
+    val r2 = run()
+    assert(r2.steps === r.steps)
+    assert(r2.aucVal === r.aucVal)
+  }
+
   test("G6: dvid injections append partitions and report counts") {
     val dir = s"$tmp/graph"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
