@@ -333,10 +333,13 @@ object GraphML {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
     val data = LinkPredict.trainingSetCached(spark, dir, cap = 20000)
     val runs = Seq(0, 1).map { i =>
-      // lr at 8 iters: the policy is algo-agnostic and the LR fit is the
-      // cheap converged choice on this corpus (same rationale as m2)
+      // lr at 5 iters: the ENTRY attests the accept/revert/SMOTE/probe
+      // POLICY, which is invariant to fit convergence — the measurements
+      // it gates on (gap, ratio, drop) are persisted and re-derived,
+      // whatever the fit quality; fewer L-BFGS passes keep the two
+      // sequential rounds cheap (convergence parity itself is m2's job)
       val m = LinkPredict.incrementalTrain(spark, data, s"$state/model",
-        s"$state/history.jsonl", algo = "lr", lrMaxIter = 8)
+        s"$state/history.jsonl", algo = "lr", lrMaxIter = 5)
       (i, m("prev_exists").toInt, m("n_pos").toLong, m("n_neg").toLong,
         m("imbalance_ratio"), m("smote_applied").toInt,
         m("auc_train"), m("auc_val"), m("overfit_gap"), m("gate_pass").toInt,
