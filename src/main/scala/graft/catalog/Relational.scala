@@ -542,9 +542,53 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  // TPC-H Q6 analogue: the forecast-revenue-change scan — a pure
+  // filter + single aggregate whose entire cost must sit in the scan
+  // (every predicate pushed, no join, no shuffle beyond the 1-row agg).
+  private def sqlForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) + 50.0)
+        |    / 100.0) AS DOUBLE) / 100.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  // TPC-H Q14 analogue: promotion-revenue share by ship month — the
+  // conditional-aggregate-over-join shape; both sums ride the exact
+  // integer-cents representation so the share divides two identical
+  // BIGINTs in either engine.
+  private def sqlPromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT l_year, l_month,
+        |  round(CAST(promo_cents AS DOUBLE) * 100.0 / total_cents, 6) AS promo_pct,
+        |  CAST(floor((CAST(total_cents AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue
+        |FROM (
+        |  SELECT year(l_shipdate) AS l_year, month(l_shipdate) AS l_month,
+        |    sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS promo_cents,
+        |    sum(cents) AS total_cents
+        |  FROM (
+        |    SELECT l_shipdate, p_type,
+        |      CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS cents
+        |    FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') pl
+        |  GROUP BY 1, 2) m
+        |ORDER BY l_year, l_month""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_q7_volume_shipping" -> (sqlVolumeShipping(_, _)),
     "sql_q10_returned_items" -> (sqlReturnedItems(_, _)),
+    "sql_q6_forecast_revenue" -> (sqlForecastRevenue(_, _)),
+    "sql_q14_promo_revenue" -> (sqlPromoRevenue(_, _)),
     "sql_extension_fns" -> (sqlExtensionFns(_, _)),
     "sql_q5_local_supplier" -> (sqlLocalSupplierVolume(_, _)),
     "sql_q3_shipping_priority" -> (sqlShippingPriority(_, _)),
@@ -629,6 +673,33 @@ object Relational {
          |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin
     },
+    "sql_q6_forecast_revenue" ->
+      """SELECT CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) + 50.0)
+        |    / 100.0) AS DOUBLE) / 100.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "sql_q14_promo_revenue" ->
+      """SELECT l_year, l_month,
+        |  round(CAST(promo_cents AS DOUBLE) * 100.0 / total_cents, 6) AS promo_pct,
+        |  CAST(floor((CAST(total_cents AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue
+        |FROM (
+        |  SELECT year(l_shipdate) AS l_year, month(l_shipdate) AS l_month,
+        |    sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS promo_cents,
+        |    sum(cents) AS total_cents
+        |  FROM (
+        |    SELECT l_shipdate, p_type,
+        |      CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS cents
+        |    FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') pl
+        |  GROUP BY 1, 2) m
+        |ORDER BY l_year, l_month""".stripMargin,
     "sql_q7_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year, CAST(floor((CAST(sum(volume) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue
         |FROM (

@@ -155,6 +155,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(pushed.contains("l_shipdate"), s"shipdate filter not pushed: $pushed")
   }
 
+  test("Q6: every predicate reaches the lineitem scan; no join, single aggregate") {
+    val df = graft.catalog.Relational.queries("sql_q6_forecast_revenue")(spark, sfDir)
+    val pushed = scans(df).map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"predicates not pushed: $pushed")
+    val plan = finalPlanString(df)
+    assert(!plan.contains("Join"), s"Q6 must be join-free:\n$plan")
+  }
+
   test("Q10: returnflag + orderdate filters are pushed and the top-20 is a TakeOrdered") {
     val df = graft.catalog.Relational.queries("sql_q10_returned_items")(spark, sfDir)
     val plan = finalPlanString(df)
