@@ -328,8 +328,13 @@ object GraphML {
   // (reference xgboost_training_for_big_data.py:512-660).
   private def m3bIncrementalPolicy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val state = s"/tmp/graft_artifacts/${new java.io.File(dir).getName}/" +
-      s"m3_state_${spark.sparkContext.applicationId}"
+    val root = s"/tmp/graft_artifacts/${new java.io.File(dir).getName}"
+    val state = s"$root/m3_state_${spark.sparkContext.applicationId}"
+    // evict dead apps' state dirs (same rule as AppCache): only the
+    // current application's registry may survive under the root
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("m3_state_") && f.getPath != state)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
     val data = LinkPredict.trainingSetCached(spark, dir, cap = 20000)
     val runs = Seq(0, 1).map { i =>
