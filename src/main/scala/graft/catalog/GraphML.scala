@@ -330,11 +330,9 @@ object GraphML {
     import spark.implicits._
     val root = s"/tmp/graft_artifacts/${new java.io.File(dir).getName}"
     val state = s"$root/m3_state_${spark.sparkContext.applicationId}"
-    // evict dead apps' state dirs (same rule as AppCache): only the
-    // current application's registry may survive under the root
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("m3_state_") && f.getPath != state)
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    // reap DEAD runs' registries only (age-gated — a live concurrent
+    // JVM's dir is freshly modified and must never be deleted mid-entry)
+    graft.core.Artifacts.reapStale(root, "m3_state_", state)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
     val data = LinkPredict.trainingSetCached(spark, dir, cap = 20000)
     val runs = Seq(0, 1).map { i =>
@@ -387,8 +385,10 @@ object GraphML {
   // reference's compute_class_weight('balanced') ≡ n/(2·n_c)
   // (Neural_network_multi_towered_training.py:647-649) recomputed
   // relationally from the persisted counts in both engines. This is the
-  // exact weight LinkPredict.train binds to weightCol and AdamWTrainer
-  // folds into pos_weight.
+  // exact weight LinkPredict.train binds to weightCol (AdamWTrainer's
+  // pos_weight is the same balancing idea on its own split/seed —
+  // nNeg/nPos, seed 47 — so its artifact would differ; M10's gate
+  // lives here).
   private def m10ClassWeights(spark: SparkSession, dir: String): DataFrame = {
     val data = LinkPredict.trainingSetCached(spark, dir, cap = 20000)
     val trainSplit = data.filter(graft.functions.ColFns.pseudoUniform(
@@ -482,11 +482,8 @@ object GraphML {
     * bits (the m4b technique applied to REAL model scores: the fit is
     * model-coupled, the metric math from persisted scores is not). */
   private def artifact(spark: SparkSession, dir: String, name: String,
-                       df: DataFrame): DataFrame = {
-    val path = s"/tmp/graft_artifacts/${new java.io.File(dir).getName}/$name"
-    df.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
-  }
+                       df: DataFrame): DataFrame =
+    graft.core.Artifacts.write(spark, dir, name, df)
 
   // M1b: the GBT's validation scores persisted, then the full metric
   // report (confusion at 0.5 + Mann–Whitney AUC) recomputed from the
@@ -846,8 +843,7 @@ object GraphML {
 
   // the persisted-scores artifact root the twin oracles read — written
   // by the entries at the correctness gate's SF (sf0.01)
-  private def artifactSql(name: String): String =
-    s"read_parquet('/tmp/graft_artifacts/sf0.01/$name/*.parquet')"
+  private def artifactSql(name: String): String = graft.core.Artifacts.sql(name)
 
   private val m1bSql = metricsReportSql(
     s"scored AS (SELECT label, p FROM ${artifactSql("m1_scored")})", "0.5")

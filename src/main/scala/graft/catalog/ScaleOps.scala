@@ -174,9 +174,11 @@ object ScaleOps {
       scala.util.hashing.MurmurHash3.stringHash(dir))
     // applicationId in the path: two concurrent runs over the same sfDir
     // (bench + test suite on a shared box) must not delete each other's
-    // checkpoint/out mid-stream — same rule as the memo caches
+    // checkpoint/out mid-stream — same rule as the memo caches. Dead
+    // runs' dirs are reaped age-gated so per-run paths don't accumulate.
     val base = java.nio.file.Paths.get(
       s"/tmp/graft_stream/e10_${spark.sparkContext.applicationId}_$tag")
+    graft.core.Artifacts.reapStale("/tmp/graft_stream", "e10_", base.toString)
     if (java.nio.file.Files.exists(base)) {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(base)

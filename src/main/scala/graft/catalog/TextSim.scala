@@ -644,17 +644,13 @@ object TextSim {
       .orderBy("src", "rn")
   }
 
-  // persisted-artifact plumbing (same scheme as the m-family twins):
-  // entries write under the per-SF artifact root; the oracles read the
-  // same bits at the correctness gate's SF
+  // persisted-artifact plumbing — one shared definition of the path
+  // scheme (graft.core.Artifacts) keeps this catalog's writes and its
+  // oracles' reads in lockstep with the m-family twins'
   private def artifact(spark: SparkSession, dir: String, name: String,
-                       df: DataFrame): DataFrame = {
-    val path = s"/tmp/graft_artifacts/${new java.io.File(dir).getName}/$name"
-    df.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
-  }
-  private def artifactSql(name: String): String =
-    s"read_parquet('/tmp/graft_artifacts/sf0.01/$name/*.parquet')"
+                       df: DataFrame): DataFrame =
+    graft.core.Artifacts.write(spark, dir, name, df)
+  private def artifactSql(name: String): String = graft.core.Artifacts.sql(name)
 
   val queries: Map[String, Q] = Map(
     "sim_ivf_persisted" -> (simIvfPersisted(_, _)),

@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The persisted-artifact plumbing shared by the catalog's
+  * deterministic-twin entries (m1b/m11b/m12b/m3b/m10, sim_ivf_persisted):
+  * a twin persists model-coupled bits under the per-SF artifact root and
+  * BOTH engines recompute the gated math from the same parquet. One
+  * definition of the path scheme keeps the engine's writes and the
+  * oracle's reads from ever diverging.
+  */
+object Artifacts {
+  private def root(dir: String) =
+    s"/tmp/graft_artifacts/${new java.io.File(dir).getName}"
+
+  /** Persist `df` under the per-SF artifact root and read it back, so
+    * downstream plans consume the exact persisted bits. */
+  def write(spark: SparkSession, dir: String, name: String,
+            df: DataFrame): DataFrame = {
+    val path = s"${root(dir)}/$name"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** DuckDB-side read of the same artifact — the correctness gate runs
+    * at sf0.01, so the oracles read that root. */
+  def sql(name: String): String =
+    s"read_parquet('/tmp/graft_artifacts/sf0.01/$name/*.parquet')"
+
+  /** Reap sibling staging dirs with `prefix` under `parent` that are not
+    * `keep` and have been untouched for `maxAgeMs`. Age-gating is what
+    * makes this safe across PROCESSES (unlike the in-JVM AppCache rule):
+    * a live concurrent run's dir is freshly modified and never hit,
+    * while dead runs' leftovers stop accumulating on long-lived boxes. */
+  def reapStale(parent: String, prefix: String, keep: String,
+                maxAgeMs: Long = 6L * 3600 * 1000): Unit = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getPath != keep &&
+        f.lastModified() < cutoff)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+}

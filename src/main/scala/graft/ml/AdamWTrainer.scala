@@ -216,6 +216,14 @@ object AdamWTrainer {
       val posWeight = if (nPos > 0) nNeg / nPos else 1.0
 
       val base = java.nio.file.Paths.get(stageDir)
+      // reap dead runs' staging dirs sharing this prefix (age-gated)
+      Option(base.getParent).foreach { p =>
+        val name = base.getFileName.toString
+        val prefix = name.indexOf('_') match {
+          case -1 => name case i => name.substring(0, i + 1)
+        }
+        graft.core.Artifacts.reapStale(p.toString, prefix, stageDir)
+      }
       if (java.nio.file.Files.exists(base)) {
         import scala.jdk.CollectionConverters._
         val walk = java.nio.file.Files.walk(base)

@@ -92,8 +92,9 @@ object Recommend {
       // broadcast only while the queried slice is bounded (it is for the
       // reference's per-customer serving shape); a full-corpus batch run
       // falls back to the shuffled anti-join
-      val excl =
-        if (cust.count() <= 100000L) broadcast(purchased) else purchased
+      val custN = cust.count()
+      val custBounded = custN <= 100000L
+      val excl = if (custBounded) broadcast(purchased) else purchased
       // pre-filter by the SAME hash the cap window ranks on: only rows
       // that can possibly be in the per-customer top-`candidateCap` by u
       // need to enter the anti-join + window. 2× headroom over the cap
@@ -112,9 +113,15 @@ object Recommend {
       // 1–2 parquet partitions, so a naive crossJoin would expand the
       // |cust|×|parts| candidate space inside one task; this way the
       // expansion + hash-filter + anti-join parallelize across the
-      // cluster and the only wide exchange left is the cap window's
-      parts.repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(broadcast(cust))
+      // cluster and the only wide exchange left is the cap window's.
+      // The broadcast rides the SAME bounded-slice guard as `excl` — an
+      // unbounded full-corpus run must not force-broadcast customers.
+      val crossed =
+        if (custBounded)
+          parts.repartition(spark.sparkContext.defaultParallelism)
+            .crossJoin(broadcast(cust))
+        else cust.crossJoin(parts)
+      crossed
         .filter(candU < keepFrac)
         .join(excl, Seq("customer", "product"), "left_anti")
         .withColumn("cand_rn", row_number().over(candW))
