@@ -49,21 +49,49 @@ object TextSim {
   // orders of magnitude smaller than the corpus (it only contains docs
   // with a near-dup), so the CC runs on the reduced edge set; the
   // corpus-sized step is one broadcast-able left join back.
-  private def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val pairs = graft.sim.KnnCache.neardupPairs(spark, dir, minCos = 0.4)
-    val g = graft.graph.PropertyGraph(
-      emb.select(col("vec_id").cast("string").as("id")),
-      pairs.select(col("src").cast("string").as("src"),
-        col("dst").cast("string").as("dst")))
-    val cc = graft.graph.GraphXAnalytics.connectedComponents(spark, g)
-      .withColumnRenamed("id", "vid_s")
-    emb.select(col("vec_id"))
-      .join(cc, col("vec_id").cast("string") === col("vid_s"), "left")
-      .select(col("vec_id"),
-        coalesce(col("component"), col("vec_id").cast("string")).as("canonical"))
+  // the near-dup cluster map (doc → canonical component label) is
+  // shared by D6 (keep-one) and D11 (keep-best) — one CC pass per
+  // (app, dir), checkpoint-backed like every memo cache
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def dedupClusterMap(spark: SparkSession, dir: String): DataFrame =
+    graft.core.AppCache.get(clusterCache,
+      (spark.sparkContext.applicationId, dir)) {
+      val emb = Tables.embeddings(spark, dir)
+      val pairs = graft.sim.KnnCache.neardupPairs(spark, dir, minCos = 0.4)
+      val g = graft.graph.PropertyGraph(
+        emb.select(col("vec_id").cast("string").as("id")),
+        pairs.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst")))
+      val cc = graft.graph.GraphXAnalytics.connectedComponents(spark, g)
+        .withColumnRenamed("id", "vid_s")
+      emb.select(col("vec_id"))
+        .join(cc, col("vec_id").cast("string") === col("vid_s"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id").cast("string")).as("canonical"))
+        .localCheckpoint(true)
+    }
+
+  private def d6DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusterMap(spark, dir)
       .withColumn("kept",
         (col("vec_id").cast("string") === col("canonical")).cast("int"))
+      .orderBy("vec_id")
+
+  // D11: QUALITY-AWARE dedup — the production refinement of D6's
+  // arbitrary keep-one: within each near-dup cluster keep the member
+  // with the most word tokens (the "keep the longest duplicate" rule;
+  // any scalar quality signal slots into the same argmax), ties to the
+  // lower id. Same cluster map, one extra broadcast-sized quality join
+  // and a per-cluster window — no new corpus pass.
+  private def d11QualityDedup(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(spark, dir).select(col("doc_id").as("vec_id"),
+      regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical").orderBy(col("quality").desc, col("vec_id").asc)
+    dedupClusterMap(spark, dir).join(q, "vec_id")
+      .withColumn("kept_best", (row_number().over(w) === 1).cast("int"))
+      .select("vec_id", "canonical", "quality", "kept_best")
       .orderBy("vec_id")
   }
 
@@ -73,25 +101,35 @@ object TextSim {
   // store is never re-paired with itself — candidate generation is a
   // join of the incoming bands against the stored bands, and only
   // candidate pairs pay the exact-Jaccard verification.
-  private def d7IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"),
-        Dedup.shingleArray(col("text"), 5).as("sh"))
-      .withColumn("hs", graft.plans.expressions.array_md5(col("sh")))
-    // one signature table serves banding AND verification (materialized:
-    // it feeds three joins)
-    val signed = sh
-      .withColumn("mins", graft.plans.expressions.minhash_slices(col("hs"), 4))
-      .select(
-        col("doc_id"), col("sh"),
-        concat_ws("_", element_at(col("mins"), 1),
-          element_at(col("mins"), 2)).as("band_0"),
-        concat_ws("_", element_at(col("mins"), 3),
-          element_at(col("mins"), 4)).as("band_1"))
-      .localCheckpoint(true)
-    val bands = Seq(0, 1).map(b =>
+  // one signature table serves banding AND verification for D7's
+  // incremental check and R9's split-leakage report — materialized once
+  // per (app, dir): it feeds three joins per consumer
+  private val signedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def bandSignatures(spark: SparkSession, dir: String): DataFrame =
+    graft.core.AppCache.get(signedCache,
+      (spark.sparkContext.applicationId, dir)) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Dedup.shingleArray(col("text"), 5).as("sh"))
+        .withColumn("hs", graft.plans.expressions.array_md5(col("sh")))
+        .withColumn("mins", graft.plans.expressions.minhash_slices(col("hs"), 4))
+        .select(
+          col("doc_id"), col("sh"),
+          concat_ws("_", element_at(col("mins"), 1),
+            element_at(col("mins"), 2)).as("band_0"),
+          concat_ws("_", element_at(col("mins"), 3),
+            element_at(col("mins"), 4)).as("band_1"))
+        .localCheckpoint(true)
+    }
+  private def bandRows(signed: DataFrame): DataFrame =
+    Seq(0, 1).map(b =>
         signed.select(col("doc_id"), lit(b).as("band"), col(s"band_$b").as("sig")))
       .reduce(_ unionAll _)
+
+  private def d7IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val signed = bandSignatures(spark, dir)
+    val bands = bandRows(signed)
     val store = bands.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       .select(col("band"), col("sig"), col("doc_id").as("store_doc"))
     val incoming = bands.filter(pmod(col("doc_id"), lit(3)) === 0)
@@ -554,6 +592,44 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  // R9: split-leakage report — the D7 shape applied to TRAIN/EVAL
+  // integrity: after a hash split (90/10), every eval document is
+  // checked against the train side's band-signature store; a banded
+  // collision that verifies past the Jaccard threshold is LEAKAGE (an
+  // eval doc with a near-duplicate in train inflates eval metrics).
+  // Candidate generation joins 2 band signatures per doc, never text —
+  // the same signature-only shuffle discipline as d7 at 100 TB.
+  private def r9SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ColFns
+    def isEval(c: org.apache.spark.sql.Column) =
+      ColFns.pseudoUniform(c, 71L) >= 0.9
+    val signed = bandSignatures(spark, dir)
+    val bands = bandRows(signed)
+    val train = bands.filter(!isEval(col("doc_id")))
+      .select(col("band"), col("sig"), col("doc_id").as("train_doc"))
+    val cand = bands.filter(isEval(col("doc_id"))).join(train, Seq("band", "sig"))
+      .select("doc_id", "train_doc").distinct()
+    val pairs = cand
+      .join(signed.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(signed.select(col("doc_id").as("train_doc"), col("sh").as("sh_b")),
+        "train_doc")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("j", col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+    val per = pairs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("j") >= 0.1, 1L).otherwise(0L)).as("n_leaks"),
+      min(when(col("j") >= 0.1, col("train_doc"))).as("leak_of"))
+    Tables.documents(spark, dir).select("doc_id").filter(isEval(col("doc_id")))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_leaks"), lit(0L)).as("n_leaks"),
+        coalesce(col("leak_of"), lit(-1L)).as("leak_of"),
+        (coalesce(col("n_leaks"), lit(0L)) > 0).cast("int").as("leaked"))
+      .orderBy("doc_id")
+  }
+
   // Incremental ANN index maintenance — the d7 pattern applied to the
   // IVF index: the standing index's hash-picked centroids are built
   // from the EXISTING corpus only (vec_id ≢ 0 mod 5); the "new arrival"
@@ -644,6 +720,35 @@ object TextSim {
       .orderBy("src", "rn")
   }
 
+  // min-VARCHAR-label propagation unrolled 16 rounds over the
+  // undirected near-dup pair graph (same technique as the CC oracle in
+  // GraphML; MATERIALIZED stops exponential CTE inlining). Near-dup
+  // clusters are shallow — 16 rounds carries a wide margin over the
+  // observed diameter. Shared by the d6 and d11 oracles.
+  private lazy val clusterCteSql: String = {
+    val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
+    val steps = (1 to 16).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT p.id, least(p.lbl, coalesce(m.minn, p.lbl)) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN (
+         |    SELECT u.dst AS id, min(q.lbl) AS minn
+         |    FROM und u JOIN l${i - 1} q ON q.id = u.src
+         |    GROUP BY u.dst) m ON m.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""n AS (SELECT vec_id, embedding,
+       |       sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
+       |      FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT CAST(a.vec_id AS VARCHAR) AS src, CAST(b.vec_id AS VARCHAR) AS dst
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE $dotAB / (a.nrm * b.nrm) >= 0.4),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       |verts AS (SELECT DISTINCT src AS id FROM und),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts),
+       |$steps""".stripMargin
+  }
+
   // persisted-artifact plumbing — one shared definition of the path
   // scheme (graft.core.Artifacts) keeps this catalog's writes and its
   // oracles' reads in lockstep with the m-family twins'
@@ -660,7 +765,9 @@ object TextSim {
     "d4_ngram_jaccard" -> (d4NgramJaccard(_, _)),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup(_, _)),
     "d6_dedup_clusters" -> (d6DedupClusters(_, _)),
+    "d11_quality_dedup" -> (d11QualityDedup(_, _)),
     "d7_incremental_dedup" -> (d7IncrementalDedup(_, _)),
+    "r9_split_leakage" -> (r9SplitLeakage(_, _)),
     "d8_fuzzy_match" -> (d8FuzzyMatch(_, _)),
     "d9_entity_clusters" -> (d9EntityClusters(_, _)),
     "j7_knn_topk" -> (simBruteTopK(_, _)),
@@ -863,40 +970,65 @@ object TextSim {
          |  coalesce(p.n_dups, 0) AS n_dups, coalesce(p.dup_of, -1) AS dup_of
          |FROM documents d LEFT JOIN per p USING (doc_id)
          |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
-    "d6_dedup_clusters" -> {
-      // min-VARCHAR-label propagation unrolled 16 rounds over the
-      // undirected near-dup pair graph (same technique as the CC
-      // oracle in GraphML; MATERIALIZED stops exponential CTE inlining).
-      // Near-dup clusters are shallow — 16 rounds carries a wide margin
-      // over the observed diameter.
-      val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
-      val steps = (1 to 16).map { i =>
-        s"""l$i AS MATERIALIZED (
-           |  SELECT p.id, least(p.lbl, coalesce(m.minn, p.lbl)) AS lbl
-           |  FROM l${i - 1} p LEFT JOIN (
-           |    SELECT u.dst AS id, min(q.lbl) AS minn
-           |    FROM und u JOIN l${i - 1} q ON q.id = u.src
-           |    GROUP BY u.dst) m ON m.id = p.id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH n AS (SELECT vec_id, embedding,
-         |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
-         |           FROM embeddings),
-         |pairs AS MATERIALIZED (
-         |  SELECT CAST(a.vec_id AS VARCHAR) AS src, CAST(b.vec_id AS VARCHAR) AS dst
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |  WHERE $dotAB / (a.nrm * b.nrm) >= 0.4),
-         |und AS MATERIALIZED (
-         |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
-         |verts AS (SELECT DISTINCT src AS id FROM und),
-         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts),
-         |$steps
+    "r9_split_leakage" -> {
+      import graft.functions.ColFns
+      def ev(e: String) = s"${ColFns.pseudoUniformSql(e, 71L)} >= 0.9"
+      s"""WITH $hashedShingleCte,
+         |signed AS (
+         |  SELECT s.doc_id, s.sh,
+         |    concat_ws('_', ${minhashSql(0)}, ${minhashSql(1)}) AS band_0,
+         |    concat_ws('_', ${minhashSql(2)}, ${minhashSql(3)}) AS band_1
+         |  FROM sh s JOIN hsh h ON s.doc_id = h.doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, band_0 AS sig FROM signed
+         |  UNION ALL
+         |  SELECT doc_id, 1, band_1 FROM signed),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id, s.doc_id AS train_doc
+         |  FROM bands i JOIN bands s ON i.band = s.band AND i.sig = s.sig
+         |  WHERE ${ev("i.doc_id")} AND NOT (${ev("s.doc_id")})),
+         |pairs AS (
+         |  SELECT c.doc_id, c.train_doc,
+         |    len(list_intersect(a.sh, b.sh)) AS n_inter,
+         |    len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM cand c
+         |  JOIN signed a ON a.doc_id = c.doc_id
+         |  JOIN signed b ON b.doc_id = c.train_doc),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_candidates,
+         |    CAST(sum(CASE WHEN CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.1
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks,
+         |    min(CASE WHEN CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.1
+         |        THEN train_doc END) AS leak_of
+         |  FROM pairs GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
+         |  coalesce(p.n_leaks, 0) AS n_leaks, coalesce(p.leak_of, -1) AS leak_of,
+         |  CAST(coalesce(p.n_leaks, 0) > 0 AS INT) AS leaked
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |WHERE ${ev("d.doc_id")} ORDER BY d.doc_id""".stripMargin
+    },
+    "d6_dedup_clusters" ->
+      s"""WITH $clusterCteSql
          |SELECT e.vec_id,
          |  coalesce(l16.lbl, CAST(e.vec_id AS VARCHAR)) AS canonical,
          |  CAST(CAST(e.vec_id AS VARCHAR) = coalesce(l16.lbl, CAST(e.vec_id AS VARCHAR))
          |       AS INTEGER) AS kept
          |FROM embeddings e LEFT JOIN l16 ON l16.id = CAST(e.vec_id AS VARCHAR)
-         |ORDER BY e.vec_id""".stripMargin
-    },
+         |ORDER BY e.vec_id""".stripMargin,
+    "d11_quality_dedup" ->
+      s"""WITH $clusterCteSql,
+         |m AS (
+         |  SELECT e.vec_id,
+         |    coalesce(l16.lbl, CAST(e.vec_id AS VARCHAR)) AS canonical
+         |  FROM embeddings e LEFT JOIN l16 ON l16.id = CAST(e.vec_id AS VARCHAR)),
+         |q AS (SELECT doc_id,
+         |        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS quality
+         |      FROM documents)
+         |SELECT m.vec_id, m.canonical, q.quality,
+         |  CAST(row_number() OVER (PARTITION BY m.canonical
+         |    ORDER BY q.quality DESC, m.vec_id ASC) = 1 AS INT) AS kept_best
+         |FROM m JOIN q ON q.doc_id = m.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
     "j7_knn_topk" -> {
       val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
       s"""WITH n AS (SELECT vec_id, embedding,
