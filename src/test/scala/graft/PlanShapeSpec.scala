@@ -200,6 +200,16 @@ class PlanShapeSpec extends SparkSpec {
       s"serve stage rescans the corpus: $scanned")
   }
 
+  test("R9: leakage candidate generation shuffles band signatures, never text") {
+    val df = graft.catalog.TextSim.queries("r9_split_leakage")(spark, sfDir)
+    val plan = finalPlanString(df)
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text reaches a shuffle:\n${exchanges.mkString("\n")}")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"leakage check degenerated to nested-loop:\n$plan")
+  }
+
   test("D10: contamination joins 32-byte gram hashes, never document text") {
     val df = graft.catalog.TextSim.queries("d10_contamination")(spark, sfDir)
     val plan = finalPlanString(df)

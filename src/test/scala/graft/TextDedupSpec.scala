@@ -161,6 +161,41 @@ class TextDedupSpec extends SparkSpec {
     assert(df.filter(col("list") < 1 || col("list") > 16).count() === 0)
   }
 
+  test("d11 keeps exactly one member per cluster, and it is the max-quality one") {
+    val df = SparkEntry.queries("d11_quality_dedup")(spark, sfDir).cache()
+    // exactly one kept_best per canonical cluster
+    val bad = df.groupBy("canonical")
+      .agg(sum("kept_best").as("n_kept")).filter(col("n_kept") =!= 1).count()
+    assert(bad === 0)
+    // the kept member's quality is the cluster max (ties → lower id,
+    // which the window order already encodes)
+    val maxQ = df.groupBy("canonical").agg(max("quality").as("max_q"))
+    assert(df.filter(col("kept_best") === 1).join(maxQ, "canonical")
+      .filter(col("quality") =!= col("max_q")).count() === 0)
+    // same universe and clustering as d6
+    val d6 = SparkEntry.queries("d6_dedup_clusters")(spark, sfDir)
+    assert(df.select("vec_id", "canonical").exceptAll(
+      d6.select("vec_id", "canonical")).count() === 0)
+  }
+
+  test("r9 reports only eval docs, and every leak verifies past the Jaccard threshold") {
+    val df = SparkEntry.queries("r9_split_leakage")(spark, sfDir).cache()
+    import graft.functions.ColFns
+    // the report covers exactly the eval side of the 90/10 hash split
+    val evalN = graft.core.Tables.documents(spark, sfDir)
+      .filter(ColFns.pseudoUniform(col("doc_id"), 71L) >= 0.9).count()
+    assert(df.count() === evalN)
+    assert(df.filter(ColFns.pseudoUniform(col("doc_id"), 71L) < 0.9).count() === 0)
+    // flags are consistent: leaked ⇔ n_leaks > 0 ⇔ leak_of set; a
+    // leak's partner is on the TRAIN side
+    assert(df.filter(col("leaked") =!= (col("n_leaks") > 0).cast("int")).count() === 0)
+    assert(df.filter(col("n_leaks") > 0 && col("leak_of") === -1L).count() === 0)
+    assert(df.filter(col("leak_of") =!= -1L)
+      .filter(ColFns.pseudoUniform(col("leak_of"), 71L) >= 0.9).count() === 0)
+    // leaks never exceed surviving band candidates
+    assert(df.filter(col("n_leaks") > col("n_candidates")).count() === 0)
+  }
+
   test("r8 temperature mix: probabilities normalize and flatten the head") {
     val rows = SparkEntry.queries("r8_temperature_mix")(spark, sfDir)
       .select("lang", "n_docs", "p")
