@@ -22,9 +22,16 @@ object TextSim {
   private def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), "doc_id", "text").orderBy("content_hash")
 
-  private def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text")
+  // composed from the session's ONE band-signature table (shared with
+  // d7/r9) instead of Dedup.minhashLsh's private build — same banding
+  // scheme, one corpus signature pass for the whole d-family
+  private def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandRows(bandSignatures(spark, dir))
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "sig")).filter(col("doc_a") < col("doc_b")).distinct()
       .orderBy("band", "sig", "doc_a", "doc_b")
+  }
 
   private def d3Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
