@@ -584,7 +584,47 @@ object Relational {
         |ORDER BY l_year, l_month""".stripMargin)
   }
 
+  // TPC-H Q12 analogue (adapted to this generator's columns: no
+  // l_shipmode/l_commitdate, so l_linestatus plays the mode class and
+  // "shipped after the order date" plays the late-receipt test): the
+  // conditional-count-over-join shape — one wide join whose aggregate
+  // is two CASE sums, with the date range pushed into the lineitem
+  // scan and orders broadcast-joined after its own pushdown.
+  private def sqlPriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)
+  }
+
+  // TPC-H Q19 analogue: discounted revenue under an OR-of-ANDs
+  // predicate spanning both join sides — the disjunctive-pushdown
+  // stress case. The part-only conjuncts (brand, size) are pushable
+  // into the part scan as `p_size <= 35 AND p_brand IN (...)` common
+  // factors; the mixed (brand × quantity) disjunction must evaluate
+  // post-join without turning the join into a cartesian.
+  private def sqlDisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_q12_priority_shipping" -> (sqlPriorityShipping(_, _)),
+    "sql_q19_disjunctive_revenue" -> (sqlDisjunctiveRevenue(_, _)),
     "sql_q7_volume_shipping" -> (sqlVolumeShipping(_, _)),
     "sql_q10_returned_items" -> (sqlReturnedItems(_, _)),
     "sql_q6_forecast_revenue" -> (sqlForecastRevenue(_, _)),
@@ -673,6 +713,24 @@ object Relational {
          |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin
     },
+    "sql_q12_priority_shipping" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "sql_q19_disjunctive_revenue" ->
+      """SELECT CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) + 50.0) / 100.0) AS DOUBLE) / 100.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "sql_q6_forecast_revenue" ->
       """SELECT CAST(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
         |         CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) + 50.0)

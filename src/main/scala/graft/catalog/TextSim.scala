@@ -558,7 +558,10 @@ object TextSim {
   // key is the md5 of the gram (fixed 32-byte shuffle width, never the
   // text); grams are distinct-ed per doc before the shuffle, so fan-out
   // is bounded by document length, not corpus size.
-  private def d10Contamination(spark: SparkSession, dir: String): DataFrame = {
+  /** Contaminated (train_doc, bench_doc, n_shared) pairs — the core of
+    * D10, factored so D12 can compose the decontaminated corpus from
+    * the same gram pipeline. */
+  private def contaminationPairs(spark: SparkSession, dir: String): DataFrame = {
     val n = 8
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -574,7 +577,47 @@ object TextSim {
     train.join(bench, "gram")
       .groupBy("train_doc", "bench_doc").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
-      .orderBy("train_doc", "bench_doc")
+  }
+
+  private def d10Contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationPairs(spark, dir).orderBy("train_doc", "bench_doc")
+
+  // D12: decontamination — the enforcement half of D10's report: drop
+  // every training document that shares ≥3 word-8-grams with the
+  // held-out benchmark slice, returning the kept train corpus. The
+  // anti-join key is doc_id (8 bytes); the expensive side is the same
+  // gram-hash pipeline as D10, so at 100 TB this shuffles 32-byte gram
+  // hashes and 8-byte ids — never document text.
+  private def d12Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bad = contaminationPairs(spark, dir).select(col("train_doc")).distinct()
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(bad, col("doc_id") === col("train_doc"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // T16: domain-mix report — the pretraining data-mixture control op:
+  // per-source document/token counts, each source's share of corpus
+  // tokens, and the per-document sampling weight that would rebalance
+  // the mixture to a uniform target (weight = target_share /
+  // actual_share). One groupBy(source) over a map-only token count —
+  // the combined totals ride a 1-row broadcast, so the plan is a
+  // single metadata-sized shuffle regardless of corpus size.
+  private def t16DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = agg.agg(
+      sum(col("n_tokens")).cast("double").as("tot_tokens"),
+      count(lit(1)).cast("double").as("n_sources"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6).as("token_share"),
+        round((col("tot_tokens") / col("n_sources")) /
+          col("n_tokens").cast("double"), 6).as("mix_weight"))
+      .orderBy("source")
   }
 
   // T15: internal-repetition rule (the Gopher duplicate-n-gram test
@@ -798,6 +841,8 @@ object TextSim {
     "t14_pii_redact" -> (t14PiiRedact(_, _)),
     "t15_repetition" -> (t15Repetition(_, _)),
     "d10_contamination" -> (d10Contamination(_, _)),
+    "d12_decontaminate" -> (d12Decontaminate(_, _)),
+    "t16_domain_mix" -> (t16DomainMix(_, _)),
     "sim_ivf_incremental" -> (simIvfIncremental(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
@@ -1250,6 +1295,45 @@ object TextSim {
         |WHERE t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY train_doc, bench_doc""".stripMargin,
+    "d12_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 8 THEN
+        |      list_transform(generate_series(1, len(toks) - 7),
+        |        i -> md5(array_to_string(toks[i:i+7], ' ')))
+        |    ELSE [] END)) AS gram
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT t.doc_id AS train_doc
+        |  FROM grams t JOIN grams b USING (gram)
+        |  WHERE t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |  GROUP BY t.doc_id, b.doc_id HAVING count(*) >= 3),
+        |bad AS (SELECT DISTINCT train_doc FROM pairs)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 10 <> 0
+        |  AND doc_id NOT IN (SELECT train_doc FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    "t16_domain_mix" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_toks
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+        |         CAST(count(*) AS DOUBLE) AS n_sources
+        |  FROM agg)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
+        |  round((tot_tokens / n_sources) / CAST(n_tokens AS DOUBLE), 6) AS mix_weight
+        |FROM agg, tot ORDER BY source""".stripMargin,
     "t10_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

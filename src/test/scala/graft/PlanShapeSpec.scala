@@ -164,6 +164,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"Q6 must be join-free:\n$plan")
   }
 
+  test("Q12: shipdate range is pushed to the lineitem scan; aggregate is conditional counts") {
+    val df = graft.catalog.Relational.queries("sql_q12_priority_shipping")(spark, sfDir)
+    val pushed = scans(df).map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("l_shipdate"), s"shipdate range not pushed: $pushed")
+    val plan = finalPlanString(df)
+    // l_shipdate > o_orderdate is a join-side comparison — it must run
+    // post-join, but the join itself stays an equi hash join on the key
+    assert(plan.contains("HashJoin"), s"expected an equi hash join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"join degenerated:\n$plan")
+  }
+
+  test("Q19: common-factor part predicates are pushed; the disjunction doesn't break the equi-join") {
+    val df = graft.catalog.Relational.queries("sql_q19_disjunctive_revenue")(spark, sfDir)
+    val pushed = scans(df).map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    // Catalyst factors `p_brand IN (...)` (and In(l_quantity-bounds on
+    // the other side) out of the OR-of-ANDs — those must reach the scans
+    assert(pushed.contains("p_brand"), s"brand common factor not pushed: $pushed")
+    val plan = finalPlanString(df)
+    assert(plan.contains("HashJoin"), s"expected an equi hash join on partkey:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"disjunction broke the join:\n$plan")
+  }
+
   test("Q10: returnflag + orderdate filters are pushed and the top-20 is a TakeOrdered") {
     val df = graft.catalog.Relational.queries("sql_q10_returned_items")(spark, sfDir)
     val plan = finalPlanString(df)

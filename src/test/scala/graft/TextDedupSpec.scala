@@ -196,6 +196,37 @@ class TextDedupSpec extends SparkSpec {
     assert(df.filter(col("n_leaks") > col("n_candidates")).count() === 0)
   }
 
+  test("d12 removes exactly d10's flagged train docs, nothing else") {
+    val kept = SparkEntry.queries("d12_decontaminate")(spark, sfDir).cache()
+    val flagged = SparkEntry.queries("d10_contamination")(spark, sfDir)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val trainN = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0).count()
+    // kept ∪ flagged = train side, kept ∩ flagged = ∅
+    assert(kept.count() === trainN - flagged.count())
+    assert(kept.select("doc_id").join(flagged, "doc_id").count() === 0)
+    // no benchmark doc survives into the train corpus
+    assert(kept.filter(col("doc_id") % 10 === 0).count() === 0)
+  }
+
+  test("t16 domain mix: shares sum to 1 and weights rebalance to uniform") {
+    val rows = SparkEntry.queries("t16_domain_mix")(spark, sfDir)
+      .select("source", "n_tokens", "token_share", "mix_weight")
+      .as[(String, Long, Double, Double)].collect()
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // weight × share = target share (uniform) for every source
+    val target = 1.0 / rows.length
+    rows.foreach { case (s, _, share, w) =>
+      assert(math.abs(w * share - target) < 1e-4, s"source $s off-target")
+    }
+    // weights move each source TOWARD uniform: below-target sources
+    // are up-weighted, above-target down-weighted
+    rows.foreach { case (s, _, share, w) =>
+      if (share < target) assert(w > 1.0, s"$s should up-weight")
+      else if (share > target) assert(w < 1.0, s"$s should down-weight")
+    }
+  }
+
   test("r8 temperature mix: probabilities normalize and flatten the head") {
     val rows = SparkEntry.queries("r8_temperature_mix")(spark, sfDir)
       .select("lang", "n_docs", "p")
