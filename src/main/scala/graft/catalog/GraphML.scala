@@ -637,6 +637,16 @@ object GraphML {
       .orderBy(desc("rank"), asc("id")).limit(100)
   }
 
+  // Landmark BFS over the property graph: every vertex's hop distance
+  // to its nearest Location hub (loc_*), min-hub-id tie-break, radius 8
+  // — the "distance to regional hub" enrichment feature. The oracle
+  // unrolls the identical synchronous relaxation in SQL (the ccSql
+  // technique), so dist/hub match exactly by construction.
+  private def gxShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.graph.GraphBuilder.fromTpch(spark, dir)
+    graft.graph.GraphXAnalytics.shortestPaths(spark, g, "loc_", rounds = 8)
+  }
+
   // GraphX triangle count on the KNN similarity graph (the e-commerce
   // property graph is multi-partite — triangles only exist among mutual
   // similarity neighbors). Clustering structure = community cohesion
@@ -735,6 +745,7 @@ object GraphML {
     "gx_triangles" -> (gxTriangles(_, _)),
     "gx_label_propagation" -> (gxLabelPropagation(_, _)),
     "gx_kcore" -> (gxKCore(_, _)),
+    "gx_shortest_paths" -> (gxShortestPaths(_, _)),
     "m9_calibration" -> (m9Calibration(_, _)),
     "g7_scd2_intervals" -> (g7Scd2Intervals(_, _)),
     "g8_copurchase_projection" -> (g8CopurchaseProjection(_, _)),
@@ -944,6 +955,39 @@ object GraphML {
        |$steps
        |SELECT lbl AS component, count(*) AS size FROM l$rounds
        |GROUP BY lbl ORDER BY size DESC, component ASC""".stripMargin
+  }
+
+  /** Landmark-BFS oracle: synchronous (dist, hub) relaxation unrolled
+    * `rounds` times, state packed as a sortable VARCHAR 'd|hub' (dist
+    * stays single-digit for rounds ≤ 9, so lexicographic min IS
+    * (min dist, then min hub id)). Same MATERIALIZED chain trick as
+    * ccSql to stop DuckDB inlining the rounds. */
+  private def shortestPathsSql(rounds: Int): String = {
+    require(rounds <= 9, "single-digit dist packing")
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT p.id,
+         |    CASE WHEN m.mn IS NULL THEN p.st
+         |         WHEN p.st IS NULL THEN m.mn
+         |         WHEN m.mn < p.st THEN m.mn ELSE p.st END AS st
+         |  FROM l${i - 1} p LEFT JOIN (
+         |    SELECT u.dst AS id,
+         |      min(concat(CAST(CAST(substr(q.st, 1, 1) AS INT) + 1 AS VARCHAR),
+         |        substr(q.st, 2))) AS mn
+         |    FROM und u JOIN l${i - 1} q ON q.id = u.src
+         |    WHERE q.st IS NOT NULL
+         |    GROUP BY u.dst) m ON m.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${GraphSql.edgesCte},
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |verts AS (SELECT DISTINCT src AS id FROM und),
+       |l0 AS MATERIALIZED (
+       |  SELECT id, CASE WHEN id LIKE 'loc\\_%' ESCAPE '\\'
+       |    THEN concat('0|', id) END AS st FROM verts),
+       |$steps
+       |SELECT id, CAST(substr(st, 1, 1) AS INT) AS dist, substr(st, 3) AS hub
+       |FROM l$rounds WHERE st IS NOT NULL ORDER BY id""".stripMargin
   }
 
   /** Mann–Whitney AUC over one parity slice of orders (the m4b exact-AUC
@@ -1250,6 +1294,7 @@ object GraphML {
         |  coalesce(lead(dvid) OVER (PARTITION BY id ORDER BY dvid) - 1, 9999) AS valid_to
         |FROM inj ORDER BY id, valid_from""".stripMargin,
     "gx_connected_components" -> ccSql(rounds = 24),
+    "gx_shortest_paths" -> shortestPathsSql(rounds = 8),
     "m4b_metrics_deterministic" -> m4bSql,
     "m5b_sweep_deterministic" -> m5bSql,
     "m1b_gbt_deterministic" -> m1bSql,

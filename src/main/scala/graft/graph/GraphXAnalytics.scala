@@ -247,4 +247,113 @@ object GraphXAnalytics {
       .join(vertexMap(g), "vid")
       .select(col("id"), col("degree").cast("long").as("degree"))
   }
+
+  /** Multi-source BFS: undirected hop distance from every vertex to its
+    * nearest hub vertex (ids starting with `hubPrefix`), with a min-id
+    * tie-break among equidistant hubs, search radius bounded at
+    * `rounds`. Unreachable-within-radius vertices are omitted.
+    *
+    * Both paths run SYNCHRONOUS (Jacobi) relaxation — state after round
+    * r is the min over all paths of length ≤ r — so a fixed `rounds`
+    * yields identical output from the kernel, Pregel, and the oracle's
+    * unrolled-SQL rounds even if the graph hasn't converged.
+    *
+    * Hybrid (the CC/PageRank pattern): below `seqMaxEdges` the string
+    * edge list collects to the driver and relaxes over int arrays
+    * (hub tie-break = index into the sorted vertex array, which IS
+    * lexicographic id order); above, GraphX Pregel carries (dist, hub)
+    * vertex state with min-pair message merge. */
+  def shortestPaths(spark: SparkSession, g: PropertyGraph, hubPrefix: String,
+                    rounds: Int = 8, seqMaxEdges: Long = 5000000L): DataFrame = {
+    import spark.implicits._
+    val sp: DataFrame =
+      if (g.edges.count() <= seqMaxEdges) {
+        val rows = g.edges
+          .select(col("src").cast("string"), col("dst").cast("string")).collect()
+        val m = rows.length
+        val srcS = new Array[String](m); val dstS = new Array[String](m)
+        var i = 0
+        while (i < m) { srcS(i) = rows(i).getString(0); dstS(i) = rows(i).getString(1); i += 1 }
+        val vids: Array[String] = {
+          val all = new Array[String](2 * m)
+          System.arraycopy(srcS, 0, all, 0, m)
+          System.arraycopy(dstS, 0, all, m, m)
+          java.util.Arrays.sort(all, java.util.Comparator.naturalOrder[String]())
+          var n0 = 0; var j = 0
+          while (j < all.length) {
+            if (n0 == 0 || all(j) != all(n0 - 1)) { all(n0) = all(j); n0 += 1 }
+            j += 1
+          }
+          java.util.Arrays.copyOf(all, n0)
+        }
+        val n = vids.length
+        def idx(v: String): Int =
+          java.util.Arrays.binarySearch(vids.asInstanceOf[Array[AnyRef]], v)
+        val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+        i = 0
+        while (i < m) { srcI(i) = idx(srcS(i)); dstI(i) = idx(dstS(i)); i += 1 }
+        var dist = Array.fill(n)(Int.MaxValue)
+        var hub = Array.fill(n)(-1)
+        i = 0
+        while (i < n) {
+          if (vids(i).startsWith(hubPrefix)) { dist(i) = 0; hub(i) = i }
+          i += 1
+        }
+        var r = 0
+        while (r < rounds) {
+          val nd = dist.clone(); val nh = hub.clone()
+          var e = 0
+          while (e < m) {
+            val a = srcI(e); val b = dstI(e)
+            if (dist(a) != Int.MaxValue) {
+              val cd = dist(a) + 1
+              if (cd < nd(b) || (cd == nd(b) && hub(a) < nh(b))) { nd(b) = cd; nh(b) = hub(a) }
+            }
+            if (dist(b) != Int.MaxValue) {
+              val cd = dist(b) + 1
+              if (cd < nd(a) || (cd == nd(a) && hub(b) < nh(a))) { nd(a) = cd; nh(a) = hub(b) }
+            }
+            e += 1
+          }
+          dist = nd; hub = nh
+          r += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+        i = 0
+        while (i < n) {
+          if (dist(i) != Int.MaxValue) out += ((vids(i), dist(i), vids(hub(i))))
+          i += 1
+        }
+        spark.createDataFrame(out.toSeq).toDF("id", "dist", "hub")
+      } else {
+        import org.apache.spark.graphx.{EdgeDirection, Pregel}
+        type St = (Int, String)
+        def better(a: St, b: St): St =
+          if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+        val idRdd = vertexMap(g).rdd.map(r => (r.getLong(1), r.getString(0)))
+        val init = toGraphX(g)
+          .outerJoinVertices(idRdd) { (_, _, idOpt) => idOpt.getOrElse("") }
+          .mapVertices { (_, id) =>
+            if (id.startsWith(hubPrefix)) (0, id) else (Int.MaxValue, "\uFFFF")
+          }
+        val res = Pregel(init, (Int.MaxValue, "\uFFFF"), maxIterations = rounds,
+          activeDirection = EdgeDirection.Either)(
+          vprog = (_, attr: St, msg: St) => better(attr, msg),
+          sendMsg = et => {
+            val toDst = if (et.srcAttr._1 == Int.MaxValue) Iterator.empty
+              else Iterator((et.dstId, (et.srcAttr._1 + 1, et.srcAttr._2)))
+            val toSrc = if (et.dstAttr._1 == Int.MaxValue) Iterator.empty
+              else Iterator((et.srcId, (et.dstAttr._1 + 1, et.dstAttr._2)))
+            toDst ++ toSrc
+          },
+          mergeMsg = better)
+        res.vertices
+          .filter { case (_, (d, _)) => d != Int.MaxValue && d <= rounds }
+          .map { case (vid, (d, h)) => (vid, d, h) }
+          .toDF("vid", "dist", "hub")
+          .join(vertexMap(g), "vid")
+          .select(col("id"), col("dist"), col("hub"))
+      }
+    sp.orderBy("id")
+  }
 }

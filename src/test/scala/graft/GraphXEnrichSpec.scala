@@ -44,6 +44,32 @@ class GraphXEnrichSpec extends SparkSpec {
     assert(diff === 0, s"$diff of ${seq.size} rounded ranks diverge")
   }
 
+  test("landmark-BFS driver kernel matches the Pregel path exactly") {
+    val g = GraphBuilder.fromTpch(spark, sfDir)
+    val seq = GraphXAnalytics.shortestPaths(spark, g, "loc_", rounds = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val gx = GraphXAnalytics.shortestPaths(spark, g, "loc_", rounds = 8,
+        seqMaxEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(seq === gx)
+  }
+
+  test("landmark-BFS invariants: hubs at dist 0, neighbors within 1 hop of each other") {
+    val g = GraphBuilder.fromTpch(spark, sfDir)
+    val df = GraphXAnalytics.shortestPaths(spark, g, "loc_", rounds = 8).cache()
+    import org.apache.spark.sql.functions._
+    // every hub is a loc_ node at distance 0 of itself
+    assert(df.filter(col("id").startsWith("loc_"))
+      .filter(col("dist") =!= 0 || col("hub") =!= col("id")).count() === 0)
+    assert(df.filter(!col("hub").startsWith("loc_")).count() === 0)
+    // triangle inequality across every edge: dists differ by ≤ 1
+    val d1 = df.select(col("id").as("src"), col("dist").as("ds"))
+    val d2 = df.select(col("id").as("dst"), col("dist").as("dd"))
+    val viol = g.edges.select("src", "dst").join(d1, "src").join(d2, "dst")
+      .filter(abs(col("ds") - col("dd")) > 1).count()
+    assert(viol === 0)
+  }
+
   test("GraphX degrees agree with the DataFrame A2 operator") {
     val g = GraphBuilder.fromTpch(spark, sfDir)
     val gx = GraphXAnalytics.degrees(spark, g)
