@@ -163,6 +163,88 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  // E11: ingest-time dedup — d7's store-join semantics driven through
+  // Structured Streaming, the "dedup at the door" production shape: the
+  // standing signature store is PERSISTED parquet (the artifact a
+  // nightly ingest job mounts), arrivals land as two file drops
+  // consumed one micro-batch each (maxFilesPerTrigger=1, AvailableNow),
+  // and each batch joins its batch-sized arrival signatures against the
+  // store — never the corpus text, never other batches. Per-doc
+  // verdicts depend only on (doc, store), so the appended union over
+  // ANY batching equals the relational computation the oracle replays.
+  private def e11StreamIngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val base = s"/tmp/graft_stream/e11_${spark.sparkContext.applicationId}_$tag"
+    graft.core.Artifacts.reapStale("/tmp/graft_stream", "e11_", base)
+    val basePath = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(basePath)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(basePath)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    val signed = bandSignatures(spark, dir)
+    val bands = bandRows(signed)
+    val isArrival = pmod(col("doc_id"), lit(3)) === 0
+    bands.filter(!isArrival)
+      .select(col("band"), col("sig"), col("doc_id").as("store_doc"))
+      .write.parquet(s"$base/store_bands")
+    signed.filter(!isArrival)
+      .select(col("doc_id").as("store_doc"), col("sh").as("sh_b"))
+      .write.parquet(s"$base/store_sh")
+    bands.filter(isArrival).write.parquet(s"$base/arr_bands")
+    signed.filter(isArrival).select(col("doc_id"), col("sh").as("sh_a"))
+      .write.parquet(s"$base/arr_sh")
+    val arr = Tables.documents(spark, dir).filter(isArrival).select("doc_id")
+    arr.filter(pmod(col("doc_id"), lit(2)) === 0).write.parquet(s"$base/src/drop_a")
+    arr.filter(pmod(col("doc_id"), lit(2)) === 1).write.parquet(s"$base/src/drop_b")
+    // cloned session: the shuffle-partition pin stays scoped to this
+    // stream's SQLConf, never the shared session
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val out = s"$base/out"
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/src")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val s2 = b.sparkSession
+        val st = s2.read.parquet(s"$base/store_bands")
+        val shB = s2.read.parquet(s"$base/store_sh")
+        val myBands = s2.read.parquet(s"$base/arr_bands").join(b, "doc_id")
+        val shA = s2.read.parquet(s"$base/arr_sh")
+        val cand = myBands.join(st, Seq("band", "sig"))
+          .select("doc_id", "store_doc").distinct()
+        val pairs = cand.join(shA, "doc_id").join(shB, "store_doc")
+          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("j", col("n_inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+        val per = pairs.groupBy("doc_id").agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("j") >= 0.1, 1L).otherwise(0L)).as("n_dups"),
+          min(when(col("j") >= 0.1, col("store_doc"))).as("dup_of"))
+        b.join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+          .withColumn("kept", (col("n_dups") === 0).cast("int"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("doc_id")
+  }
+
   // D8: fuzzy entity matching with blocking — candidate (a, b) pairs
   // whose names sit within Levenshtein distance 2, generated only
   // WITHIN a composite (last-2-chars, length-bucket) block with banded
@@ -842,6 +924,7 @@ object TextSim {
     "t15_repetition" -> (t15Repetition(_, _)),
     "d10_contamination" -> (d10Contamination(_, _)),
     "d12_decontaminate" -> (d12Decontaminate(_, _)),
+    "e11_stream_ingest_dedup" -> (e11StreamIngestDedup(_, _)),
     "t16_domain_mix" -> (t16DomainMix(_, _)),
     "sim_ivf_incremental" -> (simIvfIncremental(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
@@ -1020,6 +1103,42 @@ object TextSim {
          |  FROM pairs GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
          |  coalesce(p.n_dups, 0) AS n_dups, coalesce(p.dup_of, -1) AS dup_of
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
+    // e11 = d7 streamed through foreachBatch — same relational truth,
+    // plus the kept flag the ingest sink records
+    "e11_stream_ingest_dedup" ->
+      s"""WITH $hashedShingleCte,
+         |signed AS (
+         |  SELECT s.doc_id, s.sh,
+         |    concat_ws('_', ${minhashSql(0)}, ${minhashSql(1)}) AS band_0,
+         |    concat_ws('_', ${minhashSql(2)}, ${minhashSql(3)}) AS band_1
+         |  FROM sh s JOIN hsh h ON s.doc_id = h.doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, band_0 AS sig FROM signed
+         |  UNION ALL
+         |  SELECT doc_id, 1, band_1 FROM signed),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id, s.doc_id AS store_doc
+         |  FROM bands i JOIN bands s ON i.band = s.band AND i.sig = s.sig
+         |  WHERE i.doc_id % 3 = 0 AND s.doc_id % 3 <> 0),
+         |pairs AS (
+         |  SELECT c.doc_id, c.store_doc,
+         |    len(list_intersect(a.sh, b.sh)) AS n_inter,
+         |    len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM cand c
+         |  JOIN signed a ON a.doc_id = c.doc_id
+         |  JOIN signed b ON b.doc_id = c.store_doc),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_candidates,
+         |    CAST(sum(CASE WHEN CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.1
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |    min(CASE WHEN CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.1
+         |        THEN store_doc END) AS dup_of
+         |  FROM pairs GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
+         |  coalesce(p.n_dups, 0) AS n_dups, coalesce(p.dup_of, -1) AS dup_of,
+         |  CAST(CASE WHEN coalesce(p.n_dups, 0) = 0 THEN 1 ELSE 0 END AS INT) AS kept
          |FROM documents d LEFT JOIN per p USING (doc_id)
          |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
     "r9_split_leakage" -> {

@@ -64,6 +64,19 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out.agg(sum("n")).head().getLong(0) === expect)
   }
 
+  test("e11 stream-ingest dedup equals the d7 batch computation, plus the kept flag") {
+    val e11 = SparkEntry.queries("e11_stream_ingest_dedup")(spark, sfDir).cache()
+    val d7 = SparkEntry.queries("d7_incremental_dedup")(spark, sfDir)
+    // the streamed union over micro-batches is exactly the relational
+    // result — the batching must not be observable
+    assert(e11.select("doc_id", "n_candidates", "n_dups", "dup_of")
+      .exceptAll(d7).count() === 0)
+    assert(d7.exceptAll(
+      e11.select("doc_id", "n_candidates", "n_dups", "dup_of")).count() === 0)
+    // kept ⇔ no verified duplicate in the standing store
+    assert(e11.filter($"kept" =!= ($"n_dups" === 0).cast("int")).count() === 0)
+  }
+
   test("multimodal decode preserves ids and emits the decoded schema") {
     val media = Multimodal.asMedia(
       graft.core.Tables.documents(spark, sfDir), "doc_id", "text", "image", "source")
