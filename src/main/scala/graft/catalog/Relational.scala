@@ -622,7 +622,27 @@ object Relational {
         |   OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
   }
 
+  // TPC-H Q4 analogue: order-priority checking — the EXISTS-semi-join
+  // shape (orders that shipped at least one line after the order date,
+  // counted by priority). Catalyst must plan the subquery as a
+  // LeftSemi hash join, never a per-row subquery or a cartesian, with
+  // the quarter predicate pushed into the orders scan.
+  private def sqlOrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_q4_order_priority" -> (sqlOrderPriority(_, _)),
     "sql_q12_priority_shipping" -> (sqlPriorityShipping(_, _)),
     "sql_q19_disjunctive_revenue" -> (sqlDisjunctiveRevenue(_, _)),
     "sql_q7_volume_shipping" -> (sqlVolumeShipping(_, _)),
@@ -713,6 +733,16 @@ object Relational {
          |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin
     },
+    "sql_q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "sql_q12_priority_shipping" ->
       """SELECT l_linestatus,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

@@ -186,17 +186,11 @@ object TextSim {
       finally walk.close()
     }
     val signed = bandSignatures(spark, dir)
-    val bands = bandRows(signed)
     val isArrival = pmod(col("doc_id"), lit(3)) === 0
-    bands.filter(!isArrival)
-      .select(col("band"), col("sig"), col("doc_id").as("store_doc"))
-      .write.parquet(s"$base/store_bands")
-    signed.filter(!isArrival)
-      .select(col("doc_id").as("store_doc"), col("sh").as("sh_b"))
-      .write.parquet(s"$base/store_sh")
-    bands.filter(isArrival).write.parquet(s"$base/arr_bands")
-    signed.filter(isArrival).select(col("doc_id"), col("sh").as("sh_a"))
-      .write.parquet(s"$base/arr_sh")
+    // ONE persisted signature artifact — band signatures + shingle sets
+    // for every doc; each micro-batch derives its store/arrival views
+    // from it (band-row explosion is a free map over the scan)
+    signed.write.parquet(s"$base/signed")
     val arr = Tables.documents(spark, dir).filter(isArrival).select("doc_id")
     arr.filter(pmod(col("doc_id"), lit(2)) === 0).write.parquet(s"$base/src/drop_a")
     arr.filter(pmod(col("doc_id"), lit(2)) === 1).write.parquet(s"$base/src/drop_b")
@@ -217,10 +211,14 @@ object TextSim {
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (b: DataFrame, _: Long) =>
         val s2 = b.sparkSession
-        val st = s2.read.parquet(s"$base/store_bands")
-        val shB = s2.read.parquet(s"$base/store_sh")
-        val myBands = s2.read.parquet(s"$base/arr_bands").join(b, "doc_id")
-        val shA = s2.read.parquet(s"$base/arr_sh")
+        val sg = s2.read.parquet(s"$base/signed")
+        val sgBands = bandRows(sg)
+        val st = sgBands.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(col("band"), col("sig"), col("doc_id").as("store_doc"))
+        val shB = sg.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(col("doc_id").as("store_doc"), col("sh").as("sh_b"))
+        val myBands = sgBands.join(b, "doc_id")
+        val shA = sg.select(col("doc_id"), col("sh").as("sh_a"))
         val cand = myBands.join(st, Seq("band", "sig"))
           .select("doc_id", "store_doc").distinct()
         val pairs = cand.join(shA, "doc_id").join(shB, "store_doc")

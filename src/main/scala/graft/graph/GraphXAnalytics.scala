@@ -268,17 +268,20 @@ object GraphXAnalytics {
     import spark.implicits._
     val sp: DataFrame =
       if (g.edges.count() <= seqMaxEdges) {
+        // hashed-long edges (16 bytes each, the CC/PageRank collect);
+        // only the ≤|hubs| (hash → id string) pairs come down as strings
         val rows = g.edges
-          .select(col("src").cast("string"), col("dst").cast("string")).collect()
+          .select(xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"))
+          .collect()
         val m = rows.length
-        val srcS = new Array[String](m); val dstS = new Array[String](m)
+        val srcA = new Array[Long](m); val dstA = new Array[Long](m)
         var i = 0
-        while (i < m) { srcS(i) = rows(i).getString(0); dstS(i) = rows(i).getString(1); i += 1 }
-        val vids: Array[String] = {
-          val all = new Array[String](2 * m)
-          System.arraycopy(srcS, 0, all, 0, m)
-          System.arraycopy(dstS, 0, all, m, m)
-          java.util.Arrays.sort(all, java.util.Comparator.naturalOrder[String]())
+        while (i < m) { srcA(i) = rows(i).getLong(0); dstA(i) = rows(i).getLong(1); i += 1 }
+        val vids = {
+          val all = new Array[Long](2 * m)
+          System.arraycopy(srcA, 0, all, 0, m)
+          System.arraycopy(dstA, 0, all, m, m)
+          java.util.Arrays.sort(all)
           var n0 = 0; var j = 0
           while (j < all.length) {
             if (n0 == 0 || all(j) != all(n0 - 1)) { all(n0) = all(j); n0 += 1 }
@@ -287,17 +290,24 @@ object GraphXAnalytics {
           java.util.Arrays.copyOf(all, n0)
         }
         val n = vids.length
-        def idx(v: String): Int =
-          java.util.Arrays.binarySearch(vids.asInstanceOf[Array[AnyRef]], v)
         val srcI = new Array[Int](m); val dstI = new Array[Int](m)
         i = 0
-        while (i < m) { srcI(i) = idx(srcS(i)); dstI(i) = idx(dstS(i)); i += 1 }
-        var dist = Array.fill(n)(Int.MaxValue)
-        var hub = Array.fill(n)(-1)
-        i = 0
-        while (i < n) {
-          if (vids(i).startsWith(hubPrefix)) { dist(i) = 0; hub(i) = i }
+        while (i < m) {
+          srcI(i) = java.util.Arrays.binarySearch(vids, srcA(i))
+          dstI(i) = java.util.Arrays.binarySearch(vids, dstA(i))
           i += 1
+        }
+        // hub rank = lexicographic id order, so int compares below ARE
+        // the min-hub-id tie-break
+        val hubIds = g.nodes.filter(col("id").startsWith(hubPrefix))
+          .select(col("id"), xxhash64(col("id")).as("vid")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        val hubStr = hubIds.map(_._1)
+        var dist = Array.fill(n)(Int.MaxValue)
+        var hub = Array.fill(n)(Int.MaxValue)
+        hubIds.zipWithIndex.foreach { case ((_, vid), rank) =>
+          val ix = java.util.Arrays.binarySearch(vids, vid)
+          if (ix >= 0) { dist(ix) = 0; hub(ix) = rank }
         }
         var r = 0
         while (r < rounds) {
@@ -318,13 +328,15 @@ object GraphXAnalytics {
           dist = nd; hub = nh
           r += 1
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
         i = 0
         while (i < n) {
-          if (dist(i) != Int.MaxValue) out += ((vids(i), dist(i), vids(hub(i))))
+          if (dist(i) != Int.MaxValue) out += ((vids(i), dist(i), hubStr(hub(i))))
           i += 1
         }
-        spark.createDataFrame(out.toSeq).toDF("id", "dist", "hub")
+        spark.createDataFrame(out.toSeq).toDF("vid", "dist", "hub")
+          .join(vertexMap(g), "vid")
+          .select(col("id"), col("dist"), col("hub"))
       } else {
         import org.apache.spark.graphx.{EdgeDirection, Pregel}
         type St = (Int, String)

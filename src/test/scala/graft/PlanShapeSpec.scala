@@ -164,6 +164,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"Q6 must be join-free:\n$plan")
   }
 
+  test("Q4: the EXISTS subquery plans as a LeftSemi join with the quarter pushed") {
+    val df = graft.catalog.Relational.queries("sql_q4_order_priority")(spark, sfDir)
+    val pushed = scans(df).map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("o_orderdate"), s"quarter not pushed: $pushed")
+    val plan = finalPlanString(df)
+    assert(plan.contains("LeftSemi"), s"EXISTS not decorrelated to a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"subquery degenerated:\n$plan")
+  }
+
   test("Q12: shipdate range is pushed to the lineitem scan; aggregate is conditional counts") {
     val df = graft.catalog.Relational.queries("sql_q12_priority_shipping")(spark, sfDir)
     val pushed = scans(df).map(_.metadata.getOrElse("PushedFilters", "")).mkString
