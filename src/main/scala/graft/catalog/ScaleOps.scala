@@ -158,6 +158,33 @@ object ScaleOps {
       .orderBy("dvid", "event_type")
   }
 
+  /** min/max of the nanos-typed `ts` column in microseconds, straight
+    * from the parquet footer row-group statistics — None when the file
+    * layout or stats don't allow it (caller falls back to a scan). */
+  private def tsRangeFromFooter(spark: SparkSession,
+                                path: String): Option[Array[Long]] = {
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          spark.sessionState.newHadoopConf()))
+      try {
+        import scala.jdk.CollectionConverters._
+        val perBlock = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == "ts").getOrElse(return None)
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) return None
+          (st.genericGetMin.asInstanceOf[Number].longValue(),
+            st.genericGetMax.asInstanceOf[Number].longValue())
+        }
+        if (perBlock.isEmpty) None
+        else Some(Array(Math.floorDiv(perBlock.map(_._1).min, 1000L),
+          Math.floorDiv(perBlock.map(_._2).max, 1000L)))
+      } finally reader.close()
+    } catch { case _: Exception => None }
+  }
+
   // E10: watermark late-data semantics under the hash gate. One logical
   // stream fed by two file drops sharing a checkpoint: the first drop
   // carries the LATER half of the events (establishing watermark =
@@ -187,17 +214,38 @@ object ScaleOps {
       finally walk.close()
     }
     val ev = Tables.events(spark, dir).select("event_id", "ts", "event_type", "value")
-    val Array(tminMu, tmaxMu) = ev
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    // the split point needs only min/max(ts) — read them from the
+    // parquet FOOTER statistics (what a planner does) instead of paying
+    // a full-scan aggregate job; the relational aggregate stays as the
+    // fallback when stats are absent. Both give exactly
+    // floor(nanos/1000): integer `div` truncation on positive epochs is
+    // floor, and floor is monotone, so footer min/max == scan min/max.
+    val Array(tminMu, tmaxMu) = tsRangeFromFooter(spark, s"$dir/events.parquet")
+      .getOrElse(ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray)
     val midMu = tminMu + (tmaxMu - tminMu) / 2
     val src = s"$base/src"
-    val out = s"$base/out"
     val ckpt = s"$base/ckpt"
+    // BOTH drops staged in ONE write job (hash-partitioned by half →
+    // one file each), then revealed to the stream source by a
+    // filesystem move per drop — the e8 staging discipline: the only
+    // Spark jobs the entry pays are this write and the stream batches.
+    val evSchema = ev.schema
+    // no repartition: the source is a handful of partitions, each
+    // writes at most one file per half — a map-only staging job
+    ev.withColumn("half",
+        when(unix_micros(col("ts")) >= midMu, "ontime").otherwise("late"))
+      .write.partitionBy("half").parquet(s"$base/staged")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
     // cloned session: the 4-partition state-store pin stays scoped to
     // this stream's SQLConf instead of mutating the shared session
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    // (no-data micro-batches stay ENABLED: the trailing empty batch is
+    // what persists each run's advanced watermark into the offset log —
+    // disabling it restarts run 2 at watermark 0 and the late replay
+    // passes the late-row filter, 3370 rows instead of 1684)
     // TWO separate AvailableNow runs sharing the checkpoint are
     // semantically REQUIRED, not a convenience: Spark filters late rows
     // with the PREVIOUS micro-batch's watermark (only eviction uses the
@@ -206,10 +254,18 @@ object ScaleOps {
     // would enter state and flush as if on time (measured: 3370 windows
     // instead of 1684). The run boundary forces the watermark into the
     // commit log, which is exactly how a restarted nightly job sees it.
-    def drainDrop(batch: DataFrame, name: String): Unit = {
-      batch.write.parquet(s"$src/$name")
-      // the drop's schema IS the batch's schema — no infer-read job
-      val q = ss.readStream.schema(batch.schema)
+    // Emissions land in a driver-side buffer via foreachBatch (the
+    // memory sink can't recover from a shared checkpoint; foreachBatch
+    // can). The append output is O(windows inside the horizon) — the
+    // very bound the entry demonstrates — never O(events), so the
+    // collect is a bounded audit-scale sink, not a data-path collect.
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    def drainDrop(half: String): Unit = {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$base/staged/half=$half"),
+        java.nio.file.Paths.get(s"$src/$half"))
+      val q = ss.readStream.schema(evSchema)
           .option("recursiveFileLookup", "true").parquet(src)
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -219,16 +275,20 @@ object ScaleOps {
           .writeStream
           .outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            b.write.mode("append").parquet(out)
+            val rows = b.collect()
+            emitted.synchronized { outSchema = b.schema; emitted ++= rows }
+            ()
           }
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
       q.awaitTermination()
     }
-    drainDrop(ev.filter(unix_micros(col("ts")) >= midMu), "ontime")
-    drainDrop(ev.filter(unix_micros(col("ts")) < midMu), "late")
-    spark.read.parquet(out).orderBy("window_start", "event_type")
+    drainDrop("ontime")
+    drainDrop("late")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(emitted.toSeq.asJava, outSchema)
+      .orderBy("window_start", "event_type")
   }
 
   val queries: Map[String, Q] = Map(
