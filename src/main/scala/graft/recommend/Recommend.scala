@@ -91,8 +91,11 @@ object Recommend {
       val candW = Window.partitionBy("customer").orderBy(candU, col("product"))
       // broadcast only while the queried slice is bounded (it is for the
       // reference's per-customer serving shape); a full-corpus batch run
-      // falls back to the shuffled anti-join
-      val custN = cust.count()
+      // falls back to the shuffled anti-join. Both scalar counts ride
+      // ONE job (a 1×1 cross of the two aggregates), not two.
+      val cntRow = cust.agg(count(lit(1)).as("nc"))
+        .crossJoin(parts.agg(count(lit(1)).as("np"))).head()
+      val custN = cntRow.getLong(0)
       val custBounded = custN <= 100000L
       val excl = if (custBounded) broadcast(purchased) else purchased
       // pre-filter by the SAME hash the cap window ranks on: only rows
@@ -106,7 +109,7 @@ object Recommend {
       // Mirrored verbatim in the Strategies oracle SQL. Both engines
       // share the constant, so even a (astronomically unlikely)
       // starvation event keeps the engines bit-identical.
-      val nParts = parts.count()
+      val nParts = cntRow.getLong(1)
       val keepFrac = math.min(1.0, 2.0 * candidateCap / math.max(nParts, 1L))
       // stream the PART side repartitioned to the session's parallelism
       // and broadcast the bounded customer slice: both inputs arrive as
