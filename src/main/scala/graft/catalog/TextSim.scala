@@ -850,6 +850,64 @@ object TextSim {
       .orderBy("src", "rn")
   }
 
+  // ATTRIBUTE-FILTERED ANN over a persisted IVF index: per-query top-k
+  // restricted to SAME-LABEL candidates, with the predicate applied
+  // INSIDE the inverted-list scan — never to the finished top-k
+  // (post-filtering an unfiltered top-k returns < k rows and loses
+  // recall; the classic filtered-ANN trap). The label is stored IN the
+  // lists artifact (inline metadata), so serving needs no side join:
+  // probes meet the broadcast centroid table, then exactly the probed
+  // lists' same-label rows rank. Index build is one corpus pass (own
+  // `ivf_f_*` artifacts — entries stay order-independent).
+  private def simFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ColFns
+    import org.apache.spark.sql.expressions.Window
+    val nLists = 16; val nProbe = 3; val k = 5
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val centW = Window.orderBy(
+      ColFns.pseudoUniform(col("cid"), 13L).asc, col("cid").asc)
+    val cents = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+      .withColumn("list", row_number().over(centW))
+      .filter(col("list") <= nLists)
+      .select("list", "cv")
+    val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
+    val lists = e.crossJoin(broadcast(cents))
+      .withColumn("rank_d",
+        Similarity.dot(col("cv"), col("cv")) -
+          lit(2.0) * Similarity.dot(col("v"), col("cv")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("list"), col("vec_id"), col("v"),
+        Similarity.norm(col("v")).as("nrm"), col("label"))
+    val centA = artifact(spark, dir, "ivf_f_centroids", cents)
+    val listA = artifact(spark, dir, "ivf_f_lists", lists)
+    val q = listA.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("src"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("ql"))
+    val pw = Window.partitionBy("src").orderBy(col("rank_d").asc, col("list").asc)
+    val probes = q.crossJoin(broadcast(centA))
+      .withColumn("rank_d",
+        Similarity.dot(col("cv"), col("cv")) -
+          lit(2.0) * Similarity.dot(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nProbe)
+      .select("src", "qv", "qn", "ql", "list")
+    // the label predicate rides the list join itself: non-matching rows
+    // never reach the ranking window
+    val scored = probes.join(listA, Seq("list"))
+      .filter(col("src") =!= col("vec_id") && col("label") === col("ql"))
+      .withColumn("cos",
+        Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w2 = Window.partitionBy("src").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("rn"), col("vec_id").as("dst"), col("label"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("src", "rn")
+  }
+
   // min-VARCHAR-label propagation unrolled 16 rounds over the
   // undirected near-dup pair graph (same technique as the CC oracle in
   // GraphML; MATERIALIZED stops exponential CTE inlining). Near-dup
@@ -889,6 +947,7 @@ object TextSim {
 
   val queries: Map[String, Q] = Map(
     "sim_ivf_persisted" -> (simIvfPersisted(_, _)),
+    "sim_filtered_ivf" -> (simFilteredIvf(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_minhash_lsh" -> (d2MinhashLsh(_, _)),
     "d3_simhash" -> (d3Simhash(_, _)),
@@ -1373,6 +1432,31 @@ object TextSim {
          |r AS (SELECT *, row_number() OVER (PARTITION BY src
          |        ORDER BY cos DESC, dst ASC) AS rn FROM scored)
          |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= 5
+         |ORDER BY src, rn""".stripMargin
+    },
+    "sim_filtered_ivf" -> {
+      val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
+      val qc = Similarity.dotSql("q.qv", "c.cv", DIM)
+      val qd = Similarity.dotSql("p.qv", "l.v", DIM)
+      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_f_centroids")}),
+         |lists AS (SELECT list, vec_id, v, nrm, label
+         |          FROM ${artifactSql("ivf_f_lists")}),
+         |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn, label AS ql
+         |      FROM lists WHERE vec_id % 7 = 0),
+         |pr AS (
+         |  SELECT q.src, q.qv, q.qn, q.ql, c.list, ($cc - 2.0 * $qc) AS rank_d
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (SELECT * FROM (
+         |    SELECT pr.*, row_number() OVER (PARTITION BY src
+         |      ORDER BY rank_d ASC, list ASC) AS prn FROM pr)
+         |  WHERE prn <= 3),
+         |scored AS (
+         |  SELECT p.src, l.vec_id AS dst, l.label, $qd / (p.qn * l.nrm) AS cos
+         |  FROM probes p JOIN lists l USING (list)
+         |  WHERE p.src <> l.vec_id AND l.label = p.ql),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src
+         |        ORDER BY cos DESC, dst ASC) AS rn FROM scored)
+         |SELECT src, rn, dst, label, round(cos, 6) AS cos FROM r WHERE rn <= 5
          |ORDER BY src, rn""".stripMargin
     },
     "sim_ivf_incremental" -> {

@@ -231,6 +231,25 @@ class PlanShapeSpec extends SparkSpec {
       s"serve stage rescans the corpus: $scanned")
   }
 
+  test("SIM filtered: label predicate pre-filters the list scan, centroids broadcast") {
+    val df = graft.catalog.TextSim.queries("sim_filtered_ivf")(spark, sfDir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("BroadcastExchange"), s"centroid table not broadcast:\n$plan")
+    val scanned = scans(df).flatMap(_.metadata.get("Location")).mkString
+    assert(scanned.contains("graft_artifacts"), s"no artifact scan found: $scanned")
+    assert(!scanned.contains("embeddings.parquet"),
+      s"serve stage rescans the corpus: $scanned")
+    // the label equality must sit BELOW the top-k ranking window (a
+    // pre-filter of the list scan); a plan that ranks first and filters
+    // after would silently return < k rows per query
+    val lines = plan.split("\n")
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("label"))
+    val windowIdx = lines.indexWhere(l => l.contains("Window") && l.contains("cos"))
+    assert(filterIdx >= 0, s"no label filter in plan:\n$plan")
+    assert(windowIdx >= 0 && windowIdx < filterIdx,
+      s"label filter not below the ranking window (window@$windowIdx filter@$filterIdx):\n$plan")
+  }
+
   test("R9: leakage candidate generation shuffles band signatures, never text") {
     val df = graft.catalog.TextSim.queries("r9_split_leakage")(spark, sfDir)
     val plan = finalPlanString(df)

@@ -151,6 +151,25 @@ class TextDedupSpec extends SparkSpec {
       col("flag_repetitive") =!= (col("rep_ratio") > 0.2).cast("int")).count() === 0)
   }
 
+  test("sim_filtered_ivf: neighbors share the query's label; pre-filter reaches past post-filter") {
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val f = graft.catalog.TextSim.queries("sim_filtered_ivf")(spark, sfDir)
+    // every returned neighbor carries the QUERY's label
+    val srcLbl = e.select($"vec_id".as("src"), $"label".as("src_label"))
+    assert(f.join(srcLbl, "src").filter($"label" =!= $"src_label").count() === 0)
+    // pre-filtering the list scan must surface same-label pairs that
+    // post-filtering the unfiltered top-5 would never see — otherwise
+    // the entry degenerates to the recall-losing post-filter
+    val post = graft.catalog.TextSim.queries("sim_ivf_persisted")(spark, sfDir)
+      .join(srcLbl, "src")
+      .join(e.select($"vec_id".as("dst"), $"label".as("dst_label")), "dst")
+      .filter($"dst_label" === $"src_label")
+      .select("src", "dst")
+    val extra = f.select("src", "dst").except(post)
+    assert(extra.count() > 0,
+      "filtered ANN returned exactly the post-filtered set — pre-filter not effective")
+  }
+
   test("sim_ivf_incremental routes exactly the arrival batch, one list each") {
     val df = SparkEntry.queries("sim_ivf_incremental")(spark, sfDir)
     val nArrivals = graft.core.Tables.embeddings(spark, sfDir)
