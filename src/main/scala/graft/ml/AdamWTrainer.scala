@@ -233,11 +233,14 @@ object AdamWTrainer {
       }
       val src = s"$stageDir/src"
       val t0 = System.currentTimeMillis() - 3600000
+      // ONE shuffle+write job stages every shard: hash-routing on bid
+      // sends each shard to exactly one task, so partitionBy emits one
+      // file per shard (vs one filtered scan+write job per shard)
+      trainDf.drop("part").repartition(nBatches, col("bid"))
+        .write.partitionBy("bid").parquet(src)
       (0 until nBatches).foreach { k =>
-        trainDf.filter(col("bid") === k).drop("part", "bid")
-          .coalesce(1).write.parquet(f"$src/b$k%02d")
         import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(f"$src/b$k%02d"))
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/bid=$k"))
         try walk.iterator().asScala.filter(_.toString.endsWith(".parquet"))
           .foreach(p => java.nio.file.Files.setLastModifiedTime(
             p, java.nio.file.attribute.FileTime.fromMillis(t0 + k * 1000L)))
