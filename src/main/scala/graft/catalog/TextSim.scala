@@ -700,6 +700,29 @@ object TextSim {
       .orderBy("source")
   }
 
+  // T17: the training-order global shuffle — randomizing document order
+  // for training at corpus scale. A hash key assigns each document a
+  // shard and a within-shard position: ONE hash exchange on `shard` +
+  // a per-shard sort, where a naive ORDER BY rand() would cost a global
+  // range sort of the corpus AND be partitioning-dependent (SURVEY §7.4
+  // trap 9 — hash-based pseudo-randomness keeps the permutation a pure
+  // function of doc_id, replayable by both engines and by tomorrow's
+  // re-run). Reading shards round-robin replays the permutation; the
+  // shard count is the write parallelism at 100 TB.
+  private def t17TrainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 8
+    val u = graft.functions.ColFns.pseudoUniform(col("doc_id"), 17L)
+    val w = Window.partitionBy("shard").orderBy(col("u").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), u.as("u"))
+      .withColumn("shard",
+        least(lit(nShards - 1), floor(col("u") * nShards)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"), col("n_chars"))
+      .orderBy("shard", "pos")
+  }
+
   // T15: internal-repetition rule (the Gopher duplicate-n-gram test
   // applied within a document): fraction of word 3-grams that are
   // repeats of an earlier 3-gram in the same doc. High ratio = looping
@@ -983,6 +1006,7 @@ object TextSim {
     "d12_decontaminate" -> (d12Decontaminate(_, _)),
     "e11_stream_ingest_dedup" -> (e11StreamIngestDedup(_, _)),
     "t16_domain_mix" -> (t16DomainMix(_, _)),
+    "t17_training_order" -> (t17TrainingOrder(_, _)),
     "sim_ivf_incremental" -> (simIvfIncremental(_, _)),
     "mm1_binary_metadata" -> (mm1BinaryMetadata(_, _)),
     "mm2_decode_features" -> (mm2DecodeFeatures(_, _)),
@@ -1535,6 +1559,17 @@ object TextSim {
         |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
         |  round((tot_tokens / n_sources) / CAST(n_tokens AS DOUBLE), 6) AS mix_weight
         |FROM agg, tot ORDER BY source""".stripMargin,
+    "t17_training_order" -> {
+      val u = graft.functions.ColFns.pseudoUniformSql("doc_id", 17L)
+      s"""WITH d AS (SELECT doc_id, n_chars, $u AS u FROM documents),
+         |s AS (SELECT doc_id, n_chars, u,
+         |        CAST(least(7, floor(u * 8)) AS INTEGER) AS shard FROM d)
+         |SELECT shard, pos, doc_id, n_chars FROM (
+         |  SELECT shard, row_number() OVER (PARTITION BY shard
+         |           ORDER BY u ASC, doc_id ASC) AS pos, doc_id, n_chars
+         |  FROM s)
+         |ORDER BY shard, pos""".stripMargin
+    },
     "t10_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
