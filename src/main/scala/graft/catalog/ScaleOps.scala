@@ -170,6 +170,19 @@ object ScaleOps {
           spark.sessionState.newHadoopConf()))
       try {
         import scala.jdk.CollectionConverters._
+        // the /1000 below is only valid for TIMESTAMP(NANOS) physical
+        // stats; Tables.events tolerates other ts encodings (its raw
+        // fallback branch), for which the footer numbers would be in a
+        // different unit and the derived split silently 1000x wrong.
+        // Any other annotation → None, and the relational fallback
+        // (unix_micros over the parsed column) computes the truth.
+        val tsField = reader.getFooter.getFileMetaData.getSchema.getFields
+          .asScala.find(_.getName == "ts").getOrElse(return None)
+        tsField.getLogicalTypeAnnotation match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS => ()
+          case _ => return None
+        }
         val perBlock = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
           val c = b.getColumns.asScala
             .find(_.getPath.toDotString == "ts").getOrElse(return None)
@@ -238,7 +251,7 @@ object ScaleOps {
         when(unix_micros(col("ts")) >= midMu, "ontime").otherwise("late"))
       .write.partitionBy("half").parquet(s"$base/staged")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-    // cloned session: the 4-partition state-store pin stays scoped to
+    // cloned session: the 2-partition state-store pin stays scoped to
     // this stream's SQLConf instead of mutating the shared session
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "2")
@@ -262,9 +275,15 @@ object ScaleOps {
     val emitted = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     var outSchema: org.apache.spark.sql.types.StructType = null
     def drainDrop(half: String): Unit = {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(s"$base/staged/half=$half"),
-        java.nio.file.Paths.get(s"$src/$half"))
+      // a degenerate split (every ts identical → all rows one half) means
+      // partitionBy never wrote the other half's directory; the drop is
+      // then legitimately empty, not an error
+      val staged = java.nio.file.Paths.get(s"$base/staged/half=$half")
+      if (java.nio.file.Files.exists(staged))
+        java.nio.file.Files.move(staged, java.nio.file.Paths.get(s"$src/$half"))
+      else
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$src/$half"))
       val q = ss.readStream.schema(evSchema)
           .option("recursiveFileLookup", "true").parquet(src)
           .withWatermark("ts", "2 hours")

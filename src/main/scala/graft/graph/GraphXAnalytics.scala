@@ -19,19 +19,29 @@ import org.apache.spark.sql.functions._
 object GraphXAnalytics {
 
   // The (hash → id) translation table is consumed by every algorithm in
-  // this file, and the property graph it derives from is itself memoized
-  // per (app, dir) — so the distinct is computed once per graph instance
-  // and shared (keyed by the memoized frame's identity; a fresh context
-  // gets a fresh graph object, so the applicationId lead is implied but
-  // kept for the AppCache eviction discipline).
+  // this file. For graphs built by a memoized builder (cacheToken set —
+  // checkpoint-backed, app-lifetime frames) the distinct is computed
+  // once, checkpoint-materialized, and shared under (appId, token).
+  // Token-less graphs (ad-hoc per-invocation builds like the dedup
+  // cluster graphs) are computed fresh and NEVER cached: an
+  // identity-hash key would retain their plans/arrays for the app's
+  // lifetime and a recycled hash could alias a different graph.
   private val vmCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Integer), DataFrame]()
-  private def vertexMap(g: PropertyGraph): DataFrame =
-    graft.core.AppCache.get(vmCache,
-      (g.nodes.sparkSession.sparkContext.applicationId,
-        Integer.valueOf(System.identityHashCode(g.nodes)))) {
-      g.nodes.select(col("id"), xxhash64(col("id")).as("vid")).distinct()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def vertexMap(g: PropertyGraph): DataFrame = {
+    def mk = g.nodes.select(col("id"), xxhash64(col("id")).as("vid")).distinct()
+    g.cacheToken match {
+      case Some(tok) =>
+        graft.core.AppCache.get(vmCache,
+          (g.nodes.sparkSession.sparkContext.applicationId, tok)) {
+          // checkpoint before caching: the memo's value must be a
+          // materialized frame (AppCache's invariant), not a lazy plan
+          // whose distinct re-executes at every downstream action
+          mk.localCheckpoint(true)
+        }
+      case None => mk
     }
+  }
 
   /** Shared sub-threshold kernel input: the hashed edge list collected
     * once per graph instance — (srcA, dstA, sorted-distinct vids) — or
@@ -40,12 +50,18 @@ object GraphXAnalytics {
     * relax over exactly these arrays; before this memo each re-ran the
     * same count + collect + sort/dedup against the same memoized graph. */
   private val arrCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Integer, Long), Option[(Array[Long], Array[Long], Array[Long])]]()
+    (String, String, Long), Option[(Array[Long], Array[Long], Array[Long])]]()
   private def edgeArrays(g: PropertyGraph, seqMaxEdges: Long)
-      : Option[(Array[Long], Array[Long], Array[Long])] =
-    graft.core.AppCache.get(arrCache,
-      (g.edges.sparkSession.sparkContext.applicationId,
-        Integer.valueOf(System.identityHashCode(g.edges)), seqMaxEdges)) {
+      : Option[(Array[Long], Array[Long], Array[Long])] = g.cacheToken match {
+    case Some(tok) =>
+      graft.core.AppCache.get(arrCache,
+        (g.edges.sparkSession.sparkContext.applicationId, tok, seqMaxEdges)) {
+        collectEdgeArrays(g, seqMaxEdges)
+      }
+    case None => collectEdgeArrays(g, seqMaxEdges)
+  }
+  private def collectEdgeArrays(g: PropertyGraph, seqMaxEdges: Long)
+      : Option[(Array[Long], Array[Long], Array[Long])] = {
       if (g.edges.count() > seqMaxEdges) None
       else {
         val rows = g.edges

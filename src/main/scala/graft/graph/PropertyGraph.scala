@@ -16,7 +16,15 @@ import graft.core.Tables
   * append a partition; P9 predicates become partition pruning) and edges
   * are additionally bucketable by `src` for co-located traversal joins.
   */
-final case class PropertyGraph(nodes: DataFrame, edges: DataFrame)
+/** @param cacheToken stable semantic identity for this graph instance,
+  * set ONLY by memoized builders whose frames are checkpoint-backed and
+  * live for the whole app (GraphBuilder.fromTpch). Downstream memo
+  * caches (GraphXAnalytics.vertexMap / edgeArrays) key on it; graphs
+  * without a token are computed fresh and never cached — an
+  * identity-hash key would leak collected arrays for the app's lifetime
+  * and could alias a recycled hash to the wrong graph. */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
+                               cacheToken: Option[String] = None)
 
 object GraphBuilder {
 
@@ -38,7 +46,8 @@ object GraphBuilder {
     graft.core.AppCache.get(tpchCache,
       (spark.sparkContext.applicationId, dir)) {
       val g = buildTpch(spark, dir)
-      PropertyGraph(g.nodes.localCheckpoint(true), g.edges.localCheckpoint(true))
+      PropertyGraph(g.nodes.localCheckpoint(true), g.edges.localCheckpoint(true),
+        cacheToken = Some(s"tpch:$dir"))
     }
 
   /** The uncached construction (the memo above is the normal entry). */

@@ -240,11 +240,16 @@ object AdamWTrainer {
         .write.partitionBy("bid").parquet(src)
       (0 until nBatches).foreach { k =>
         import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/bid=$k"))
-        try walk.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-          .foreach(p => java.nio.file.Files.setLastModifiedTime(
-            p, java.nio.file.attribute.FileTime.fromMillis(t0 + k * 1000L)))
-        finally walk.close()
+        // a hash-empty bid writes no bid=k directory at all — skip it
+        // rather than letting Files.walk throw on the absent path
+        val shard = java.nio.file.Paths.get(s"$src/bid=$k")
+        if (java.nio.file.Files.exists(shard)) {
+          val walk = java.nio.file.Files.walk(shard)
+          try walk.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .foreach(p => java.nio.file.Files.setLastModifiedTime(
+              p, java.nio.file.attribute.FileTime.fromMillis(t0 + k * 1000L)))
+          finally walk.close()
+        }
       }
       val batchSchema = trainDf.drop("part", "bid").schema
 
