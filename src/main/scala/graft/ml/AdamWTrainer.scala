@@ -164,8 +164,13 @@ object AdamWTrainer {
     } finally frame.unpersist()
   }
 
-  final case class Step(epoch: Int, step: Int, trainLoss: Double,
-                        gradNorm: Double, clipped: Boolean)
+  /** `gstep` is the optimizer's global step counter AFTER this update —
+    * the t used for Adam bias correction; `n` the micro-batch row
+    * count. Both are persisted by the m13b gate, which re-derives them
+    * relationally (t ≡ row ordinal over (epoch, step); n ≡ the same
+    * shard's size in every epoch's replay). */
+  final case class Step(epoch: Int, step: Int, gstep: Int, trainLoss: Double,
+                        gradNorm: Double, clipped: Boolean, n: Long)
   final case class StreamResult(weights: Array[Double], bias: Double,
                                 steps: Seq[Step], aucVal: Double)
 
@@ -301,7 +306,7 @@ object AdamWTrainer {
               }
               for (i <- 0 until d) w(i) = step(i, grads(i), w(i))
               b = step(d, gradB, b)
-              log += Step(epoch, stepInEpoch, loss, norm, scale < 1.0)
+              log += Step(epoch, stepInEpoch, t, loss, norm, scale < 1.0, n.toLong)
               stepInEpoch += 1
             }
           }
