@@ -20,16 +20,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * outright. With `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * Verify/Bench sessions) it reads as nanos-since-epoch LongType; we
-    * convert to a microsecond timestamp here. Integer `div` keeps the
-    * conversion exact. */
+  /** `events.ts` has shipped in three parquet encodings across driver
+    * testdata generations, and the whole engine assumes a session-TZ
+    * TimestampType column:
+    *   - TIMESTAMP(NANOS): Spark 4 refuses outright; with
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench
+    *     sessions) it reads as nanos-since-epoch LongType and we convert
+    *     to micros (`div` keeps it exact).
+    *   - TIMESTAMP_NTZ (isAdjustedToUTC=false, micros): reads as
+    *     TimestampNTZType, which `unix_micros` / watermarks reject; cast
+    *     to TimestampType. Verify/Bench/test sessions pin the session TZ
+    *     to UTC, so the cast is value-preserving.
+    *   - TIMESTAMP (UTC-adjusted micros): already TimestampType. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -157,10 +157,15 @@ object EventStream {
     shufflePartitions.foreach(n =>
       ss.conf.set("spark.sql.shuffle.partitions", n.toString))
     val src = ss.readStream.schema(schema).parquet(staged.toString)
-    val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    // same ts normalization as Tables.events — the staged file is a raw
+    // copy, so it carries whatever encoding the testdata generation used
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else src
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => src
+    }
     val q = transform(events).writeStream
       .outputMode(mode)
       .format("memory").queryName(queryName)
