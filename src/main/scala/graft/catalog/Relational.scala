@@ -107,8 +107,12 @@ object Relational {
     // write_graphml) — GraphML is a single-document serial format, so
     // the export entry is bounded by design; the full graph's canonical
     // interchange is the parquet store
+    // derived from the checkpoint-backed fromTpch frames by a pure
+    // filter — stable per (app, dir), so the dvid-1 slice gets its own
+    // cache token
     val g = graft.graph.PropertyGraph(
-      g0.nodes.filter(col("dvid") === 1), g0.edges.filter(col("dvid") === 1))
+      g0.nodes.filter(col("dvid") === 1), g0.edges.filter(col("dvid") === 1),
+      cacheToken = Some(s"tpch-dvid1:$dir"))
     val path = tmpDir("s5_graphml")
     graft.sources.GraphMLSink.write(g, path)
     val back = graft.sources.GraphMLSource.read(spark, path)

@@ -158,11 +158,11 @@ object ScaleOps {
       .orderBy("dvid", "event_type")
   }
 
-  /** min/max of the nanos-typed `ts` column in microseconds, straight
-    * from the parquet footer row-group statistics — None when the file
-    * layout or stats don't allow it (caller falls back to a scan). */
-  private def tsRangeFromFooter(spark: SparkSession,
-                                path: String): Option[Array[Long]] = {
+  /** min/max of the `ts` column in microseconds, straight from the
+    * parquet footer row-group statistics — None when the file layout or
+    * stats don't allow it (caller falls back to a scan). */
+  private[graft] def tsRangeFromFooter(spark: SparkSession,
+                                       path: String): Option[Array[Long]] = {
     try {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -170,17 +170,25 @@ object ScaleOps {
           spark.sessionState.newHadoopConf()))
       try {
         import scala.jdk.CollectionConverters._
-        // the /1000 below is only valid for TIMESTAMP(NANOS) physical
-        // stats; Tables.events tolerates other ts encodings (its raw
-        // fallback branch), for which the footer numbers would be in a
-        // different unit and the derived split silently 1000x wrong.
-        // Any other annotation → None, and the relational fallback
-        // (unix_micros over the parsed column) computes the truth.
+        import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+        // the unit conversion below must match the annotation the stats
+        // were written under — Tables.events handles every encoding the
+        // driver has shipped (NANOS-as-long, NTZ micros, LTZ micros); a
+        // wrong divisor here would make the derived split silently
+        // 1000x off. isAdjustedToUTC doesn't matter: sessions pin UTC,
+        // so NTZ and LTZ stats carry the same epoch numbers. Unknown
+        // units → None, and the relational fallback (unix_micros over
+        // the parsed column) computes the truth.
         val tsField = reader.getFooter.getFileMetaData.getSchema.getFields
           .asScala.find(_.getName == "ts").getOrElse(return None)
-        tsField.getLogicalTypeAnnotation match {
-          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-            if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS => ()
+        val toMicros: Long => Long = tsField.getLogicalTypeAnnotation match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case TimeUnit.NANOS  => n => Math.floorDiv(n, 1000L)
+              case TimeUnit.MICROS => identity
+              case TimeUnit.MILLIS => m => Math.multiplyExact(m, 1000L)
+              case _ => return None
+            }
           case _ => return None
         }
         val perBlock = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
@@ -192,8 +200,8 @@ object ScaleOps {
             st.genericGetMax.asInstanceOf[Number].longValue())
         }
         if (perBlock.isEmpty) None
-        else Some(Array(Math.floorDiv(perBlock.map(_._1).min, 1000L),
-          Math.floorDiv(perBlock.map(_._2).max, 1000L)))
+        else Some(Array(toMicros(perBlock.map(_._1).min),
+          toMicros(perBlock.map(_._2).max)))
       } finally reader.close()
     } catch { case _: Exception => None }
   }

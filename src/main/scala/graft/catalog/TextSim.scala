@@ -66,10 +66,14 @@ object TextSim {
       (spark.sparkContext.applicationId, dir)) {
       val emb = Tables.embeddings(spark, dir)
       val pairs = graft.sim.KnnCache.neardupPairs(spark, dir, minCos = 0.4)
+      // checkpoint-backed inputs (pairs memo) + a pure projection of the
+      // embeddings scan: app-lifetime identity, so downstream
+      // vertexMap/edgeArrays memos may key on the token
       val g = graft.graph.PropertyGraph(
         emb.select(col("vec_id").cast("string").as("id")),
         pairs.select(col("src").cast("string").as("src"),
-          col("dst").cast("string").as("dst")))
+          col("dst").cast("string").as("dst")),
+        cacheToken = Some(s"neardup-cc:$dir"))
       val cc = graft.graph.GraphXAnalytics.connectedComponents(spark, g)
         .withColumnRenamed("id", "vid_s")
       emb.select(col("vec_id"))
@@ -272,10 +276,13 @@ object TextSim {
   private def d9EntityClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = d8FuzzyMatch(spark, dir)
     val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    // d8FuzzyMatch is checkpoint-backed and the node side is a pure
+    // customer-scan projection — stable per (app, dir), token-cacheable
     val g = graft.graph.PropertyGraph(
       cust.select(col("c_custkey").cast("string").as("id")),
       pairs.select(col("id_a").cast("string").as("src"),
-        col("id_b").cast("string").as("dst")))
+        col("id_b").cast("string").as("dst")),
+      cacheToken = Some(s"entity-cc:$dir"))
     val cc = graft.graph.GraphXAnalytics.connectedComponents(spark, g)
       .withColumnRenamed("id", "cid_s")
     cust.join(cc, col("c_custkey").cast("string") === col("cid_s"), "left")
@@ -798,11 +805,9 @@ object TextSim {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val standing = e.filter(col("vec_id") % 5 =!= 0)
     val arrivals = e.filter(col("vec_id") % 5 === 0)
-    val centW = Window.orderBy(
-      ColFns.pseudoUniform(col("cid"), 13L).asc, col("cid").asc)
-    val cents = standing.select(col("vec_id").as("cid"), col("v").as("cv"))
-      .withColumn("list", row_number().over(centW))
-      .filter(col("list") <= nLists)
+    val cents = Similarity.hashRankedPick(
+      standing.select(col("vec_id").as("cid"), col("v").as("cv")),
+      nLists, 13L, "list")
       .select("list", "cv")
     val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
     arrivals.crossJoin(broadcast(cents))
@@ -833,11 +838,9 @@ object TextSim {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // ---- build: one corpus pass → persisted centroids + inverted lists
-    val centW = Window.orderBy(
-      ColFns.pseudoUniform(col("cid"), 13L).asc, col("cid").asc)
-    val cents = e.select(col("vec_id").as("cid"), col("v").as("cv"))
-      .withColumn("list", row_number().over(centW))
-      .filter(col("list") <= nLists)
+    val cents = Similarity.hashRankedPick(
+      e.select(col("vec_id").as("cid"), col("v").as("cv")),
+      nLists, 13L, "list")
       .select("list", "cv")
     val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
     val lists = e.crossJoin(broadcast(cents))
@@ -889,11 +892,9 @@ object TextSim {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
-    val centW = Window.orderBy(
-      ColFns.pseudoUniform(col("cid"), 13L).asc, col("cid").asc)
-    val cents = e.select(col("vec_id").as("cid"), col("v").as("cv"))
-      .withColumn("list", row_number().over(centW))
-      .filter(col("list") <= nLists)
+    val cents = Similarity.hashRankedPick(
+      e.select(col("vec_id").as("cid"), col("v").as("cv")),
+      nLists, 13L, "list")
       .select("list", "cv")
     val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
     val lists = e.crossJoin(broadcast(cents))

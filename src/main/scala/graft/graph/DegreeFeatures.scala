@@ -11,10 +11,12 @@ import graft.functions.ColFns
   * All pure DataFrame windows/aggregations — one shuffle for the degree
   * groupBy, then window shuffles keyed by the partition column. At scale
   * the windows partitioned by `label`/`community` are fine (bounded
-  * cardinality); the single global `Window.orderBy(degree)` for
-  * percentile is the one scale hazard, so `percentile` uses rank over a
-  * range-partitioned sort (Spark sorts globally via range exchange —
-  * no single-partition collapse; verified in the plan).
+  * cardinality); a global `Window.orderBy(degree)` percent_rank would be
+  * the one scale hazard (an empty partition spec is a single-partition
+  * WindowExec), so `degreePercentile` uses the two-pass count-below /
+  * total formulation over the degree histogram instead — the corpus-
+  * sized pass is a groupBy, and the window runs over |distinct degrees|
+  * rows.
   */
 object DegreeFeatures {
 
@@ -33,11 +35,33 @@ object DegreeFeatures {
       count(lit(1)).as("n_nodes"))
 
   /** A4/W6: global degree percentile (percent_rank ties = same rank in
-    * both engines; deterministic under duplicates). */
-  def degreePercentile(degrees: DataFrame): DataFrame =
-    degrees.withColumn(
-      "degree_pct",
-      ColFns.round6(percent_rank().over(Window.orderBy(col("degree")))))
+    * both engines; deterministic under duplicates).
+    *
+    * Bit-identical to `percent_rank().over(Window.orderBy(degree))` —
+    * percent_rank is (count strictly below) / (n − 1), and both terms
+    * are exact longs — but computed over the degree histogram: the
+    * full-data pass is the groupBy, the window sees |distinct degrees|
+    * rows (partitioned by a single-valued non-foldable key: a literal
+    * would be optimizer-stripped back to the empty spec), and the
+    * result joins back as a broadcast. */
+  def degreePercentile(degrees: DataFrame): DataFrame = {
+    val hist = degrees.groupBy("degree").agg(count(lit(1)).as("__cnt"))
+    val one = pmod(xxhash64(col("degree")), lit(1))
+    val wBelow = Window.partitionBy(one).orderBy(col("degree"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(one)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pct = hist
+      .withColumn("__below", coalesce(sum("__cnt").over(wBelow), lit(0L)))
+      .withColumn("__n", sum("__cnt").over(wAll))
+      .withColumn("degree_pct", ColFns.round6(
+        when(col("__n") > 1,
+          col("__below").cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0))))
+      .select("degree", "degree_pct")
+    degrees.join(broadcast(pct), "degree")
+      .select(degrees.columns.map(col) :+ col("degree_pct"): _*)
+  }
 
   /** A5: z-score of degree within a grouping column (label / community),
     * plus A7 log1p transform. Zero-stddev groups pin z to 0.0 (cross-

@@ -17,8 +17,10 @@ import graft.core.Tables
   * are additionally bucketable by `src` for co-located traversal joins.
   */
 /** @param cacheToken stable semantic identity for this graph instance,
-  * set ONLY by memoized builders whose frames are checkpoint-backed and
-  * live for the whole app (GraphBuilder.fromTpch). Downstream memo
+  * set ONLY by builders whose frames are checkpoint-backed — or pure
+  * deterministic projections/filters of checkpoint-backed, app-stable
+  * inputs — and live for the whole app (GraphBuilder.fromTpch, the
+  * dedup/entity CC graphs, the dvid-1 GraphML slice). Downstream memo
   * caches (GraphXAnalytics.vertexMap / edgeArrays) key on it; graphs
   * without a token are computed fresh and never cached — an
   * identity-hash key would leak collected arrays for the app's lifetime

@@ -40,6 +40,33 @@ object Similarity {
     s"($d / ($na * $nb))"
   }
 
+  /** Deterministic hash-ranked top-n pick, shared by every sampled
+    * centroid/codebook builder: the `n` rows of `cands` ranked first by
+    * (pseudoUniform(cid, salt), cid), numbered 1..n into `rankName`.
+    *
+    * Physically this is orderBy + limit — TakeOrderedAndProject, a
+    * distributed per-partition top-n with an O(n) driver merge — never a
+    * global row_number window, which collapses the whole corpus into one
+    * WindowExec partition. The post-limit re-rank window runs over ≤ n
+    * rows and carries an explicit single-valued partition spec (pmod by
+    * 1 — a foldable literal would be optimized away, reintroducing the
+    * empty-spec WindowExec). Because the ordering is total (cid is a
+    * unique id), the surviving set and the assigned ranks are
+    * bit-identical to the
+    * `row_number().over(Window.orderBy(u, cid)) <= n` formulation the
+    * DuckDB oracle mirrors keep. */
+  def hashRankedPick(cands: DataFrame, n: Int, salt: Long,
+                     rankName: String): DataFrame = {
+    import graft.functions.ColFns
+    val u = ColFns.pseudoUniform(col("cid"), salt)
+    cands.withColumn("__u", u)
+      .orderBy(col("__u").asc, col("cid").asc).limit(n)
+      .withColumn(rankName, row_number().over(
+        Window.partitionBy(pmod(xxhash64(col("cid")), lit(1)))
+          .orderBy(col("__u").asc, col("cid").asc)))
+      .drop("__u")
+  }
+
   /** J7/G4/W1: exact brute-force cosine top-k per source vector.
     * The baseline ANN path; O(n²) cross join — correct but reserved for
     * bounded candidate sets. At 100 TB use `lshTopK` below.
@@ -230,11 +257,10 @@ object Similarity {
     val subLen = dim / nSub
     val base = vectors.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val centW = Window.orderBy(ColFns.pseudoUniform(col("cid"), salt).asc, col("cid").asc)
-    val cents = vectors.select(col(idCol).as("cid"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("code", row_number().over(centW))
-      .filter(col("code") <= codebookSize)
+    val cents = hashRankedPick(
+      vectors.select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("cv")),
+      codebookSize, salt, "code")
       .select("code", "cv")
     val aggs = (0 until nSub).map { s =>
       val sv = slice(col("v"), s * subLen + 1, subLen)
@@ -300,11 +326,10 @@ object Similarity {
     val qs = base.select(col("id").as("src"), col("v").as("qv"), col("bucket"))
     val xs = base.select(col("id").as("dst"), col("bucket"))
       .join(codes.withColumnRenamed("id", "dst"), "dst")
-    val centW = Window.orderBy(ColFns.pseudoUniform(col("cid"), salt).asc, col("cid").asc)
-    val cents = vectors.select(col(idCol).as("cid"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("code", row_number().over(centW))
-      .filter(col("code") <= codebookSize)
+    val cents = hashRankedPick(
+      vectors.select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("cv")),
+      codebookSize, salt, "code")
     var cur = qs.join(xs, Seq("bucket")).filter(col("src") =!= col("dst"))
     val terms = (0 until nSub).map { s =>
       val cs = cents.select(col("code").as(s"k$s"),
@@ -503,10 +528,9 @@ object Similarity {
     import graft.functions.ColFns
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val centW = Window.orderBy(ColFns.pseudoUniform(col("cid"), salt).asc, col("cid").asc)
-    val cents = vectors.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .withColumn("list", row_number().over(centW))
-      .filter(col("list") <= nLists)
+    val cents = hashRankedPick(
+      vectors.select(col(idCol).as("cid"), col(vecCol).as("cv")),
+      nLists, salt, "list")
       .select("list", "cv")
     // nearest lists per vector: d² = |v|² − 2v·c + |c|²; |v|² is constant
     // per vector, so rank by |c|² − 2v·c (ties → lower list id)
