@@ -86,7 +86,7 @@ object Strategies {
        |  SELECT c.customer, c.acctbal, p.product, p.category, p.price
        |  FROM cust c CROSS JOIN parts p
        |  WHERE $uCand < least(CAST(1.0 AS DOUBLE),
-       |          CAST(4000.0 AS DOUBLE) /
+       |          CAST(2600.0 AS DOUBLE) /
        |          CAST(greatest((SELECT count(*) FROM parts), 1) AS DOUBLE))
        |    AND NOT EXISTS (SELECT 1 FROM purchased q
        |                    WHERE q.customer = c.customer AND q.product = p.product)),

@@ -71,6 +71,13 @@ object Recommend {
                  candidateCap: Int): DataFrame =
     graft.core.AppCache.get(candCache, (spark.sparkContext.applicationId,
         dir, customerFilter.toString, candidateCap)) {
+      def lap[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        if (sys.env.contains("GRAFT_REC_DEBUG"))
+          println(f"[rec] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
       val cust = Tables.customer(spark, dir).filter(customerFilter)
         .select(col("c_custkey").as("customer"), col("c_acctbal").as("acctbal"))
       val parts = validProducts(Tables.part(spark, dir))
@@ -83,7 +90,7 @@ object Recommend {
       // queried slice, so the anti-join's build side shrinks from every
       // customer's history to the queried customers and broadcasts; the
       // big crossJoin side then avoids a shuffle entirely
-      val purchased = graft.graph.Links.purchasePairsNumeric(spark, dir)
+      val purchased = lap("pair-fill")(graft.graph.Links.purchasePairsNumeric(spark, dir))
         .join(broadcast(cust.select("customer")), Seq("customer"), "left_semi")
 
       // R2: deterministic candidate cap per customer (hash-ranked)
@@ -91,45 +98,60 @@ object Recommend {
       val candW = Window.partitionBy("customer").orderBy(candU, col("product"))
       // broadcast only while the queried slice is bounded (it is for the
       // reference's per-customer serving shape); a full-corpus batch run
-      // falls back to the shuffled anti-join. Both scalar counts ride
-      // ONE job (a 1×1 cross of the two aggregates), not two.
-      val cntRow = cust.agg(count(lit(1)).as("nc"))
-        .crossJoin(parts.agg(count(lit(1)).as("np"))).head()
-      val custN = cntRow.getLong(0)
+      // falls back to the shuffled anti-join. The only driver-side count
+      // is the queried slice itself; the product count rides the
+      // expansion job as a broadcast 1-row aggregate.
+      val custN = lap("counts")(cust.count())
       val custBounded = custN <= 100000L
       val excl = if (custBounded) broadcast(purchased) else purchased
       // pre-filter by the SAME hash the cap window ranks on: only rows
       // that can possibly be in the per-customer top-`candidateCap` by u
-      // need to enter the anti-join + window. 2× headroom over the cap
-      // makes a sub-cap survivor count a >30σ event even before noting
+      // need to enter the anti-join + window. 1.3× headroom over the cap
+      // makes a sub-cap survivor count a >10σ event even before noting
       // that purchases remove only a handful of products per customer;
       // the window then applies the EXACT cap. Shrinks the windowed row
-      // count by (1 − 2·cap/|parts|) — at |parts| ≫ cap (the 100 TB
-      // shape) the per-customer sort goes from |parts| to ~2·cap rows.
+      // count by (1 − 1.3·cap/|parts|) — at |parts| ≫ cap (the 100 TB
+      // shape) the per-customer sort goes from |parts| to ~1.3·cap rows.
       // Mirrored verbatim in the Strategies oracle SQL. Both engines
       // share the constant, so even a (astronomically unlikely)
       // starvation event keeps the engines bit-identical.
-      val nParts = cntRow.getLong(1)
-      val keepFrac = math.min(1.0, 2.0 * candidateCap / math.max(nParts, 1L))
-      // stream the PART side repartitioned to the session's parallelism
-      // and broadcast the bounded customer slice: both inputs arrive as
-      // 1–2 parquet partitions, so a naive crossJoin would expand the
-      // |cust|×|parts| candidate space inside one task; this way the
-      // expansion + hash-filter + anti-join parallelize across the
-      // cluster and the only wide exchange left is the cap window's.
-      // The broadcast rides the SAME bounded-slice guard as `excl` — an
-      // unbounded full-corpus run must not force-broadcast customers.
-      val crossed =
+      // 13·cap/10, not 1.3·cap: 1.3 has no exact double, and the oracle's
+      // literal (2600.0 at cap 2000) must be the bit-identical threshold
+      val np = parts.agg(count(lit(1)).as("np"))
+      val keepFrac = least(lit(1.0),
+        lit(13.0 * candidateCap / 10.0) /
+          greatest(col("np"), lit(1L)).cast("double"))
+      // Bounded path: hash-partition the customer slice by `customer`
+      // FIRST, expand against a NARROW broadcast of product ids only, and
+      // attach category/price AFTER the cap via a second broadcast join
+      // (the catalog already broadcasts in the enrichment join). The
+      // |cust|×|parts| expansion, the hash pre-filter, the anti-join, and
+      // the cap window's per-customer sort then all run in ONE
+      // exchange-free stage over 16-byte rows — hashpartitioning(customer)
+      // satisfies every downstream customer-clustered window, so the plan
+      // never shuffles the expanded rows at all. The broadcasts ride the
+      // SAME bounded-slice guard as `excl`; an unbounded full-corpus run
+      // takes the shuffled crossJoin with attributes inline.
+      val capped =
         if (custBounded)
-          parts.repartition(spark.sparkContext.defaultParallelism)
-            .crossJoin(broadcast(cust))
-        else cust.crossJoin(parts)
-      crossed
-        .filter(candU < keepFrac)
-        .join(excl, Seq("customer", "product"), "left_anti")
-        .withColumn("cand_rn", row_number().over(candW))
-        .filter(col("cand_rn") <= candidateCap)
-        .localCheckpoint(true)
+          cust.repartition(spark.sparkContext.defaultParallelism, col("customer"))
+            .crossJoin(broadcast(parts.select("product")))
+            .crossJoin(broadcast(np))
+            .filter(candU < keepFrac)
+            .join(excl, Seq("customer", "product"), "left_anti")
+            .withColumn("cand_rn", row_number().over(candW))
+            .filter(col("cand_rn") <= candidateCap)
+            .join(broadcast(parts), Seq("product"))
+        else
+          cust.crossJoin(parts)
+            .crossJoin(np)
+            .filter(candU < keepFrac)
+            .join(excl, Seq("customer", "product"), "left_anti")
+            .withColumn("cand_rn", row_number().over(candW))
+            .filter(col("cand_rn") <= candidateCap)
+      lap("cand-materialize")(capped
+        .select("customer", "acctbal", "product", "category", "price")
+        .localCheckpoint(true))
     }
 
   /** The full pipeline for a set of customers at a simulated month.
