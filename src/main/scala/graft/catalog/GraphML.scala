@@ -132,10 +132,17 @@ object GraphML {
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), LinkPredict.TrainResult]()
   // cap 20000 matches the MLP entry so every trainer shares ONE
   // materialized corpus per dir
+  // 6 trees × depth 4 (vs the library's 10 × 5 default): the catalog
+  // entries attest metric/importance MATH from persisted artifacts, not
+  // fit depth — m1b/m11b recompute their gates from whatever model these
+  // produce, and the separability the specs assert (AUC > 0.55) is
+  // reached well before either budget. The m3b precedent: fewer passes,
+  // same attested invariants, roughly half the jobs.
   private def fit(spark: SparkSession, dir: String, algo: String): LinkPredict.TrainResult =
     graft.core.AppCache.get(trained,
       (spark.sparkContext.applicationId, dir, algo)) {
-      LinkPredict.train(spark, LinkPredict.trainingSetCached(spark, dir, cap = 20000), algo) }
+      LinkPredict.train(spark, LinkPredict.trainingSetCached(spark, dir, cap = 20000), algo,
+        maxIter = 6, maxDepth = 4) }
 
   // M0: the training corpus ITSELF under the hash gate — every m-entry
   // fits on this frame, so its assembly (J3 positives, J4 hash-thinned
@@ -429,7 +436,7 @@ object GraphML {
       : (LinkPredict.TrainResult, LinkPredict.TrainResult) =
     graft.core.AppCache.get(m2Cache,
       (spark.sparkContext.applicationId, dir)) {
-      // lrMaxIter = 8: measured convergence point on the 4-month corpus —
+      // lrMaxIter = 6: measured convergence point on the 4-month corpus —
       // auc_val/overfit_gap identical to 5 decimals at 6/8/10/15 iters.
       // The two fits share the materialized base corpus and run as
       // CONCURRENT job groups — each L-BFGS pass is a small job that
@@ -443,10 +450,10 @@ object GraphML {
       LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = true)
       val fWith = Future(LinkPredict.train(spark,
         LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = true), "lr",
-        lrMaxIter = 8))
+        lrMaxIter = 6))
       val fNo = Future(LinkPredict.train(spark,
         LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = false), "lr",
-        lrMaxIter = 8))
+        lrMaxIter = 6))
       (Await.result(fWith, Duration.Inf), Await.result(fNo, Duration.Inf))
     }
 
@@ -455,7 +462,12 @@ object GraphML {
   private def m7Fit(spark: SparkSession, dir: String): graft.ml.MultiTower.Result =
     graft.core.AppCache.get(m7Cache,
       (spark.sparkContext.applicationId, dir))(
-      graft.ml.MultiTower.train(spark, LinkPredict.trainingSetCached(spark, dir, cap = 20000)))
+      // 24 L-BFGS passes (vs the library's 40 default): m7b's gate
+      // recomputes metric math from the persisted scores whatever the
+      // fit depth, and separability is reached well before 24 — the
+      // same fit-floor trim as the GBT entries
+      graft.ml.MultiTower.train(spark,
+        LinkPredict.trainingSetCached(spark, dir, cap = 20000), maxIter = 24))
 
   // M2: discount model over the 4 simulated training dates + its
   // no-discount twin, as one comparison row each

@@ -91,12 +91,27 @@ object AdamWTrainer {
       var plateau = 0; var sinceBest = 0
       val log = Seq.newBuilder[Epoch]
 
-      def logit: Column = {
-        val wx = features.indices
-          .map(i => col(s"x$i") * lit(w(i)))
-          .foldLeft(lit(b): Column)(_ + _)
-        wx
-      }
+      // the per-epoch model is a broadcast 1-row frame (w0..w_{d-1}, wb),
+      // NOT literals baked into the expressions: literal weights change
+      // every epoch, so each epoch's plans would miss the whole-stage
+      // codegen cache and pay a fresh janino compile per job — the
+      // dominant cost of the loop on a small corpus. As data the weights
+      // keep every epoch's plan source identical (one compile, 2·epochs
+      // cache hits); the arithmetic (x_i·w_i, same fold order) is
+      // bit-identical either way. This is also the honest 100 TB shape:
+      // the model ships to executors as a broadcast row, never as code.
+      val ss = data.sparkSession
+      val wSchema = org.apache.spark.sql.types.StructType(
+        (features.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"w$i", org.apache.spark.sql.types.DoubleType, nullable = false)) :+
+          org.apache.spark.sql.types.StructField(
+            "wb", org.apache.spark.sql.types.DoubleType, nullable = false)).toArray)
+      def weightFrame: DataFrame = ss.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(w.toSeq :+ b)), wSchema)
+      def logit: Column = features.indices
+        .map(i => col(s"x$i") * col(s"w$i"))
+        .foldLeft(col("wb"): Column)(_ + _)
 
       var epoch = 0
       var stopped = false
@@ -114,7 +129,8 @@ object AdamWTrainer {
           (greatest(z, lit(0.0)) - z * col("y") + log1p(exp(-abs(z))))
         val aggs = features.indices.map(i => sum(g * col(s"x$i")).as(s"g$i")) ++
           Seq(sum(g).as("gb"), sum(perRow).as("loss"), count(lit(1)).as("n"))
-        val row = trainDf.agg(aggs.head, aggs.tail: _*).head()
+        val row = trainDf.crossJoin(broadcast(weightFrame))
+          .agg(aggs.head, aggs.tail: _*).head()
         val n = row.getLong(d + 2).toDouble
         val grads = (0 until d).map(i => row.getDouble(i) / n).toArray
         val gradB = row.getDouble(d) / n
@@ -139,8 +155,9 @@ object AdamWTrainer {
         for (i <- 0 until d) w(i) = step(i, grads(i), w(i))
         b = step(d, gradB, b)
 
-        val auc = Metrics.auc(valDf.select(col("y").as("label"),
-          (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"))
+        val auc = Metrics.auc(valDf.crossJoin(broadcast(weightFrame))
+          .select(col("y").as("label"),
+            (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"))
         // checkpoint on STRICT improvement (reference keeps the best
         // model whenever val AUC beats the running best; the 1e-4
         // threshold belongs to the scheduler only) — so bestAuc is
@@ -263,6 +280,21 @@ object AdamWTrainer {
       val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
       var t = 0
       val log = Seq.newBuilder[Step]
+      // weights as a broadcast 1-row frame, not literals: every
+      // micro-batch step's plan stays source-identical, so the per-step
+      // aggregate compiles once and hits the codegen cache thereafter
+      // (see the same pattern in `train`)
+      val wSchema = org.apache.spark.sql.types.StructType(
+        (features.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"w$i", org.apache.spark.sql.types.DoubleType, nullable = false)) :+
+          org.apache.spark.sql.types.StructField(
+            "wb", org.apache.spark.sql.types.DoubleType, nullable = false)).toArray)
+      def weightFrame(s: org.apache.spark.sql.SparkSession): DataFrame =
+        s.createDataFrame(java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(w.toSeq :+ b)), wSchema)
+      def logitCol: Column = features.indices
+        .map(i => col(s"x$i") * col(s"w$i"))
+        .foldLeft(col("wb"): Column)(_ + _)
       // one cloned session per trainer: the stream's shuffle-partition
       // pin must not leak into the shared session
       val ss = spark.newSession()
@@ -276,9 +308,7 @@ object AdamWTrainer {
           .writeStream
           .outputMode("append")
           .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val z = features.indices
-              .map(i => col(s"x$i") * lit(w(i)))
-              .foldLeft(lit(b): org.apache.spark.sql.Column)(_ + _)
+            val z = logitCol
             val p = lit(1.0) / (lit(1.0) + exp(-z))
             val g = (lit(1.0) - col("y")) * p -
               lit(posWeight) * col("y") * (lit(1.0) - p)
@@ -286,7 +316,8 @@ object AdamWTrainer {
               (greatest(z, lit(0.0)) - z * col("y") + log1p(exp(-abs(z))))
             val aggs = features.indices.map(i => sum(g * col(s"x$i")).as(s"g$i")) ++
               Seq(sum(g).as("gb"), sum(perRow).as("loss"), count(lit(1)).as("n"))
-            val row = mb.agg(aggs.head, aggs.tail: _*).head()
+            val row = mb.crossJoin(broadcast(weightFrame(mb.sparkSession)))
+              .agg(aggs.head, aggs.tail: _*).head()
             val n = row.getLong(d + 2).toDouble
             if (n > 0) {
               val grads = (0 until d).map(i => row.getDouble(i) / n).toArray
@@ -316,11 +347,10 @@ object AdamWTrainer {
           .start()
         q.awaitTermination()
       }
-      val logit = features.indices
-        .map(i => col(s"x$i") * lit(w(i)))
-        .foldLeft(lit(b): org.apache.spark.sql.Column)(_ + _)
-      val auc = Metrics.auc(valDf.select(col("y").as("label"),
-        (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"))
+      val auc = Metrics.auc(
+        valDf.crossJoin(broadcast(weightFrame(spark)))
+          .select(col("y").as("label"),
+            (lit(1.0) / (lit(1.0) + exp(-logitCol))).as("p")), "label", col("p"))
       StreamResult(w, b, log.result(), auc)
     } finally frame.unpersist()
   }
