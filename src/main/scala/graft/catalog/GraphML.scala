@@ -307,20 +307,75 @@ object GraphML {
   // closed as a demonstration entry: each stream micro-batch is one
   // optimizer step. Rows-only (the trajectory is model-coupled; the
   // mechanics are spec-asserted in PipelineArtifactsSpec).
+  // the minibatch trajectory is a deterministic pure function of the
+  // dir — run once per (app, dir) and share between m13 (rows) and its
+  // hash-gated twin m13b
+  private val m13Cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), graft.ml.AdamWTrainer.StreamResult]()
+  private def m13Fit(spark: SparkSession, dir: String): graft.ml.AdamWTrainer.StreamResult =
+    graft.core.AppCache.get(m13Cache,
+      (spark.sparkContext.applicationId, dir)) {
+      val tag = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir))
+      // 2 epochs × 4 shards: enough steps to show descent + epoch replay;
+      // every extra shard is another per-step barrier (the cost the entry
+      // demonstrates), so the demo stays small by design
+      graft.ml.AdamWTrainer.trainMinibatchStream(spark,
+        LinkPredict.trainingSetCached(spark, dir, cap = 20000),
+        epochs = 2, nBatches = 4,
+        stageDir = s"/tmp/graft_stream/m13_${spark.sparkContext.applicationId}_$tag")
+    }
+
   private def m13MinibatchStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
-    // 2 epochs × 4 shards: enough steps to show descent + epoch replay;
-    // every extra shard is another per-step barrier (the cost the entry
-    // demonstrates), so the demo stays small by design
-    val r = graft.ml.AdamWTrainer.trainMinibatchStream(spark,
-      LinkPredict.trainingSetCached(spark, dir, cap = 20000),
-      epochs = 2, nBatches = 4,
-      stageDir = s"/tmp/graft_stream/m13_${spark.sparkContext.applicationId}_$tag")
+    val r = m13Fit(spark, dir)
     r.steps.map(s => (s.epoch, s.step, math.round(s.trainLoss * 1e6) / 1e6,
         math.round(s.gradNorm * 1e6) / 1e6, if (s.clipped) 1 else 0))
       .toDF("epoch", "step", "train_loss", "grad_norm", "clipped")
+  }
+
+  // M13b: the minibatch trajectory persisted at FULL precision and the
+  // stream-loop invariants recomputed RELATIONALLY from the persisted
+  // bits in both engines — the m12b technique applied to the micro-batch
+  // loop. gstep_ok: the optimizer's global step counter is exactly the
+  // row ordinal over (epoch, step) — no micro-batch was dropped,
+  // duplicated, or reordered across the per-epoch AvailableNow replays.
+  // clip_ok: clipping fired exactly when the pre-clip norm exceeded 1.
+  // replay_ok: every epoch replayed the SAME shard at the same step
+  // ordinal (the deterministic file-order contract) — its row count is
+  // identical across epochs. steps_ok: every epoch delivered the same
+  // number of optimizer steps.
+  private def m13bMinibatchDeterministic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = m13Fit(spark, dir)
+    val persisted = artifact(spark, dir, "m13_steps",
+      r.steps.map(s => (s.epoch, s.step, s.gstep, s.trainLoss, s.gradNorm,
+          if (s.clipped) 1 else 0, s.n))
+        .toDF("epoch", "step", "gstep", "train_loss", "grad_norm", "clipped", "n"))
+    val wOrd = Window.orderBy("epoch", "step")
+    val wStep = Window.partitionBy("step")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wEpoch = Window.partitionBy("epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    persisted
+      .withColumn("ord", row_number().over(wOrd))
+      .withColumn("n_min", min("n").over(wStep))
+      .withColumn("n_max", max("n").over(wStep))
+      .withColumn("steps_in_epoch", count(lit(1)).over(wEpoch))
+      .withColumn("min_steps", min("steps_in_epoch").over(wAll))
+      .withColumn("max_steps", max("steps_in_epoch").over(wAll))
+      .select(col("epoch"), col("step"), col("gstep"),
+        round(col("train_loss"), 6).as("train_loss"),
+        round(col("grad_norm"), 6).as("grad_norm"),
+        col("clipped"), col("n"),
+        (col("gstep") === col("ord")).cast("int").as("gstep_ok"),
+        (col("clipped") === when(col("grad_norm") > 1.0, 1).otherwise(0))
+          .cast("int").as("clip_ok"),
+        (col("n_min") === col("n_max")).cast("int").as("replay_ok"),
+        (col("min_steps") === col("max_steps")).cast("int").as("steps_ok"))
+      .orderBy("epoch", "step")
   }
 
   // M3b: the incremental-trainer POLICY under the hash gate — two
@@ -779,6 +834,7 @@ object GraphML {
     "m3b_incremental_policy" -> (m3bIncrementalPolicy(_, _)),
     "m10_class_weights" -> (m10ClassWeights(_, _)),
     "m13_minibatch_stream" -> (m13MinibatchStream(_, _)),
+    "m13b_minibatch_deterministic" -> (m13bMinibatchDeterministic(_, _)),
     "s8_history_roundtrip" -> (s8HistoryRoundtrip(_, _)),
     "m6_compat_probe" -> (m6CompatProbe(_, _)),
     "m8_tower_scaling" -> (m8TowerScaling(_, _)))
@@ -1314,6 +1370,27 @@ object GraphML {
       s"""SELECT CAST(row_number() OVER (ORDER BY importance DESC, feature ASC) AS INT) AS rank,
          |  feature, round(importance, 6) AS importance
          |FROM ${artifactSql("m11_importances")} ORDER BY rank""".stripMargin,
+    "m13b_minibatch_deterministic" ->
+      s"""WITH t AS (SELECT * FROM ${artifactSql("m13_steps")}),
+         |w AS (SELECT t.*,
+         |    row_number() OVER (ORDER BY epoch, step) AS ord,
+         |    min(n) OVER (PARTITION BY step) AS n_min,
+         |    max(n) OVER (PARTITION BY step) AS n_max,
+         |    count(*) OVER (PARTITION BY epoch) AS steps_in_epoch
+         |  FROM t),
+         |w2 AS (SELECT w.*,
+         |    min(steps_in_epoch) OVER () AS min_steps,
+         |    max(steps_in_epoch) OVER () AS max_steps
+         |  FROM w)
+         |SELECT epoch, step, gstep,
+         |  round(train_loss, 6) AS train_loss,
+         |  round(grad_norm, 6) AS grad_norm,
+         |  clipped, n,
+         |  CAST(gstep = ord AS INT) AS gstep_ok,
+         |  CAST(clipped = (CASE WHEN grad_norm > 1.0 THEN 1 ELSE 0 END) AS INT) AS clip_ok,
+         |  CAST(n_min = n_max AS INT) AS replay_ok,
+         |  CAST(min_steps = max_steps AS INT) AS steps_ok
+         |FROM w2 ORDER BY epoch, step""".stripMargin,
     "m12b_adamw_deterministic" ->
       s"""WITH t AS (SELECT * FROM ${artifactSql("m12_trajectory")}),
          |w AS (SELECT t.*,
