@@ -853,7 +853,18 @@ object TextSim {
         Similarity.norm(col("v")).as("nrm"))
     val centA = artifact(spark, dir, "ivf_centroids", cents)
     val listA = artifact(spark, dir, "ivf_lists", lists)
-    // ---- serve: probes meet only the persisted index
+    ivfServe(centA, listA, nProbe, k)
+  }
+
+  /** Shared serve stage over a persisted IVF index (centroids + inverted
+    * lists): probe batch = vec_id ≡ 0 mod 7, nProbe-list routing via a
+    * broadcast join against the centroid artifact, scoring shuffles
+    * keyed by list id, no plan node rescans the corpus. Both the
+    * hash-pick and the KMeans-trained index entries serve through this —
+    * and through the SAME relational SQL in their oracles. */
+  private def ivfServe(centA: DataFrame, listA: DataFrame,
+                       nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = listA.filter(col("vec_id") % 7 === 0)
       .select(col("vec_id").as("src"), col("v").as("qv"), col("nrm").as("qn"))
     val pw = Window.partitionBy("src").orderBy(col("rank_d").asc, col("list").asc)
@@ -874,6 +885,27 @@ object TextSim {
       .select(col("src"), col("rn"), col("vec_id").as("dst"),
         round(col("cos"), 6).as("cos"))
       .orderBy("src", "rn")
+  }
+
+  // TRAINED-quantizer IVF under the same build/serve artifact split as
+  // sim_ivf_persisted: the coarse centroids come from an 8-pass KMeans
+  // fit (model-coupled — the fit itself has no SQL mirror, exactly like
+  // the m-family fits) instead of the hash pick; everything downstream
+  // of the persisted index — nProbe routing, in-list scoring, top-k —
+  // is recomputed relationally by both engines from the same parquet
+  // bits. Trained centroids balance the inverted lists, which is what
+  // bounds the per-list scan cost at 100 TB; SimilaritySpec asserts the
+  // trained index's recall against the brute-force ground truth is at
+  // least the hash-pick baseline's.
+  private def simIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val nLists = 16; val nProbe = 3; val k = 5
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (cents0, lists0) = Similarity.trainedQuantizer(e, "vec_id", "v", nLists)
+    val centA = artifact(spark, dir, "ivf_t_centroids", cents0)
+    val listA = artifact(spark, dir, "ivf_t_lists",
+      lists0.select(col("list"), col("id").as("vec_id"), col("v"), col("nrm")))
+    ivfServe(centA, listA, nProbe, k)
   }
 
   // ATTRIBUTE-FILTERED ANN over a persisted IVF index: per-query top-k
@@ -971,6 +1003,7 @@ object TextSim {
 
   val queries: Map[String, Q] = Map(
     "sim_ivf_persisted" -> (simIvfPersisted(_, _)),
+    "sim_ivf_trained" -> (simIvfTrained(_, _)),
     "sim_filtered_ivf" -> (simFilteredIvf(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_minhash_lsh" -> (d2MinhashLsh(_, _)),
@@ -1443,6 +1476,28 @@ object TextSim {
       val qd = Similarity.dotSql("p.qv", "l.v", DIM)
       s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_centroids")}),
          |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf_lists")}),
+         |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn FROM lists WHERE vec_id % 7 = 0),
+         |pr AS (
+         |  SELECT q.src, q.qv, q.qn, c.list, ($cc - 2.0 * $qc) AS rank_d
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (SELECT * FROM (
+         |    SELECT pr.*, row_number() OVER (PARTITION BY src
+         |      ORDER BY rank_d ASC, list ASC) AS prn FROM pr)
+         |  WHERE prn <= 3),
+         |scored AS (
+         |  SELECT p.src, l.vec_id AS dst, $qd / (p.qn * l.nrm) AS cos
+         |  FROM probes p JOIN lists l USING (list) WHERE p.src <> l.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src
+         |        ORDER BY cos DESC, dst ASC) AS rn FROM scored)
+         |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= 5
+         |ORDER BY src, rn""".stripMargin
+    },
+    "sim_ivf_trained" -> {
+      val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
+      val qc = Similarity.dotSql("q.qv", "c.cv", DIM)
+      val qd = Similarity.dotSql("p.qv", "l.v", DIM)
+      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_t_centroids")}),
+         |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf_t_lists")}),
          |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn FROM lists WHERE vec_id % 7 = 0),
          |pr AS (
          |  SELECT q.src, q.qv, q.qn, c.list, ($cc - 2.0 * $qc) AS rank_d

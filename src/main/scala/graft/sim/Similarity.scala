@@ -468,31 +468,48 @@ object Similarity {
     * Same output shape as bruteForceTopK; approximate semantics — a
     * neighbor outside the probed lists is missed (documented).
     */
-  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-              nLists: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+  /** KMeans coarse quantizer for IVF, shared by `ivfTopK` and the
+    * persisted-index catalog entry: fits `nLists` trained centroids and
+    * returns (centroids(list, cv), lists(list, id, v, nrm)) — the two
+    * frames a persisted ANN index is made of. The fit is model-coupled
+    * (no SQL mirror); everything downstream of the two frames is pure
+    * column math both engines can replay from the persisted bits. */
+  def trainedQuantizer(vectors: DataFrame, idCol: String, vecCol: String,
+                       nLists: Int, seed: Long = 42L, maxIter: Int = 8)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     val sp = vectors.sparkSession
     import sp.implicits._
     // cache: KMeans makes maxIter passes and the quantizer input feeds
-    // three consumers (fit, corpus assignment, query probes) — without
-    // this every pass replays the parquet scan + array→vector cast
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(
-        col("v").cast("array<double>")))
+    // the fit AND the corpus assignment — without this every pass
+    // replays the parquet scan + array→vector cast
+    val base = vectors.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("v")))
       .cache()
     // a coarse quantizer only has to balance the lists, not converge —
     // 8 Lloyd passes is plenty for an ANN routing table
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("list").fit(base)
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }.toDF("list", "cv")
+    val lists = model.transform(base)
+      .select(col("list"), col("id"), col("v"), norm(col("v")).as("nrm"))
+    (cents, lists)
+  }
+
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+              nLists: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+    val (cents0, lists) = trainedQuantizer(vectors, idCol, vecCol, nLists, seed)
     // corpus side: every vector in exactly its nearest list
-    val assigned = model.transform(base)
-      .select(col("id").as("dst"), col("v").as("cv"), col("list"))
-      .withColumn("cn", norm(col("cv")))
+    val assigned = lists
+      .select(col("id").as("dst"), col("v").as("cv"), col("list"),
+        col("nrm").as("cn"))
     // query side: nProbe nearest centroids via a broadcast join against
     // the tiny centroid table (d² = |q|² − 2q·c + |c|²; |q|² constant per
     // query, so rank by |c|² − 2q·c)
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray) }.toDF("list", "cvec")
+    val cents = cents0.withColumnRenamed("cv", "cvec")
+    val base = lists
     val probeW = Window.partitionBy("src").orderBy(col("rank_d").asc, col("list").asc)
     val probes = base.select(col("id").as("src"), col("v").as("qv"))
       .withColumn("qn", norm(col("qv")))

@@ -135,4 +135,21 @@ class SimilaritySpec extends SparkSpec {
     val bad = stats.filter($"min_sim" > $"avg_sim" || $"avg_sim" > $"max_sim").count()
     assert(bad === 0)
   }
+
+  test("trained IVF index recall beats or matches the hash-pick baseline") {
+    // ground truth: exact brute-force top-5 for the serve-path probe
+    // subset (vec_id % 7 == 0), rounded ranking like sim_recall_eval
+    val brute = graft.sim.KnnCache.topk(spark, sfDir, k = 5, rankRounded = true)
+      .filter($"src" % 7 === 0).select("src", "dst")
+    val nTrue = brute.count()
+    def recall(name: String): Double = {
+      val ann = SparkEntry.queries(name)(spark, sfDir).select("src", "dst")
+      brute.join(ann, Seq("src", "dst"), "left_semi").count().toDouble / nTrue
+    }
+    val trained = recall("sim_ivf_trained")
+    val hashPick = recall("sim_ivf_persisted")
+    assert(trained >= hashPick - 1e-12,
+      s"trained IVF recall $trained fell below hash-pick baseline $hashPick")
+    assert(trained > 0.5, s"trained IVF recall degenerate: $trained")
+  }
 }
