@@ -69,7 +69,8 @@ object Analytics {
   private def a4DegreePercentile(spark: SparkSession, dir: String): DataFrame = {
     val deg = DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges)
     val hist = deg.groupBy("degree").agg(count(lit(1)).as("n"))
-    val w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, -1)
+    val w = ColFns.boundedGlobal(col("degree"))(col("degree"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val total = hist.agg(sum("n")).first().getLong(0)
     val ranked = hist.withColumn("smaller", coalesce(sum(col("n")).over(w), lit(0L)))
       .withColumn("degree_pct",
@@ -86,7 +87,8 @@ object Analytics {
   private def a4bPercentileOfScore(spark: SparkSession, dir: String): DataFrame = {
     val deg = DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges)
     val hist = deg.groupBy("degree").agg(count(lit(1)).as("n"))
-    val wLt = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, -1)
+    val wLt = ColFns.boundedGlobal(col("degree"))(col("degree"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val total = hist.agg(sum("n")).first().getLong(0)
     val ranked = hist
       .withColumn("cnt_lt", coalesce(sum(col("n")).over(wLt), lit(0L)))
@@ -211,7 +213,8 @@ object Analytics {
     // partial top-n, no single-partition global window); the rank window
     // then runs over just the n surviving rows
     val top = scored.orderBy(col("score").desc, col("p_partkey").asc).limit(10)
-    val w = Window.orderBy(col("score").desc, col("p_partkey").asc)
+    val w = ColFns.boundedGlobal(col("p_partkey"))(
+      col("score").desc, col("p_partkey").asc)
     top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("p_partkey"), round(col("score"), 6).as("score"))
       .orderBy("rank")

@@ -270,9 +270,9 @@ object GraphML {
           r.bestEpoch, r.bestAuc))
         .toDF("epoch", "train_loss", "auc_val", "lr", "grad_norm",
           "clipped", "improved", "best_epoch", "best_auc"))
-    val wPrev = Window.orderBy("epoch")
+    val wPrev = graft.functions.ColFns.boundedGlobal(col("epoch"))(col("epoch"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy("epoch")
+    val wAll = graft.functions.ColFns.boundedGlobal(col("epoch"))(col("epoch"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     persisted
       .withColumn("prev_best", coalesce(max("auc_val").over(wPrev), lit(0.0)))
@@ -283,7 +283,8 @@ object GraphML {
         round(log(2.0, lit(0.02) / col("lr"))).cast("int"))
       .withColumn("sched_ok",
         (col("halvings") >=
-          coalesce(lag("halvings", 1).over(Window.orderBy("epoch")), lit(0)))
+          coalesce(lag("halvings", 1).over(
+            graft.functions.ColFns.boundedGlobal(col("epoch"))(col("epoch"))), lit(0)))
           .cast("int"))
       .select(col("epoch"),
         round(col("train_loss"), 6).as("train_loss"),
@@ -352,12 +353,13 @@ object GraphML {
       r.steps.map(s => (s.epoch, s.step, s.gstep, s.trainLoss, s.gradNorm,
           if (s.clipped) 1 else 0, s.n))
         .toDF("epoch", "step", "gstep", "train_loss", "grad_norm", "clipped", "n"))
-    val wOrd = Window.orderBy("epoch", "step")
+    val wOrd = graft.functions.ColFns.boundedGlobal(col("epoch"))(
+      col("epoch"), col("step"))
     val wStep = Window.partitionBy("step")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wEpoch = Window.partitionBy("epoch")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wAll = Window.orderBy(lit(1))
+    val wAll = graft.functions.ColFns.boundedGlobal(col("epoch"))(col("epoch"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     persisted
       .withColumn("ord", row_number().over(wOrd))
@@ -416,8 +418,10 @@ object GraphML {
       runs.toDF("run", "prev_exists", "n_pos", "n_neg", "imb_ratio",
         "smote_applied", "auc_train", "auc_val", "overfit_gap", "gate_pass",
         "probe_drop", "probe_alert", "accepted", "reverted", "history_len"))
-    val wPrior = Window.orderBy("run").rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy("run").rowsBetween(Window.unboundedPreceding, 0)
+    val wPrior = graft.functions.ColFns.boundedGlobal(col("run"))(col("run"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = graft.functions.ColFns.boundedGlobal(col("run"))(col("run"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     persisted
       .withColumn("accepted_before", coalesce(sum("accepted").over(wPrior), lit(0L)))
       .select(col("run"), col("prev_exists"), col("n_pos"), col("n_neg"),
@@ -457,7 +461,7 @@ object GraphML {
       xxhash64(col("customer"), col("product")), 41L) < 0.8)
     val persisted = artifact(spark, dir, "m10_class_counts",
       trainSplit.groupBy("label").agg(count(lit(1)).as("n_c")))
-    val wAll = Window.orderBy("label")
+    val wAll = graft.functions.ColFns.boundedGlobal(col("label"))(col("label"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     persisted
       .withColumn("total", sum("n_c").over(wAll))
@@ -477,7 +481,8 @@ object GraphML {
       r.importances.toDF("feature", "importance"))
     persisted
       .withColumn("rank",
-        row_number().over(Window.orderBy(desc("importance"), asc("feature"))))
+        row_number().over(graft.functions.ColFns.boundedGlobal(col("feature"))(
+          desc("importance"), asc("feature"))))
       .select(col("rank"), col("feature"), round(col("importance"), 6).as("importance"))
       .orderBy("rank")
   }

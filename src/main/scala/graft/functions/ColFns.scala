@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Column-level scalar functions (SURVEY §2.7 F1–F15), built exclusively
@@ -14,6 +15,18 @@ import org.apache.spark.sql.functions._
   *    topk_recommandations_diverse_nodiscounts.py:266-269
   */
 object ColFns {
+
+  /** Single-partition WindowSpec with the bound made EXPLICIT: partitions
+    * by a non-foldable always-zero key derived from `key` (a foldable
+    * literal would be optimizer-stripped back to the empty spec, which is
+    * a silent single-partition WindowExec). Semantically identical to
+    * `Window.orderBy(order…)` — use ONLY where the input frame is bounded
+    * by construction (histograms over distinct values, fit trajectories,
+    * post-limit survivors, quantized score tables), so "every row in one
+    * partition" is the operator's stated contract rather than an accident
+    * the executor has to warn about. */
+  def boundedGlobal(key: Column)(order: Column*): WindowSpec =
+    Window.partitionBy(pmod(xxhash64(key), lit(1))).orderBy(order: _*)
 
   /** F1: snake_case a column *name* the way the reference normalizes CSV
     * headers (strip, replace "-"/" " with "_", lowercase). */

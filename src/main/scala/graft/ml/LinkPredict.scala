@@ -227,7 +227,10 @@ object LinkPredict {
       val frac = need.toDouble / nPos
       val numeric = featureNames
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(xxhash64(col("customer"), col("product")))
+      // minority class only (the SMALL side by the gate's definition) —
+      // the single partition is the stated bound, not an accident
+      val w = ColFns.boundedGlobal(col("customer"))(
+        xxhash64(col("customer"), col("product")))
       val ordered = minority.withColumn("rn", row_number().over(w))
       val a = ordered
       val b = ordered.select(

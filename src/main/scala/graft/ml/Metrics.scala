@@ -23,8 +23,11 @@ object Metrics {
   def auc(scored: DataFrame, labelCol: String, scoreCol: Column): Double = {
     val byScore = scored.select(col(labelCol).cast("double").as("y"), scoreCol.as("s"))
       .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("npos"))
-    // average rank of a tied group = (#rows before it) + (n+1)/2
-    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    // average rank of a tied group = (#rows before it) + (n+1)/2;
+    // the explicit single-partition spec states the quantize-first
+    // contract (input = one row per DISTINCT score) in the plan itself
+    val w = graft.functions.ColFns.boundedGlobal(col("s"))(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = byScore.withColumn("before", coalesce(sum("n").over(w), lit(0L)))
       .withColumn("avg_rank", col("before") + (col("n") + 1.0) / 2.0)
     val agg = ranked.agg(
@@ -55,14 +58,14 @@ object Metrics {
       if (pTotal == 0 || pTotal == nTotal) return (0.0, 0.0)
       // descending-score cumulatives give the PR curve directly and the
       // ascending rank arithmetic by complement: rows-before(asc) = N − cum(desc)
-      val wDesc = Window.orderBy(col("s").desc)
+      val wDesc = graft.functions.ColFns.boundedGlobal(col("s"))(col("s").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
       val cum = byScore
         .withColumn("cn", sum("n").over(wDesc))
         .withColumn("cp", sum("npos").over(wDesc))
         .withColumn("recall", col("cp") / pTotal)
         .withColumn("prec", col("cp") / col("cn"))
-      val lagW = Window.orderBy(col("s").desc)
+      val lagW = graft.functions.ColFns.boundedGlobal(col("s"))(col("s").desc)
       val agg = cum
         .withColumn("prev_r", coalesce(lag("recall", 1).over(lagW), lit(0.0)))
         // MLlib's curve starts at (0, p1): first trapezoid uses p1 twice

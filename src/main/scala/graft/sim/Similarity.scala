@@ -62,8 +62,7 @@ object Similarity {
     cands.withColumn("__u", u)
       .orderBy(col("__u").asc, col("cid").asc).limit(n)
       .withColumn(rankName, row_number().over(
-        Window.partitionBy(pmod(xxhash64(col("cid")), lit(1)))
-          .orderBy(col("__u").asc, col("cid").asc)))
+        ColFns.boundedGlobal(col("cid"))(col("__u").asc, col("cid").asc)))
       .drop("__u")
   }
 
