@@ -125,7 +125,10 @@ object TextSim {
         .withColumn("hs", graft.plans.expressions.array_md5(col("sh")))
         .withColumn("mins", graft.plans.expressions.minhash_slices(col("hs"), 4))
         .select(
-          col("doc_id"), col("sh"),
+          // sh sorted ONCE here so every downstream exact-Jaccard check
+          // is a merge scan (sorted_intersect_count) instead of a
+          // per-pair hash set; the minhash mins are order-independent
+          col("doc_id"), sort_array(col("sh")).as("sh"),
           concat_ws("_", element_at(col("mins"), 1),
             element_at(col("mins"), 2)).as("band_0"),
           concat_ws("_", element_at(col("mins"), 3),
@@ -150,7 +153,8 @@ object TextSim {
       .join(signed.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
       .join(signed.select(col("doc_id").as("store_doc"), col("sh").as("sh_b")),
         "store_doc")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_inter",
+        graft.plans.expressions.sorted_intersect_count(col("sh_a"), col("sh_b")))
       // integer counts + ONE division = bit-exact across engines
       .withColumn("j", col("n_inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
@@ -189,19 +193,37 @@ object TextSim {
         .foreach(java.nio.file.Files.delete)
       finally walk.close()
     }
-    val signed = bandSignatures(spark, dir)
+    def lap[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.contains("GRAFT_E11_DEBUG"))
+        println(f"[e11] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val signed = lap("signatures")(bandSignatures(spark, dir))
     val isArrival = pmod(col("doc_id"), lit(3)) === 0
     // ONE persisted signature artifact — band signatures + shingle sets
     // for every doc; each micro-batch derives its store/arrival views
     // from it (band-row explosion is a free map over the scan)
-    signed.write.parquet(s"$base/signed")
+    lap("signed-write")(signed.write.parquet(s"$base/signed"))
     val arr = Tables.documents(spark, dir).filter(isArrival).select("doc_id")
-    arr.filter(pmod(col("doc_id"), lit(2)) === 0).write.parquet(s"$base/src/drop_a")
-    arr.filter(pmod(col("doc_id"), lit(2)) === 1).write.parquet(s"$base/src/drop_b")
-    // cloned session: the shuffle-partition pin stays scoped to this
-    // stream's SQLConf, never the shared session
+    lap("drops-write") {
+      arr.filter(pmod(col("doc_id"), lit(2)) === 0).write.parquet(s"$base/src/drop_a")
+      arr.filter(pmod(col("doc_id"), lit(2)) === 1).write.parquet(s"$base/src/drop_b")
+    }
+    // cloned session for isolation. NO shuffle-partition pin: this
+    // stream is STATELESS (foreachBatch — no state stores to size), and
+    // the per-batch Jaccard verification over tens of thousands of
+    // candidate pairs wants the session's full parallelism
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // warm the persisted store's SCAN into the cache once: the
+    // CacheManager is context-shared and substitutes by canonicalized
+    // sameResult, so every micro-batch's four store-side plan fragments
+    // (bands ×2, shingles ×2) resolve to the in-memory relation instead
+    // of re-decoding the shingle-array parquet per batch — the batches
+    // still compute ONLY against the persisted artifact's bits
+    val sgWarm = ss.read.parquet(s"$base/signed").cache()
+    sgWarm.count()
     val out = s"$base/out"
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -213,7 +235,8 @@ object TextSim {
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val tB = System.nanoTime()
         val s2 = b.sparkSession
         val sg = s2.read.parquet(s"$base/signed")
         val sgBands = bandRows(sg)
@@ -226,7 +249,8 @@ object TextSim {
         val cand = myBands.join(st, Seq("band", "sig"))
           .select("doc_id", "store_doc").distinct()
         val pairs = cand.join(shA, "doc_id").join(shB, "store_doc")
-          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("n_inter",
+        graft.plans.expressions.sorted_intersect_count(col("sh_a"), col("sh_b")))
           .withColumn("j", col("n_inter").cast("double") /
             (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
         val per = pairs.groupBy("doc_id").agg(
@@ -240,10 +264,13 @@ object TextSim {
             coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
           .withColumn("kept", (col("n_dups") === 0).cast("int"))
           .write.mode("append").parquet(out)
+        if (sys.env.contains("GRAFT_E11_DEBUG"))
+          println(f"[e11] batch $bid: ${(System.nanoTime() - tB) / 1e9}%.2f s")
         ()
       }
       .start()
-    q.awaitTermination()
+    lap("stream-drain")(q.awaitTermination())
+    sgWarm.unpersist()
     spark.read.parquet(out).orderBy("doc_id")
   }
 
@@ -773,7 +800,8 @@ object TextSim {
       .join(signed.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
       .join(signed.select(col("doc_id").as("train_doc"), col("sh").as("sh_b")),
         "train_doc")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_inter",
+        graft.plans.expressions.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("j", col("n_inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
     val per = pairs.groupBy("doc_id").agg(

@@ -330,12 +330,58 @@ case class MinhashSlices(child: Expression, nSlices: Int, width: Int = 8)
     copy(child = c)
 }
 
+/** Count of common elements of two SORTED, DISTINCT string arrays — the
+  * exact-Jaccard verification kernel of the dedup pipelines (d7, e11,
+  * r9). Equal to `size(array_intersect(a, b))` on such inputs (shingle
+  * arrays are distinct by construction — CharShingles builds a set —
+  * and sorted once at signature build), but evaluated as ONE
+  * allocation-free merge scan per pair instead of building a per-row
+  * hash set plus the materialized intersection array. Candidate pairs
+  * number 10⁴–10⁷ per ingest batch at corpus scale, so the per-pair
+  * constant is the operator's whole cost. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count needs two array<string> inputs, " +
+            s"got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCount = copy(left = l, right = r)
+}
+
 object expressions {
   import org.apache.spark.sql.GraftColumnBridge._
 
   /** Column-API wrappers. */
   def array_dot(a: Column, b: Column): Column =
     toColumn(ArrayDotProduct(toExpression(a), toExpression(b)))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toColumn(SortedIntersectCount(toExpression(a), toExpression(b)))
 
   def char_shingles(s: Column, n: Int): Column =
     toColumn(CharShingles(toExpression(s), n))

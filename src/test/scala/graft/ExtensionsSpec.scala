@@ -27,6 +27,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(sh === Seq("abc", "bcd", "cde"))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic pseudo-random distinct string sets, sorted — the
+    // exact contract bandSignatures guarantees for sh
+    val rows = (1 to 200).map { i =>
+      val a = (0 until 50).map(k => f"s${(i * 31 + k * 7) % 97}%02d").distinct.sorted
+      val b = (0 until 50).map(k => f"s${(i * 17 + k * 13) % 97}%02d").distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("fast", graft.plans.expressions.sorted_intersect_count($"a", $"b"))
+      .withColumn("ref", size(array_intersect($"a", $"b")))
+    assert(df.filter($"fast" =!= $"ref").count() === 0)
+    // edge shapes: empty, identical, disjoint
+    val edge = Seq(
+      (Seq.empty[String], Seq("x")),
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b"))).toDF("a", "b")
+      .withColumn("fast", graft.plans.expressions.sorted_intersect_count($"a", $"b"))
+      .withColumn("ref", size(array_intersect($"a", $"b")))
+    assert(edge.filter($"fast" =!= $"ref").count() === 0)
+  }
+
   test("foreachBatch incremental ingest appends dvid partitions") {
     val store = "/tmp/graft_stream_store"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
