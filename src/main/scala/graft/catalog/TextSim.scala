@@ -612,6 +612,32 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  // T12b: the SHARDED form of t12 — the shape t12's header promises at
+  // 100 TB: documents hash into `nShards` independent pack streams, the
+  // cumsum window partitions by shard (ONE shuffle keyed by shard, no
+  // global ordering anywhere in the plan), and pack identity is
+  // (shard, pack_in_shard). Packing quality is unchanged — every
+  // shard's stream packs to the same budget; what's traded away is only
+  // cross-shard pack numbering, the same trade any distributed
+  // tokenizer run makes.
+  private def t12bPackSharded(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256; val nShards = 8
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("int"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("offset_in_shard",
+        coalesce(sum("n_tokens").over(w), lit(0L)).cast("long"))
+      .withColumn("pack_in_shard", floor(col("offset_in_shard") / budget))
+      .withColumn("offset_in_pack", col("offset_in_shard") % budget)
+      .select("doc_id", "shard", "n_tokens", "offset_in_shard",
+        "pack_in_shard", "offset_in_pack")
+      .orderBy("doc_id")
+  }
+
   // T13: Gopher-style quality-rule flags (Rae et al. 2021 §A1.1 shape):
   // word-count window, mean-word-length window, symbol ratio, stopword
   // evidence — each rule a named 0/1 column plus the conjunction, so a
@@ -1061,6 +1087,7 @@ object TextSim {
     "t10_tfidf" -> (t10Tfidf(_, _)),
     "t11_vocab_prune" -> (t11VocabPrune(_, _)),
     "t12_pack_sequences" -> (t12PackSequences(_, _)),
+    "t12b_pack_sharded" -> (t12bPackSharded(_, _)),
     "t13_quality_rules" -> (t13QualityRules(_, _)),
     "t14_pii_redact" -> (t14PiiRedact(_, _)),
     "t15_repetition" -> (t15Repetition(_, _)),
@@ -1428,6 +1455,23 @@ object TextSim {
         |  FROM tok)
         |SELECT doc_id, n_tokens, "offset",
         |  "offset" // 256 AS pack_id, "offset" % 256 AS offset_in_pack
+        |FROM off ORDER BY doc_id""".stripMargin,
+    "t12b_pack_sharded" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    CAST(doc_id % 8 AS INT) AS shard
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS offset_in_shard
+        |  FROM tok)
+        |SELECT doc_id, shard, n_tokens, offset_in_shard,
+        |  offset_in_shard // 256 AS pack_in_shard,
+        |  offset_in_shard % 256 AS offset_in_pack
         |FROM off ORDER BY doc_id""".stripMargin,
     "t13_quality_rules" ->
       """WITH b AS (
