@@ -149,9 +149,18 @@ object Recommend {
             .join(excl, Seq("customer", "product"), "left_anti")
             .withColumn("cand_rn", row_number().over(candW))
             .filter(col("cand_rn") <= candidateCap)
-      lap("cand-materialize")(capped
+      val ck = lap("cand-materialize")(capped
         .select("customer", "acctbal", "product", "category", "price")
         .localCheckpoint(true))
+      // the checkpoint materializes the build's partitions 1:1, but AQE
+      // reports UnknownPartitioning at capture time — re-stamp the
+      // customer hash layout the build established (explicit
+      // REPARTITION_BY_NUM, never AQE-coalesced; every op after it is
+      // broadcast/narrow) so the strategy windows stay exchange-free
+      if (custBounded)
+        org.apache.spark.sql.GraftColumnBridge.withHashPartitioning(
+          ck, Seq("customer"), spark.sparkContext.defaultParallelism)
+      else ck
     }
 
   /** The full pipeline for a set of customers at a simulated month.

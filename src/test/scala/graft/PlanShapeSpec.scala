@@ -287,4 +287,22 @@ class PlanShapeSpec extends SparkSpec {
     // per-shard layout at scale keys it); the final orderBy reuses it
     assert(exchanges <= 2, s"packing re-shuffles ($exchanges):\n$plan")
   }
+
+  test("REC: candidates stay customer-partitioned; the strategy pipeline is exchange-free") {
+    import org.apache.spark.sql.functions._
+    val filter = pmod(col("c_custkey"), lit(50)) === 1
+    // the checkpointed candidate table must carry hashpartitioning(customer)
+    // — that is what makes every downstream strategy window exchange-free
+    val cands = graft.recommend.Recommend.candidates(spark, sfDir, filter, 2000)
+    val part = cands.queryExecution.executedPlan.outputPartitioning.toString
+    assert(part.toLowerCase.contains("hashpartitioning(customer"),
+      s"candidate checkpoint lost its partitioning: $part")
+    // the full strategy pipeline (score → cap → softmax → top-n) over it
+    // must plan with ZERO exchanges of any kind
+    val q1 = graft.recommend.Recommend.topK(spark, sfDir, "diverse",
+      customerFilter = filter, queryMonth = 12)
+    val plan = finalPlanString(q1)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 0, s"strategy pipeline shuffles ($exchanges):\n$plan")
+  }
 }
