@@ -26,7 +26,10 @@ object ColFns {
     * partition" is the operator's stated contract rather than an accident
     * the executor has to warn about. */
   def boundedGlobal(key: Column)(order: Column*): WindowSpec =
-    Window.partitionBy(pmod(xxhash64(key), lit(1))).orderBy(order: _*)
+    // coalesce: a null key must not mint a second (null-keyed) partition
+    // and silently split the frame the caller declared single-partition
+    Window.partitionBy(coalesce(pmod(xxhash64(key), lit(1)), lit(0L)))
+      .orderBy(order: _*)
 
   /** F1: snake_case a column *name* the way the reference normalizes CSV
     * headers (strip, replace "-"/" " with "_", lowercase). */
