@@ -184,7 +184,11 @@ object ScaleOps {
         val toMicros: Long => Long = tsField.getLogicalTypeAnnotation match {
           case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
             t.getUnit match {
-              case TimeUnit.NANOS  => n => Math.floorDiv(n, 1000L)
+              // truncating `/`, matching Tables.events' `ts div 1000`
+              // exactly (floorDiv would disagree on pre-epoch negatives);
+              // truncation is monotone non-decreasing, so footer min/max
+              // still commute with the conversion
+              case TimeUnit.NANOS  => n => n / 1000L
               case TimeUnit.MICROS => identity
               case TimeUnit.MILLIS => m => Math.multiplyExact(m, 1000L)
               case _ => return None

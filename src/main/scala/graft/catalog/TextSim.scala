@@ -193,13 +193,8 @@ object TextSim {
         .foreach(java.nio.file.Files.delete)
       finally walk.close()
     }
-    def lap[T](tag: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      if (sys.env.contains("GRAFT_E11_DEBUG"))
-        println(f"[e11] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    def lap[T](tag: String)(f: => T): T =
+      graft.core.Debug.lap("GRAFT_E11_DEBUG", tag)(f)
     val signed = lap("signatures")(bandSignatures(spark, dir))
     val isArrival = pmod(col("doc_id"), lit(3)) === 0
     // ONE persisted signature artifact — band signatures + shingle sets

@@ -46,10 +46,9 @@ object DegreeFeatures {
     * result joins back as a broadcast. */
   def degreePercentile(degrees: DataFrame): DataFrame = {
     val hist = degrees.groupBy("degree").agg(count(lit(1)).as("__cnt"))
-    val one = pmod(xxhash64(col("degree")), lit(1))
-    val wBelow = Window.partitionBy(one).orderBy(col("degree"))
+    val wBelow = ColFns.boundedGlobal(col("degree"))(col("degree"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(one)
+    val wAll = ColFns.boundedGlobal(col("degree"))(col("degree"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val pct = hist
       .withColumn("__below", coalesce(sum("__cnt").over(wBelow), lit(0L)))

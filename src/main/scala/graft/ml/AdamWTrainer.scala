@@ -33,6 +33,27 @@ import graft.functions.ColFns
   */
 object AdamWTrainer {
 
+  /** The broadcast-weights plumbing shared by `train` and the minibatch
+    * stream: one schema, one 1-row frame factory, one logit expression.
+    * A single definition keeps the frame's column names and the logit's
+    * col("w$i") references from ever drifting apart between the two
+    * training paths. */
+  private final case class WeightModel(features: Seq[String]) {
+    val schema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(
+        (features.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"w$i", org.apache.spark.sql.types.DoubleType, nullable = false)) :+
+          org.apache.spark.sql.types.StructField(
+            "wb", org.apache.spark.sql.types.DoubleType, nullable = false)).toArray)
+    def frame(s: org.apache.spark.sql.SparkSession,
+              w: Array[Double], b: Double): DataFrame =
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(w.toSeq :+ b)), schema)
+    def logit: Column = features.indices
+      .map(i => col(s"x$i") * col(s"w$i"))
+      .foldLeft(col("wb"): Column)(_ + _)
+  }
+
   /** `gradNorm` is the PRE-clip total norm — what torch's
     * clip_grad_norm_ returns and the reference would log; `clipped`
     * marks epochs where the norm exceeded max_norm and the applied
@@ -101,17 +122,9 @@ object AdamWTrainer {
       // bit-identical either way. This is also the honest 100 TB shape:
       // the model ships to executors as a broadcast row, never as code.
       val ss = data.sparkSession
-      val wSchema = org.apache.spark.sql.types.StructType(
-        (features.indices.map(i => org.apache.spark.sql.types.StructField(
-          s"w$i", org.apache.spark.sql.types.DoubleType, nullable = false)) :+
-          org.apache.spark.sql.types.StructField(
-            "wb", org.apache.spark.sql.types.DoubleType, nullable = false)).toArray)
-      def weightFrame: DataFrame = ss.createDataFrame(
-        java.util.Collections.singletonList(
-          org.apache.spark.sql.Row.fromSeq(w.toSeq :+ b)), wSchema)
-      def logit: Column = features.indices
-        .map(i => col(s"x$i") * col(s"w$i"))
-        .foldLeft(col("wb"): Column)(_ + _)
+      val wm = WeightModel(features)
+      def weightFrame: DataFrame = wm.frame(ss, w, b)
+      def logit: Column = wm.logit
 
       var epoch = 0
       var stopped = false
@@ -284,17 +297,10 @@ object AdamWTrainer {
       // micro-batch step's plan stays source-identical, so the per-step
       // aggregate compiles once and hits the codegen cache thereafter
       // (see the same pattern in `train`)
-      val wSchema = org.apache.spark.sql.types.StructType(
-        (features.indices.map(i => org.apache.spark.sql.types.StructField(
-          s"w$i", org.apache.spark.sql.types.DoubleType, nullable = false)) :+
-          org.apache.spark.sql.types.StructField(
-            "wb", org.apache.spark.sql.types.DoubleType, nullable = false)).toArray)
+      val wm = WeightModel(features)
       def weightFrame(s: org.apache.spark.sql.SparkSession): DataFrame =
-        s.createDataFrame(java.util.Collections.singletonList(
-          org.apache.spark.sql.Row.fromSeq(w.toSeq :+ b)), wSchema)
-      def logitCol: Column = features.indices
-        .map(i => col(s"x$i") * col(s"w$i"))
-        .foldLeft(col("wb"): Column)(_ + _)
+        wm.frame(s, w, b)
+      def logitCol: Column = wm.logit
       // one cloned session per trainer: the stream's shuffle-partition
       // pin must not leak into the shared session
       val ss = spark.newSession()

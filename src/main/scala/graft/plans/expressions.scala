@@ -361,10 +361,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      // null ELEMENTS are skipped, never matched (shingle arrays carry
+      // none — CharShingles builds containsNull=false — but a parquet
+      // round-trip relaxes the schema to nullable, so stay defensive
+      // instead of NPE-ing mid-task)
+      val x = a.getUTF8String(i)
+      if (x == null) i += 1
+      else {
+        val y = b.getUTF8String(j)
+        if (y == null) j += 1
+        else {
+          val cmp = x.compareTo(y)
+          if (cmp == 0) { c += 1; i += 1; j += 1 }
+          else if (cmp < 0) i += 1
+          else j += 1
+        }
+      }
     }
     c
   }

@@ -71,13 +71,8 @@ object Recommend {
                  candidateCap: Int): DataFrame =
     graft.core.AppCache.get(candCache, (spark.sparkContext.applicationId,
         dir, customerFilter.toString, candidateCap)) {
-      def lap[T](tag: String)(f: => T): T = {
-        val t0 = System.nanoTime()
-        val r = f
-        if (sys.env.contains("GRAFT_REC_DEBUG"))
-          println(f"[rec] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
-      }
+      def lap[T](tag: String)(f: => T): T =
+        graft.core.Debug.lap("GRAFT_REC_DEBUG", tag)(f)
       val cust = Tables.customer(spark, dir).filter(customerFilter)
         .select(col("c_custkey").as("customer"), col("c_acctbal").as("acctbal"))
       val parts = validProducts(Tables.part(spark, dir))
@@ -121,46 +116,42 @@ object Recommend {
       val keepFrac = least(lit(1.0),
         lit(13.0 * candidateCap / 10.0) /
           greatest(col("np"), lit(1L)).cast("double"))
-      // Bounded path: hash-partition the customer slice by `customer`
-      // FIRST, expand against a NARROW broadcast of product ids only, and
-      // attach category/price AFTER the cap via a second broadcast join
-      // (the catalog already broadcasts in the enrichment join). The
-      // |cust|×|parts| expansion, the hash pre-filter, the anti-join, and
-      // the cap window's per-customer sort then all run in ONE
-      // exchange-free stage over 16-byte rows — hashpartitioning(customer)
-      // satisfies every downstream customer-clustered window, so the plan
-      // never shuffles the expanded rows at all. The broadcasts ride the
-      // SAME bounded-slice guard as `excl`; an unbounded full-corpus run
-      // takes the shuffled crossJoin with attributes inline.
-      val capped =
-        if (custBounded)
-          cust.repartition(spark.sparkContext.defaultParallelism, col("customer"))
-            .crossJoin(broadcast(parts.select("product")))
-            .crossJoin(broadcast(np))
-            .filter(candU < keepFrac)
-            .join(excl, Seq("customer", "product"), "left_anti")
-            .withColumn("cand_rn", row_number().over(candW))
-            .filter(col("cand_rn") <= candidateCap)
-            .join(broadcast(parts), Seq("product"))
+      // Expansion shape, by slice size. Bounded-and-wide (the normal
+      // serving batch): hash-partition the customer slice by `customer`
+      // FIRST and expand against a NARROW broadcast of product ids — the
+      // expansion, hash pre-filter, anti-join, and cap window then run
+      // in ONE exchange-free stage over 16-byte rows, and
+      // hashpartitioning(customer) satisfies every downstream
+      // customer-clustered window. Bounded-but-tiny (a handful of
+      // customers): that shape would serialize the |parts|-sized
+      // expansion into |cust| tasks, so flip it — partition the PRODUCT
+      // ids and broadcast the slice; the cap window's exchange returns,
+      // but over ≤ |slice|·1.3·cap rows. Unbounded: plain shuffled
+      // crossJoin, nothing force-broadcast. category/price attach AFTER
+      // the cap (broadcast in the bounded shapes — the catalog already
+      // broadcasts in the enrichment join).
+      val par = spark.sparkContext.defaultParallelism
+      val partIds = parts.select("product")
+      val crossed =
+        if (!custBounded) cust.crossJoin(partIds)
+        else if (custN >= par * 4L)
+          cust.repartition(par, col("customer")).crossJoin(broadcast(partIds))
         else
-          cust.crossJoin(parts)
-            .crossJoin(np)
-            .filter(candU < keepFrac)
-            .join(excl, Seq("customer", "product"), "left_anti")
-            .withColumn("cand_rn", row_number().over(candW))
-            .filter(col("cand_rn") <= candidateCap)
-      val ck = lap("cand-materialize")(capped
-        .select("customer", "acctbal", "product", "category", "price")
-        .localCheckpoint(true))
-      // the checkpoint materializes the build's partitions 1:1, but AQE
-      // reports UnknownPartitioning at capture time — re-stamp the
-      // customer hash layout the build established (explicit
-      // REPARTITION_BY_NUM, never AQE-coalesced; every op after it is
-      // broadcast/narrow) so the strategy windows stay exchange-free
-      if (custBounded)
-        org.apache.spark.sql.GraftColumnBridge.withHashPartitioning(
-          ck, Seq("customer"), spark.sparkContext.defaultParallelism)
-      else ck
+          partIds.repartition(par).crossJoin(broadcast(cust))
+      val capped = crossed
+        .crossJoin(broadcast(np))
+        .filter(candU < keepFrac)
+        .join(excl, Seq("customer", "product"), "left_anti")
+        .withColumn("cand_rn", row_number().over(candW))
+        .filter(col("cand_rn") <= candidateCap)
+        .join(if (custBounded) broadcast(parts) else parts, Seq("product"))
+      // checkpoint keeping whatever hash layout the build established
+      // (derived from the executed plan, not asserted) — in both bounded
+      // shapes that is hashpartitioning(customer), so the strategy
+      // windows downstream stay exchange-free
+      lap("cand-materialize")(
+        org.apache.spark.sql.GraftColumnBridge.checkpointKeepingPartitioning(
+          capped.select("customer", "acctbal", "product", "category", "price")))
     }
 
   /** The full pipeline for a set of customers at a simulated month.

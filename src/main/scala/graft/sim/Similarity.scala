@@ -56,13 +56,13 @@ object Similarity {
     * `row_number().over(Window.orderBy(u, cid)) <= n` formulation the
     * DuckDB oracle mirrors keep. */
   def hashRankedPick(cands: DataFrame, n: Int, salt: Long,
-                     rankName: String): DataFrame = {
+                     rankName: String, idCol: String = "cid"): DataFrame = {
     import graft.functions.ColFns
-    val u = ColFns.pseudoUniform(col("cid"), salt)
+    val u = ColFns.pseudoUniform(col(idCol), salt)
     cands.withColumn("__u", u)
-      .orderBy(col("__u").asc, col("cid").asc).limit(n)
+      .orderBy(col("__u").asc, col(idCol).asc).limit(n)
       .withColumn(rankName, row_number().over(
-        ColFns.boundedGlobal(col("cid"))(col("__u").asc, col("cid").asc)))
+        ColFns.boundedGlobal(col(idCol))(col("__u").asc, col(idCol).asc)))
       .drop("__u")
   }
 
@@ -479,13 +479,17 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     val sp = vectors.sparkSession
     import sp.implicits._
-    // cache: KMeans makes maxIter passes and the quantizer input feeds
-    // the fit AND the corpus assignment — without this every pass
-    // replays the parquet scan + array→vector cast
+    // localCheckpoint, not cache(): KMeans makes maxIter passes and the
+    // quantizer input feeds the fit AND the corpus assignment — without
+    // materialization every pass replays the parquet scan + array→vector
+    // cast. Checkpoint blocks are freed by the ContextCleaner when the
+    // frame goes unreferenced, whereas a dropped cache() reference would
+    // pin a corpus copy in the CacheManager for the app's lifetime on
+    // every invocation.
     val base = vectors.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("v")))
-      .cache()
+      .localCheckpoint(true)
     // a coarse quantizer only has to balance the lists, not converge —
     // 8 Lloyd passes is plenty for an ANN routing table
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)

@@ -11,31 +11,65 @@ object GraftColumnBridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
 
-  /** Re-stamp a localCheckpoint'ed DataFrame's `LogicalRDD` with the
-    * hash partitioning its build plan guaranteed. Under AQE the adaptive
-    * plan reports `UnknownPartitioning` until execution finishes, so the
-    * checkpoint captures Unknown and every downstream window re-shuffles
-    * data the build already co-located. The caller asserts the layout it
-    * created (the checkpoint materializes the build plan's output
-    * partitions 1:1 — `localCheckpoint` caches the executed RDD's
-    * partitions as they are); a wrong claim would mis-cluster windows,
-    * so use ONLY straight after checkpointing a frame whose plan ends in
-    * `repartition(n, cols…)`-established partitioning. No-op for frames
-    * that are not checkpoint scans. */
-  def withHashPartitioning(df: DataFrame, cols: Seq[String],
-                           numParts: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+  /** localCheckpoint that KEEPS the build plan's hash partitioning.
+    * Under AQE the adaptive plan reports `UnknownPartitioning` until
+    * execution finishes, so a plain `localCheckpoint` captures Unknown
+    * and every downstream window re-shuffles data the build already
+    * co-located. This checkpoint first materializes, then reads the
+    * now-final executed plan's `outputPartitioning` — DERIVED from what
+    * actually ran, never asserted by the caller — and stamps it onto the
+    * checkpoint's `LogicalRDD` when (and only when) it is a hash
+    * partitioning whose expressions are plain attributes surviving into
+    * the checkpoint's output (matched by exprId, so a renamed or
+    * computed key safely falls back to the plain checkpoint). The
+    * checkpoint caches the executed RDD's partitions 1:1, so the
+    * recorded layout is exactly the materialized one. */
+  def checkpointKeepingPartitioning(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      CoalescedHashPartitioning, HashPartitioning, Partitioning}
     import org.apache.spark.sql.execution.LogicalRDD
-    df.queryExecution.optimizedPlan match {
-      case lr: LogicalRDD =>
-        val attrs = cols.map(c => lr.output.find(_.name == c).getOrElse(
-          return df))
+    val ck = df.localCheckpoint(true)
+    // localCheckpoint executed df's OWN QueryExecution, so the adaptive
+    // plan is final here — but AdaptiveSparkPlanExec keeps REPORTING
+    // UnknownPartitioning from the wrapper, so read the layout off the
+    // executed inner plan
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val lr = ck.queryExecution.optimizedPlan match {
+      case l: LogicalRDD => l
+      case _ => return ck
+    }
+    val byId = lr.output.map(a => a.exprId -> a).toMap
+    // attributes must survive into the checkpoint's output (matched by
+    // exprId); anything else — computed keys, dropped columns — falls
+    // back to the plain checkpoint
+    def remap(hp: HashPartitioning): Option[HashPartitioning] = {
+      val atts = hp.expressions.map {
+        case a: Attribute => byId.get(a.exprId)
+        case _ => None
+      }
+      if (atts.exists(_.isEmpty)) None
+      else Some(HashPartitioning(atts.map(_.get), hp.numPartitions))
+    }
+    val stampedPart: Option[Partitioning] = finalPlan.outputPartitioning match {
+      case hp: HashPartitioning => remap(hp)
+      // AQE-coalesced shuffle reads: same hash clustering, merged
+      // buckets — keep the coalesced description 1:1 with the RDD
+      case chp: CoalescedHashPartitioning =>
+        remap(chp.from).map(CoalescedHashPartitioning(_, chp.partitions))
+      case _ => None
+    }
+    stampedPart match {
+      case Some(p) =>
         val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
-        val stamped = new LogicalRDD(lr.output, lr.rdd,
-          HashPartitioning(attrs, numParts), Nil, lr.isStreaming, None)(
-          spark, None, None)
+        val stamped = new LogicalRDD(lr.output, lr.rdd, p, Nil,
+          lr.isStreaming, None)(spark, None, None)
         classic.Dataset.ofRows(spark, stamped)
-      case _ => df
+      case None => ck
     }
   }
 }

@@ -22,6 +22,17 @@ class GraphLinksSpec extends SparkSpec {
     assert(degSum === 2 * g.edges.count())
   }
 
+  test("histogram degreePercentile is bit-equal to the global percent_rank") {
+    import org.apache.spark.sql.expressions.Window
+    val deg = DegreeFeatures.degrees(g.edges)
+    val viaHist = DegreeFeatures.degreePercentile(deg).select($"id", $"degree_pct")
+    val direct = deg.withColumn("expected",
+      round(percent_rank().over(Window.orderBy($"degree")), 6))
+      .select($"id", $"expected")
+    assert(viaHist.join(direct, "id")
+      .filter($"degree_pct" =!= $"expected").count() === 0)
+  }
+
   test("cached pair view equals the 2-hop edge traversal") {
     val fromEdges = Links.positivePairs(g.edges)
     val cached = Links.positivePairsCached(spark, sfDir)
