@@ -44,6 +44,36 @@ object ScaleOps {
       .orderBy("flag_name")
   }
 
+  // J13: bucketed co-located join — the "pre-shuffle once, join many
+  // times free" piece of the 100 TB design as a first-class entry: both
+  // sides of the recurring orders⋈lineitem join are written as
+  // bucketed+sorted managed tables, and the join itself runs with NO
+  // exchange on either side (ScaleMechanicsSpec asserts the plan;
+  // Bucketing.hasShuffle is the hook). Bucketing is plan-level physics
+  // only — rows identical to the plain join, which is exactly what the
+  // oracle replays. Aggregates are chosen exact (counts, integer-valued
+  // quantity sums, max) so the hash gate is float-order-proof. Table
+  // names are dir-scoped: one session benches several SFs.
+  private def j13BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    graft.functions.Bucketing.writeBucketed(orders, s"j13_orders_$tag",
+      "o_orderkey", 8)
+    graft.functions.Bucketing.writeBucketed(li, s"j13_lineitem_$tag",
+      "o_orderkey", 8)
+    graft.functions.Bucketing.bucketedJoin(spark,
+        s"j13_orders_$tag", s"j13_lineitem_$tag", "o_orderkey")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum("l_quantity").as("total_qty"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_custkey")
+  }
+
   // J11: as-of join — for each purchase event, the latest click of the
   // same user at-or-before the purchase time. The scalable shape: tag
   // both sides, ONE shuffle on user_id, and a running last(ignoreNulls)
@@ -324,6 +354,7 @@ object ScaleOps {
 
   val queries: Map[String, Q] = Map(
     "j10_salted_skew_join" -> (j10SaltedJoin(_, _)),
+    "j13_bucketed_join" -> (j13BucketedJoin(_, _)),
     "j11_asof_join" -> (j11AsOfJoin(_, _)),
     "j12_range_join" -> (j12RangeJoin(_, _)),
     "sim_recall_eval" -> (simRecallEval(_, _)),
@@ -347,6 +378,12 @@ object ScaleOps {
         |FROM ontime o, b
         |WHERE epoch_us(date_trunc('hour', o.ts)) + 3600000000 < b.tmax - 7200000000
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "j13_bucketed_join" ->
+      """SELECT o.o_custkey, count(*) AS n_items,
+        |  sum(l.l_quantity) AS total_qty,
+        |  max(o.o_totalprice) AS max_price
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_custkey ORDER BY o.o_custkey""".stripMargin,
     "j10_salted_skew_join" ->
       """WITH dim AS (
         |  SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS flag_name FROM lineitem)
