@@ -231,6 +231,16 @@ class PlanShapeSpec extends SparkSpec {
       s"serve stage rescans the corpus: $scanned")
   }
 
+  test("SIM trained: the KMeans index serves from artifacts only, centroids broadcast") {
+    val df = graft.catalog.TextSim.queries("sim_ivf_trained")(spark, sfDir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("BroadcastExchange"), s"centroid table not broadcast:\n$plan")
+    val scanned = scans(df).flatMap(_.metadata.get("Location")).mkString
+    assert(scanned.contains("graft_artifacts"), s"no artifact scan found: $scanned")
+    assert(!scanned.contains("embeddings.parquet"),
+      s"serve stage rescans the corpus: $scanned")
+  }
+
   test("SIM filtered: label predicate pre-filters the list scan, centroids broadcast") {
     val df = graft.catalog.TextSim.queries("sim_filtered_ivf")(spark, sfDir)
     val plan = finalPlanString(df)
