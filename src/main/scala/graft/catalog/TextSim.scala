@@ -633,6 +633,28 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  // T17: deterministic corpus shuffle + sharding — the LAST step of a
+  // training-data pipeline: every document gets a reproducible
+  // pseudo-random position, as (shard, pos_in_shard) with shard = hash
+  // bucket and pos = rank of a second hash within the shard. Pure hash
+  // math end to end, so the order is independent of partitioning,
+  // retries, and cluster size (the trap a rand()-based shuffle falls
+  // into); physically ONE shard-keyed shuffle, each shard sorting its
+  // own slice — no global ordering anywhere.
+  private def t17ShuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 16
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("u", graft.functions.ColFns.pseudoUniform(col("doc_id"), 97L))
+      .withColumn("shard",
+        floor(graft.functions.ColFns.pseudoUniform(col("doc_id"), 131L) * nShards)
+          .cast("int"))
+    val w = Window.partitionBy("shard").orderBy(col("u").asc, col("doc_id").asc)
+    docs.withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   // T13: Gopher-style quality-rule flags (Rae et al. 2021 §A1.1 shape):
   // word-count window, mean-word-length window, symbol ratio, stopword
   // evidence — each rule a named 0/1 column plus the conjunction, so a
@@ -1083,6 +1105,7 @@ object TextSim {
     "t11_vocab_prune" -> (t11VocabPrune(_, _)),
     "t12_pack_sequences" -> (t12PackSequences(_, _)),
     "t12b_pack_sharded" -> (t12bPackSharded(_, _)),
+    "t17_shuffle_shards" -> (t17ShuffleShards(_, _)),
     "t13_quality_rules" -> (t13QualityRules(_, _)),
     "t14_pii_redact" -> (t14PiiRedact(_, _)),
     "t15_repetition" -> (t15Repetition(_, _)),
@@ -1451,6 +1474,17 @@ object TextSim {
         |SELECT doc_id, n_tokens, "offset",
         |  "offset" // 256 AS pack_id, "offset" % 256 AS offset_in_pack
         |FROM off ORDER BY doc_id""".stripMargin,
+    "t17_shuffle_shards" -> {
+      val u = graft.functions.ColFns.pseudoUniformSql("doc_id", 97L)
+      val us = graft.functions.ColFns.pseudoUniformSql("doc_id", 131L)
+      s"""WITH d AS (
+         |  SELECT doc_id, $u AS u,
+         |    CAST(floor($us * 16) AS INT) AS shard
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY u ASC, doc_id ASC) - 1 AS pos
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "t12b_pack_sharded" ->
       """WITH tok AS (
         |  SELECT doc_id,
