@@ -8,6 +8,38 @@ import org.apache.spark.sql.functions._
 class ScaleMechanicsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("checkpointKeepingPartitioning: rows identical, layout kept, window exchange-free") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val df = spark.range(500).toDF("id")
+      .withColumn("k", pmod($"id", lit(7)))
+      .repartition(4, $"k")
+    val ck = GraftColumnBridge.checkpointKeepingPartitioning(df)
+    // contents are exactly the input's
+    assert(ck.count() === 500)
+    assert(ck.exceptAll(df).count() === 0 && df.exceptAll(ck).count() === 0)
+    // the checkpoint reports the hash layout the build established
+    val part = ck.queryExecution.executedPlan.outputPartitioning.toString
+    assert(part.toLowerCase.contains("hashpartitioning(k"),
+      s"layout lost through the checkpoint: $part")
+    // a k-clustered window over it plans with no exchange and ranks
+    // correctly (every k gets a dense 1..n run — the property a falsely
+    // stamped layout would corrupt)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")
+    val ranked = ck.withColumn("rn", row_number().over(w)).cache()
+    try {
+      val plan = {
+        ranked.collect()
+        ranked.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      }
+      assert(!plan.contains("Exchange"), s"window re-shuffled:\n$plan")
+      val badRuns = ranked.groupBy("k")
+        .agg(count(lit(1)).as("n"), max("rn").as("mx"),
+          countDistinct("rn").as("d"))
+        .filter($"mx" =!= $"n" || $"d" =!= $"n").count()
+      assert(badRuns === 0, "window ranks fragmented across partitions")
+    } finally { ranked.unpersist(); () }
+  }
+
   test("salted join equals the plain join") {
     import graft.functions.Skew
     // heavy skew: 90% of facts share one key
