@@ -564,7 +564,8 @@ object GraphML {
     val r = fit(spark, dir, "gbt")
     val persisted = artifact(spark, dir, "m1_scored",
       r.scoredVal.select(col("label"), p1Col.as("p")))
-    val aucV = graft.ml.Metrics.auc(persisted, "label", col("p"))
+    val aucV = graft.ml.Metrics.auc(persisted, "label", col("p"),
+      bounds = Some((0.0, 1.0)))
     graft.ml.Metrics.confusion(persisted, "label", col("p"), 0.5)
       .withColumn("auc", round(lit(aucV), 6))
   }
@@ -598,7 +599,8 @@ object GraphML {
   // accuracy recomputed from the bits.
   private def m7bMlpDeterministic(spark: SparkSession, dir: String): DataFrame = {
     val persisted = artifact(spark, dir, "m7_scored", m7Fit(spark, dir).scoredVal)
-    val aucV = graft.ml.Metrics.auc(persisted, "label", col("p"))
+    val aucV = graft.ml.Metrics.auc(persisted, "label", col("p"),
+      bounds = Some((0.0, 1.0)))
     persisted.agg(
       count(lit(1)).as("n_val"),
       sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_correct"))

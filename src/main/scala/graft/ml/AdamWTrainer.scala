@@ -170,7 +170,8 @@ object AdamWTrainer {
 
         val auc = Metrics.auc(valDf.crossJoin(broadcast(weightFrame))
           .select(col("y").as("label"),
-            (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"))
+            (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"),
+          bounds = Some((0.0, 1.0)))
         // checkpoint on STRICT improvement (reference keeps the best
         // model whenever val AUC beats the running best; the 1e-4
         // threshold belongs to the scheduler only) — so bestAuc is
@@ -356,7 +357,8 @@ object AdamWTrainer {
       val auc = Metrics.auc(
         valDf.crossJoin(broadcast(weightFrame(spark)))
           .select(col("y").as("label"),
-            (lit(1.0) / (lit(1.0) + exp(-logitCol))).as("p")), "label", col("p"))
+            (lit(1.0) / (lit(1.0) + exp(-logitCol))).as("p")), "label", col("p"),
+        bounds = Some((0.0, 1.0)))
       StreamResult(w, b, log.result(), auc)
     } finally frame.unpersist()
   }

@@ -195,10 +195,12 @@ object LinkPredict {
     val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1)
     val scoredTrain = model.transform(train)
     val scoredVal = model.transform(test)
-    val aucTrain = timed("auc train")(Metrics.auc(scoredTrain, "label", p1))
+    val aucTrain = timed("auc train")(
+      Metrics.auc(scoredTrain, "label", p1, bounds = Some((0.0, 1.0))))
     // val side: ROC + PR in one grouped pass (vs a Metrics.auc pass plus
     // MLlib's multi-stage BinaryClassificationMetrics pipeline)
-    val (aucVal, prVal) = timed("aucs val")(Metrics.binaryAucs(scoredVal, "label", p1))
+    val (aucVal, prVal) = timed("aucs val")(
+      Metrics.binaryAucs(scoredVal, "label", p1, bounds = Some((0.0, 1.0))))
     val gap = aucTrain - aucVal
     val metrics = Map(
       "n_train" -> classCounts.values.sum.toDouble, "n_test" -> test.count().toDouble,

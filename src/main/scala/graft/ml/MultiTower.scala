@@ -64,13 +64,13 @@ object MultiTower {
       val model = pipeline.fit(train)
       val scored = model.transform(test).cache()
       val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1)
-      val auc = Metrics.auc(scored, "label", p1)
+      val auc = Metrics.auc(scored, "label", p1, bounds = Some((0.0, 1.0)))
       // train-side AUC feeds the reference's overfit gate
       // (xgboost_training_for_big_data.py:523-529: reject when
       // train_auc - val_auc > 0.06) applied to the MLP approximation —
       // the same acceptance shape the reference imposes on its NN.
       val scoredTrain = model.transform(train)
-      val aucTrain = Metrics.auc(scoredTrain, "label", p1)
+      val aucTrain = Metrics.auc(scoredTrain, "label", p1, bounds = Some((0.0, 1.0)))
       val gap = aucTrain - auc
       val acc = scored.filter(col("prediction") === col("label")).count().toDouble /
         math.max(scored.count(), 1L)
