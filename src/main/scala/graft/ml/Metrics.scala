@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,18 +8,33 @@ import org.apache.spark.sql.functions._
   * (SURVEY §2.11 M4). ROC-AUC is computed as the Mann–Whitney U
   * statistic with average ranks for ties, which is mathematically
   * identical to the trapezoidal area under the tie-grouped ROC curve
-  * (what MLlib's BinaryClassificationMetrics integrates) — but in one
-  * groupBy + one window pass instead of MLlib's multi-job
-  * sortByKey/binning pipeline, which dominates wall time on small
-  * scored sets and shuffles once per call at scale.
+  * (what MLlib's BinaryClassificationMetrics integrates). The heavy
+  * pass is always ONE shuffle that collapses rows to the tie-grouped
+  * score histogram; the rank/curve arithmetic over that histogram runs
+  * in whichever of two exact shapes fits its size:
+  *
+  *  - ≤ MaxDriverHist distinct scores: the histogram comes back to the
+  *    driver (a `take` one past the bound proves the size) and the
+  *    statistic is finished locally — one job, no windows. This is the
+  *    per-epoch trainer path.
+  *  - larger: a two-level exact prefix sum — a window PARTITIONED BY a
+  *    1024-way range bucket ranks within buckets, and the constant-size
+  *    per-bucket subtotals are combined on the driver. No step is ever
+  *    single-partition or data-proportional on the driver.
+  *
+  * Both shapes sum the same half-integer rank terms (all below 2^52),
+  * so the result is bit-identical to the flat Σ npos·avg_rank the
+  * DuckDB oracles compute, under any aggregation order.
   */
 object Metrics {
 
-  /** Range buckets for the score histogram: a constant fan-out that
-    * keeps every window in this file partitioned by bucket (≤ |distinct
-    * scores| / ~NBuckets rows each at uniform spread) and every
-    * driver-side finish bounded by NBuckets rows — config-bounded, never
-    * data-proportional, at any corpus size. */
+  /** Driver-finish bound on |distinct scores|: ~3 MB of (s, n, npos)
+    * rows. Constant, never data-derived — histograms past it take the
+    * distributed path. */
+  private val MaxDriverHist = 131072
+
+  /** Range-bucket count for the distributed path's partitioned windows
+    * and its driver-combined subtotal frame. */
   private val NBuckets = 1024
 
   /** Monotone bucket id for `s` in [lo, hi] (clamped outside). Any
@@ -33,36 +48,66 @@ object Metrics {
     else lit(0)
   }
 
-  /** Exact ROC-AUC of `scoreCol` against a 0/1 `labelCol`, as the
-    * Mann–Whitney U statistic over the tie-grouped score histogram.
+  /** Tie-grouped score histogram: the one full-data pass. */
+  private def histogram(scored: DataFrame, labelCol: String,
+                        scoreCol: Column): DataFrame =
+    scored.select(col(labelCol).cast("double").as("y"),
+        scoreCol.cast("double").as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("npos"))
+
+  /** One `take` past the driver bound: Some(whole histogram, ascending)
+    * when it fits, None when it is proved data-sized. */
+  private def takeHist(hist: DataFrame): Option[Array[(Double, Long, Double)]] = {
+    val sample = hist.take(MaxDriverHist + 1)
+    if (sample.length > MaxDriverHist) None
+    else Some(sample.map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1))
+  }
+
+  /** Exact Mann–Whitney numerator terms from an ascending histogram:
+    * (Σ npos·avg_rank, Σ npos, Σ n). */
+  private def rankStats(asc: Array[(Double, Long, Double)]): (Double, Double, Long) = {
+    var before = 0L; var rankPos = 0.0; var np = 0.0; var nTot = 0L
+    asc.foreach { case (_, n, npos) =>
+      rankPos += npos * (before + (n + 1.0) / 2.0)
+      before += n; np += npos; nTot += n
+    }
+    (rankPos, np, nTot)
+  }
+
+  private def finishRoc(rankPos: Double, np: Double, nn: Double): Double =
+    if (np == 0 || nn == 0) 0.0
+    else (rankPos - np * (np + 1.0) / 2.0) / (np * nn)
+
+  /** Exact ROC-AUC of `scoreCol` against a 0/1 `labelCol`.
     *
-    * Two-level exact prefix sum (no single-partition step anywhere):
-    * one shuffle groups rows by distinct score; a window PARTITIONED BY
-    * range bucket ranks within each bucket; the ≤NBuckets per-bucket
-    * subtotals (count, positives, within-bucket rank mass) come back to
-    * the driver, which adds the cross-bucket offsets in bucket order.
-    * Every term is a half-integer below 2^52, so the split sum is
-    * bit-identical to the flat Σ npos·avg_rank the DuckDB oracles
-    * compute, under any aggregation order.
-    *
-    * Pass `bounds` when the score's range is known a priori (model
-    * probabilities are (0,1)): bucketing then needs no min/max pass and
-    * the whole statistic is ONE job — the shape iterative trainers call
-    * every epoch. Without it, a cached min/max pass runs first. */
+    * `bounds`: the score's a-priori range when known (model
+    * probabilities are (0,1)) — only the distributed fallback needs it
+    * (for min/max-free bucketing); the driver path ignores it. */
   def auc(scored: DataFrame, labelCol: String, scoreCol: Column,
           bounds: Option[(Double, Double)] = None): Double = {
-    val byScore = scored.select(col(labelCol).cast("double").as("y"), scoreCol.as("s"))
-      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("npos"))
+    val byScore = histogram(scored, labelCol, scoreCol)
+    takeHist(byScore) match {
+      case Some(asc) =>
+        val (rankPos, np, nTot) = rankStats(asc)
+        finishRoc(rankPos, np, nTot - np)
+      case None => aucDistributed(byScore, bounds)
+    }
+  }
+
+  /** Distributed two-level exact prefix: within-bucket rank mass via a
+    * bucket-partitioned window, cross-bucket offsets added on the
+    * driver from the ≤NBuckets subtotals. */
+  private def aucDistributed(byScore: DataFrame,
+                             bounds: Option[(Double, Double)]): Double = {
     val hist = if (bounds.isEmpty) byScore.cache() else byScore
     try {
       val (lo, hi) = bounds.getOrElse {
-        val st = hist.agg(min(col("s").cast("double")),
-          max(col("s").cast("double"))).head()
+        val st = hist.agg(min("s"), max("s")).head()
         if (st.isNullAt(0)) return 0.0
         (st.getDouble(0), st.getDouble(1))
       }
-      // average rank of a tied group = (#rows before it) + (n+1)/2;
-      // within-bucket rank mass here, cross-bucket offset on the driver
+      // average rank of a tied group = (#rows before it) + (n+1)/2
       val wIn = Window.partitionBy("bkt").orderBy("s")
         .rowsBetween(Window.unboundedPreceding, -1)
       val perBucket = hist.withColumn("bkt", bucketCol(lo, hi))
@@ -77,33 +122,52 @@ object Metrics {
         rankPos += rp + off.toDouble * bp
         off += bn; np += bp; nTot += bn
       }
-      val nn = nTot - np
-      if (np == 0 || nn == 0) 0.0
-      else (rankPos - np * (np + 1.0) / 2.0) / (np * nn)
+      finishRoc(rankPos, np, (nTot - np).toDouble)
     } finally if (bounds.isEmpty) hist.unpersist()
   }
 
-  /** ROC-AUC and PR-AUC together over one cached score histogram.
-    * ROC is the same Mann–Whitney statistic as `auc`; PR-AUC is the
+  /** ROC-AUC and PR-AUC together from one histogram pass. PR-AUC is the
     * trapezoidal area over the tie-grouped precision-recall curve with
-    * MLlib's (0, p₁) starting point — computed exactly over every
-    * distinct score instead of MLlib's 1000-bin downsampling.
-    *
-    * Same two-level shape as `auc`: per-bucket totals (≤NBuckets rows)
-    * come to the driver once; cross-bucket prefix offsets and the
-    * neighbor values each bucket's LAST row needs for its PR trapezoid
-    * (the next non-empty bucket's first row — whose cumulative counts
-    * are pure functions of the offsets) go back as a broadcast join, so
-    * the curve itself is assembled by windows partitioned by bucket. */
+    * MLlib's (0, p₁) starting point — exact over every distinct score
+    * instead of MLlib's 1000-bin downsampling. Same two shapes as
+    * `auc`. */
   def binaryAucs(scored: DataFrame, labelCol: String, scoreCol: Column,
                  bounds: Option[(Double, Double)] = None): (Double, Double) = {
-    val byScore = scored.select(col(labelCol).cast("double").as("y"), scoreCol.as("s"))
-      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("npos"))
-      .cache()
+    val byScore = histogram(scored, labelCol, scoreCol)
+    takeHist(byScore) match {
+      case Some(asc) =>
+        val (rankPos, np, nTot) = rankStats(asc)
+        if (np == 0 || np == nTot) return (0.0, 0.0)
+        // descending traversal builds the PR curve exactly as the
+        // reference's sweep does: first (highest-score) group seeds the
+        // (0, p₁) start, each later group closes one trapezoid
+        var cn = 0L; var cp = 0.0; var prevR = 0.0; var prevP = 0.0
+        var prAuc = 0.0; var first = true
+        asc.reverseIterator.foreach { case (_, n, npos) =>
+          cn += n; cp += npos
+          val recall = cp / np
+          val prec = cp / cn
+          if (first) { prevP = prec; first = false }
+          prAuc += (recall - prevR) * (prec + prevP) / 2.0
+          prevR = recall; prevP = prec
+        }
+        (finishRoc(rankPos, np, nTot - np), prAuc)
+      case None => binaryAucsDistributed(byScore, bounds)
+    }
+  }
+
+  /** Distributed PR/ROC: per-bucket totals come to the driver once;
+    * cross-bucket prefix offsets and the neighbor values each bucket's
+    * LAST row needs for its PR trapezoid (the next non-empty bucket's
+    * first row — whose cumulative counts are pure functions of the
+    * offsets) go back as a broadcast join, so the curve is assembled by
+    * windows partitioned by bucket. */
+  private def binaryAucsDistributed(byScore0: DataFrame,
+                                    bounds: Option[(Double, Double)]): (Double, Double) = {
+    val byScore = byScore0.cache()
     try {
       val (lo, hi) = bounds.getOrElse {
-        val st = byScore.agg(min(col("s").cast("double")),
-          max(col("s").cast("double"))).head()
+        val st = byScore.agg(min("s"), max("s")).head()
         if (st.isNullAt(0)) return (0.0, 0.0)
         (st.getDouble(0), st.getDouble(1))
       }
@@ -114,16 +178,12 @@ object Metrics {
       val nTotal = totals.map(_._2).sum
       val pTotal = totals.map(_._3).sum
       if (pTotal == 0 || pTotal == nTotal) return (0.0, 0.0)
-      // ascending cross-bucket offsets; the desc-cumulatives the PR
-      // curve needs follow by complement: count(≥s) = N − count(<s)
+      // ascending cross-bucket offsets; desc-cumulatives by complement:
+      // count(≥s) = N − count(<s)
       var cn = 0L; var cp = 0.0
       val offRows = totals.map { case (bkt, bn, bp) =>
         val row = (bkt, cn, cp); cn += bn; cp += bp; row
       }
-      // neighbor values for each bucket's last (highest-score) row: the
-      // first row of the NEXT non-empty bucket has no within-bucket
-      // predecessor mass, so its recall/precision are functions of that
-      // bucket's offsets alone
       val offDf = byScore.sparkSession.createDataFrame(
         offRows.zipWithIndex.map { case ((bkt, offN, offP), i) =>
           val next = if (i + 1 < offRows.length) {
@@ -144,8 +204,8 @@ object Metrics {
         .withColumn("prec", col("cp") / (lit(nTotal) - col("before_n")))
         // prev in descending-score order ≡ next higher score: the lead
         // within the bucket, or the broadcast neighbor at the boundary;
-        // MLlib's curve starts at (0, p1): the global-max row (lead and
-        // neighbor both absent) uses its own precision twice
+        // the global-max row (lead and neighbor both absent) seeds the
+        // (0, p₁) start with its own precision
         .withColumn("prev_r",
           coalesce(lead("recall", 1).over(wLead), col("next_r"), lit(0.0)))
         .withColumn("prev_p",
