@@ -174,12 +174,15 @@ object TextSim {
   // E11: ingest-time dedup — d7's store-join semantics driven through
   // Structured Streaming, the "dedup at the door" production shape: the
   // standing signature store is PERSISTED parquet (the artifact a
-  // nightly ingest job mounts), arrivals land as two file drops
-  // consumed one micro-batch each (maxFilesPerTrigger=1, AvailableNow),
-  // and each batch joins its batch-sized arrival signatures against the
-  // store — never the corpus text, never other batches. Per-doc
-  // verdicts depend only on (doc, store), so the appended union over
-  // ANY batching equals the relational computation the oracle replays.
+  // nightly ingest job mounts), arrivals land as two file drops drained
+  // by ONE AvailableNow pass, and each micro-batch joins its
+  // batch-sized arrival signatures against the store — never the corpus
+  // text, never other batches. Per-doc verdicts depend only on
+  // (doc, store), so the appended union over ANY batching equals the
+  // relational computation the oracle replays — which is why the drops
+  // share a trigger: a micro-batch per drop (maxFilesPerTrigger=1)
+  // demonstrated the same invariant at twice the fixed micro-batch
+  // setup cost (r7 finding 3).
   private def e11StreamIngestDedup(spark: SparkSession, dir: String): DataFrame = {
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir))
@@ -200,11 +203,16 @@ object TextSim {
     // ONE persisted signature artifact — band signatures + shingle sets
     // for every doc; each micro-batch derives its store/arrival views
     // from it (band-row explosion is a free map over the scan)
-    lap("signed-write")(signed.write.parquet(s"$base/signed"))
+    // few fat files: the store is re-scanned by every micro-batch and
+    // the drops are file-sized anyway — 32 shards of a 16-byte-row
+    // frame is pure open/footer overhead
+    lap("signed-write")(signed.coalesce(4).write.parquet(s"$base/signed"))
     val arr = Tables.documents(spark, dir).filter(isArrival).select("doc_id")
     lap("drops-write") {
-      arr.filter(pmod(col("doc_id"), lit(2)) === 0).write.parquet(s"$base/src/drop_a")
-      arr.filter(pmod(col("doc_id"), lit(2)) === 1).write.parquet(s"$base/src/drop_b")
+      arr.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+        .write.parquet(s"$base/src/drop_a")
+      arr.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+        .write.parquet(s"$base/src/drop_b")
     }
     // cloned session for isolation. NO shuffle-partition pin: this
     // stream is STATELESS (foreachBatch — no state stores to size), and
@@ -219,12 +227,22 @@ object TextSim {
     // still compute ONLY against the persisted artifact's bits
     val sgWarm = ss.read.parquet(s"$base/signed").cache()
     sgWarm.count()
+    // the store-side fragments are batch-independent — build them once
+    // against the warmed scan; the closure only joins the batch into
+    // them (frames share one SparkContext, so the stream's cloned
+    // session composes with them directly)
+    val sgOnce = ss.read.parquet(s"$base/signed")
+    val sgBandsOnce = bandRows(sgOnce)
+    val stOnce = sgBandsOnce.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("band"), col("sig"), col("doc_id").as("store_doc"))
+    val shBOnce = sgOnce.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id").as("store_doc"), col("sh").as("sh_b"))
+    val shAOnce = sgOnce.select(col("doc_id"), col("sh").as("sh_a"))
     val out = s"$base/out"
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType))))
-      .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(s"$base/src")
       .writeStream
@@ -232,18 +250,10 @@ object TextSim {
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (b: DataFrame, bid: Long) =>
         val tB = System.nanoTime()
-        val s2 = b.sparkSession
-        val sg = s2.read.parquet(s"$base/signed")
-        val sgBands = bandRows(sg)
-        val st = sgBands.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-          .select(col("band"), col("sig"), col("doc_id").as("store_doc"))
-        val shB = sg.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-          .select(col("doc_id").as("store_doc"), col("sh").as("sh_b"))
-        val myBands = sgBands.join(b, "doc_id")
-        val shA = sg.select(col("doc_id"), col("sh").as("sh_a"))
-        val cand = myBands.join(st, Seq("band", "sig"))
+        val myBands = sgBandsOnce.join(b, "doc_id")
+        val cand = myBands.join(stOnce, Seq("band", "sig"))
           .select("doc_id", "store_doc").distinct()
-        val pairs = cand.join(shA, "doc_id").join(shB, "store_doc")
+        val pairs = cand.join(shAOnce, "doc_id").join(shBOnce, "store_doc")
           .withColumn("n_inter",
         graft.plans.expressions.sorted_intersect_count(col("sh_a"), col("sh_b")))
           .withColumn("j", col("n_inter").cast("double") /
@@ -258,7 +268,7 @@ object TextSim {
             coalesce(col("n_dups"), lit(0L)).as("n_dups"),
             coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
           .withColumn("kept", (col("n_dups") === 0).cast("int"))
-          .write.mode("append").parquet(out)
+          .coalesce(1).write.mode("append").parquet(out)
         if (sys.env.contains("GRAFT_E11_DEBUG"))
           println(f"[e11] batch $bid: ${(System.nanoTime() - tB) / 1e9}%.2f s")
         ()
