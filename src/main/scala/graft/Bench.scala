@@ -44,7 +44,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFail = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is also persisted: a clipped log buffer must
+    // never truncate the per-query map the round's perf judgment needs
+    try {
+      val out = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write target/bench_last.json: $e")
+    }
     spark.stop()
   }
 }

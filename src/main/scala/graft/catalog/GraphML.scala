@@ -353,8 +353,9 @@ object GraphML {
     val r = m13Fit(spark, dir)
     val persisted = artifact(spark, dir, "m13_steps",
       r.steps.map(s => (s.epoch, s.step, s.gstep, s.trainLoss, s.gradNorm,
-          if (s.clipped) 1 else 0, s.n))
-        .toDF("epoch", "step", "gstep", "train_loss", "grad_norm", "clipped", "n"))
+          if (s.clipped) 1 else 0, s.n, s.fp))
+        .toDF("epoch", "step", "gstep", "train_loss", "grad_norm", "clipped",
+          "n", "fp"))
     val wOrd = graft.functions.ColFns.boundedGlobal(col("epoch"))(
       col("epoch"), col("step"))
     val wStep = Window.partitionBy("step")
@@ -367,6 +368,8 @@ object GraphML {
       .withColumn("ord", row_number().over(wOrd))
       .withColumn("n_min", min("n").over(wStep))
       .withColumn("n_max", max("n").over(wStep))
+      .withColumn("fp_min", min("fp").over(wStep))
+      .withColumn("fp_max", max("fp").over(wStep))
       .withColumn("steps_in_epoch", count(lit(1)).over(wEpoch))
       .withColumn("min_steps", min("steps_in_epoch").over(wAll))
       .withColumn("max_steps", max("steps_in_epoch").over(wAll))
@@ -377,7 +380,11 @@ object GraphML {
         (col("gstep") === col("ord")).cast("int").as("gstep_ok"),
         (col("clipped") === when(col("grad_norm") > 1.0, 1).otherwise(0))
           .cast("int").as("clip_ok"),
-        (col("n_min") === col("n_max")).cast("int").as("replay_ok"),
+        // count AND content: equal-sized shards visited in a different
+        // order across epochs must fail the gate, so replay_ok also
+        // pins the per-step content fingerprint
+        (col("n_min") === col("n_max") &&
+          col("fp_min") === col("fp_max")).cast("int").as("replay_ok"),
         (col("min_steps") === col("max_steps")).cast("int").as("steps_ok"))
       .orderBy("epoch", "step")
   }
@@ -1385,6 +1392,8 @@ object GraphML {
          |    row_number() OVER (ORDER BY epoch, step) AS ord,
          |    min(n) OVER (PARTITION BY step) AS n_min,
          |    max(n) OVER (PARTITION BY step) AS n_max,
+         |    min(fp) OVER (PARTITION BY step) AS fp_min,
+         |    max(fp) OVER (PARTITION BY step) AS fp_max,
          |    count(*) OVER (PARTITION BY epoch) AS steps_in_epoch
          |  FROM t),
          |w2 AS (SELECT w.*,
@@ -1397,7 +1406,7 @@ object GraphML {
          |  clipped, n,
          |  CAST(gstep = ord AS INT) AS gstep_ok,
          |  CAST(clipped = (CASE WHEN grad_norm > 1.0 THEN 1 ELSE 0 END) AS INT) AS clip_ok,
-         |  CAST(n_min = n_max AS INT) AS replay_ok,
+         |  CAST(n_min = n_max AND fp_min = fp_max AS INT) AS replay_ok,
          |  CAST(min_steps = max_steps AS INT) AS steps_ok
          |FROM w2 ORDER BY epoch, step""".stripMargin,
     "m12b_adamw_deterministic" ->

@@ -60,8 +60,14 @@ object ScaleOps {
   private val j13Written =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Unit]()
   private def j13BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // app-scoped + dir-scoped: two Spark apps sharing one warehouse (or
+    // a dir-hash collision) must not DROP/overwrite each other's tables
+    // while the other app's memo still believes its tables are valid
     val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
+      scala.util.hashing.MurmurHash3.stringHash(
+        spark.sparkContext.applicationId)) + "_" +
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir))
     graft.core.AppCache.get(j13Written,
       (spark.sparkContext.applicationId, dir)) {
       val orders = Tables.orders(spark, dir)

@@ -38,6 +38,13 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ→TimestampType cast is value-preserving ONLY under a
+        // UTC session TZ (the documented precondition every graft
+        // session pins); fail loudly instead of silently shifting every
+        // event timestamp in a non-UTC session
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: set spark.sql.session.timeZone=UTC " +
+            "(the NTZ->TIMESTAMP cast shifts values under any other zone)")
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }

@@ -200,8 +200,14 @@ object AdamWTrainer {
     * count. Both are persisted by the m13b gate, which re-derives them
     * relationally (t ≡ row ordinal over (epoch, step); n ≡ the same
     * shard's size in every epoch's replay). */
+  /** `fp` is an order-independent content fingerprint of the
+    * micro-batch (wrapping sum of per-row xxhash64 over the feature/
+    * label columns): the m13b replay gate asserts it — not just the row
+    * count — is constant per step across epochs, so equal-sized shards
+    * visited in different orders can never satisfy the invariant
+    * vacuously. */
   final case class Step(epoch: Int, step: Int, gstep: Int, trainLoss: Double,
-                        gradNorm: Double, clipped: Boolean, n: Long)
+                        gradNorm: Double, clipped: Boolean, n: Long, fp: Long)
   final case class StreamResult(weights: Array[Double], bias: Double,
                                 steps: Seq[Step], aucVal: Double)
 
@@ -321,9 +327,15 @@ object AdamWTrainer {
               lit(posWeight) * col("y") * (lit(1.0) - p)
             val perRow = (lit(1.0) + (lit(posWeight) - 1.0) * col("y")) *
               (greatest(z, lit(0.0)) - z * col("y") + log1p(exp(-abs(z))))
+            // bit_xor, not sum: order-independent like sum, but immune
+            // to ANSI long-overflow on full-range hashes
+            val rowHash = xxhash64(
+              (features.indices.map(i => col(s"x$i")) :+ col("y")): _*)
             val aggs = features.indices.map(i => sum(g * col(s"x$i")).as(s"g$i")) ++
-              Seq(sum(g).as("gb"), sum(perRow).as("loss"), count(lit(1)).as("n"))
+              Seq(sum(g).as("gb"), sum(perRow).as("loss"), count(lit(1)).as("n"),
+                expr("bit_xor(rh)").as("fp"))
             val row = mb.crossJoin(broadcast(weightFrame(mb.sparkSession)))
+              .withColumn("rh", rowHash)
               .agg(aggs.head, aggs.tail: _*).head()
             val n = row.getLong(d + 2).toDouble
             if (n > 0) {
@@ -344,7 +356,8 @@ object AdamWTrainer {
               }
               for (i <- 0 until d) w(i) = step(i, grads(i), w(i))
               b = step(d, gradB, b)
-              log += Step(epoch, stepInEpoch, t, loss, norm, scale < 1.0, n.toLong)
+              log += Step(epoch, stepInEpoch, t, loss, norm, scale < 1.0, n.toLong,
+                row.getLong(d + 3))
               stepInEpoch += 1
             }
           }

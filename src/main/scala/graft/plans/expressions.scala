@@ -330,11 +330,11 @@ case class MinhashSlices(child: Expression, nSlices: Int, width: Int = 8)
     copy(child = c)
 }
 
-/** Count of common elements of two SORTED, DISTINCT string arrays — the
+/** Count of common DISTINCT values of two SORTED string arrays — the
   * exact-Jaccard verification kernel of the dedup pipelines (d7, e11,
-  * r9). Equal to `size(array_intersect(a, b))` on such inputs (shingle
-  * arrays are distinct by construction — CharShingles builds a set —
-  * and sorted once at signature build), but evaluated as ONE
+  * r9). Unconditionally equal to `size(array_intersect(a, b))` on
+  * sorted inputs (duplicate runs are skipped after a match, so even
+  * non-deduped arrays count each value once), but evaluated as ONE
   * allocation-free merge scan per pair instead of building a per-row
   * hash set plus the materialized intersection array. Candidate pairs
   * number 10⁴–10⁷ per ingest batch at corpus scale, so the per-pair
@@ -372,7 +372,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         if (y == null) j += 1
         else {
           val cmp = x.compareTo(y)
-          if (cmp == 0) { c += 1; i += 1; j += 1 }
+          if (cmp == 0) {
+            // count the VALUE once, then skip its whole run on both
+            // sides, so the expression equals size(array_intersect) on
+            // any sorted input — not only the distinct-by-construction
+            // shingle arrays (a caller with non-deduped arrays must not
+            // get silently inflated Jaccard)
+            c += 1
+            i += 1; j += 1
+            while (i < na && x.equals(a.getUTF8String(i))) i += 1
+            while (j < nb && y.equals(b.getUTF8String(j))) j += 1
+          }
           else if (cmp < 0) i += 1
           else j += 1
         }
