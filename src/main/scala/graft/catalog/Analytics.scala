@@ -376,6 +376,47 @@ object Analytics {
       .orderBy("label")
   }
 
+  // R6 (full form): SMOTE-style interpolated minority synthesis
+  // (xgboost_training_for_big_data.py:573-581) — synthetic rows on the
+  // segment between each minority point and its hash-bucket neighbor,
+  // λ ∈ [0,1) deterministic. Pairing runs inside 64 hash buckets via a
+  // single lead() window, so the shuffle is 64-way parallel and no
+  // partition ever sees more than ~1/64 of the minority class — the
+  // scalable form of the driver-side pairing in
+  // LinkPredict.smoteOversample. Gated on imbalance > 5:1 like the
+  // reference; under the gate the result is empty (same schema).
+  private def r6bSmoteInterp(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("okey"),
+      when(col("o_totalprice") > 450000.0, 1L).otherwise(0L).as("label"),
+      col("o_totalprice").cast("double").as("f1"),
+      dayofmonth(col("o_orderdate")).cast("double").as("f2"))
+    // bounded collect: exactly two rows (class counts), the same
+    // imbalance diagnosis every trainer entry performs
+    val cc = labeled.groupBy("label").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nPos = cc.getOrElse(1L, 0L)
+    val nNeg = cc.getOrElse(0L, 0L)
+    val empty = labeled.filter(lit(false)).select(
+      col("okey"), col("f1").as("f1_synth"), col("f2").as("f2_synth"))
+    if (nPos == 0 || nNeg.toDouble / nPos <= 5.0) empty
+    else {
+      val frac = math.min(nNeg - nPos, 3L * nPos).toDouble / nPos
+      val w = Window.partitionBy("bkt").orderBy("okey")
+      val lam = ColFns.pseudoUniform(col("okey"), 59L)
+      labeled.filter(col("label") === 1)
+        .withColumn("bkt", pmod(col("okey"), lit(64L)))
+        .withColumn("f1_nb", lead("f1", 1).over(w))
+        .withColumn("f2_nb", lead("f2", 1).over(w))
+        .filter(col("f1_nb").isNotNull)
+        .filter(ColFns.pseudoUniform(col("okey"), 53L) < frac)
+        .select(col("okey"),
+          round(col("f1") + lam * (col("f1_nb") - col("f1")), 6).as("f1_synth"),
+          round(col("f2") + lam * (col("f2_nb") - col("f2")), 6).as("f2_synth"))
+        .orderBy("okey")
+    }
+  }
+
   // R7: weighted pick without replacement via inverse-CDF over an ordered
   // cumulative-weight window (topk_recommandations_diverse_nodiscounts.py:279-296)
   private def r7WeightedPick(spark: SparkSession, dir: String): DataFrame = {
@@ -766,6 +807,7 @@ object Analytics {
     "r4_stratified_split" -> (r4StratifiedSplit(_, _)),
     "r5_feature_noise" -> (r5FeatureNoise(_, _)),
     "r6_oversample" -> (r6Oversample(_, _)),
+    "r6b_smote_interp" -> (r6bSmoteInterp(_, _)),
     "r7_weighted_pick" -> (r7WeightedPick(_, _)),
     "r8_temperature_mix" -> (r8TemperatureMix(_, _)),
     "e1_event_windows" -> (e1EventWindows(_, _)),
@@ -1135,6 +1177,31 @@ object Analytics {
          |  SELECT label FROM labeled
          |  WHERE label = 1 AND ${ColFns.pseudoUniformSql("o_orderkey", 29L)} < 0.5)
          |SELECT label, count(*) AS n FROM aug GROUP BY label ORDER BY label""".stripMargin,
+    "r6b_smote_interp" -> {
+      val lam = ColFns.pseudoUniformSql("okey", 59L)
+      val pick = ColFns.pseudoUniformSql("okey", 53L)
+      s"""WITH labeled AS (
+         |  SELECT o_orderkey AS okey,
+         |    CASE WHEN o_totalprice > 450000.0 THEN 1 ELSE 0 END AS label,
+         |    CAST(o_totalprice AS DOUBLE) AS f1,
+         |    CAST(EXTRACT(day FROM o_orderdate) AS DOUBLE) AS f2
+         |  FROM orders),
+         |c AS (SELECT
+         |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS npos,
+         |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nneg
+         |  FROM labeled),
+         |o AS (SELECT okey, f1, f2,
+         |    lead(f1) OVER (PARTITION BY ((okey % 64) + 64) % 64 ORDER BY okey) AS f1_nb,
+         |    lead(f2) OVER (PARTITION BY ((okey % 64) + 64) % 64 ORDER BY okey) AS f2_nb
+         |  FROM labeled WHERE label = 1)
+         |SELECT okey,
+         |  round(f1 + $lam * (f1_nb - f1), 6) AS f1_synth,
+         |  round(f2 + $lam * (f2_nb - f2), 6) AS f2_synth
+         |FROM o, c
+         |WHERE f1_nb IS NOT NULL AND nneg > 5 * npos
+         |  AND $pick < CAST(least(nneg - npos, 3 * npos) AS DOUBLE) / CAST(npos AS DOUBLE)
+         |ORDER BY okey""".stripMargin
+    },
     "r7_weighted_pick" -> {
       val u = ColFns.pseudoUniformSql("seed", 23L)
       s"""WITH c AS (SELECT c_custkey AS ck, c_mktsegment AS segment,

@@ -51,6 +51,23 @@ class SamplerIncrementalSpec extends SparkSpec {
     assert(LinkPredict.smoteOversample(balanced).count() === balanced.count())
   }
 
+  test("r6b catalog entry: interpolates inside the minority envelope, repartition-stable") {
+    val df = SparkEntry.queries("r6b_smote_interp")(spark, sfDir).cache()
+    assert(df.count() > 0, "gate should fire on the testdata imbalance (~9:1)")
+    val minority = graft.core.Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 450000.0)
+    val (lo, hi) = minority
+      .agg(min("o_totalprice"), max("o_totalprice")).as[(Double, Double)].head()
+    // every synthetic point is a convex combination of two minority points
+    assert(df.filter(col("f1_synth") < lo - 1e-6 || col("f1_synth") > hi + 1e-6)
+      .count() === 0)
+    assert(df.filter(col("f2_synth") < 1.0 - 1e-6 || col("f2_synth") > 31.0 + 1e-6)
+      .count() === 0)
+    // pseudoUniform pairing ⇒ identical output under any partitioning
+    val again = SparkEntry.queries("r6b_smote_interp")(spark, sfDir)
+    assert(df.collect().toSeq === again.collect().toSeq)
+  }
+
   test("M3 incremental train: accepts, persists, and probes on rerun") {
     val dir = "/tmp/graft_incr"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
