@@ -159,7 +159,7 @@ object LinkPredict {
             algo: String = "gbt", maxIter: Int = 10, seed: Long = 42L,
             maxDepth: Int = 5, lrMaxIter: Int = 15): TrainResult = {
     val assembled = FeatureLayout
-      .assemble(data.coalesce(8), FeatureLayout.DiscountV1)
+      .assemble(data.coalesce(2), FeatureLayout.DiscountV1)
       .withColumn("split",
         when(ColFns.pseudoUniform(
           xxhash64(col("customer"), col("product")), 41L) < 0.8, "train")

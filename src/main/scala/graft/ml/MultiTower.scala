@@ -53,7 +53,7 @@ object MultiTower {
     // few fat partitions: L-BFGS runs maxIter jobs over the cached
     // corpus, and per-task overhead dominates at this row count (same
     // rationale as LinkPredict.train)
-    val split = data.coalesce(8).withColumn("part",
+    val split = data.coalesce(2).withColumn("part",
       when(ColFns.pseudoUniform(xxhash64(col("customer"), col("product")), 43L) < 0.8,
         "train").otherwise("test"))
     // cache both splits: L-BFGS makes maxIter passes over `train`, and
