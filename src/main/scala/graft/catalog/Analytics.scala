@@ -378,13 +378,15 @@ object Analytics {
 
   // R6 (full form): SMOTE-style interpolated minority synthesis
   // (xgboost_training_for_big_data.py:573-581) — synthetic rows on the
-  // segment between each minority point and its hash-bucket neighbor,
-  // λ ∈ [0,1) deterministic. Pairing runs inside 64 hash buckets via a
-  // single lead() window, so the shuffle is 64-way parallel and no
-  // partition ever sees more than ~1/64 of the minority class — the
-  // scalable form of the driver-side pairing in
-  // LinkPredict.smoteOversample. Gated on imbalance > 5:1 like the
-  // reference; under the gate the result is empty (same schema).
+  // segment between each minority point and a NEARBY same-class
+  // neighbor, λ ∈ [0,1) deterministic. Neighborhood is SMOTE's own
+  // notion approximated scalably: within each of 64 hash buckets the
+  // minority sorts by the dominant feature and pairs with the next
+  // point via lead() — adjacent-in-feature-space, the 1-D analogue of
+  // imblearn's k-NN pairing, in ONE 64-way-parallel window (no k-NN
+  // join, no partition ever sees more than ~1/64 of the minority
+  // class). Gated on imbalance > 5:1 like the reference; under the
+  // gate the result is empty (same schema).
   private def r6bSmoteInterp(spark: SparkSession, dir: String): DataFrame = {
     val labeled = Tables.orders(spark, dir).select(
       col("o_orderkey").as("okey"),
@@ -402,7 +404,7 @@ object Analytics {
     if (nPos == 0 || nNeg.toDouble / nPos <= 5.0) empty
     else {
       val frac = math.min(nNeg - nPos, 3L * nPos).toDouble / nPos
-      val w = Window.partitionBy("bkt").orderBy("okey")
+      val w = Window.partitionBy("bkt").orderBy("f1", "okey")
       val lam = ColFns.pseudoUniform(col("okey"), 59L)
       labeled.filter(col("label") === 1)
         .withColumn("bkt", pmod(col("okey"), lit(64L)))
@@ -1191,8 +1193,8 @@ object Analytics {
          |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nneg
          |  FROM labeled),
          |o AS (SELECT okey, f1, f2,
-         |    lead(f1) OVER (PARTITION BY ((okey % 64) + 64) % 64 ORDER BY okey) AS f1_nb,
-         |    lead(f2) OVER (PARTITION BY ((okey % 64) + 64) % 64 ORDER BY okey) AS f2_nb
+         |    lead(f1) OVER (PARTITION BY ((okey % 64) + 64) % 64 ORDER BY f1, okey) AS f1_nb,
+         |    lead(f2) OVER (PARTITION BY ((okey % 64) + 64) % 64 ORDER BY f1, okey) AS f2_nb
          |  FROM labeled WHERE label = 1)
          |SELECT okey,
          |  round(f1 + $lam * (f1_nb - f1), 6) AS f1_synth,
