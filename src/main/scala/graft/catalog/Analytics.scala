@@ -400,22 +400,33 @@ object Analytics {
     val nPos = cc.getOrElse(1L, 0L)
     val nNeg = cc.getOrElse(0L, 0L)
     val empty = labeled.filter(lit(false)).select(
-      col("okey"), col("f1").as("f1_synth"), col("f2").as("f2_synth"))
+      col("okey"), lit(0L).as("copy_no"),
+      col("f1").as("f1_synth"), col("f2").as("f2_synth"))
     if (nPos == 0 || nNeg.toDouble / nPos <= 5.0) empty
     else {
+      // synthesis target = min(deficit, 3 per minority point), realized
+      // as ⌈frac⌉ interpolation copies per paired point with the
+      // fractional last copy hash-thinned — the deficit is actually
+      // produced, not just encoded in a keep-probability (a per-row
+      // p<frac filter is vacuous whenever frac ≥ 1, i.e. always under
+      // the >5:1 gate)
       val frac = math.min(nNeg - nPos, 3L * nPos).toDouble / nPos
+      val fracFloor = math.floor(frac).toLong
       val w = Window.partitionBy("bkt").orderBy("f1", "okey")
-      val lam = ColFns.pseudoUniform(col("okey"), 59L)
+      val lam = ColFns.pseudoUniform(col("okey") * 3 + col("copy_no"), 59L)
       labeled.filter(col("label") === 1)
         .withColumn("bkt", pmod(col("okey"), lit(64L)))
         .withColumn("f1_nb", lead("f1", 1).over(w))
         .withColumn("f2_nb", lead("f2", 1).over(w))
         .filter(col("f1_nb").isNotNull)
-        .filter(ColFns.pseudoUniform(col("okey"), 53L) < frac)
-        .select(col("okey"),
+        .withColumn("copy_no",
+          explode(sequence(lit(0L), lit(math.ceil(frac).toLong - 1))))
+        .filter(col("copy_no") < fracFloor ||
+          ColFns.pseudoUniform(col("okey"), 53L) < frac - fracFloor)
+        .select(col("okey"), col("copy_no"),
           round(col("f1") + lam * (col("f1_nb") - col("f1")), 6).as("f1_synth"),
           round(col("f2") + lam * (col("f2_nb") - col("f2")), 6).as("f2_synth"))
-        .orderBy("okey")
+        .orderBy("okey", "copy_no")
     }
   }
 
@@ -1180,7 +1191,7 @@ object Analytics {
          |  WHERE label = 1 AND ${ColFns.pseudoUniformSql("o_orderkey", 29L)} < 0.5)
          |SELECT label, count(*) AS n FROM aug GROUP BY label ORDER BY label""".stripMargin,
     "r6b_smote_interp" -> {
-      val lam = ColFns.pseudoUniformSql("okey", 59L)
+      val lam = ColFns.pseudoUniformSql("okey * 3 + copy_no", 59L)
       val pick = ColFns.pseudoUniformSql("okey", 53L)
       s"""WITH labeled AS (
          |  SELECT o_orderkey AS okey,
@@ -1195,14 +1206,19 @@ object Analytics {
          |o AS (SELECT okey, f1, f2,
          |    lead(f1) OVER (PARTITION BY ((okey % 64) + 64) % 64 ORDER BY f1, okey) AS f1_nb,
          |    lead(f2) OVER (PARTITION BY ((okey % 64) + 64) % 64 ORDER BY f1, okey) AS f2_nb
-         |  FROM labeled WHERE label = 1)
-         |SELECT okey,
+         |  FROM labeled WHERE label = 1),
+         |s AS (SELECT o.*,
+         |    CAST(least(nneg - npos, 3 * npos) AS DOUBLE) / CAST(npos AS DOUBLE) AS frac
+         |  FROM o, c WHERE f1_nb IS NOT NULL AND nneg > 5 * npos),
+         |e AS (SELECT s.*,
+         |    unnest(range(0, CAST(ceil(frac) AS BIGINT))) AS copy_no FROM s)
+         |SELECT okey, copy_no,
          |  round(f1 + $lam * (f1_nb - f1), 6) AS f1_synth,
          |  round(f2 + $lam * (f2_nb - f2), 6) AS f2_synth
-         |FROM o, c
-         |WHERE f1_nb IS NOT NULL AND nneg > 5 * npos
-         |  AND $pick < CAST(least(nneg - npos, 3 * npos) AS DOUBLE) / CAST(npos AS DOUBLE)
-         |ORDER BY okey""".stripMargin
+         |FROM e
+         |WHERE copy_no < floor(frac)
+         |   OR (copy_no = floor(frac) AND $pick < frac - floor(frac))
+         |ORDER BY okey, copy_no""".stripMargin
     },
     "r7_weighted_pick" -> {
       val u = ColFns.pseudoUniformSql("seed", 23L)

@@ -531,7 +531,7 @@ object GraphML {
   private def m7Fit(spark: SparkSession, dir: String): graft.ml.MultiTower.Result =
     graft.core.AppCache.get(m7Cache,
       (spark.sparkContext.applicationId, dir))(
-      // 16 L-BFGS passes (vs the library's 40 default): m7b's gate
+      // 12 L-BFGS passes (vs the library's 40 default): m7b's gate
       // recomputes metric math from the persisted scores whatever the
       // fit depth, and separability is reached well before 12 — the
       // same fit-floor trim as the GBT entries

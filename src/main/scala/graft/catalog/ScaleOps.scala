@@ -70,6 +70,18 @@ object ScaleOps {
         scala.util.hashing.MurmurHash3.stringHash(dir))
     graft.core.AppCache.get(j13Written,
       (spark.sparkContext.applicationId, dir)) {
+      // cross-process hygiene, same age-gated policy as
+      // Artifacts.reapStale: dead apps' bucketed tables stop
+      // accumulating in the shared warehouse (each run otherwise leaves
+      // two app-tagged copies of orders+lineitem behind), while a LIVE
+      // concurrent app's tables are freshly modified and never touched.
+      // Metastore entries die with their JVM (in-memory catalog); the
+      // on-disk table dirs are what leaks, so the reap is FS-level.
+      val appHex = tag.takeWhile(_ != '_')
+      val wh = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      graft.core.Artifacts.reapStaleWhere(wh, name =>
+        name.startsWith("j13_") && !name.contains(s"_${appHex}_"))
       val orders = Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val li = Tables.lineitem(spark, dir)

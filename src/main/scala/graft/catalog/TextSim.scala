@@ -208,9 +208,12 @@ object TextSim {
     // frame is pure open/footer overhead
     lap("signed-write")(signed.coalesce(4).write.parquet(s"$base/signed"))
     val arr = Tables.documents(spark, dir).filter(isArrival).select("doc_id")
-    // ONE job writes both drops: hash-routing on the drop parity sends
-    // each drop to its own task/file under src/drop=K (the recursive
-    // stream glob reads them identically to two separate writes)
+    // ONE job writes both drops: partitionBy splits rows into src/drop=K
+    // by VALUE regardless of task placement (the hash repartition merely
+    // bounds the job to 2 tasks; murmur3 of the two parities may land
+    // both in one task — layout and stream semantics don't depend on it);
+    // the recursive stream glob reads the result identically to two
+    // separate writes
     lap("drops-write") {
       arr.withColumn("drop", pmod(col("doc_id"), lit(2)))
         .repartition(2, col("drop"))
@@ -291,6 +294,10 @@ object TextSim {
       }
       .start()
     lap("stream-drain")(q.awaitTermination())
+    // the mounted store served its session; release its block-manager
+    // storage so a long bench JVM doesn't carry the shingle arrays
+    // until GC (the result below reads only the written parquet)
+    org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(sgOnce)
     spark.read.parquet(out).orderBy("doc_id")
   }
 

@@ -33,10 +33,19 @@ object Artifacts {
     * a live concurrent run's dir is freshly modified and never hit,
     * while dead runs' leftovers stop accumulating on long-lived boxes. */
   def reapStale(parent: String, prefix: String, keep: String,
-                maxAgeMs: Long = 6L * 3600 * 1000): Unit = {
+                maxAgeMs: Long = 6L * 3600 * 1000): Unit =
+    reapStaleWhere(parent,
+      name => name.startsWith(prefix), keepPath = keep, maxAgeMs = maxAgeMs)
+
+  /** Predicate form of `reapStale` for callers whose "mine vs theirs"
+    * rule is not a plain prefix (e.g. app-tagged warehouse tables). The
+    * age gate is still what makes it cross-process-safe. */
+  def reapStaleWhere(parent: String, stale: String => Boolean,
+                     keepPath: String = "",
+                     maxAgeMs: Long = 6L * 3600 * 1000): Unit = {
     val cutoff = System.currentTimeMillis() - maxAgeMs
     Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(prefix) && f.getPath != keep &&
+      .filter(f => stale(f.getName) && f.getPath != keepPath &&
         f.lastModified() < cutoff)
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }

@@ -41,10 +41,13 @@ object Tables {
         // the NTZ→TimestampType cast is value-preserving ONLY under a
         // UTC session TZ (the documented precondition every graft
         // session pins); fail loudly instead of silently shifting every
-        // event timestamp in a non-UTC session
-        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-          "events.ts is TIMESTAMP_NTZ: set spark.sql.session.timeZone=UTC " +
-            "(the NTZ->TIMESTAMP cast shifts values under any other zone)")
+        // event timestamp in a non-UTC session. Compare zone RULES, not
+        // the literal string: "Etc/UTC", "GMT", "+00:00" are all
+        // value-preserving and must not be rejected.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+          s"events.ts is TIMESTAMP_NTZ: set spark.sql.session.timeZone=UTC " +
+            s"(session zone '$tz' would shift values in the NTZ->TIMESTAMP cast)")
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }

@@ -201,11 +201,11 @@ object AdamWTrainer {
     * relationally (t ≡ row ordinal over (epoch, step); n ≡ the same
     * shard's size in every epoch's replay). */
   /** `fp` is an order-independent content fingerprint of the
-    * micro-batch (wrapping sum of per-row xxhash64 over the feature/
-    * label columns): the m13b replay gate asserts it — not just the row
-    * count — is constant per step across epochs, so equal-sized shards
-    * visited in different orders can never satisfy the invariant
-    * vacuously. */
+    * micro-batch (bit_xor of per-row xxhash64 over the feature/label
+    * columns — xor, not a sum, so ANSI mode can never overflow): the
+    * m13b replay gate asserts it — not just the row count — is
+    * constant per step across epochs, so equal-sized shards visited in
+    * different orders can never satisfy the invariant vacuously. */
   final case class Step(epoch: Int, step: Int, gstep: Int, trainLoss: Double,
                         gradNorm: Double, clipped: Boolean, n: Long, fp: Long)
   final case class StreamResult(weights: Array[Double], bias: Double,

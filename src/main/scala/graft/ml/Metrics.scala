@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   *    statistic is finished locally — one job, no windows. This is the
   *    per-epoch trainer path.
   *  - larger: a two-level exact prefix sum — a window PARTITIONED BY a
-  *    1024-way range bucket ranks within buckets, and the constant-size
-  *    per-bucket subtotals are combined on the driver. No step is ever
-  *    single-partition or data-proportional on the driver.
+  *    1024-way EQUI-DEPTH bucket (boundaries from approxQuantile over
+  *    the histogram itself, so a score distribution concentrated in an
+  *    arbitrarily narrow slice still splits ~evenly — a fixed value
+  *    range would collapse it into one data-sized partition), and the
+  *    constant-size per-bucket subtotals are combined on the driver.
+  *    No step is ever single-partition or data-proportional on the
+  *    driver. The histogram is cached before the size probe, so the
+  *    upstream scoring pipeline runs exactly once on either path.
   *
   * Both shapes sum the same half-integer rank terms (all below 2^52),
   * so the result is bit-identical to the flat Σ npos·avg_rank the
@@ -37,15 +42,20 @@ object Metrics {
     * and its driver-combined subtotal frame. */
   private val NBuckets = 1024
 
-  /** Monotone bucket id for `s` in [lo, hi] (clamped outside). Any
-    * monotone non-decreasing map of the score works — prefix sums only
-    * need bucket order to align with score order. */
-  private def bucketCol(lo: Double, hi: Double): Column = {
-    val span = hi - lo
-    if (span > 0)
-      least(lit(NBuckets - 1), greatest(lit(0),
-        floor((col("s").cast("double") - lo) / span * NBuckets).cast("int")))
-    else lit(0)
+  /** Monotone equi-depth bucket id: #(boundaries < s), boundaries from
+    * approxQuantile over the distinct-score histogram. Any monotone
+    * non-decreasing map of the score works — prefix sums only need
+    * bucket order to align with score order — and quantile boundaries
+    * keep buckets ~even for ANY score distribution, where a fixed
+    * value-range grid collapses concentrated scores into one
+    * data-sized bucket. */
+  private def bucketCol(hist: DataFrame): Column = {
+    val probes = Array.tabulate(NBuckets - 1)(i => (i + 1).toDouble / NBuckets)
+    val bs = hist.stat.approxQuantile("s", probes, 1.0 / (4 * NBuckets))
+    aggregate(
+      lit(bs),
+      lit(0),
+      (acc, b) => acc + when(col("s") > b, 1).otherwise(0))
   }
 
   /** Tie-grouped score histogram: the one full-data pass. */
@@ -57,9 +67,10 @@ object Metrics {
 
   /** One `take` past the driver bound: Some(whole histogram, ascending)
     * when it fits, None when it is proved data-sized. */
-  private def takeHist(hist: DataFrame): Option[Array[(Double, Long, Double)]] = {
-    val sample = hist.take(MaxDriverHist + 1)
-    if (sample.length > MaxDriverHist) None
+  private def takeHist(hist: DataFrame,
+                       bound: Int): Option[Array[(Double, Long, Double)]] = {
+    val sample = hist.take(bound + 1)
+    if (sample.length > bound) None
     else Some(sample.map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1))
   }
@@ -81,49 +92,47 @@ object Metrics {
 
   /** Exact ROC-AUC of `scoreCol` against a 0/1 `labelCol`.
     *
-    * `bounds`: the score's a-priori range when known (model
-    * probabilities are (0,1)) — only the distributed fallback needs it
-    * (for min/max-free bucketing); the driver path ignores it. */
+    * `bounds` is retained for source compatibility and ignored: the
+    * distributed fallback's bucketing is equi-depth (quantile
+    * boundaries from the histogram itself), which needs no a-priori
+    * range and survives any score distribution. */
   def auc(scored: DataFrame, labelCol: String, scoreCol: Column,
-          bounds: Option[(Double, Double)] = None): Double = {
-    val byScore = histogram(scored, labelCol, scoreCol)
-    takeHist(byScore) match {
+          bounds: Option[(Double, Double)] = None): Double =
+    aucBounded(scored, labelCol, scoreCol, MaxDriverHist)
+
+  /** `driverBound` is a test seam (forces the distributed path with a
+    * tiny bound); production callers always pass MaxDriverHist. */
+  private[graft] def aucBounded(scored: DataFrame, labelCol: String,
+                             scoreCol: Column, driverBound: Int): Double = {
+    val byScore = histogram(scored, labelCol, scoreCol).cache()
+    try takeHist(byScore, driverBound) match {
       case Some(asc) =>
         val (rankPos, np, nTot) = rankStats(asc)
         finishRoc(rankPos, np, nTot - np)
-      case None => aucDistributed(byScore, bounds)
-    }
+      case None => aucDistributed(byScore)
+    } finally byScore.unpersist()
   }
 
   /** Distributed two-level exact prefix: within-bucket rank mass via a
     * bucket-partitioned window, cross-bucket offsets added on the
-    * driver from the ≤NBuckets subtotals. */
-  private def aucDistributed(byScore: DataFrame,
-                             bounds: Option[(Double, Double)]): Double = {
-    val hist = if (bounds.isEmpty) byScore.cache() else byScore
-    try {
-      val (lo, hi) = bounds.getOrElse {
-        val st = hist.agg(min("s"), max("s")).head()
-        if (st.isNullAt(0)) return 0.0
-        (st.getDouble(0), st.getDouble(1))
-      }
-      // average rank of a tied group = (#rows before it) + (n+1)/2
-      val wIn = Window.partitionBy("bkt").orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val perBucket = hist.withColumn("bkt", bucketCol(lo, hi))
-        .withColumn("wb", coalesce(sum("n").over(wIn), lit(0L)))
-        .groupBy("bkt").agg(
-          sum("n").as("bn"), sum("npos").as("bp"),
-          sum(col("npos") * (col("wb") + (col("n") + 1.0) / 2.0)).as("rp"))
-        .collect().sortBy(_.getInt(0))
-      var off = 0L; var rankPos = 0.0; var np = 0.0; var nTot = 0L
-      perBucket.foreach { r =>
-        val (bn, bp, rp) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
-        rankPos += rp + off.toDouble * bp
-        off += bn; np += bp; nTot += bn
-      }
-      finishRoc(rankPos, np, (nTot - np).toDouble)
-    } finally if (bounds.isEmpty) hist.unpersist()
+    * driver from the ≤NBuckets subtotals. `byScore` arrives cached. */
+  private def aucDistributed(byScore: DataFrame): Double = {
+    // average rank of a tied group = (#rows before it) + (n+1)/2
+    val wIn = Window.partitionBy("bkt").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perBucket = byScore.withColumn("bkt", bucketCol(byScore))
+      .withColumn("wb", coalesce(sum("n").over(wIn), lit(0L)))
+      .groupBy("bkt").agg(
+        sum("n").as("bn"), sum("npos").as("bp"),
+        sum(col("npos") * (col("wb") + (col("n") + 1.0) / 2.0)).as("rp"))
+      .collect().sortBy(_.getInt(0))
+    var off = 0L; var rankPos = 0.0; var np = 0.0; var nTot = 0L
+    perBucket.foreach { r =>
+      val (bn, bp, rp) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      rankPos += rp + off.toDouble * bp
+      off += bn; np += bp; nTot += bn
+    }
+    finishRoc(rankPos, np, (nTot - np).toDouble)
   }
 
   /** ROC-AUC and PR-AUC together from one histogram pass. PR-AUC is the
@@ -132,9 +141,14 @@ object Metrics {
     * instead of MLlib's 1000-bin downsampling. Same two shapes as
     * `auc`. */
   def binaryAucs(scored: DataFrame, labelCol: String, scoreCol: Column,
-                 bounds: Option[(Double, Double)] = None): (Double, Double) = {
-    val byScore = histogram(scored, labelCol, scoreCol)
-    takeHist(byScore) match {
+                 bounds: Option[(Double, Double)] = None): (Double, Double) =
+    binaryAucsBounded(scored, labelCol, scoreCol, MaxDriverHist)
+
+  private[graft] def binaryAucsBounded(scored: DataFrame, labelCol: String,
+                                    scoreCol: Column,
+                                    driverBound: Int): (Double, Double) = {
+    val byScore = histogram(scored, labelCol, scoreCol).cache()
+    try takeHist(byScore, driverBound) match {
       case Some(asc) =>
         val (rankPos, np, nTot) = rankStats(asc)
         if (np == 0 || np == nTot) return (0.0, 0.0)
@@ -152,8 +166,8 @@ object Metrics {
           prevR = recall; prevP = prec
         }
         (finishRoc(rankPos, np, nTot - np), prAuc)
-      case None => binaryAucsDistributed(byScore, bounds)
-    }
+      case None => binaryAucsDistributed(byScore)
+    } finally byScore.unpersist()
   }
 
   /** Distributed PR/ROC: per-bucket totals come to the driver once;
@@ -162,16 +176,8 @@ object Metrics {
     * first row — whose cumulative counts are pure functions of the
     * offsets) go back as a broadcast join, so the curve is assembled by
     * windows partitioned by bucket. */
-  private def binaryAucsDistributed(byScore0: DataFrame,
-                                    bounds: Option[(Double, Double)]): (Double, Double) = {
-    val byScore = byScore0.cache()
-    try {
-      val (lo, hi) = bounds.getOrElse {
-        val st = byScore.agg(min("s"), max("s")).head()
-        if (st.isNullAt(0)) return (0.0, 0.0)
-        (st.getDouble(0), st.getDouble(1))
-      }
-      val b = byScore.withColumn("bkt", bucketCol(lo, hi))
+  private def binaryAucsDistributed(byScore: DataFrame): (Double, Double) = {
+      val b = byScore.withColumn("bkt", bucketCol(byScore))
       val totals = b.groupBy("bkt").agg(sum("n").as("bn"), sum("npos").as("bp"))
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
         .sortBy(_._1)
@@ -219,7 +225,6 @@ object Metrics {
       val roc = (agg.getDouble(0) - pTotal * (pTotal + 1.0) / 2.0) /
         (pTotal * (nTotal - pTotal))
       (roc, agg.getDouble(1))
-    } finally byScore.unpersist()
   }
 
   /** M4's classification-report row at one operating point: confusion

@@ -11,6 +11,19 @@ object GraftColumnBridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Release the block-manager storage behind a localCheckpoint-backed
+    * frame. `Dataset.unpersist` only covers `cache()`; a checkpoint's
+    * blocks otherwise live until the RDD is GC'd and the context
+    * cleaner runs — indefinitely in a long bench session. The frame
+    * must not be used again afterwards (a local checkpoint cannot
+    * recompute). No-op for non-checkpoint plans. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** localCheckpoint that KEEPS the build plan's hash partitioning.
     * Under AQE the adaptive plan reports `UnknownPartitioning` until
     * execution finishes, so a plain `localCheckpoint` captures Unknown
