@@ -264,12 +264,23 @@ object GraphML {
   // non-decreasing integer halving count; best_auc/best_epoch are the
   // max and its first argmax. The fit is model-coupled; this math is not.
   private def m12bAdamwDeterministic(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val r = m12Fit(spark, dir)
-    val persisted = artifact(spark, dir, "m12_trajectory",
+    trajectoryGate(spark, dir, "m12_trajectory",
       r.epochs.map(e => (e.epoch, e.trainLoss, e.aucVal, e.lr, e.gradNorm,
-          if (e.clipped) 1 else 0, if (e.improved) 1 else 0,
-          r.bestEpoch, r.bestAuc))
+        if (e.clipped) 1 else 0, if (e.improved) 1 else 0)),
+      r.bestEpoch, r.bestAuc)
+  }
+
+  /** The m12b gate, shared verbatim with m14b: persist a trajectory at
+    * full precision and re-derive every loop invariant relationally
+    * from the persisted bits (both engines run the same math). */
+  private def trajectoryGate(spark: SparkSession, dir: String, name: String,
+      rows: Seq[(Int, Double, Double, Double, Double, Int, Int)],
+      bestEpoch: Int, bestAuc: Double): DataFrame = {
+    import spark.implicits._
+    val persisted = artifact(spark, dir, name,
+      rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7,
+          bestEpoch, bestAuc))
         .toDF("epoch", "train_loss", "auc_val", "lr", "grad_norm",
           "clipped", "improved", "best_epoch", "best_auc"))
     val wPrev = graft.functions.ColFns.boundedGlobal(col("epoch"))(col("epoch"))
@@ -303,6 +314,40 @@ object GraphML {
         (col("best_auc") === col("max_auc") &&
           col("best_epoch") === col("argmax_epoch")).cast("int").as("best_ok"))
       .orderBy("epoch")
+  }
+
+  // M14: the reference's multi-tower ARCHITECTURE trained JOINTLY with
+  // the AdamW loop (Neural_network_multi_towered_training.py:62-150 +
+  // 703-790) — per-tower hidden layers, relu, concat, head, with head
+  // gradients flowing through the tower layers. Closes the NN-fidelity
+  // divergence that m7 (flat MLlib MLP, right loop missing) and m12
+  // (right loop, linear model) each approximated from one side; the
+  // trajectory and its m14b gate are exactly m12/m12b's.
+  private val m14Cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), graft.ml.TowerNet.Result]()
+  private def m14Fit(spark: SparkSession, dir: String): graft.ml.TowerNet.Result =
+    graft.core.AppCache.get(m14Cache,
+      (spark.sparkContext.applicationId, dir))(
+      graft.ml.TowerNet.train(
+        LinkPredict.trainingSetCached(spark, dir, cap = 20000), epochs = 10))
+
+  private def m14TowerLoop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = m14Fit(spark, dir)
+    r.epochs.map(e => (e.epoch, math.round(e.trainLoss * 1e6) / 1e6,
+        math.round(e.aucVal * 1e6) / 1e6, e.lr,
+        math.round(e.gradNorm * 1e6) / 1e6, if (e.clipped) 1 else 0,
+        if (e.improved) 1 else 0))
+      .toDF("epoch", "train_loss", "auc_val", "lr", "grad_norm",
+        "clipped", "improved")
+  }
+
+  private def m14bTowerDeterministic(spark: SparkSession, dir: String): DataFrame = {
+    val r = m14Fit(spark, dir)
+    trajectoryGate(spark, dir, "m14_trajectory",
+      r.epochs.map(e => (e.epoch, e.trainLoss, e.aucVal, e.lr, e.gradNorm,
+        if (e.clipped) 1 else 0, if (e.improved) 1 else 0)),
+      r.bestEpoch, r.bestAuc)
   }
 
   // M13: the minibatch-stream AdamW demo — the one documented M9
@@ -847,6 +892,8 @@ object GraphML {
     "m11b_importance_ranked" -> (m11bImportanceRanked(_, _)),
     "m12_adamw_loop" -> (m12AdamwLoop(_, _)),
     "m12b_adamw_deterministic" -> (m12bAdamwDeterministic(_, _)),
+    "m14_tower_loop" -> (m14TowerLoop(_, _)),
+    "m14b_tower_deterministic" -> (m14bTowerDeterministic(_, _)),
     "m3b_incremental_policy" -> (m3bIncrementalPolicy(_, _)),
     "m10_class_weights" -> (m10ClassWeights(_, _)),
     "m13_minibatch_stream" -> (m13MinibatchStream(_, _)),
@@ -939,6 +986,32 @@ object GraphML {
   // the persisted-scores artifact root the twin oracles read — written
   // by the entries at the correctness gate's SF (sf0.01)
   private def artifactSql(name: String): String = graft.core.Artifacts.sql(name)
+
+  private def trajectoryGateSql(name: String): String =
+    s"""WITH t AS (SELECT * FROM ${artifactSql(name)}),
+         |w AS (SELECT t.*,
+         |    coalesce(max(auc_val) OVER (ORDER BY epoch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prev_best,
+         |    max(auc_val) OVER () AS max_auc,
+         |    CAST(round(log2(0.02 / lr)) AS INT) AS halvings
+         |  FROM t),
+         |w2 AS (SELECT w.*,
+         |    min(CASE WHEN auc_val = max_auc THEN epoch END) OVER () AS argmax_epoch
+         |  FROM w)
+         |SELECT epoch,
+         |  round(train_loss, 6) AS train_loss,
+         |  round(auc_val, 6) AS auc_val,
+         |  round(grad_norm, 6) AS grad_norm,
+         |  round(lr, 8) AS lr,
+         |  clipped, improved,
+         |  CAST(clipped = (CASE WHEN grad_norm > 1.0 THEN 1 ELSE 0 END) AS INT) AS clip_ok,
+         |  CAST(improved = (CASE WHEN auc_val > prev_best THEN 1 ELSE 0 END) AS INT) AS imp_ok,
+         |  halvings,
+         |  CAST(halvings >= coalesce(lag(halvings) OVER (ORDER BY epoch), 0) AS INT) AS sched_ok,
+         |  CAST(epoch = best_epoch AS INT) AS is_best,
+         |  CAST(best_auc = max_auc AND best_epoch = argmax_epoch AS INT) AS best_ok
+         |FROM w2 ORDER BY epoch""".stripMargin
+
 
   private val m1bSql = metricsReportSql(
     s"scored AS (SELECT label, p FROM ${artifactSql("m1_scored")})", "0.5")
@@ -1409,30 +1482,8 @@ object GraphML {
          |  CAST(n_min = n_max AND fp_min = fp_max AS INT) AS replay_ok,
          |  CAST(min_steps = max_steps AS INT) AS steps_ok
          |FROM w2 ORDER BY epoch, step""".stripMargin,
-    "m12b_adamw_deterministic" ->
-      s"""WITH t AS (SELECT * FROM ${artifactSql("m12_trajectory")}),
-         |w AS (SELECT t.*,
-         |    coalesce(max(auc_val) OVER (ORDER BY epoch
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prev_best,
-         |    max(auc_val) OVER () AS max_auc,
-         |    CAST(round(log2(0.02 / lr)) AS INT) AS halvings
-         |  FROM t),
-         |w2 AS (SELECT w.*,
-         |    min(CASE WHEN auc_val = max_auc THEN epoch END) OVER () AS argmax_epoch
-         |  FROM w)
-         |SELECT epoch,
-         |  round(train_loss, 6) AS train_loss,
-         |  round(auc_val, 6) AS auc_val,
-         |  round(grad_norm, 6) AS grad_norm,
-         |  round(lr, 8) AS lr,
-         |  clipped, improved,
-         |  CAST(clipped = (CASE WHEN grad_norm > 1.0 THEN 1 ELSE 0 END) AS INT) AS clip_ok,
-         |  CAST(improved = (CASE WHEN auc_val > prev_best THEN 1 ELSE 0 END) AS INT) AS imp_ok,
-         |  halvings,
-         |  CAST(halvings >= coalesce(lag(halvings) OVER (ORDER BY epoch), 0) AS INT) AS sched_ok,
-         |  CAST(epoch = best_epoch AS INT) AS is_best,
-         |  CAST(best_auc = max_auc AND best_epoch = argmax_epoch AS INT) AS best_ok
-         |FROM w2 ORDER BY epoch""".stripMargin,
+    "m12b_adamw_deterministic" -> trajectoryGateSql("m12_trajectory"),
+    "m14b_tower_deterministic" -> trajectoryGateSql("m14_trajectory"),
     "m3b_incremental_policy" ->
       s"""WITH t AS (SELECT * FROM ${artifactSql("m3_policy")}),
          |w AS (SELECT t.*,

@@ -17,6 +17,11 @@ import graft.functions.ColFns
   * fits five scalers) — and the concatenated scaled vector feeds a
   * [towers → hidden → 2] MLP trained with a fixed seed (M9 approximated
   * by MLlib's L-BFGS instead of AdamW).
+  *
+  * This entry stays as the MLlib-library point of comparison; the
+  * jointly-trained tower ARCHITECTURE with the reference's own AdamW
+  * loop lives in [[TowerNet]] (catalog `m14_tower_loop` +
+  * `m14b_tower_deterministic`).
   */
 object MultiTower {
 
