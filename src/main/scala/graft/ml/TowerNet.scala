@@ -83,47 +83,49 @@ object TowerNet {
     buf.result()
   }
 
-  /** Forward columns from broadcast weight columns p0..pP: per-unit
-    * pre-activations, the relu outputs, and the logit. `x` maps feature
-    * name → standardized column. */
-  private def forward(x: Map[String, Column])
-      : (Seq[Column], Seq[Column], Column) = {
+  /** Per-unit pre-activation expressions from broadcast weight columns
+    * p0..pP (consumed in flat-layout order). `x` maps feature name →
+    * standardized column. These deep trees appear exactly ONCE, in the
+    * stage-1 projection — every later stage references the named
+    * `pre_j` columns, so the per-epoch plan (re-analyzed on every
+    * action) stays hundreds of nodes smaller than inlining them into
+    * each of the ~70 gradient sums. */
+  private def preExprs(x: Map[String, Column]): Seq[Column] = {
     var k = 0
     def p(): Column = { val c = col(s"p$k"); k += 1; c }
-    val (pres, zs) = towers.flatMap { case (_, fs) =>
+    towers.flatMap { case (_, fs) =>
       val unitW = (0 until hidden).map(_ => fs.map(_ => p()))
       val unitB = (0 until hidden).map(_ => p())
       (0 until hidden).map { j =>
-        val pre = fs.zip(unitW(j)).foldLeft(unitB(j)) {
+        fs.zip(unitW(j)).foldLeft(unitB(j)) {
           case (acc, (f, wji)) => acc + wji * x(f)
         }
-        (pre, greatest(pre, lit(0.0)))
       }
-    }.unzip
-    val logit = zs.foldLeft[Column](lit(0.0)) { (acc, z) => acc + p() * z } + p()
-    (pres, zs, logit)
+    }
   }
 
-  /** Gradient-sum aggregate columns in flat-layout order, given the
-    * per-row dL/dlogit column `g`. w2 weights are read from the SAME
-    * broadcast columns the forward pass used. */
-  private def gradAggs(x: Map[String, Column], pres: Seq[Column],
-                       zs: Seq[Column], g: Column,
-                       w2Offset: Int): Seq[Column] = {
+  /** The logit over named z columns: Σ w2_j·z_j + b2. */
+  private def logitExpr(w2Offset: Int, nUnits: Int): Column =
+    (0 until nUnits).foldLeft[Column](lit(0.0)) { (acc, j) =>
+      acc + col(s"p${w2Offset + j}") * col(s"z_$j")
+    } + col(s"p${w2Offset + nUnits}")
+
+  /** Gradient-sum aggregate columns in flat-layout order — every term
+    * is a product of plain named columns (delta_j, x_i, z_j, gg). */
+  private def gradAggs(features: Seq[String]): Seq[Column] = {
+    val fIdx = features.zipWithIndex.toMap
     val buf = Seq.newBuilder[Column]
     var unit = 0
     towers.foreach { case (_, fs) =>
-      val deltas = (0 until hidden).map { j =>
-        val w2 = col(s"p${w2Offset + unit + j}")
-        g * w2 * when(pres(unit + j) > 0.0, 1.0).otherwise(0.0)
-      }
       (0 until hidden).foreach(j =>
-        fs.foreach(f => buf += sum(deltas(j) * x(f))))   // dW1 row-major
-      (0 until hidden).foreach(j => buf += sum(deltas(j))) // db1
+        fs.foreach(f =>
+          buf += sum(col(s"delta_${unit + j}") * col(s"x${fIdx(f)}"))))
+      (0 until hidden).foreach(j => buf += sum(col(s"delta_${unit + j}")))
       unit += hidden
     }
-    (0 until towers.size * hidden).foreach(j => buf += sum(g * zs(j))) // dw2
-    buf += sum(g)                                                      // db2
+    (0 until towers.size * hidden).foreach(j =>
+      buf += sum(col("gg") * col(s"z_$j")))
+    buf += sum(col("gg"))
     buf.result()
   }
 
@@ -179,19 +181,38 @@ object TowerNet {
         java.util.Collections.singletonList(
           org.apache.spark.sql.Row.fromSeq(params.toSeq)), schema)
 
-      val (pres, zs, logit) = forward(x)
-      val sig = lit(1.0) / (lit(1.0) + exp(-logit))
-      val g = ((lit(1.0) - col("y")) * sig -
-        lit(posWeight) * col("y") * (lit(1.0) - sig))
-      val perRow = (lit(1.0) + (lit(posWeight) - 1.0) * col("y")) *
-        (greatest(logit, lit(0.0)) - logit * col("y") + log1p(exp(-abs(logit))))
-      val aggs = gradAggs(x, pres, zs, g, w2Offset) ++
-        Seq(sum(perRow).as("loss"), count(lit(1)).as("n"))
+      val nUnits = towers.size * hidden
+      // staged row-level pipeline: pre → z/logit → g/loss → delta, each
+      // intermediate computed once as a named column; the aggregate
+      // references only plain attributes
+      def staged(df: DataFrame): DataFrame = {
+        val st1 = df.select(col("*") +: preExprs(x).zipWithIndex
+          .map { case (c, j) => c.as(s"pre_$j") }: _*)
+        val st2 = st1.select(col("*") +: ((0 until nUnits)
+          .map(j => greatest(col(s"pre_$j"), lit(0.0)).as(s"z_$j")): Seq[Column]): _*)
+          .withColumn("lg", logitExpr(w2Offset, nUnits))
+        val sig = lit(1.0) / (lit(1.0) + exp(-col("lg")))
+        val st3 = st2
+          .withColumn("gg", (lit(1.0) - col("y")) * sig -
+            lit(posWeight) * col("y") * (lit(1.0) - sig))
+          .withColumn("lossr", (lit(1.0) + (lit(posWeight) - 1.0) * col("y")) *
+            (greatest(col("lg"), lit(0.0)) - col("lg") * col("y") +
+              log1p(exp(-abs(col("lg"))))))
+        st3.select(col("*") +: ((0 until nUnits).map(j =>
+          (col("gg") * col(s"p${w2Offset + j}") *
+            when(col(s"pre_$j") > 0.0, 1.0).otherwise(0.0)).as(s"delta_$j"))
+          : Seq[Column]): _*)
+      }
+      val aggs = gradAggs(features) ++
+        Seq(sum(col("lossr")).as("loss"), count(lit(1)).as("n"))
 
+      def lap[T](tag: String)(f: => T): T =
+        graft.core.Debug.lap("GRAFT_TOWER_DEBUG", tag)(f)
       var epoch = 0
       while (epoch < epochs) {
-        val row = trainDf.crossJoin(broadcast(weightFrame))
-          .agg(aggs.head, aggs.tail: _*).head()
+        val row = lap(s"grad e$epoch")(
+          staged(trainDf.crossJoin(broadcast(weightFrame)))
+            .agg(aggs.head, aggs.tail: _*).head())
         val n = row.getLong(P + 1).toDouble
         val grads = (0 until P).map(i => row.getDouble(i) / n).toArray
         val loss = row.getDouble(P) / n
@@ -209,9 +230,11 @@ object TowerNet {
             (math.sqrt(vW(i) / bc2) + eps) + weightDecay * params(i))
           i += 1
         }
-        val auc = Metrics.auc(valDf.crossJoin(broadcast(weightFrame))
-          .select(col("y").as("label"),
-            (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"))
+        val auc = lap(s"auc e$epoch")(
+          Metrics.auc(staged(valDf.crossJoin(broadcast(weightFrame)))
+            .select(col("y").as("label"),
+              (lit(1.0) / (lit(1.0) + exp(-col("lg")))).as("p")),
+            "label", col("p")))
         val improved = auc > bestAuc
         if (improved) { bestAuc = auc; bestEpoch = epoch; bestP = params.clone() }
         if (auc > schedBest + 1e-4) { schedBest = auc; plateau = 0 }
