@@ -365,6 +365,15 @@ object TextSim {
         k = 5, nLists = 16, nProbe = 3)
       .orderBy("src", "rn")
 
+  // D13: d5's semantic near-dup detection on its scale path — pairs are
+  // compared only inside probed IVF cells (candidates bounded by cell
+  // sizes, never n²); same 0.4 threshold as d5, recall vs the exact
+  // kernel asserted in SimilaritySpec
+  private def d13SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfNearDupPairs(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", minCos = 0.4, nLists = 16, nProbe = 2)
+      .orderBy("src", "dst")
+
   private def a10SimilarityStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.similarityStats(graft.sim.KnnCache.topk(spark, dir, 5))
       .orderBy("src")
@@ -1113,6 +1122,7 @@ object TextSim {
     "d3_simhash" -> (d3Simhash(_, _)),
     "d4_ngram_jaccard" -> (d4NgramJaccard(_, _)),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup(_, _)),
+    "d13_semantic_dedup" -> (d13SemanticDedup(_, _)),
     "d6_dedup_clusters" -> (d6DedupClusters(_, _)),
     "d11_quality_dedup" -> (d11QualityDedup(_, _)),
     "d7_incremental_dedup" -> (d7IncrementalDedup(_, _)),
@@ -1435,6 +1445,9 @@ object TextSim {
     "sim_ivf_topk" ->
       Similarity.ivfHashTopKSql("embeddings", "vec_id", "embedding", DIM,
         k = 5, nLists = 16, nProbe = 3),
+    "d13_semantic_dedup" ->
+      Similarity.ivfNearDupPairsSql("embeddings", "vec_id", "embedding", DIM,
+        minCos = 0.4, nLists = 16, nProbe = 2),
     "sim_lsh_topk" -> {
       val bucket = Similarity.lshBucketSql("embedding", DIM, 8)
       val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)

@@ -545,7 +545,18 @@ object Similarity {
     */
   def ivfHashTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
                   nLists: Int = 16, nProbe: Int = 3, salt: Long = 13L): DataFrame = {
-    import graft.functions.ColFns
+    val scored = ivfHashScored(vectors, idCol, vecCol, nLists, nProbe, salt)
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** The common IVF candidate pipeline: hash-picked centroids, nearest-
+    * list assignment, `nProbe` probing, in-list cosine scoring. Returns
+    * every (src, dst, cos) where src probed dst's assigned cell. */
+  private def ivfHashScored(vectors: DataFrame, idCol: String, vecCol: String,
+                            nLists: Int, nProbe: Int, salt: Long): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val cents = hashRankedPick(
@@ -563,18 +574,36 @@ object Similarity {
       .select(col("id").as("dst"), col("v").as("dv"), col("nrm").as("cn"), col("list"))
     val probes = arn.filter(col("arn") <= nProbe)
       .select(col("id").as("src"), col("v").as("qv"), col("nrm").as("qn"), col("list"))
-    val scored = probes.join(assigned, Seq("list")).filter(col("src") =!= col("dst"))
+    probes.join(assigned, Seq("list")).filter(col("src") =!= col("dst"))
       .withColumn("cos", dot(col("qv"), col("dv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
   }
 
-  /** DuckDB mirror of `ivfHashTopK` over a table with (idCol, vecCol). */
-  def ivfHashTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
-                     k: Int, nLists: Int = 16, nProbe: Int = 3,
-                     salt: Long = 13L): String = {
+  /** D13: semantic near-dup pairs, IVF-bucketed — the scale path for
+    * the brute-force threshold join (d5): a pair is compared only when
+    * one side probes the other's coarse cell, so candidate count is
+    * bounded by cell sizes (quantizer-balanced), never n². Pairs are
+    * normalized (src < dst) and deduped — (a probes b) and (b probes a)
+    * produce the same row because the component-wise dot is
+    * order-independent. Approximate by design: boundary pairs whose
+    * cells fall outside each other's `nProbe` lists are the recall gap,
+    * measured in SimilaritySpec against the exact kernel. */
+  def ivfNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                      minCos: Double, nLists: Int = 16, nProbe: Int = 2,
+                      salt: Long = 13L): DataFrame =
+    ivfHashScored(vectors, idCol, vecCol, nLists, nProbe, salt)
+      .filter(col("cos") >= minCos)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        round(col("cos"), 6).as("cos"))
+      .distinct()
+      .select(col("a").as("src"), col("b").as("dst"), col("cos"))
+
+  /** The WITH-chain shared by the IVF oracle mirrors, ending at
+    * `scored` — textually one source so the topK and near-dup oracles
+    * can never drift from each other. */
+  private def ivfScoredSqlPrefix(table: String, idCol: String, vecCol: String,
+                                 dim: Int, nLists: Int, nProbe: Int,
+                                 salt: Long): String = {
     import graft.functions.ColFns
     val u = ColFns.pseudoUniformSql(idCol, salt)
     val selfDot = dotSql(vecCol, vecCol, dim)
@@ -597,12 +626,28 @@ object Similarity {
        |probes AS (SELECT id AS src, v AS qv, nrm AS qn, list FROM arn WHERE arn <= $nProbe),
        |scored AS (
        |  SELECT p.src, a.dst, $qd / (p.qn * a.cn) AS cos
-       |  FROM probes p JOIN assigned a USING (list) WHERE p.src <> a.dst),
+       |  FROM probes p JOIN assigned a USING (list) WHERE p.src <> a.dst)""".stripMargin
+  }
+
+  /** DuckDB mirror of `ivfHashTopK` over a table with (idCol, vecCol). */
+  def ivfHashTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
+                     k: Int, nLists: Int = 16, nProbe: Int = 3,
+                     salt: Long = 13L): String =
+    s"""${ivfScoredSqlPrefix(table, idCol, vecCol, dim, nLists, nProbe, salt)},
        |r AS (SELECT *, row_number() OVER (PARTITION BY src
        |        ORDER BY cos DESC, dst ASC) AS rn FROM scored)
        |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= $k
        |ORDER BY src, rn""".stripMargin
-  }
+
+  /** DuckDB mirror of `ivfNearDupPairs`. */
+  def ivfNearDupPairsSql(table: String, idCol: String, vecCol: String,
+                         dim: Int, minCos: Double, nLists: Int = 16,
+                         nProbe: Int = 2, salt: Long = 13L): String =
+    s"""${ivfScoredSqlPrefix(table, idCol, vecCol, dim, nLists, nProbe, salt)}
+       |SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst,
+       |  round(cos, 6) AS cos
+       |FROM scored WHERE cos >= $minCos
+       |ORDER BY src, dst""".stripMargin
 
   /** MLlib-native ANN alternative (SURVEY J7's "scalable" branch):
     * BucketedRandomProjectionLSH approxSimilarityJoin over L2-normalized

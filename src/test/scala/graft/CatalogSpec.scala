@@ -6,7 +6,8 @@ package graft
 class CatalogSpec extends SparkSpec {
 
   // Operators whose result can legitimately be empty on tiny data
-  private val mayBeEmpty = Set("d2_minhash_lsh", "d4_ngram_jaccard", "d5_embedding_neardup")
+  private val mayBeEmpty = Set("d2_minhash_lsh", "d4_ngram_jaccard",
+    "d5_embedding_neardup", "d13_semantic_dedup")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"catalog/$name runs and is non-trivial") {

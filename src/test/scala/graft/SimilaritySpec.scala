@@ -152,4 +152,20 @@ class SimilaritySpec extends SparkSpec {
       s"trained IVF recall $trained fell below hash-pick baseline $hashPick")
     assert(trained > 0.5, s"trained IVF recall degenerate: $trained")
   }
+
+  test("d13 IVF near-dup pairs: exact-subset with usable recall") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(graft.sim.KnnCache.neardupPairs(spark, sfDir, minCos = 0.4))
+    val approx = pairSet(Similarity.ivfNearDupPairs(
+      graft.core.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      minCos = 0.4, nLists = 16, nProbe = 2))
+    // cosines are computed exactly on the surviving candidates, so the
+    // bucketed result can only MISS pairs, never invent them
+    assert(approx.subsetOf(exact),
+      s"false positives: ${(approx -- exact).take(3)}")
+    if (exact.nonEmpty)
+      assert(approx.size.toDouble / exact.size >= 0.5,
+        s"recall ${approx.size}/${exact.size} below 0.5")
+  }
 }
