@@ -126,8 +126,38 @@ object AdamWTrainer {
       def weightFrame: DataFrame = wm.frame(ss, w, b)
       def logit: Column = wm.logit
 
-      var epoch = 0
+      // Pipelined evaluation (same shape as TowerNet.train): epoch e's
+      // val-AUC job and epoch e+1's gradient job both depend only on
+      // epoch e's post-update weights, so the AUC runs on a side
+      // thread while the next gradient pass runs inline. Bookkeeping
+      // (strict-best checkpoint, plateau scheduler, early stop) is
+      // awaited before the next UPDATE — the first point its result is
+      // read — so the trajectory is bit-identical. When the awaited
+      // AUC triggers early stop, the speculatively computed gradient
+      // row is discarded: exactly the epochs the sequential loop ran
+      // are logged and applied.
+      val aucPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+        (r: Runnable) => {
+          val th = new Thread(r, "adamw-val-auc"); th.setDaemon(true); th
+        })
+      val aucEc = scala.concurrent.ExecutionContext.fromExecutorService(aucPool)
+      var lastLoss = 0.0; var lastNorm = 0.0; var lastClipped = false
       var stopped = false
+      def bookkeep(e: Int, auc: Double): Unit = {
+        val improved = auc > bestAuc
+        if (improved) {
+          bestAuc = auc; bestEpoch = e; bestW = w.clone(); bestB = b
+          sinceBest = 0
+        } else sinceBest += 1
+        if (auc > schedBest + 1e-4) { schedBest = auc; plateau = 0 }
+        else plateau += 1
+        if (plateau > lrPatience) { lr *= lrFactor; plateau = 0 }
+        log += Epoch(e, lastLoss, auc, lr, lastNorm, lastClipped, improved)
+        if (sinceBest >= earlyStop) stopped = true
+      }
+      var pendingAuc: scala.concurrent.Future[Double] = null
+      try {
+      var epoch = 0
       while (epoch < epochs && !stopped) {
         // one distributed pass: per-feature gradient sums + loss
         val z = logit
@@ -144,6 +174,15 @@ object AdamWTrainer {
           Seq(sum(g).as("gb"), sum(perRow).as("loss"), count(lit(1)).as("n"))
         val row = trainDf.crossJoin(broadcast(weightFrame))
           .agg(aggs.head, aggs.tail: _*).head()
+        if (pendingAuc != null) {
+          bookkeep(epoch - 1, scala.concurrent.Await.result(
+            pendingAuc, scala.concurrent.duration.Duration.Inf))
+          pendingAuc = null
+        }
+        if (stopped) {
+          // early stop fired on the awaited AUC: the sequential loop
+          // would never have started this epoch — discard its gradient
+        } else {
         val n = row.getLong(d + 2).toDouble
         val grads = (0 until d).map(i => row.getDouble(i) / n).toArray
         val gradB = row.getDouble(d) / n
@@ -168,30 +207,30 @@ object AdamWTrainer {
         for (i <- 0 until d) w(i) = step(i, grads(i), w(i))
         b = step(d, gradB, b)
 
-        val auc = Metrics.auc(valDf.crossJoin(broadcast(weightFrame))
-          .select(col("y").as("label"),
-            (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"),
-          bounds = Some((0.0, 1.0)))
         // checkpoint on STRICT improvement (reference keeps the best
         // model whenever val AUC beats the running best; the 1e-4
         // threshold belongs to the scheduler only) — so bestAuc is
         // exactly max(aucVal) and `improved` is exactly
         // auc > running-max-of-previous, a pure window expression the
-        // m12b twin recomputes relationally in both engines
-        val improved = auc > bestAuc
-        if (improved) {
-          bestAuc = auc; bestEpoch = epoch; bestW = w.clone(); bestB = b
-          sinceBest = 0
-        } else sinceBest += 1
-        if (auc > schedBest + 1e-4) { schedBest = auc; plateau = 0 }
-        else plateau += 1
-        if (plateau > lrPatience) { lr *= lrFactor; plateau = 0 }
-        log += Epoch(epoch, loss, auc, lr, norm, scale < 1.0, improved)
-        if (sinceBest >= earlyStop) stopped = true
+        // m12b twin recomputes relationally in both engines; both live
+        // in `bookkeep`, which consumes this future just before the
+        // next update
+        lastLoss = loss; lastNorm = norm; lastClipped = scale < 1.0
+        val wf = weightFrame // frozen post-update snapshot for the side job
+        pendingAuc = scala.concurrent.Future(
+          Metrics.auc(valDf.crossJoin(broadcast(wf))
+            .select(col("y").as("label"),
+              (lit(1.0) / (lit(1.0) + exp(-logit))).as("p")), "label", col("p"),
+            bounds = Some((0.0, 1.0))))(aucEc)
+        }
         epoch += 1
       }
+      if (pendingAuc != null)
+        bookkeep(epoch - 1, scala.concurrent.Await.result(
+          pendingAuc, scala.concurrent.duration.Duration.Inf))
       // restore the best checkpoint (reference line 787)
       Result(bestW, bestB, log.result(), bestAuc, bestEpoch)
+      } finally aucEc.shutdown()
     } finally frame.unpersist()
   }
 

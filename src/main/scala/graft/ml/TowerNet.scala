@@ -177,9 +177,12 @@ object TowerNet {
       val schema = org.apache.spark.sql.types.StructType(
         (0 until P).map(i => org.apache.spark.sql.types.StructField(
           s"p$i", org.apache.spark.sql.types.DoubleType, nullable = false)).toArray)
+      // snapshot of the CURRENT params — cloned, because the frame is
+      // consumed by a background val-AUC job that overlaps the next
+      // epoch's in-place parameter update
       def weightFrame: DataFrame = ss.createDataFrame(
         java.util.Collections.singletonList(
-          org.apache.spark.sql.Row.fromSeq(params.toSeq)), schema)
+          org.apache.spark.sql.Row.fromSeq(params.clone().toSeq)), schema)
 
       val nUnits = towers.size * hidden
       // staged row-level pipeline: pre → z/logit → g/loss → delta, each
@@ -208,42 +211,75 @@ object TowerNet {
 
       def lap[T](tag: String)(f: => T): T =
         graft.core.Debug.lap("GRAFT_TOWER_DEBUG", tag)(f)
-      var epoch = 0
-      while (epoch < epochs) {
-        val row = lap(s"grad e$epoch")(
-          staged(trainDf.crossJoin(broadcast(weightFrame)))
-            .agg(aggs.head, aggs.tail: _*).head())
-        val n = row.getLong(P + 1).toDouble
-        val grads = (0 until P).map(i => row.getDouble(i) / n).toArray
-        val loss = row.getDouble(P) / n
-        val norm = math.sqrt(grads.map(d => d * d).sum)
-        val scale = if (norm > clipNorm) clipNorm / norm else 1.0
-        val t = epoch + 1
-        val bc1 = 1.0 - math.pow(beta1, t)
-        val bc2 = 1.0 - math.pow(beta2, t)
-        var i = 0
-        while (i < P) {
-          val gc = grads(i) * scale
-          mW(i) = beta1 * mW(i) + (1 - beta1) * gc
-          vW(i) = beta2 * vW(i) + (1 - beta2) * gc * gc
-          params(i) = params(i) - lr * (mW(i) / bc1 /
-            (math.sqrt(vW(i) / bc2) + eps) + weightDecay * params(i))
-          i += 1
-        }
-        val auc = lap(s"auc e$epoch")(
-          Metrics.auc(staged(valDf.crossJoin(broadcast(weightFrame)))
-            .select(col("y").as("label"),
-              (lit(1.0) / (lit(1.0) + exp(-col("lg")))).as("p")),
-            "label", col("p")))
+
+      // Pipelined evaluation: epoch e's val-AUC job and epoch e+1's
+      // gradient job both depend only on the post-update weights of
+      // epoch e — neither reads the other's result (the AUC feeds the
+      // LR scheduler and the best-checkpoint, both consumed at the
+      // NEXT update). So the AUC runs on a side thread while the next
+      // gradient pass runs inline, and is awaited just before its
+      // result is first needed. Per-epoch wall drops from
+      // grad+auc to max(grad, auc); the trajectory is bit-identical
+      // because every read still happens in the original order.
+      val aucPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+        (r: Runnable) => {
+          val th = new Thread(r, "towernet-val-auc"); th.setDaemon(true); th
+        })
+      val aucEc = scala.concurrent.ExecutionContext.fromExecutorService(aucPool)
+      // bookkeeping for epoch e, run once its AUC arrives: strict-best
+      // checkpoint (params still hold epoch e's post-update weights —
+      // the await precedes epoch e+1's update), plateau scheduler, log
+      var lastLoss = 0.0; var lastNorm = 0.0; var lastClipped = false
+      def bookkeep(e: Int, auc: Double): Unit = {
         val improved = auc > bestAuc
-        if (improved) { bestAuc = auc; bestEpoch = epoch; bestP = params.clone() }
+        if (improved) { bestAuc = auc; bestEpoch = e; bestP = params.clone() }
         if (auc > schedBest + 1e-4) { schedBest = auc; plateau = 0 }
         else plateau += 1
         if (plateau > lrPatience) { lr *= lrFactor; plateau = 0 }
-        log += Epoch(epoch, loss, auc, lr, norm, scale < 1.0, improved)
-        epoch += 1
+        log += Epoch(e, lastLoss, auc, lr, lastNorm, lastClipped, improved)
       }
-      Result(bestP, log.result(), bestAuc, bestEpoch, P)
+      var pendingAuc: scala.concurrent.Future[Double] = null
+      try {
+        var epoch = 0
+        while (epoch < epochs) {
+          val row = lap(s"grad e$epoch")(
+            staged(trainDf.crossJoin(broadcast(weightFrame)))
+              .agg(aggs.head, aggs.tail: _*).head())
+          if (pendingAuc != null)
+            bookkeep(epoch - 1, scala.concurrent.Await.result(
+              pendingAuc, scala.concurrent.duration.Duration.Inf))
+          val n = row.getLong(P + 1).toDouble
+          val grads = (0 until P).map(i => row.getDouble(i) / n).toArray
+          val loss = row.getDouble(P) / n
+          val norm = math.sqrt(grads.map(d => d * d).sum)
+          val scale = if (norm > clipNorm) clipNorm / norm else 1.0
+          val t = epoch + 1
+          val bc1 = 1.0 - math.pow(beta1, t)
+          val bc2 = 1.0 - math.pow(beta2, t)
+          var i = 0
+          while (i < P) {
+            val gc = grads(i) * scale
+            mW(i) = beta1 * mW(i) + (1 - beta1) * gc
+            vW(i) = beta2 * vW(i) + (1 - beta2) * gc * gc
+            params(i) = params(i) - lr * (mW(i) / bc1 /
+              (math.sqrt(vW(i) / bc2) + eps) + weightDecay * params(i))
+            i += 1
+          }
+          lastLoss = loss; lastNorm = norm; lastClipped = scale < 1.0
+          val wf = weightFrame // frozen post-update snapshot for the side job
+          val e = epoch
+          pendingAuc = scala.concurrent.Future(lap(s"auc e$e")(
+            Metrics.auc(staged(valDf.crossJoin(broadcast(wf)))
+              .select(col("y").as("label"),
+                (lit(1.0) / (lit(1.0) + exp(-col("lg")))).as("p")),
+              "label", col("p"))))(aucEc)
+          epoch += 1
+        }
+        if (pendingAuc != null)
+          bookkeep(epochs - 1, scala.concurrent.Await.result(
+            pendingAuc, scala.concurrent.duration.Duration.Inf))
+        Result(bestP, log.result(), bestAuc, bestEpoch, P)
+      } finally aucEc.shutdown()
     } finally frame.unpersist()
   }
 }
