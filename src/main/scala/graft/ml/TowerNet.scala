@@ -177,12 +177,13 @@ object TowerNet {
       val schema = org.apache.spark.sql.types.StructType(
         (0 until P).map(i => org.apache.spark.sql.types.StructField(
           s"p$i", org.apache.spark.sql.types.DoubleType, nullable = false)).toArray)
-      // snapshot of the CURRENT params — cloned, because the frame is
-      // consumed by a background val-AUC job that overlaps the next
-      // epoch's in-place parameter update
+      // Array.toSeq copies in 2.13, so each frame is an immutable
+      // snapshot of the params at call time — the background val-AUC
+      // job can never observe a later in-place update (same contract
+      // as AdamWTrainer's WeightModel.frame)
       def weightFrame: DataFrame = ss.createDataFrame(
         java.util.Collections.singletonList(
-          org.apache.spark.sql.Row.fromSeq(params.clone().toSeq)), schema)
+          org.apache.spark.sql.Row.fromSeq(params.toSeq)), schema)
 
       val nUnits = towers.size * hidden
       // staged row-level pipeline: pre → z/logit → g/loss → delta, each

@@ -580,8 +580,13 @@ object Similarity {
 
   /** D13: semantic near-dup pairs, IVF-bucketed — the scale path for
     * the brute-force threshold join (d5): a pair is compared only when
-    * one side probes the other's coarse cell, so candidate count is
-    * bounded by cell sizes (quantizer-balanced), never n². Pairs are
+    * one side probes the other's coarse cell, so the candidate count
+    * drops by ~nProbe/nLists versus the all-pairs join (n²/8 at the
+    * catalog's fixed 16/2). The factor is constant at fixed nLists —
+    * at corpus scale nLists must grow with n (∝√n keeps expected cell
+    * size and probe cost both ~√n), which this kernel supports as a
+    * plain argument; the catalog entry pins 16 for oracle parity at
+    * test SF. Pairs are
     * normalized (src < dst) and deduped — (a probes b) and (b probes a)
     * produce the same row because the component-wise dot is
     * order-independent. Approximate by design: boundary pairs whose
@@ -591,7 +596,12 @@ object Similarity {
                       minCos: Double, nLists: Int = 16, nProbe: Int = 2,
                       salt: Long = 13L): DataFrame =
     ivfHashScored(vectors, idCol, vecCol, nLists, nProbe, salt)
-      .filter(col("cos") >= minCos)
+      // NaN guard: a zero-norm vector makes cos 0/0 = NaN, and Spark's
+      // DoubleType ordering ranks NaN ABOVE every number, so a bare
+      // >= would emit NaN pairs the exact kernel (primitive Java >=)
+      // drops — breaking the exact-subset contract. DuckDB's mirror
+      // needs no twin clause: its 0/0 is NULL, which the WHERE drops.
+      .filter(col("cos") >= minCos && !isnan(col("cos")))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"),
         round(col("cos"), 6).as("cos"))

@@ -74,6 +74,33 @@ class PipelineArtifactsSpec extends SparkSpec {
     assert(eps.sliding(2).forall { case Seq(a, c) => c.lr <= a.lr + 1e-12; case _ => true })
   }
 
+  test("M9 early stop: truncates to the exact prefix of the full trajectory") {
+    // The pipelined loop computes each epoch's gradient BEFORE awaiting
+    // the previous epoch's val AUC; when that AUC fires early stop the
+    // speculative gradient must be discarded — the logged trajectory
+    // has to be exactly the prefix the sequential loop would produce.
+    val data = LinkPredict.trainingSet(spark, sfDir, cap = 5000)
+    val full = graft.ml.AdamWTrainer.train(data, epochs = 20)
+    val k = 1
+    // expected stop: first epoch with k consecutive non-improvements
+    var sinceBest = 0; var stopAt = -1
+    full.epochs.foreach { e =>
+      if (stopAt < 0) {
+        if (e.improved) sinceBest = 0 else sinceBest += 1
+        if (sinceBest >= k) stopAt = e.epoch
+      }
+    }
+    assert(stopAt > 0, s"trajectory never plateaued, pick a different k: ${full.epochs}")
+    val stopped = graft.ml.AdamWTrainer.train(data, epochs = 20, earlyStop = k)
+    assert(stopped.epochs === full.epochs.take(stopAt + 1),
+      s"early-stopped log is not a prefix of the full trajectory:\n" +
+        s"stopped=${stopped.epochs}\nfull=${full.epochs}")
+    assert(stopped.bestEpoch === full.epochs.take(stopAt + 1)
+      .maxBy(_.aucVal).epoch)
+    assert(math.abs(stopped.bestAuc -
+      full.epochs.take(stopAt + 1).map(_.aucVal).max) < 1e-12)
+  }
+
   test("M9 minibatch stream: one optimizer step per micro-batch, deterministic, learns") {
     val data = LinkPredict.trainingSet(spark, sfDir, cap = 5000)
     def run() = graft.ml.AdamWTrainer.trainMinibatchStream(spark, data,
