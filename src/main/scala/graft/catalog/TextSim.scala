@@ -863,6 +863,215 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  // ---- corpus-rewrite ops (C4 / RefinedWeb / CCNet / DCLM recipes) ----
+
+  /** Non-overlapping k-word blocks of a tokenized doc as (blk, btext)
+    * structs, 1-indexed. Docs shorter than k yield no blocks; the short
+    * tail (< k words) is never a block and is kept verbatim by every
+    * rewrite op below, so it carries no information for their gates. */
+  private def wordBlocks(toks: org.apache.spark.sql.Column, k: Int) =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), (size(toks) / k).cast("int")), i =>
+        struct(i.as("blk"),
+          concat_ws(" ", slice(toks, (i - lit(1)) * k + 1, lit(k))).as("btext"))))
+      .otherwise(array().cast("array<struct<blk:int,btext:string>>"))
+
+  // D14: C4-style cross-corpus exact span dedup — "remove any duplicated
+  // three-sentence span" (Raffel et al. 2020 §2.2) re-expressed over
+  // k=8-word blocks (this corpus has no sentence boundaries). A block's
+  // FIRST global occurrence in (doc_id, position) order is kept; every
+  // later occurrence is struck from its document. Output is the per-doc
+  // audit — block counts plus the md5 of the surviving block stream —
+  // so the gate pins the rewrite without shipping 100 TB of cleaned
+  // text through the result. Scale shape: one hash exchange partitioned
+  // by the block's md5 (a window over one block's occurrence list — the
+  // duplication factor, never the corpus), one regroup by doc_id. Block
+  // text rides the shuffle because a rewrite op's payload IS text, but
+  // each row is bounded at k tokens. Complements d1 (whole-doc exact)
+  // and d2/d4 (whole-doc near): this is the sub-document granularity.
+  private def d14SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val docs = Tables.documents(spark, dir)
+    val blocks = docs
+      .select(col("doc_id"),
+        explode(wordBlocks(TextAnalysis.tokens(col("text")), k)).as("b"))
+      .select(col("doc_id"), col("b.blk").as("blk"), col("b.btext").as("btext"))
+    val w = Window.partitionBy(md5(col("btext"))).orderBy("doc_id", "blk")
+    val perDoc = blocks.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("rn") === 1,
+            struct(col("blk"), col("btext"))))),
+          x => x.getField("btext")), " ")).as("kept_md5"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(when(coalesce(col("n_blocks"), lit(0L)) === 0, 0.0)
+          .otherwise(lit(1.0) - col("n_kept").cast("double") / col("n_blocks")), 6)
+          .as("drop_ratio"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  // T19: boilerplate-span removal — RefinedWeb's "line appears in many
+  // documents" rule (Penedo et al. 2023 §3.3) over k=4-word blocks: a
+  // block whose text occurs in ≥ 2 DISTINCT documents is boilerplate
+  // and struck from EVERY document — first occurrence included;
+  // frequency decides, not order (the structural difference from d14).
+  // Scale shape: doc-frequency is one groupBy on the block text
+  // (Zipf-bounded key space) PRUNED to the df≥2 survivors before the
+  // rejoin, so the join's build side is only the boilerplate set —
+  // broadcastable in practice, a key-only shuffle in the worst case.
+  private def t19BoilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val docs = Tables.documents(spark, dir)
+    val blocks = docs
+      .select(col("doc_id"),
+        explode(wordBlocks(TextAnalysis.tokens(col("text")), k)).as("b"))
+      .select(col("doc_id"), col("b.blk").as("blk"), col("b.btext").as("btext"))
+    val boiler = blocks.groupBy("btext")
+      .agg(countDistinct("doc_id").as("dfr"))
+      .filter(col("dfr") >= 2)
+      .select(col("btext").as("ftext"))
+    val perDoc = blocks
+      .join(broadcast(boiler), col("btext") === col("ftext"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("ftext").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("ftext").isNull,
+            struct(col("blk"), col("btext"))))),
+          x => x.getField("btext")), " ")).as("clean_md5"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(when(coalesce(col("n_blocks"), lit(0L)) === 0, 0.0)
+          .otherwise(col("n_boiler").cast("double") / col("n_blocks")), 6)
+          .as("boiler_ratio"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  // T20: n-gram LM perplexity filter — CCNet's quality signal (Wenzek
+  // et al. 2020 §4.3): train an add-one-smoothed bigram LM on the
+  // reference half (doc_id ≡ 0 mod 2), score every document's mean
+  // negative log-likelihood, and bucket the corpus head/middle/tail at
+  // the 33rd/66th percentiles (CCNet keeps "head" for training). Scale
+  // shape: the LM tables are token-count aggregates bounded by observed
+  // vocabulary (Zipf), broadcast to a map-side scoring join — scoring
+  // is a single map-only pass at 100 TB; the exact-percentile cut
+  // buffers one double per DOCUMENT in a single aggregate (the a19
+  // precedent; approx_percentile is the drop-in at extreme corpus
+  // cardinality).
+  private def t20LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val pairs = docs.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val train = pairs.filter(col("doc_id") % 2 === 0)
+    val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .select(col("w1").as("b1"), col("w2").as("b2"), col("c2"))
+    val uni = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .select(col("w1").as("u1"), col("c1"))
+    val voc = train.select(col("w1").as("w"))
+      .union(train.select(col("w2").as("w")))
+      .agg(countDistinct("w").as("v"))
+    val perDoc = pairs
+      .join(broadcast(big), col("w1") === col("b1") && col("w2") === col("b2"), "left")
+      .join(broadcast(uni), col("w1") === col("u1"), "left")
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))).as("logp"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-avg(col("logp")), 6).as("nll"))
+    val cuts = perDoc.agg(
+      expr("percentile(nll, array(0.33D, 0.66D))").as("cut"))
+    perDoc.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"),
+        round(exp(col("nll")), 6).as("ppl"),
+        when(col("nll") <= col("cut").getItem(0), "head")
+          .when(col("nll") <= col("cut").getItem(1), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** T13's composite quality gate as one boolean — the weak label the
+    * distilled classifier (t18) trains against. Kept bit-identical to
+    * t13QualityRules' `passes` column. */
+  private def qualityWeakLabel(t: org.apache.spark.sql.Column) = {
+    val nWords = TextAnalysis.tokenCount(t)
+    val meanLen = when(nWords === 0, 0.0)
+      .otherwise(length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
+    val symbols = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    val symbolRatio = when(length(t) === 0, 0.0)
+      .otherwise(symbols.cast("double") / length(t))
+    val stopHits = TextAnalysis.stopwordHits(t,
+      TextAnalysis.stopwords.values.flatten.toSeq.distinct)
+    (nWords >= 20 && nWords <= 500 && meanLen >= 3.0 && meanLen <= 10.0 &&
+      symbolRatio < 0.1 && stopHits >= 2).cast("int")
+  }
+
+  // T18: distilled quality classifier — the DCLM/FineWeb-edu pattern
+  // (a cheap trained model replaces the hand-rule gate at serving
+  // time): a multinomial Naive Bayes text classifier trained in closed
+  // form on the t13 rule verdicts of the doc_id≡0(2) half, then scoring
+  // the WHOLE corpus by summed token log-odds + class prior. Closed-form
+  // training keeps it deterministic and fully oracle-mirrorable (no
+  // iterative fit). Scale shape: training is one groupBy over (word,
+  // label) — vocabulary-bounded; the learned weight table broadcasts to
+  // a map-side scoring join, so inference is a single map-only pass at
+  // 100 TB (the entire point of distilling the gate).
+  private def t18QualityNb(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.documents(spark, dir).select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"),
+      qualityWeakLabel(col("text")).as("weak_label"))
+    val tok = lab.select(col("doc_id"), col("weak_label"),
+      explode(col("toks")).as("w"))
+    val tr = tok.filter(col("doc_id") % 2 === 0)
+    val cls = tr.agg(
+      sum(when(col("weak_label") === 1, 1L).otherwise(0L)).as("t1"),
+      sum(when(col("weak_label") === 0, 1L).otherwise(0L)).as("t0"),
+      countDistinct("w").as("v"))
+    val prior = lab.filter(col("doc_id") % 2 === 0).agg(
+      log(sum(when(col("weak_label") === 1, 1.0).otherwise(0.0)) /
+        sum(when(col("weak_label") === 0, 1.0).otherwise(0.0))).as("lprior"))
+    val wt = tr.groupBy("w").agg(
+        sum(when(col("weak_label") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("weak_label") === 0, 1L).otherwise(0L)).as("c0"))
+      .crossJoin(broadcast(cls))
+      .select(col("w").as("ww"),
+        (log((col("c1") + lit(1.0)) / (col("t1") + col("v"))) -
+          log((col("c0") + lit(1.0)) / (col("t0") + col("v")))).as("lw"))
+    val scored = tok.join(broadcast(wt), col("w") === col("ww"), "left")
+      .crossJoin(broadcast(cls))
+      .groupBy("doc_id").agg(
+        sum(coalesce(col("lw"),
+          log((col("t0") + col("v")).cast("double") / (col("t1") + col("v")))))
+          .as("s"))
+    lab.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        col("weak_label"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("nb_score", round(col("lprior") + coalesce(col("s"), lit(0.0)), 6))
+      .withColumn("pred_good", (col("nb_score") > 0).cast("int"))
+      .withColumn("agree",
+        (col("pred_good") === col("weak_label")).cast("int"))
+      .select("doc_id", "n_toks", "nb_score", "pred_good", "weak_label", "agree")
+      .orderBy("doc_id")
+  }
+
   // R9: split-leakage report — the D7 shape applied to TRAIN/EVAL
   // integrity: after a hash split (90/10), every eval document is
   // checked against the train side's band-signature store; a banded
@@ -1151,6 +1360,10 @@ object TextSim {
     "t13_quality_rules" -> (t13QualityRules(_, _)),
     "t14_pii_redact" -> (t14PiiRedact(_, _)),
     "t15_repetition" -> (t15Repetition(_, _)),
+    "d14_span_dedup" -> (d14SpanDedup(_, _)),
+    "t19_boilerplate_spans" -> (t19BoilerplateSpans(_, _)),
+    "t20_lm_perplexity" -> (t20LmPerplexity(_, _)),
+    "t18_quality_nb" -> (t18QualityNb(_, _)),
     "d10_contamination" -> (d10Contamination(_, _)),
     "d12_decontaminate" -> (d12Decontaminate(_, _)),
     "e11_stream_ingest_dedup" -> (e11StreamIngestDedup(_, _)),
@@ -1616,6 +1829,148 @@ object TextSim {
         |    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) END, 6)
         |    > 0.2 AS INT) AS flag_repetitive
         |FROM g ORDER BY doc_id""".stripMargin,
+    "d14_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, i AS blk,
+        |    array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ') AS btext
+        |  FROM toks, unnest(generate_series(1, len(toks)//8)) AS g(i)),
+        |ranked AS (
+        |  SELECT doc_id, blk, btext,
+        |    row_number() OVER (PARTITION BY md5(btext) ORDER BY doc_id, blk) AS rn
+        |  FROM blocks),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    md5(coalesce(string_agg(CASE WHEN rn = 1 THEN btext END,
+        |      ' ' ORDER BY blk), '')) AS kept_md5
+        |  FROM ranked GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_blocks, 0) AS n_blocks,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  round(CASE WHEN coalesce(n_blocks, 0) = 0 THEN 0.0
+        |    ELSE 1.0 - coalesce(n_kept, 0) / coalesce(n_blocks, 1.0) END, 6)
+        |    AS drop_ratio,
+        |  coalesce(kept_md5, md5('')) AS kept_md5
+        |FROM documents d LEFT JOIN perdoc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "t19_boilerplate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, i AS blk,
+        |    array_to_string(toks[(i-1)*4+1:(i-1)*4+4], ' ') AS btext
+        |  FROM toks, unnest(generate_series(1, len(toks)//4)) AS g(i)),
+        |boiler AS (
+        |  SELECT btext AS ftext FROM blocks
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |j AS (
+        |  SELECT b.doc_id, b.blk, b.btext, f.ftext
+        |  FROM blocks b LEFT JOIN boiler f ON b.btext = f.ftext),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN ftext IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_boiler,
+        |    md5(coalesce(string_agg(CASE WHEN ftext IS NULL THEN btext END,
+        |      ' ' ORDER BY blk), '')) AS clean_md5
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_blocks, 0) AS n_blocks,
+        |  coalesce(n_boiler, 0) AS n_boiler,
+        |  round(CASE WHEN coalesce(n_blocks, 0) = 0 THEN 0.0
+        |    ELSE coalesce(n_boiler, 0) / coalesce(n_blocks, 1.0) END, 6)
+        |    AS boiler_ratio,
+        |  coalesce(clean_md5, md5('')) AS clean_md5
+        |FROM documents d LEFT JOIN perdoc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "t20_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+        |big AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM pairs WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM pairs WHERE doc_id % 2 = 0 GROUP BY 1),
+        |voc AS (
+        |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+        |    SELECT w1 AS w FROM pairs WHERE doc_id % 2 = 0
+        |    UNION ALL SELECT w2 FROM pairs WHERE doc_id % 2 = 0)),
+        |perdoc AS (
+        |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(-avg(ln((coalesce(b.c2, 0) + 1.0) /
+        |      (coalesce(u.c1, 0) + v.v))), 6) AS nll
+        |  FROM pairs p
+        |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN uni u ON p.w1 = u.w1
+        |  CROSS JOIN voc v
+        |  GROUP BY p.doc_id),
+        |cuts AS (
+        |  SELECT quantile_cont(nll, 0.33) AS p33, quantile_cont(nll, 0.66) AS p66
+        |  FROM perdoc)
+        |SELECT doc_id, n_bigrams, nll, round(exp(nll), 6) AS ppl,
+        |  CASE WHEN nll <= p33 THEN 'head'
+        |       WHEN nll <= p66 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM perdoc CROSS JOIN cuts
+        |ORDER BY doc_id""".stripMargin,
+    "t18_quality_nb" -> {
+      val stops = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH lab AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |    CAST((CASE WHEN len(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+         |        BETWEEN 20 AND 500
+         |      AND (CASE WHEN len(trim(text)) = 0 THEN 0.0
+         |           ELSE CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+         |             len(regexp_split_to_array(trim(text), '\\s+')) END)
+         |        BETWEEN 3.0 AND 10.0
+         |      AND (CASE WHEN len(text) = 0 THEN 0.0
+         |           ELSE CAST(len(text) -
+         |             len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |             / len(text) END) < 0.1
+         |      AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |            x -> list_contains($stops, x))) >= 2 AS INT) AS weak_label
+         |  FROM documents),
+         |tok AS (SELECT doc_id, weak_label, unnest(toks) AS w FROM lab),
+         |tr AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+         |cls AS (
+         |  SELECT CAST(sum(CASE WHEN weak_label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS t1,
+         |    CAST(sum(CASE WHEN weak_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+         |    CAST(count(DISTINCT w) AS BIGINT) AS v
+         |  FROM tr),
+         |prior AS (
+         |  SELECT ln(sum(CASE WHEN weak_label = 1 THEN 1.0 ELSE 0 END) /
+         |            sum(CASE WHEN weak_label = 0 THEN 1.0 ELSE 0 END)) AS lprior
+         |  FROM lab WHERE doc_id % 2 = 0),
+         |wt AS (
+         |  SELECT w, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS lw
+         |  FROM (SELECT w,
+         |          CAST(sum(CASE WHEN weak_label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS c1,
+         |          CAST(sum(CASE WHEN weak_label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS c0
+         |        FROM tr GROUP BY w) CROSS JOIN cls),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    sum(coalesce(wt.lw, ln((c.t0 + c.v) * 1.0 / (c.t1 + c.v)))) AS s
+         |  FROM tok t LEFT JOIN wt ON t.w = wt.w CROSS JOIN cls c
+         |  GROUP BY t.doc_id),
+         |perdoc AS (
+         |  SELECT l.doc_id, CAST(len(l.toks) AS BIGINT) AS n_toks,
+         |    round(p.lprior + coalesce(s.s, 0.0), 6) AS nb_score, l.weak_label
+         |  FROM lab l LEFT JOIN scored s USING (doc_id) CROSS JOIN prior p)
+         |SELECT doc_id, n_toks, nb_score,
+         |  CAST(nb_score > 0 AS INT) AS pred_good, weak_label,
+         |  CAST((nb_score > 0) = (weak_label = 1) AS INT) AS agree
+         |FROM perdoc ORDER BY doc_id""".stripMargin
+    },
     "sim_ivf_persisted" -> {
       val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
       val qc = Similarity.dotSql("q.qv", "c.cv", DIM)

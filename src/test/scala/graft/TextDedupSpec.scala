@@ -261,4 +261,80 @@ class TextDedupSpec extends SparkSpec {
       assert(pRatio < cRatio && pRatio > 1.0 - 1e-9)
     }
   }
+
+  /** Non-overlapping k-word blocks recomputed independently of the
+    * catalog's private helper — (doc_id, blk, btext) rows. */
+  private def blocksOf(k: Int) = {
+    val toks = split(trim(col("text")), "\\s+")
+    graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(when(size(toks) >= k,
+        transform(sequence(lit(1), (size(toks) / k).cast("int")), i =>
+          struct(i.as("blk"),
+            concat_ws(" ", slice(toks, (i - lit(1)) * k + 1, lit(k))).as("btext"))))
+        .otherwise(array().cast("array<struct<blk:int,btext:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.blk").as("blk"), col("b.btext").as("btext"))
+  }
+
+  test("d14 span dedup: every distinct block survives exactly once globally") {
+    val df = SparkEntry.queries("d14_span_dedup")(spark, sfDir)
+    assert(df.filter(col("n_kept") > col("n_blocks")).count() === 0)
+    // a FULL duplicate doc legitimately loses every block (ratio 1.0)
+    assert(df.filter(col("drop_ratio") < 0.0 || col("drop_ratio") > 1.0).count() === 0)
+    val blocks = blocksOf(8)
+    // keep-first semantics: total kept occurrences == distinct block texts
+    val kept = df.agg(sum("n_kept")).as[Long].head()
+    val distinctBlocks = blocks.select("btext").distinct().count()
+    assert(kept === distinctBlocks)
+    // the corpus really contains cross-duplicated spans (planted dups)
+    assert(df.filter(col("n_kept") < col("n_blocks")).count() > 0)
+    // zero-block docs (< 8 words) hash the empty stream
+    assert(df.filter(col("n_blocks") === 0 &&
+      col("kept_md5") =!= md5(lit(""))).count() === 0)
+  }
+
+  test("t19 boilerplate spans: frequency rule strikes ALL occurrences, d14 strikes later ones") {
+    val df = SparkEntry.queries("t19_boilerplate_spans")(spark, sfDir)
+    assert(df.filter(col("n_boiler") > col("n_blocks")).count() === 0)
+    val blocks = blocksOf(4)
+    // independent recount: occurrences of block texts spanning ≥2 docs
+    val expected = blocks.groupBy("btext")
+      .agg(countDistinct("doc_id").as("dfr"), count(lit(1)).as("occ"))
+      .filter(col("dfr") >= 2).agg(sum("occ")).as[Long].head()
+    assert(df.agg(sum("n_boiler")).as[Long].head() === expected)
+    assert(expected > 0, "corpus has no cross-doc repeated 4-word spans")
+  }
+
+  test("t20 LM perplexity: ppl = exp(nll), buckets ordered and all populated") {
+    val df = SparkEntry.queries("t20_lm_perplexity")(spark, sfDir).cache()
+    try {
+      assert(df.filter(abs(col("ppl") - exp(col("nll"))) > 1e-4).count() === 0)
+      val byBucket = df.groupBy("bucket").agg(
+          count(lit(1)).as("n"), min("nll").as("lo"), max("nll").as("hi"))
+        .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+      assert(byBucket.keySet === Set("head", "middle", "tail"))
+      // buckets partition the nll axis in order
+      assert(byBucket("head")._4 <= byBucket("middle")._3)
+      assert(byBucket("middle")._4 <= byBucket("tail")._3)
+      // percentile cuts put roughly a third in each (ties can shift a few)
+      val n = df.count()
+      byBucket.values.foreach(b => assert(b._2 > n / 5, s"skewed bucket: $b"))
+    } finally df.unpersist()
+  }
+
+  test("t18 NB quality classifier: distillation tracks the rule gate without collapsing") {
+    val df = SparkEntry.queries("t18_quality_nb")(spark, sfDir).cache()
+    try {
+      val n = df.count()
+      // the distilled model must actually agree with its teacher far
+      // above chance, but a 100% score would mean it memorized the gate
+      val agree = df.filter(col("agree") === 1).count()
+      assert(agree.toDouble / n > 0.6, s"agreement $agree/$n")
+      // non-degenerate: both predicted classes occur
+      assert(df.filter(col("pred_good") === 1).count() > 0)
+      assert(df.filter(col("pred_good") === 0).count() > 0)
+      // agree column is consistent with pred/label
+      assert(df.filter(col("agree") =!=
+        (col("pred_good") === col("weak_label")).cast("int")).count() === 0)
+    } finally df.unpersist()
+  }
 }
