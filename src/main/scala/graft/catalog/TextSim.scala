@@ -996,6 +996,9 @@ object TextSim {
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_bigrams"),
         round(-avg(col("logp")), 6).as("nll"))
+    // perDoc is consumed twice (cuts + output); no checkpoint: Spark's
+    // shuffle-stage reuse serves the second consumer from the groupBy's
+    // map outputs, so materializing eagerly only adds a job (measured)
     val cuts = perDoc.agg(
       expr("percentile(nll, array(0.33D, 0.66D))").as("cut"))
     perDoc.crossJoin(broadcast(cuts))
