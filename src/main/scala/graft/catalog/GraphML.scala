@@ -840,6 +840,110 @@ object GraphML {
       .orderBy("cust_a", "cust_b")
   }
 
+  // GX: personalized PageRank recommendation — random walk with restart
+  // over the customer–product bipartite purchase graph, seeded at the
+  // most active customer (max distinct products, seed-id tie-break):
+  // the classic graph-based recommender (Pixie/P3α family) that the
+  // reference's co-purchase heuristics approximate. 5 synchronous
+  // rounds of r' = 0.15·pref + 0.85·Σ r/deg over the undirected edge
+  // multiset, then top-20 UNPURCHASED products by rounded rank. The
+  // seed is a 1-row TakeOrdered plan broadcast into the preference
+  // vector — no driver collect. Scale shape: one groupBy(dst) shuffle
+  // per round with lineage truncated round-by-round (the
+  // labelPropagation discipline); degree and seed ride broadcasts; at
+  // 100 TB the walk frontier is the only corpus-sized exchange, and
+  // hub products were capped upstream the same way g8 caps them.
+  private def gxPprRecommend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pp = graft.graph.Links.purchasePairsNumeric(spark, dir)
+    if (pp.count() <= 2500000L) {
+      // dense bipartite kernel: ONE bounded collect of the (already
+      // checkpointed) numeric pair table — 16 bytes/pair — replaces the
+      // string-edge materialization + 5 shuffle rounds + anti-join jobs
+      // whose scheduling floor dominates at this size (the pageRank
+      // hybrid discipline; identical recurrence, float sum order
+      // absorbed by the 6-decimal round)
+      val rows = pp.select(col("customer"), col("product")).as[(Long, Long)]
+        .collect()
+      val m = rows.length
+      val cIdx = new java.util.HashMap[Long, Integer](2 * m)
+      val pIdx = new java.util.HashMap[Long, Integer](2 * m)
+      val cIds = new scala.collection.mutable.ArrayBuffer[Long]()
+      val pIds = new scala.collection.mutable.ArrayBuffer[Long]()
+      def of(map: java.util.HashMap[Long, Integer],
+             ids: scala.collection.mutable.ArrayBuffer[Long], k: Long): Int = {
+        val got = map.get(k)
+        if (got != null) got.intValue()
+        else { val i = ids.length; map.put(k, i); ids += k; i }
+      }
+      val ec = new Array[Int](m); val ep = new Array[Int](m)
+      var e = 0
+      while (e < m) {
+        ec(e) = of(cIdx, cIds, rows(e)._1); ep(e) = of(pIdx, pIds, rows(e)._2)
+        e += 1
+      }
+      val nc = cIds.length; val np = pIds.length
+      val degC = new Array[Int](nc); val degP = new Array[Int](np)
+      e = 0; while (e < m) { degC(ec(e)) += 1; degP(ep(e)) += 1; e += 1 }
+      // seed: max distinct products, 'c<id>' STRING tie-break (the
+      // oracle's concat('c', customer) ASC ordering)
+      var seedC = 0
+      var c = 1
+      while (c < nc) {
+        if (degC(c) > degC(seedC) ||
+          (degC(c) == degC(seedC) && s"c${cIds(c)}" < s"c${cIds(seedC)}"))
+          seedC = c
+        c += 1
+      }
+      var rc = new Array[Double](nc); rc(seedC) = 1.0
+      var rp = new Array[Double](np)
+      var it = 0
+      while (it < 5) {
+        val nxtC = new Array[Double](nc); val nxtP = new Array[Double](np)
+        e = 0
+        while (e < m) {
+          nxtP(ep(e)) += rc(ec(e)) / degC(ec(e))
+          nxtC(ec(e)) += rp(ep(e)) / degP(ep(e))
+          e += 1
+        }
+        var v = 0
+        while (v < nc) { nxtC(v) *= 0.85; v += 1 }
+        v = 0
+        while (v < np) { nxtP(v) *= 0.85; v += 1 }
+        nxtC(seedC) += 0.15
+        rc = nxtC; rp = nxtP
+        it += 1
+      }
+      val bought = new java.util.HashSet[Integer]()
+      e = 0; while (e < m) { if (ec(e) == seedC) bought.add(ep(e)); e += 1 }
+      val top = (0 until np).iterator
+        .filter(v => !bought.contains(v))
+        .map(v => (pIds(v), math.round(rp(v) * 1e6) / 1e6))
+        .toSeq.sortBy { case (pid, r) => (-r, pid) }.take(20)
+      spark.createDataFrame(top).toDF("product", "rank")
+    } else {
+      // corpus-scale fallback: the generic string-id hybrid (one
+      // groupBy-shuffle per round over checkpointed statics)
+      val fwd = pp.select(concat(lit("c"), col("customer")).as("src"),
+        concat(lit("p"), col("product")).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seedId = pp.groupBy("customer").agg(countDistinct("product").as("np"))
+        .select(concat(lit("c"), col("customer")).as("seed_id"), col("np"))
+        .orderBy(desc("np"), asc("seed_id")).limit(1)
+        .select("seed_id").as[String].head()
+      val pr = graft.graph.GraphXAnalytics.personalizedPageRank(
+        spark, edges, seedId, iters = 5, seqMaxEdges = 0L)
+      val purchased = pp
+        .filter(concat(lit("c"), col("customer")) === seedId)
+        .select(concat(lit("p"), col("product")).as("id"))
+      pr.filter(col("id").startsWith("p"))
+        .join(purchased, Seq("id"), "left_anti")
+        .select(expr("CAST(substring(id, 2) AS BIGINT)").as("product"),
+          round(col("rank"), 6).as("rank"))
+        .orderBy(desc("rank"), asc("product")).limit(20)
+    }
+  }
+
   // G6/§2.12 depth: SCD2 interval versioning — the dvid-tagged upsert
   // history (j2's injections) rewritten as validity intervals per key:
   // valid_from = the version that wrote the row, valid_to = the next
@@ -877,6 +981,7 @@ object GraphML {
     "m9_calibration" -> (m9Calibration(_, _)),
     "g7_scd2_intervals" -> (g7Scd2Intervals(_, _)),
     "g8_copurchase_projection" -> (g8CopurchaseProjection(_, _)),
+    "gx_ppr_recommend" -> (gxPprRecommend(_, _)),
     "m0_training_corpus" -> (m0TrainingCorpus(_, _)),
     "m1_gbt_link_metrics" -> (m1GbtMetrics(_, _)),
     "m1b_gbt_deterministic" -> (m1bGbtDeterministic(_, _)),
@@ -1440,6 +1545,46 @@ object GraphML {
         |GROUP BY a.customer, b.customer
         |HAVING count(*) >= 3
         |ORDER BY cust_a, cust_b""".stripMargin,
+    "gx_ppr_recommend" -> {
+      val steps = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT v.id,
+           |    (CASE WHEN v.id = (SELECT seed_id FROM seed) THEN 0.15 ELSE 0.0 END)
+           |      + 0.85 * coalesce(m.s, 0.0) AS rank
+           |  FROM verts v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.rank / d.od) AS s
+           |    FROM edges e JOIN pr${i - 1} p ON p.id = e.src
+           |    JOIN deg d ON d.id = e.src
+           |    GROUP BY e.dst) m ON m.id = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS (
+         |  SELECT DISTINCT o_custkey AS customer, l_partkey AS product
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT concat('c', customer) AS src, concat('p', product) AS dst FROM pp
+         |  UNION ALL
+         |  SELECT concat('p', product), concat('c', customer) FROM pp),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |deg AS (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+         |seed AS (
+         |  SELECT concat('c', customer) AS seed_id FROM pp GROUP BY customer
+         |  ORDER BY count(DISTINCT product) DESC, concat('c', customer) ASC
+         |  LIMIT 1),
+         |pr0 AS (
+         |  SELECT id, CASE WHEN id = (SELECT seed_id FROM seed)
+         |    THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS rank FROM verts),
+         |$steps,
+         |purch AS (
+         |  SELECT concat('p', product) AS id FROM pp
+         |  WHERE concat('c', customer) = (SELECT seed_id FROM seed)),
+         |fin AS (
+         |  SELECT CAST(substr(id, 2) AS BIGINT) AS product,
+         |    round(rank, 6) AS rank
+         |  FROM pr5
+         |  WHERE id LIKE 'p%' AND id NOT IN (SELECT id FROM purch))
+         |SELECT product, rank FROM fin
+         |ORDER BY rank DESC, product ASC LIMIT 20""".stripMargin
+    },
     "g7_scd2_intervals" ->
       """WITH inj AS (
         |  SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS price, 1 AS dvid

@@ -197,6 +197,87 @@ object GraphXAnalytics {
       .select(col("id"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Personalized PageRank (random walk with restart) over an arbitrary
+    * (src, dst) string-id edge DataFrame: r' = 0.15·pref + 0.85·Σ r/deg
+    * with the whole restart mass on `seedId`. Unrounded ranks; callers
+    * round for presentation.
+    *
+    * Hybrid on the pageRank pattern: below `seqMaxEdges` the edge list
+    * collects to the driver and `iters` dense passes replace `iters`
+    * rounds of shuffle jobs whose scheduling floor dominates at this
+    * size; above it, the same synchronous recurrence runs as one
+    * groupBy-shuffle per round over checkpointed static sides (edges /
+    * degree / preference), lineage truncated round-by-round. Both paths
+    * compute the identical recurrence; float sum order is the only
+    * difference, absorbed by the callers' 6-decimal rounding. */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame,
+                           seedId: String, iters: Int = 5,
+                           seqMaxEdges: Long = 5000000L): DataFrame = {
+    import spark.implicits._
+    if (edges.count() <= seqMaxEdges) {
+      val rows = edges.select(col("src").cast("string"),
+        col("dst").cast("string")).collect()
+      val m = rows.length
+      val idx = new java.util.HashMap[String, Integer](2 * m)
+      val ids = new scala.collection.mutable.ArrayBuffer[String]()
+      def of(s: String): Int = {
+        val got = idx.get(s)
+        if (got != null) got.intValue()
+        else { val i = ids.length; idx.put(s, i); ids += s; i }
+      }
+      val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+      var e = 0
+      while (e < m) {
+        srcI(e) = of(rows(e).getString(0)); dstI(e) = of(rows(e).getString(1))
+        e += 1
+      }
+      val n = ids.length
+      val outDeg = new Array[Int](n)
+      e = 0; while (e < m) { outDeg(srcI(e)) += 1; e += 1 }
+      val seedIdx = { val s = idx.get(seedId); if (s == null) -1 else s.intValue() }
+      require(seedIdx >= 0, s"PPR seed '$seedId' not present in the edge set")
+      var rank = new Array[Double](n); rank(seedIdx) = 1.0
+      var it = 0
+      while (it < iters) {
+        val contrib = new Array[Double](n)
+        e = 0
+        while (e < m) { contrib(dstI(e)) += rank(srcI(e)) / outDeg(srcI(e)); e += 1 }
+        val next = new Array[Double](n)
+        var v = 0
+        while (v < n) { next(v) = 0.85 * contrib(v); v += 1 }
+        next(seedIdx) += 0.15
+        rank = next
+        it += 1
+      }
+      (0 until n).map(v => (ids(v), rank(v))).toDF("id", "rank")
+    } else {
+      val ed = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")).localCheckpoint(true)
+      val deg = ed.groupBy("src").agg(count(lit(1)).as("od"))
+        .select(col("src").as("deg_id"), col("od")).localCheckpoint(true)
+      val pref = ed.select(col("src").as("id")).distinct()
+        .select(col("id"),
+          when(col("id") === seedId, 1.0).otherwise(0.0).as("pref"))
+        .localCheckpoint(true)
+      var rank = pref.select(col("id"), col("pref").as("rank"))
+      var it = 0
+      while (it < iters) {
+        val contrib = ed
+          .join(rank.select(col("id").as("rank_id"), col("rank")),
+            col("src") === col("rank_id"))
+          .join(deg, col("src") === col("deg_id"))
+          .groupBy(col("dst")).agg(sum(col("rank") / col("od")).as("s"))
+        rank = pref.join(contrib, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(0.15) * col("pref") +
+              lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+        it += 1
+      }
+      rank
+    }
+  }
+
   /** Triangle count per vertex over an arbitrary (src, dst) edge
     * DataFrame, treated as undirected (GraphX canonicalizes + dedups
     * internally). Ids of any type — hashed via their string form to

@@ -81,4 +81,29 @@ class GraphAlgoSpec extends SparkSpec {
     assert(emb.count() === 10)
     assert(emb.select(size($"embedding")).distinct().head().getInt(0) === 8)
   }
+
+  test("personalized PageRank recommends only unpurchased products, ranked") {
+    val df = SparkEntry.queries("gx_ppr_recommend")(spark, sfDir).cache()
+    try {
+      val rows = df.as[(Long, Double)].collect()
+      assert(rows.length === 20)
+      // restart mass decays with distance but never vanishes on a
+      // reachable product
+      assert(rows.forall(_._2 > 0.0))
+      // output is ranked: non-increasing rank, id-ascending within ties
+      rows.sliding(2).foreach { case Array((pa, ra), (pb, rb)) =>
+        assert(rb < ra || (rb == ra && pb > pa), s"order broken at $pa/$pb")
+      }
+      // the seed's own purchases are excluded
+      val pp = graft.graph.Links.purchasePairsNumeric(spark, sfDir)
+      val seed = pp.groupBy("customer")
+        .agg(countDistinct("product").as("np"))
+        .select(concat(lit("c"), $"customer").as("sid"), $"np", $"customer")
+        .orderBy(desc("np"), asc("sid")).limit(1)
+        .select("customer").as[Long].head()
+      val bought = pp.filter($"customer" === seed)
+        .select("product").as[Long].collect().toSet
+      assert(rows.forall(r => !bought.contains(r._1)))
+    } finally df.unpersist()
+  }
 }

@@ -115,4 +115,27 @@ class GraphXEnrichSpec extends SparkSpec {
     assert(nExact === 0 || found.toDouble / nExact > 0.5,
       s"LSH recall too low: $found/$nExact")
   }
+
+  test("personalized PageRank: dense and shuffle paths agree; mass conserved") {
+    // small undirected star + chain: both directions materialized, as
+    // the contract requires
+    val und = Seq(("s", "a"), ("s", "b"), ("a", "b"), ("b", "c"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val dense = GraphXAnalytics.personalizedPageRank(spark, edges, "s", iters = 5)
+      .select($"id", round($"rank", 6).as("rank"))
+      .as[(String, Double)].collect().toMap
+    val shuffled = GraphXAnalytics.personalizedPageRank(spark, edges, "s",
+        iters = 5, seqMaxEdges = 0L)
+      .select($"id", round($"rank", 6).as("rank"))
+      .as[(String, Double)].collect().toMap
+    assert(dense.keySet === Set("s", "a", "b", "c"))
+    assert(dense === shuffled)
+    // restart mass: the walk redistributes but never creates/destroys it
+    assert(math.abs(dense.values.sum - 1.0) < 1e-5)
+    // restart favors the seed over its same-degree peer 'a'; the
+    // degree-1 vertex two hops out holds the least mass (hub 'b' may
+    // legitimately out-rank the seed — mass flows through it)
+    assert(dense("s") > dense("a"))
+    assert(dense.values.min === dense("c"))
+  }
 }
