@@ -696,6 +696,54 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  // T21: token-budget corpus selection — the mixture step that actually
+  // PICKS the training subset (the r8/t16 reports only price it): fill
+  // 20% of corpus tokens, per-language budgets set by α=0.5
+  // temperature-rebalanced token shares, documents admitted in a
+  // deterministic hash order until their language's cumulative stream
+  // position exceeds its budget (prefix-fill, not knapsack — skipped
+  // tokens still advance the position). Ordering is (shard, u, doc_id)
+  // with the t12b two-pass cumsum: the within-shard window is bounded
+  // by one shard's slice of one language and the shard-offset window by
+  // the shard count; budgets ride a lang-count-sized broadcast — no
+  // corpus-sized window or shuffle anywhere.
+  private def t21TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 8
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      .withColumn("u", graft.functions.ColFns.pseudoUniform(col("doc_id"), 173L))
+      .withColumn("shard",
+        floor(graft.functions.ColFns.pseudoUniform(col("doc_id"), 211L) * nShards)
+          .cast("int"))
+    val byLang = docs.groupBy("lang").agg(sum("n_toks").as("lang_toks"))
+    val tot = byLang.agg(sum("lang_toks").cast("double").as("tot_toks"))
+    val wsum = byLang.crossJoin(broadcast(tot))
+      .agg(sum(sqrt(col("lang_toks") / col("tot_toks"))).as("wsum"))
+    val budgets = byLang.crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
+      .select(col("lang"),
+        floor(lit(0.2) * col("tot_toks") *
+          (sqrt(col("lang_toks") / col("tot_toks")) / col("wsum")))
+          .cast("long").as("budget"))
+    val wIn = Window.partitionBy("lang", "shard")
+      .orderBy(col("u").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardTots = docs.groupBy("lang", "shard").agg(sum("n_toks").as("shard_toks"))
+    val wSh = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardTots.withColumn("shard_offset",
+        coalesce(sum("shard_toks").over(wSh), lit(0L)))
+      .select("lang", "shard", "shard_offset")
+    docs.withColumn("cum_in_shard", coalesce(sum("n_toks").over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "shard"))
+      .join(broadcast(budgets), Seq("lang"))
+      .withColumn("cum_before", col("shard_offset") + col("cum_in_shard"))
+      .withColumn("selected",
+        (col("cum_before") + col("n_toks") <= col("budget")).cast("int"))
+      .select("doc_id", "lang", "n_toks", "shard", "cum_before", "selected")
+      .orderBy("doc_id")
+  }
+
   // T13: Gopher-style quality-rule flags (Rae et al. 2021 §A1.1 shape):
   // word-count window, mean-word-length window, symbol ratio, stopword
   // evidence — each rule a named 0/1 column plus the conjunction, so a
@@ -1367,6 +1415,7 @@ object TextSim {
     "t19_boilerplate_spans" -> (t19BoilerplateSpans(_, _)),
     "t20_lm_perplexity" -> (t20LmPerplexity(_, _)),
     "t18_quality_nb" -> (t18QualityNb(_, _)),
+    "t21_token_budget" -> (t21TokenBudget(_, _)),
     "d10_contamination" -> (d10Contamination(_, _)),
     "d12_decontaminate" -> (d12Decontaminate(_, _)),
     "e11_stream_ingest_dedup" -> (e11StreamIngestDedup(_, _)),
@@ -1973,6 +2022,54 @@ object TextSim {
          |  CAST(nb_score > 0 AS INT) AS pred_good, weak_label,
          |  CAST((nb_score > 0) = (weak_label = 1) AS INT) AS agree
          |FROM perdoc ORDER BY doc_id""".stripMargin
+    },
+    "t21_token_budget" -> {
+      val u = graft.functions.ColFns.pseudoUniformSql("doc_id", 173L)
+      val sh = graft.functions.ColFns.pseudoUniformSql("doc_id", 211L)
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+         |      AS n_toks,
+         |    $u AS u,
+         |    CAST(floor($sh * 8) AS INT) AS shard
+         |  FROM documents),
+         |bylang AS (
+         |  SELECT lang, CAST(sum(n_toks) AS BIGINT) AS lang_toks
+         |  FROM docs GROUP BY lang),
+         |tot AS (SELECT CAST(sum(lang_toks) AS DOUBLE) AS tot_toks FROM bylang),
+         |ws AS (
+         |  SELECT sum(sqrt(lang_toks / tot_toks)) AS wsum
+         |  FROM bylang CROSS JOIN tot),
+         |budgets AS (
+         |  SELECT lang,
+         |    CAST(floor(0.2 * tot_toks *
+         |      (sqrt(lang_toks / tot_toks) / wsum)) AS BIGINT) AS budget
+         |  FROM bylang CROSS JOIN tot CROSS JOIN ws),
+         |shard_tots AS (
+         |  SELECT lang, shard, CAST(sum(n_toks) AS BIGINT) AS shard_toks
+         |  FROM docs GROUP BY lang, shard),
+         |offsets AS (
+         |  SELECT lang, shard,
+         |    CAST(coalesce(sum(shard_toks) OVER (PARTITION BY lang ORDER BY shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS shard_offset
+         |  FROM shard_tots),
+         |cums AS (
+         |  SELECT doc_id, lang, n_toks, shard,
+         |    CAST(coalesce(sum(n_toks) OVER (PARTITION BY lang, shard
+         |      ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_in_shard
+         |  FROM docs)
+         |SELECT c.doc_id, c.lang, c.n_toks, c.shard,
+         |  o.shard_offset + c.cum_in_shard AS cum_before,
+         |  CAST(o.shard_offset + c.cum_in_shard + c.n_toks <= b.budget AS INT)
+         |    AS selected
+         |FROM cums c
+         |JOIN offsets o ON c.lang = o.lang AND c.shard = o.shard
+         |JOIN budgets b ON c.lang = b.lang
+         |ORDER BY doc_id""".stripMargin
     },
     "sim_ivf_persisted" -> {
       val cc = Similarity.dotSql("c.cv", "c.cv", DIM)

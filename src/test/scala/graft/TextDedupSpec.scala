@@ -321,6 +321,33 @@ class TextDedupSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("t21 token budget: per-language caps hold and temperature flattens the mix") {
+    val df = SparkEntry.queries("t21_token_budget")(spark, sfDir).cache()
+    try {
+      val byLang = df.groupBy("lang").agg(
+          sum("n_toks").as("tok"),
+          sum(when(col("selected") === 1, col("n_toks")).otherwise(0L)).as("sel"))
+        .as[(String, Long, Long)].collect()
+      val tot = byLang.map(_._2).sum.toDouble
+      val sel = byLang.map(_._3).sum.toDouble
+      // global fill lands just under the 20% target (partial docs are
+      // never split)
+      assert(sel / tot > 0.10 && sel / tot <= 0.20, s"fill ${sel / tot}")
+      // α=0.5 rebalancing: every language's share of the SELECTED
+      // tokens is strictly flatter than its share of the corpus —
+      // majority compressed, minority boosted
+      val maj = byLang.maxBy(_._2); val min0 = byLang.minBy(_._2)
+      assert(maj._3 / sel < maj._2 / tot, "majority lang not compressed")
+      assert(min0._3 / sel > min0._2 / tot, "minority lang not boosted")
+      // per-language budget recomputed independently is never exceeded
+      val wsum = byLang.map(l => math.sqrt(l._2 / tot)).sum
+      byLang.foreach { case (lang, tok, s) =>
+        val budget = math.floor(0.2 * tot * (math.sqrt(tok / tot) / wsum)).toLong
+        assert(s <= budget, s"$lang selected $s > budget $budget")
+      }
+    } finally df.unpersist()
+  }
+
   test("t18 NB quality classifier: distillation tracks the rule gate without collapsing") {
     val df = SparkEntry.queries("t18_quality_nb")(spark, sfDir).cache()
     try {
