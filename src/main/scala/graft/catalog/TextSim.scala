@@ -744,6 +744,107 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  // T22: BPE merge induction — tokenizer TRAINING on the corpus
+  // (Sennrich et al. 2016): 8 rounds of "count adjacent symbol pairs
+  // weighted by word frequency, merge the most frequent (count desc,
+  // pair asc tie-break) in every word". Words are held as
+  // '_a__b__c_'-sentineled symbol strings so a merge is one literal
+  // replace (left-to-right non-overlapping in both engines). Scale
+  // shape: ONE corpus pass builds the word-frequency table; every
+  // round after that is a job over the Zipf-bounded VOCAB table (pair
+  // explode bounded by word length), with a 1-row TakeOrdered argmax —
+  // the corpus is never rescanned, which is exactly why BPE trainers
+  // scale. Output: the learned merge table (step, lhs, rhs, pair
+  // count) — the tokenizer artifact itself, integer-exact.
+  private def t22BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nMerges = 8
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("s", concat(lit("_"), array_join(chars, "__"), lit("_")))
+      .select("freq", "s")
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    if (vocab.count() <= 2000000L) {
+      // dense vocab kernel: after the one corpus pass the working set
+      // is the word-frequency table — collect it once and run the merge
+      // rounds in memory instead of paying 8 × (job + checkpoint)
+      // scheduling floors on a vocab-sized table (pageRank hybrid
+      // discipline; identical left-to-right non-overlapping merge rule)
+      val words = vocab.as[(Long, String)].collect()
+        .map { case (f, s) =>
+          (f, s.stripPrefix("_").stripSuffix("_").split("__"))
+        }
+      var step = 1
+      while (step <= nMerges) {
+        val cnt = new java.util.HashMap[(String, String), Long]()
+        words.foreach { case (f, syms) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            cnt.merge(k, f, (x, y) => x + y)
+            i += 1
+          }
+        }
+        var best: ((String, String), Long) = null
+        val it = cnt.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next(); val k = e.getKey; val v = e.getValue.longValue()
+          if (best == null || v > best._2 ||
+            (v == best._2 && (k._1 < best._1._1 ||
+              (k._1 == best._1._1 && k._2 < best._1._2))))
+            best = (k, v)
+        }
+        val ((a, b), c) = best
+        merges += ((step, a, b, c))
+        var wi = 0
+        while (wi < words.length) {
+          val (f, syms) = words(wi)
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          words(wi) = (f, out.toArray)
+          wi += 1
+        }
+        step += 1
+      }
+    } else {
+      // corpus-scale fallback: one vocab-table job + 1-row TakeOrdered
+      // per round, lineage truncated round-by-round
+      var step = 1
+      while (step <= nMerges) {
+        val syms = vocab.select(col("freq"),
+          split(regexp_replace(col("s"), "^_|_$", ""), "__").as("l"))
+        val top = syms
+          .select(col("freq"), explode(when(size(col("l")) >= 2,
+            transform(sequence(lit(1), size(col("l")) - 1), i =>
+              struct(element_at(col("l"), i).as("a"),
+                element_at(col("l"), i + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+          .as[(String, String, Long)].collect()
+        val (a, b, c) = top.head
+        merges += ((step, a, b, c))
+        vocab = vocab
+          .withColumn("s",
+            org.apache.spark.sql.functions.replace(col("s"),
+              lit(s"_${a}__${b}_"), lit(s"_$a${b}_")))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+  }
+
   // T13: Gopher-style quality-rule flags (Rae et al. 2021 §A1.1 shape):
   // word-count window, mean-word-length window, symbol ratio, stopword
   // evidence — each rule a named 0/1 column plus the conjunction, so a
@@ -1416,6 +1517,7 @@ object TextSim {
     "t20_lm_perplexity" -> (t20LmPerplexity(_, _)),
     "t18_quality_nb" -> (t18QualityNb(_, _)),
     "t21_token_budget" -> (t21TokenBudget(_, _)),
+    "t22_bpe_merges" -> (t22BpeMerges(_, _)),
     "d10_contamination" -> (d10Contamination(_, _)),
     "d12_decontaminate" -> (d12Decontaminate(_, _)),
     "e11_stream_ingest_dedup" -> (e11StreamIngestDedup(_, _)),
@@ -2070,6 +2172,38 @@ object TextSim {
          |JOIN offsets o ON c.lang = o.lang AND c.shard = o.shard
          |JOIN budgets b ON c.lang = b.lang
          |ORDER BY doc_id""".stripMargin
+    },
+    "t22_bpe_merges" -> {
+      def stepCte(i: Int): String =
+        s"""l$i AS MATERIALIZED (
+           |  SELECT freq, string_split(trim(s, '_'), '__') AS l FROM v${i - 1}),
+           |p$i AS MATERIALIZED (
+           |  SELECT l[j] AS a, l[j+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM l$i, unnest(generate_series(1, len(l) - 1)) AS g(j)
+           |  GROUP BY 1, 2),
+           |t$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
+           |        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+           |v$i AS MATERIALIZED (
+           |  SELECT freq, replace(s,
+           |    '_' || (SELECT a FROM t$i) || '__' || (SELECT b FROM t$i) || '_',
+           |    '_' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || '_') AS s
+           |  FROM v${i - 1})""".stripMargin
+      val steps = (1 to 8).map(stepCte).mkString(",\n")
+      val out = (1 to 8).map(i =>
+        s"SELECT $i AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM t$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |v0 AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS freq,
+         |    '_' || array_to_string(list_transform(
+         |      generate_series(1, len(w)), i -> substring(w, i, 1)), '__') || '_'
+         |      AS s
+         |  FROM toks GROUP BY w),
+         |$steps
+         |$out
+         |ORDER BY step""".stripMargin
     },
     "sim_ivf_persisted" -> {
       val cc = Similarity.dotSql("c.cv", "c.cv", DIM)

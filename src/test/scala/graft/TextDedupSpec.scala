@@ -348,6 +348,25 @@ class TextDedupSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("t22 BPE merges: greedy order, no pair repeats, counts non-increasing") {
+    val rows = SparkEntry.queries("t22_bpe_merges")(spark, sfDir)
+      .as[(Int, String, String, Long)].collect()
+    assert(rows.map(_._1).toSeq === (1 to 8))
+    assert(rows.forall(_._4 > 0))
+    // a merged pair's adjacency is consumed — it can never win again
+    assert(rows.map(r => (r._2, r._3)).distinct.length === rows.length)
+    // greedy argmax: later winners never beat earlier ones (new pairs
+    // born from a merge are bounded by the merged pair's count)
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(y._4 <= x._4, s"step ${y._1} count ${y._4} > ${x._4}")
+    }
+    // at least one learned symbol is itself reused in a later merge
+    // (the whole point of BPE over plain bigram counting)
+    val learned = rows.map(r => r._2 + r._3).toSet
+    assert(rows.exists(r => learned.contains(r._2) || learned.contains(r._3)) ||
+      rows.length < 8)
+  }
+
   test("t18 NB quality classifier: distillation tracks the rule gate without collapsing") {
     val df = SparkEntry.queries("t18_quality_nb")(spark, sfDir).cache()
     try {
