@@ -1086,8 +1086,11 @@ object TextSim {
       .agg(countDistinct("doc_id").as("dfr"))
       .filter(col("dfr") >= 2)
       .select(col("btext").as("ftext"))
+    // no broadcast hint: the df≥2 survivor set grows with the corpus —
+    // AQE broadcasts it while it is small and falls back to a key-only
+    // shuffle join when it is not
     val perDoc = blocks
-      .join(broadcast(boiler), col("btext") === col("ftext"), "left")
+      .join(boiler, col("btext") === col("ftext"), "left")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_blocks"),
         sum(when(col("ftext").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
@@ -1136,8 +1139,13 @@ object TextSim {
       .union(train.select(col("w2").as("w")))
       .agg(countDistinct("w").as("v"))
     val perDoc = pairs
-      .join(broadcast(big), col("w1") === col("b1") && col("w2") === col("b2"), "left")
-      .join(broadcast(uni), col("w1") === col("u1"), "left")
+      // no broadcast hints on the LM tables: observed-bigram counts
+      // grow with the training slice until vocab² saturation, so AQE
+      // decides (broadcast here; shuffle join at extreme scale — or
+      // train on a FIXED reference slice / prune rare bigrams, CCNet's
+      // own design, which keeps the artifact broadcastable)
+      .join(big, col("w1") === col("b1") && col("w2") === col("b2"), "left")
+      .join(uni, col("w1") === col("u1"), "left")
       .crossJoin(broadcast(voc))
       .select(col("doc_id"),
         log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
