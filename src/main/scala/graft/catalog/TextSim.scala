@@ -756,9 +756,15 @@ object TextSim {
   // the corpus is never rescanned, which is exactly why BPE trainers
   // scale. Output: the learned merge table (step, lhs, rhs, pair
   // count) — the tokenizer artifact itself, integer-exact.
-  private def t22BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  private def t22BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(spark, dir, nMerges = 8, denseMaxVocab = 2000000L)
+
+  /** t22's engine with the dense-kernel threshold exposed so the
+    * fallback path is spec-testable (`denseMaxVocab = 0` forces the
+    * per-round vocab-table jobs). */
+  private[graft] def bpeMerges(spark: SparkSession, dir: String,
+                                 nMerges: Int, denseMaxVocab: Long): DataFrame = {
     import spark.implicits._
-    val nMerges = 8
     val chars = transform(sequence(lit(1), length(col("w"))),
       i => col("w").substr(i, lit(1)))
     var vocab = Tables.documents(spark, dir)
@@ -768,7 +774,7 @@ object TextSim {
       .select("freq", "s")
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    if (vocab.count() <= 2000000L) {
+    if (vocab.count() <= denseMaxVocab) {
       // dense vocab kernel: after the one corpus pass the working set
       // is the word-frequency table — collect it once and run the merge
       // rounds in memory instead of paying 8 × (job + checkpoint)

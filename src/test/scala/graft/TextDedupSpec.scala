@@ -367,6 +367,16 @@ class TextDedupSpec extends SparkSpec {
       rows.length < 8)
   }
 
+  test("t22 BPE: dense merge kernel and per-round shuffle loop learn identical merges") {
+    val dense = graft.catalog.TextSim.bpeMerges(spark, sfDir,
+      nMerges = 5, denseMaxVocab = 2000000L)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val shuffled = graft.catalog.TextSim.bpeMerges(spark, sfDir,
+      nMerges = 5, denseMaxVocab = 0L)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(dense === shuffled)
+  }
+
   test("t18 NB quality classifier: distillation tracks the rule gate without collapsing") {
     val df = SparkEntry.queries("t18_quality_nb")(spark, sfDir).cache()
     try {
