@@ -916,9 +916,14 @@ object GraphML {
       }
       val bought = new java.util.HashSet[Integer]()
       e = 0; while (e < m) { if (ec(e) == seedC) bought.add(ep(e)); e += 1 }
+      // BigDecimal HALF_UP on the exact double, matching Spark's
+      // round(x, 6) and the oracle (math.round(x*1e6) drifts at FP
+      // half-way boundaries via the *1e6 product error)
+      def round6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val top = (0 until np).iterator
         .filter(v => !bought.contains(v))
-        .map(v => (pIds(v), math.round(rp(v) * 1e6) / 1e6))
+        .map(v => (pIds(v), round6(rp(v))))
         .toSeq.sortBy { case (pid, r) => (-r, pid) }.take(20)
       spark.createDataFrame(top).toDF("product", "rank")
     } else {

@@ -767,12 +767,17 @@ object TextSim {
     import spark.implicits._
     val chars = transform(sequence(lit(1), length(col("w"))),
       i => col("w").substr(i, lit(1)))
-    var vocab = Tables.documents(spark, dir)
+    val vocabW = Tables.documents(spark, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("s", concat(lit("_"), array_join(chars, "__"), lit("_")))
-      .select("freq", "s")
       .localCheckpoint(true)
+    // the sentinel encoding is ambiguous for in-token underscores —
+    // fail loudly (one bounded job on the vocab table) rather than
+    // silently corrupting pair counts
+    require(vocabW.filter(col("w").contains("_")).limit(1).count() == 0,
+      "BPE sentinel encoding requires underscore-free tokens")
+    var vocab = vocabW.select("freq", "s")
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     if (vocab.count() <= denseMaxVocab) {
       // dense vocab kernel: after the one corpus pass the working set
@@ -804,22 +809,25 @@ object TextSim {
               (k._1 == best._1._1 && k._2 < best._1._2))))
             best = (k, v)
         }
-        val ((a, b), c) = best
-        merges += ((step, a, b, c))
-        var wi = 0
-        while (wi < words.length) {
-          val (f, syms) = words(wi)
-          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-              out += a + b; i += 2
-            } else { out += syms(i); i += 1 }
+        if (best == null) step = nMerges + 1 // exhausted: every word is
+        else {                               // one symbol — stop early,
+          val ((a, b), c) = best             // mirroring the oracle's
+          merges += ((step, a, b, c))        // truncated merge table
+          var wi = 0
+          while (wi < words.length) {
+            val (f, syms) = words(wi)
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            words(wi) = (f, out.toArray)
+            wi += 1
           }
-          words(wi) = (f, out.toArray)
-          wi += 1
+          step += 1
         }
-        step += 1
       }
     } else {
       // corpus-scale fallback: one vocab-table job + 1-row TakeOrdered
@@ -838,14 +846,17 @@ object TextSim {
           .agg(sum("freq").as("cnt"))
           .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
           .as[(String, String, Long)].collect()
-        val (a, b, c) = top.head
-        merges += ((step, a, b, c))
-        vocab = vocab
-          .withColumn("s",
-            org.apache.spark.sql.functions.replace(col("s"),
-              lit(s"_${a}__${b}_"), lit(s"_$a${b}_")))
-          .localCheckpoint(true)
-        step += 1
+        if (top.isEmpty) step = nMerges + 1 // exhausted — early stop,
+        else {                              // same contract as dense
+          val (a, b, c) = top.head
+          merges += ((step, a, b, c))
+          vocab = vocab
+            .withColumn("s",
+              org.apache.spark.sql.functions.replace(col("s"),
+                lit(s"_${a}__${b}_"), lit(s"_$a${b}_")))
+            .localCheckpoint(true)
+          step += 1
+        }
       }
     }
     merges.result().toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
@@ -856,19 +867,27 @@ object TextSim {
   // evidence — each rule a named 0/1 column plus the conjunction, so a
   // corpus filter can both drop and EXPLAIN the drop. Pure column
   // expressions — codegen'd single scan.
-  private def t13QualityRules(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
+  /** The four Gopher-style rule signals, ONE definition shared by t13
+    * (flag columns) and t18's weak label so the distillation target
+    * cannot drift from the gate it learns. The stopword list is the
+    * distinct union across the language lists: a token shared by two
+    * lexicons ('la', 'un') must count once, matching the oracle's
+    * single merged list_contains list. */
+  private def qualityRuleSignals(t: org.apache.spark.sql.Column) = {
     val nWords = TextAnalysis.tokenCount(t)
     val meanLen = when(nWords === 0, 0.0)
       .otherwise(length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
     val symbols = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
     val symbolRatio = when(length(t) === 0, 0.0)
       .otherwise(symbols.cast("double") / length(t))
-    // distinct union across the language lists: a token shared by two
-    // lexicons ('la', 'un') must count once, matching the oracle's
-    // single merged list_contains list
     val stopHits = TextAnalysis.stopwordHits(t,
       TextAnalysis.stopwords.values.flatten.toSeq.distinct)
+    (nWords, meanLen, symbolRatio, stopHits)
+  }
+
+  private def t13QualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val (nWords, meanLen, symbolRatio, stopHits) = qualityRuleSignals(t)
     Tables.documents(spark, dir).select(
         col("doc_id"), nWords.as("n_words"),
         round(meanLen, 6).as("mean_word_len"),
@@ -1174,17 +1193,10 @@ object TextSim {
   }
 
   /** T13's composite quality gate as one boolean — the weak label the
-    * distilled classifier (t18) trains against. Kept bit-identical to
-    * t13QualityRules' `passes` column. */
+    * distilled classifier (t18) trains against; built from the SAME
+    * qualityRuleSignals t13 renders as flags. */
   private def qualityWeakLabel(t: org.apache.spark.sql.Column) = {
-    val nWords = TextAnalysis.tokenCount(t)
-    val meanLen = when(nWords === 0, 0.0)
-      .otherwise(length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
-    val symbols = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
-    val symbolRatio = when(length(t) === 0, 0.0)
-      .otherwise(symbols.cast("double") / length(t))
-    val stopHits = TextAnalysis.stopwordHits(t,
-      TextAnalysis.stopwords.values.flatten.toSeq.distinct)
+    val (nWords, meanLen, symbolRatio, stopHits) = qualityRuleSignals(t)
     (nWords >= 20 && nWords <= 500 && meanLen >= 3.0 && meanLen <= 10.0 &&
       symbolRatio < 0.1 && stopHits >= 2).cast("int")
   }
@@ -2190,7 +2202,9 @@ object TextSim {
     "t22_bpe_merges" -> {
       def stepCte(i: Int): String =
         s"""l$i AS MATERIALIZED (
-           |  SELECT freq, string_split(trim(s, '_'), '__') AS l FROM v${i - 1}),
+           |  SELECT freq,
+           |    string_split(regexp_replace(s, '^_|_${"$"}', '', 'g'), '__') AS l
+           |  FROM v${i - 1}),
            |p$i AS MATERIALIZED (
            |  SELECT l[j] AS a, l[j+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
            |  FROM l$i, unnest(generate_series(1, len(l) - 1)) AS g(j)

@@ -255,10 +255,16 @@ object GraphXAnalytics {
         col("dst").cast("string").as("dst")).localCheckpoint(true)
       val deg = ed.groupBy("src").agg(count(lit(1)).as("od"))
         .select(col("src").as("deg_id"), col("od")).localCheckpoint(true)
-      val pref = ed.select(col("src").as("id")).distinct()
+      // vertex set = src ∪ dst, matching the dense path: a dst-only
+      // (dangling) vertex still accrues walk mass even though it
+      // contributes none back
+      val pref = ed.select(col("src").as("id"))
+        .union(ed.select(col("dst").as("id"))).distinct()
         .select(col("id"),
           when(col("id") === seedId, 1.0).otherwise(0.0).as("pref"))
         .localCheckpoint(true)
+      require(pref.filter(col("id") === seedId).limit(1).count() == 1,
+        s"PPR seed '$seedId' not present in the edge set")
       var rank = pref.select(col("id"), col("pref").as("rank"))
       var it = 0
       while (it < iters) {
