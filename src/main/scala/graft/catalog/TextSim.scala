@@ -1145,7 +1145,10 @@ object TextSim {
   // buffers one double per DOCUMENT in a single aggregate (the a19
   // precedent; approx_percentile is the drop-in at extreme corpus
   // cardinality).
-  private def t20LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document mean bigram NLL under the even-half LM — t20's score
+    * pipeline, factored so t23's curriculum ordering consumes the SAME
+    * difficulty signal the filter reports. */
+  private def lmDocNll(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val pairs = docs.select(col("doc_id"),
@@ -1178,17 +1181,54 @@ object TextSim {
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_bigrams"),
         round(-avg(col("logp")), 6).as("nll"))
-    // perDoc is consumed twice (cuts + output); no checkpoint: Spark's
-    // shuffle-stage reuse serves the second consumer from the groupBy's
-    // map outputs, so materializing eagerly only adds a job (measured)
+    perDoc
+  }
+
+  /** Head/middle/tail percentile bucket over the rounded NLL, appended
+    * to a perDoc frame (consumed twice — cuts + output — with no
+    * checkpoint: Spark's shuffle-stage reuse serves the second consumer
+    * from the groupBy's map outputs; materializing eagerly only adds a
+    * job, measured). */
+  private def withNllBucket(perDoc: DataFrame): DataFrame = {
     val cuts = perDoc.agg(
       expr("percentile(nll, array(0.33D, 0.66D))").as("cut"))
     perDoc.crossJoin(broadcast(cuts))
-      .select(col("doc_id"), col("n_bigrams"), col("nll"),
-        round(exp(col("nll")), 6).as("ppl"),
+      .withColumn("bucket",
         when(col("nll") <= col("cut").getItem(0), "head")
           .when(col("nll") <= col("cut").getItem(1), "middle")
-          .otherwise("tail").as("bucket"))
+          .otherwise("tail"))
+      .drop("cut")
+  }
+
+  private def t20LmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    withNllBucket(lmDocNll(spark, dir))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"),
+        round(exp(col("nll")), 6).as("ppl"), col("bucket"))
+      .orderBy("doc_id")
+
+  // T23: curriculum ordering — the easy-to-hard training order
+  // (Bengio et al. 2009 applied to corpus prep): documents are ranked
+  // by LM-difficulty bucket (t20's head < middle < tail), randomized
+  // WITHIN a bucket by the t17 hash discipline, and laid out as
+  // (bucket, shard, pos) — a reader draining buckets in order, shards
+  // round-robin, replays the curriculum identically on any cluster.
+  // Scale shape: the only windows are per (bucket, shard) slices; the
+  // difficulty signal rides the same LM pipeline as t20 (map-only
+  // scoring), so curriculum = one extra shard-keyed exchange over the
+  // selection.
+  private def t23CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 8
+    val ranked = withNllBucket(lmDocNll(spark, dir))
+      .withColumn("u", graft.functions.ColFns.pseudoUniform(col("doc_id"), 229L))
+      .withColumn("shard",
+        floor(graft.functions.ColFns.pseudoUniform(col("doc_id"), 241L) * nShards)
+          .cast("int"))
+    val w = Window.partitionBy("bucket", "shard")
+      .orderBy(col("u").asc, col("doc_id").asc)
+    ranked
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select("doc_id", "bucket", "shard", "pos", "nll")
       .orderBy("doc_id")
   }
 
@@ -1544,6 +1584,7 @@ object TextSim {
     "t18_quality_nb" -> (t18QualityNb(_, _)),
     "t21_token_budget" -> (t21TokenBudget(_, _)),
     "t22_bpe_merges" -> (t22BpeMerges(_, _)),
+    "t23_curriculum_order" -> (t23CurriculumOrder(_, _)),
     "d10_contamination" -> (d10Contamination(_, _)),
     "d12_decontaminate" -> (d12Decontaminate(_, _)),
     "e11_stream_ingest_dedup" -> (e11StreamIngestDedup(_, _)),
@@ -2098,6 +2139,51 @@ object TextSim {
         |       WHEN nll <= p66 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM perdoc CROSS JOIN cuts
         |ORDER BY doc_id""".stripMargin,
+    "t23_curriculum_order" -> {
+      val u = graft.functions.ColFns.pseudoUniformSql("doc_id", 229L)
+      val sh = graft.functions.ColFns.pseudoUniformSql("doc_id", 241L)
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM toks, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+         |big AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM pairs WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |uni AS (
+         |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |  FROM pairs WHERE doc_id % 2 = 0 GROUP BY 1),
+         |voc AS (
+         |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+         |    SELECT w1 AS w FROM pairs WHERE doc_id % 2 = 0
+         |    UNION ALL SELECT w2 FROM pairs WHERE doc_id % 2 = 0)),
+         |perdoc AS (
+         |  SELECT p.doc_id,
+         |    round(-avg(ln((coalesce(b.c2, 0) + 1.0) /
+         |      (coalesce(u.c1, 0) + v.v))), 6) AS nll
+         |  FROM pairs p
+         |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+         |  LEFT JOIN uni u ON p.w1 = u.w1
+         |  CROSS JOIN voc v
+         |  GROUP BY p.doc_id),
+         |cuts AS (
+         |  SELECT quantile_cont(nll, 0.33) AS p33, quantile_cont(nll, 0.66) AS p66
+         |  FROM perdoc),
+         |ranked AS (
+         |  SELECT doc_id, nll,
+         |    CASE WHEN nll <= p33 THEN 'head'
+         |         WHEN nll <= p66 THEN 'middle' ELSE 'tail' END AS bucket,
+         |    $u AS u,
+         |    CAST(floor($sh * 8) AS INT) AS shard
+         |  FROM perdoc CROSS JOIN cuts)
+         |SELECT doc_id, bucket, shard,
+         |  CAST(row_number() OVER (PARTITION BY bucket, shard
+         |    ORDER BY u, doc_id) - 1 AS BIGINT) AS pos,
+         |  nll
+         |FROM ranked
+         |ORDER BY doc_id""".stripMargin
+    },
     "t18_quality_nb" -> {
       val stops = TextAnalysis.stopwords.values.flatten.toSeq.distinct
         .map(w => s"'$w'").mkString("[", ",", "]")

@@ -377,6 +377,27 @@ class TextDedupSpec extends SparkSpec {
     assert(dense === shuffled)
   }
 
+  test("t23 curriculum: positions dense per (bucket, shard), buckets ordered by difficulty") {
+    val df = SparkEntry.queries("t23_curriculum_order")(spark, sfDir).cache()
+    try {
+      // pos is a dense 0..n-1 enumeration within each (bucket, shard)
+      val holes = df.groupBy("bucket", "shard").agg(
+          count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+          countDistinct("pos").as("d"))
+        .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 ||
+          col("d") =!= col("n")).count()
+      assert(holes === 0)
+      // the curriculum is ordered: every head doc is easier (lower nll)
+      // than every tail doc
+      val lo = df.filter(col("bucket") === "head").agg(max("nll")).head().getDouble(0)
+      val hi = df.filter(col("bucket") === "tail").agg(min("nll")).head().getDouble(0)
+      assert(lo <= hi)
+      // pure hash math: a second evaluation replays the same order
+      val again = SparkEntry.queries("t23_curriculum_order")(spark, sfDir)
+      assert(df.except(again).count() === 0 && again.except(df).count() === 0)
+    } finally df.unpersist()
+  }
+
   test("t18 NB quality classifier: distillation tracks the rule gate without collapsing") {
     val df = SparkEntry.queries("t18_quality_nb")(spark, sfDir).cache()
     try {
