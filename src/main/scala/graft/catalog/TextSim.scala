@@ -301,6 +301,76 @@ object TextSim {
     spark.read.parquet(out).orderBy("doc_id")
   }
 
+  // E12: stream quality gate — the "train offline, serve in the ingest
+  // stream" pattern for the distilled classifier: t18's NB model is
+  // trained batch-side (nbQualityModel — the nightly job), its weight
+  // table mounted once per ingest session; arrival documents
+  // (doc_id ≡ 0 mod 3, e11's arrival convention) land in micro-batch
+  // drops and each batch is scored by a broadcast join against the
+  // mounted weights — a map-only verdict per batch, no corpus access
+  // at serve time. Output: the per-arrival admission log. The e11
+  // scaffolding (AvailableNow drain over partitioned drops, low pinned
+  // stream shuffle width, mount-then-release) is reused deliberately:
+  // this is the same ingest topology with a model where the signature
+  // store was.
+  private def e12StreamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val base = s"/tmp/graft_stream/e12_${spark.sparkContext.applicationId}_$tag"
+    graft.core.Artifacts.reapStale("/tmp/graft_stream", "e12_", base)
+    val basePath = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(basePath)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(basePath)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    val (wt, lprior, defaultLw) = nbQualityModel(spark, dir)
+    val arrivals = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), col("text"))
+    arrivals.withColumn("drop", pmod(col("doc_id"), lit(2)))
+      .repartition(2, col("drop"))
+      .write.partitionBy("drop").parquet(s"$base/src")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val wtOnce = ss.createDataFrame(wt.collectAsList(), wt.schema)
+      .localCheckpoint(true) // vocab-bounded model artifact, mounted once
+    val out = s"$base/out"
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/src")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val scored = b
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .join(broadcast(wtOnce), col("w") === col("ww"), "left")
+          .groupBy("doc_id").agg(
+            sum(coalesce(col("lw"), lit(defaultLw))).as("s"))
+        b.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+          .join(scored, Seq("doc_id"), "left")
+          .withColumn("nb_score",
+            round(lit(lprior) + coalesce(col("s"), lit(0.0)), 6))
+          .withColumn("admitted", (col("nb_score") > 0).cast("int"))
+          .select("doc_id", "n_toks", "nb_score", "admitted")
+          .coalesce(1).write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(wtOnce)
+    spark.read.parquet(out).orderBy("doc_id")
+  }
+
   // D8: fuzzy entity matching with blocking — candidate (a, b) pairs
   // whose names sit within Levenshtein distance 2, generated only
   // WITHIN a composite (last-2-chars, length-bucket) block with banded
@@ -1251,38 +1321,52 @@ object TextSim {
   // label) — vocabulary-bounded; the learned weight table broadcasts to
   // a map-side scoring join, so inference is a single map-only pass at
   // 100 TB (the entire point of distilling the gate).
-  private def t18QualityNb(spark: SparkSession, dir: String): DataFrame = {
+  /** The distilled-NB model artifacts, trained on the even half: the
+    * (word → log-odds) weight table plus the prior and unseen-token
+    * default as driver scalars (two bounded 1-row collects — the same
+    * numbers the all-Column formulation produced, java.lang.Math.log
+    * either way). Shared by t18 (batch scoring) and e12 (the stream
+    * gate serving the identical model). */
+  private def nbQualityModel(spark: SparkSession, dir: String)
+      : (DataFrame, Double, Double) = {
     val lab = Tables.documents(spark, dir).select(col("doc_id"),
       TextAnalysis.tokens(col("text")).as("toks"),
       qualityWeakLabel(col("text")).as("weak_label"))
     val tok = lab.select(col("doc_id"), col("weak_label"),
       explode(col("toks")).as("w"))
     val tr = tok.filter(col("doc_id") % 2 === 0)
-    val cls = tr.agg(
+    val clsRow = tr.agg(
       sum(when(col("weak_label") === 1, 1L).otherwise(0L)).as("t1"),
       sum(when(col("weak_label") === 0, 1L).otherwise(0L)).as("t0"),
-      countDistinct("w").as("v"))
-    val prior = lab.filter(col("doc_id") % 2 === 0).agg(
-      log(sum(when(col("weak_label") === 1, 1.0).otherwise(0.0)) /
-        sum(when(col("weak_label") === 0, 1.0).otherwise(0.0))).as("lprior"))
+      countDistinct("w").as("v")).head()
+    val (t1, t0, v) = (clsRow.getLong(0), clsRow.getLong(1), clsRow.getLong(2))
+    val nRow = lab.filter(col("doc_id") % 2 === 0).agg(
+      sum(when(col("weak_label") === 1, 1.0).otherwise(0.0)).as("n1"),
+      sum(when(col("weak_label") === 0, 1.0).otherwise(0.0)).as("n0")).head()
+    val lprior = math.log(nRow.getDouble(0) / nRow.getDouble(1))
+    val defaultLw = math.log((t0 + v).toDouble / (t1 + v))
     val wt = tr.groupBy("w").agg(
         sum(when(col("weak_label") === 1, 1L).otherwise(0L)).as("c1"),
         sum(when(col("weak_label") === 0, 1L).otherwise(0L)).as("c0"))
-      .crossJoin(broadcast(cls))
       .select(col("w").as("ww"),
-        (log((col("c1") + lit(1.0)) / (col("t1") + col("v"))) -
-          log((col("c0") + lit(1.0)) / (col("t0") + col("v")))).as("lw"))
+        (log((col("c1") + lit(1.0)) / lit((t1 + v).toDouble)) -
+          log((col("c0") + lit(1.0)) / lit((t0 + v).toDouble))).as("lw"))
+    (wt, lprior, defaultLw)
+  }
+
+  private def t18QualityNb(spark: SparkSession, dir: String): DataFrame = {
+    val (wt, lprior, defaultLw) = nbQualityModel(spark, dir)
+    val lab = Tables.documents(spark, dir).select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"),
+      qualityWeakLabel(col("text")).as("weak_label"))
+    val tok = lab.select(col("doc_id"), explode(col("toks")).as("w"))
     val scored = tok.join(broadcast(wt), col("w") === col("ww"), "left")
-      .crossJoin(broadcast(cls))
       .groupBy("doc_id").agg(
-        sum(coalesce(col("lw"),
-          log((col("t0") + col("v")).cast("double") / (col("t1") + col("v")))))
-          .as("s"))
+        sum(coalesce(col("lw"), lit(defaultLw))).as("s"))
     lab.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
         col("weak_label"))
       .join(scored, Seq("doc_id"), "left")
-      .crossJoin(broadcast(prior))
-      .withColumn("nb_score", round(col("lprior") + coalesce(col("s"), lit(0.0)), 6))
+      .withColumn("nb_score", round(lit(lprior) + coalesce(col("s"), lit(0.0)), 6))
       .withColumn("pred_good", (col("nb_score") > 0).cast("int"))
       .withColumn("agree",
         (col("pred_good") === col("weak_label")).cast("int"))
@@ -1585,6 +1669,7 @@ object TextSim {
     "t21_token_budget" -> (t21TokenBudget(_, _)),
     "t22_bpe_merges" -> (t22BpeMerges(_, _)),
     "t23_curriculum_order" -> (t23CurriculumOrder(_, _)),
+    "e12_stream_quality_gate" -> (e12StreamQualityGate(_, _)),
     "d10_contamination" -> (d10Contamination(_, _)),
     "d12_decontaminate" -> (d12Decontaminate(_, _)),
     "e11_stream_ingest_dedup" -> (e11StreamIngestDedup(_, _)),
@@ -1632,6 +1717,62 @@ object TextSim {
     val hits = langs.map(l => s"h_$l").mkString(", ")
     val chain = langs.map(l => s"WHEN h_$l = greatest($hits) THEN '$l'").mkString(" ")
     s"CASE WHEN greatest($hits) = 0 THEN 'und' $chain END"
+  }
+
+  /** The NB quality model's DuckDB replay (train on the even half,
+    * score per doc) up to the `perdoc` CTE, parameterized on the final
+    * SELECT — t18 reads the whole corpus verdict, e12 the arrival
+    * slice's admission log. ONE training/scoring definition so the
+    * stream gate provably serves the batch model. */
+  private def nbQualityOracle(finalSelect: String): String = {
+    val stops = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH lab AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |    CAST((CASE WHEN len(trim(text)) = 0 THEN 0
+       |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+       |        BETWEEN 20 AND 500
+       |      AND (CASE WHEN len(trim(text)) = 0 THEN 0.0
+       |           ELSE CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+       |             len(regexp_split_to_array(trim(text), '\\s+')) END)
+       |        BETWEEN 3.0 AND 10.0
+       |      AND (CASE WHEN len(text) = 0 THEN 0.0
+       |           ELSE CAST(len(text) -
+       |             len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |             / len(text) END) < 0.1
+       |      AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            x -> list_contains($stops, x))) >= 2 AS INT) AS weak_label
+       |  FROM documents),
+       |tok AS (SELECT doc_id, weak_label, unnest(toks) AS w FROM lab),
+       |tr AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+       |cls AS (
+       |  SELECT CAST(sum(CASE WHEN weak_label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS t1,
+       |    CAST(sum(CASE WHEN weak_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+       |    CAST(count(DISTINCT w) AS BIGINT) AS v
+       |  FROM tr),
+       |prior AS (
+       |  SELECT ln(sum(CASE WHEN weak_label = 1 THEN 1.0 ELSE 0 END) /
+       |            sum(CASE WHEN weak_label = 0 THEN 1.0 ELSE 0 END)) AS lprior
+       |  FROM lab WHERE doc_id % 2 = 0),
+       |wt AS (
+       |  SELECT w, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS lw
+       |  FROM (SELECT w,
+       |          CAST(sum(CASE WHEN weak_label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS c1,
+       |          CAST(sum(CASE WHEN weak_label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS c0
+       |        FROM tr GROUP BY w) CROSS JOIN cls),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    sum(coalesce(wt.lw, ln((c.t0 + c.v) * 1.0 / (c.t1 + c.v)))) AS s
+       |  FROM tok t LEFT JOIN wt ON t.w = wt.w CROSS JOIN cls c
+       |  GROUP BY t.doc_id),
+       |perdoc AS (
+       |  SELECT l.doc_id, CAST(len(l.toks) AS BIGINT) AS n_toks,
+       |    round(p.lprior + coalesce(s.s, 0.0), 6) AS nb_score, l.weak_label
+       |  FROM lab l LEFT JOIN scored s USING (doc_id) CROSS JOIN prior p)
+       |$finalSelect""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -2184,59 +2325,15 @@ object TextSim {
          |FROM ranked
          |ORDER BY doc_id""".stripMargin
     },
-    "t18_quality_nb" -> {
-      val stops = TextAnalysis.stopwords.values.flatten.toSeq.distinct
-        .map(w => s"'$w'").mkString("[", ",", "]")
-      s"""WITH lab AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
-         |    CAST((CASE WHEN len(trim(text)) = 0 THEN 0
-         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
-         |        BETWEEN 20 AND 500
-         |      AND (CASE WHEN len(trim(text)) = 0 THEN 0.0
-         |           ELSE CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
-         |             len(regexp_split_to_array(trim(text), '\\s+')) END)
-         |        BETWEEN 3.0 AND 10.0
-         |      AND (CASE WHEN len(text) = 0 THEN 0.0
-         |           ELSE CAST(len(text) -
-         |             len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |             / len(text) END) < 0.1
-         |      AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-         |            x -> list_contains($stops, x))) >= 2 AS INT) AS weak_label
-         |  FROM documents),
-         |tok AS (SELECT doc_id, weak_label, unnest(toks) AS w FROM lab),
-         |tr AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
-         |cls AS (
-         |  SELECT CAST(sum(CASE WHEN weak_label = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS t1,
-         |    CAST(sum(CASE WHEN weak_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
-         |    CAST(count(DISTINCT w) AS BIGINT) AS v
-         |  FROM tr),
-         |prior AS (
-         |  SELECT ln(sum(CASE WHEN weak_label = 1 THEN 1.0 ELSE 0 END) /
-         |            sum(CASE WHEN weak_label = 0 THEN 1.0 ELSE 0 END)) AS lprior
-         |  FROM lab WHERE doc_id % 2 = 0),
-         |wt AS (
-         |  SELECT w, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS lw
-         |  FROM (SELECT w,
-         |          CAST(sum(CASE WHEN weak_label = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |            AS c1,
-         |          CAST(sum(CASE WHEN weak_label = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |            AS c0
-         |        FROM tr GROUP BY w) CROSS JOIN cls),
-         |scored AS (
-         |  SELECT t.doc_id,
-         |    sum(coalesce(wt.lw, ln((c.t0 + c.v) * 1.0 / (c.t1 + c.v)))) AS s
-         |  FROM tok t LEFT JOIN wt ON t.w = wt.w CROSS JOIN cls c
-         |  GROUP BY t.doc_id),
-         |perdoc AS (
-         |  SELECT l.doc_id, CAST(len(l.toks) AS BIGINT) AS n_toks,
-         |    round(p.lprior + coalesce(s.s, 0.0), 6) AS nb_score, l.weak_label
-         |  FROM lab l LEFT JOIN scored s USING (doc_id) CROSS JOIN prior p)
-         |SELECT doc_id, n_toks, nb_score,
-         |  CAST(nb_score > 0 AS INT) AS pred_good, weak_label,
-         |  CAST((nb_score > 0) = (weak_label = 1) AS INT) AS agree
-         |FROM perdoc ORDER BY doc_id""".stripMargin
-    },
+    "t18_quality_nb" -> nbQualityOracle(
+      """SELECT doc_id, n_toks, nb_score,
+        |  CAST(nb_score > 0 AS INT) AS pred_good, weak_label,
+        |  CAST((nb_score > 0) = (weak_label = 1) AS INT) AS agree
+        |FROM perdoc ORDER BY doc_id""".stripMargin),
+    "e12_stream_quality_gate" -> nbQualityOracle(
+      """SELECT doc_id, n_toks, nb_score,
+        |  CAST(nb_score > 0 AS INT) AS admitted
+        |FROM perdoc WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin),
     "t21_token_budget" -> {
       val u = graft.functions.ColFns.pseudoUniformSql("doc_id", 173L)
       val sh = graft.functions.ColFns.pseudoUniformSql("doc_id", 211L)

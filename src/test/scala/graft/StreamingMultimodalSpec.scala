@@ -111,4 +111,20 @@ class StreamingMultimodalSpec extends SparkSpec {
       .filter($"mx" =!= $"n" - 1).count()
     assert(bad === 0)
   }
+
+  test("e12 stream gate serves exactly the batch model's verdicts on the arrival slice") {
+    val stream = SparkEntry.queries("e12_stream_quality_gate")(spark, sfDir)
+      .select($"doc_id", $"nb_score".as("s_stream"), $"admitted")
+    val batch = SparkEntry.queries("t18_quality_nb")(spark, sfDir)
+      .filter($"doc_id" % 3 === 0)
+      .select($"doc_id", $"nb_score".as("s_batch"), $"pred_good")
+    val joined = stream.join(batch, Seq("doc_id"), "full_outer").cache()
+    try {
+      // same rows, same scores, same admission decision — the stream
+      // path provably serves the offline-trained model unmodified
+      assert(joined.filter($"s_stream".isNull || $"s_batch".isNull).count() === 0)
+      assert(joined.filter($"s_stream" =!= $"s_batch").count() === 0)
+      assert(joined.filter($"admitted" =!= $"pred_good").count() === 0)
+    } finally joined.unpersist()
+  }
 }
