@@ -89,6 +89,20 @@ object TextSim {
         (col("vec_id").cast("string") === col("canonical")).cast("int"))
       .orderBy("vec_id")
 
+  // R10: leak-free split — the constructive fix for what r9 reports:
+  // train/eval assignment is hashed from the near-dup CLUSTER canonical
+  // (d6's component id), not the document id, so a document and its
+  // near-duplicates land on the same side by construction — eval can
+  // never be inflated by a train-side twin. One broadcast-sized column
+  // over the cluster map; the 90/10 rate matches r9's split.
+  private def r10ClusterSplit(spark: SparkSession, dir: String): DataFrame =
+    dedupClusterMap(spark, dir)
+      .withColumn("is_eval",
+        (graft.functions.ColFns.pseudoUniform(
+          col("canonical").cast("long"), 83L) >= 0.9).cast("int"))
+      .select("vec_id", "canonical", "is_eval")
+      .orderBy("vec_id")
+
   // D11: QUALITY-AWARE dedup — the production refinement of D6's
   // arbitrary keep-one: within each near-dup cluster keep the member
   // with the most word tokens (the "keep the longest duplicate" rule;
@@ -1635,6 +1649,7 @@ object TextSim {
     "d5_embedding_neardup" -> (d5EmbeddingNearDup(_, _)),
     "d13_semantic_dedup" -> (d13SemanticDedup(_, _)),
     "d6_dedup_clusters" -> (d6DedupClusters(_, _)),
+    "r10_cluster_split" -> (r10ClusterSplit(_, _)),
     "d11_quality_dedup" -> (d11QualityDedup(_, _)),
     "d7_incremental_dedup" -> (d7IncrementalDedup(_, _)),
     "r9_split_leakage" -> (r9SplitLeakage(_, _)),
@@ -1991,6 +2006,18 @@ object TextSim {
          |       AS INTEGER) AS kept
          |FROM embeddings e LEFT JOIN l16 ON l16.id = CAST(e.vec_id AS VARCHAR)
          |ORDER BY e.vec_id""".stripMargin,
+    "r10_cluster_split" -> {
+      val u = graft.functions.ColFns.pseudoUniformSql(
+        "CAST(canonical AS BIGINT)", 83L)
+      s"""WITH $clusterCteSql,
+         |m AS (
+         |  SELECT e.vec_id,
+         |    coalesce(l16.lbl, CAST(e.vec_id AS VARCHAR)) AS canonical
+         |  FROM embeddings e LEFT JOIN l16 ON l16.id = CAST(e.vec_id AS VARCHAR))
+         |SELECT vec_id, canonical,
+         |  CAST($u >= 0.9 AS INT) AS is_eval
+         |FROM m ORDER BY vec_id""".stripMargin
+    },
     "d11_quality_dedup" ->
       s"""WITH $clusterCteSql,
          |m AS (

@@ -348,6 +348,29 @@ class TextDedupSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("r10 cluster split: no near-dup cluster spans train/eval; fixes a real leak") {
+    val df = SparkEntry.queries("r10_cluster_split")(spark, sfDir).cache()
+    try {
+      // the guarantee: every cluster is wholly train or wholly eval
+      assert(df.groupBy("canonical").agg(countDistinct("is_eval").as("d"))
+        .filter(col("d") > 1).count() === 0)
+      // both sides populated at the 90/10 rate (loose bounds)
+      val n = df.count().toDouble
+      val ev = df.filter(col("is_eval") === 1).count().toDouble
+      assert(ev / n > 0.02 && ev / n < 0.3, s"eval fraction ${ev / n}")
+      // and the op is not vacuous here: under per-DOCUMENT hashing
+      // (r9's rule) at least one multi-member cluster would have been
+      // split across sides — the leak this operator exists to prevent
+      val perDoc = df.withColumn("doc_eval",
+        (graft.functions.ColFns.pseudoUniform(col("vec_id"), 71L) >= 0.9)
+          .cast("int"))
+      val leaky = perDoc.groupBy("canonical").agg(
+          count(lit(1)).as("sz"), countDistinct("doc_eval").as("d"))
+        .filter(col("sz") > 1 && col("d") > 1).count()
+      assert(leaky > 0, "corpus has no cluster that per-doc hashing would split")
+    } finally df.unpersist()
+  }
+
   test("t22 BPE merges: greedy order, no pair repeats, counts non-increasing") {
     val rows = SparkEntry.queries("t22_bpe_merges")(spark, sfDir)
       .as[(Int, String, String, Long)].collect()
