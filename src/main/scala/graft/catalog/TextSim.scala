@@ -1127,7 +1127,7 @@ object TextSim {
     * structs, 1-indexed. Docs shorter than k yield no blocks; the short
     * tail (< k words) is never a block and is kept verbatim by every
     * rewrite op below, so it carries no information for their gates. */
-  private def wordBlocks(toks: org.apache.spark.sql.Column, k: Int) =
+  private[graft] def wordBlocks(toks: org.apache.spark.sql.Column, k: Int) =
     when(size(toks) >= k,
       transform(sequence(lit(1), (size(toks) / k).cast("int")), i =>
         struct(i.as("blk"),

@@ -93,4 +93,87 @@ class PropertySpec extends SparkSpec {
       .collect()
     rows.foreach(r => assert(r.getTimestamp(1) === r.getTimestamp(0)))
   }
+
+  test("wordBlocks: blocks + tail reconstruct the doc; every block exactly k words") {
+    val word = Gen.oneOf("aa", "b", "ccc", "dd", "e")
+    val docGen = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, word))
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val k = 4
+    val rows = df.select($"doc_id",
+        graft.catalog.TextSim.wordBlocks(split(trim($"text"), "\\s+"), k).as("b"))
+      .as[(Long, Seq[(Int, String)])].collect().toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val blocks = rows(id)
+      if (toks.length < k) assert(blocks.isEmpty)
+      else {
+        // 1-indexed, contiguous, each block exactly k words
+        assert(blocks.map(_._1) === (1 to toks.length / k))
+        blocks.foreach { case (_, b) => assert(b.split(" ").length === k) }
+        // blocks + tail reconstruct the token stream verbatim
+        val rebuilt = blocks.map(_._2).mkString(" ") +
+          (if (toks.length % k == 0) ""
+           else " " + toks.drop(toks.length / k * k).mkString(" "))
+        assert(rebuilt.trim === toks.mkString(" "))
+      }
+    }
+  }
+
+  test("BPE merge: sentinel-string replace ≡ array scan for any symbol run") {
+    // the two production merge primitives (t22's shuffle path uses a
+    // literal replace on '_a__b_' sentinels; the dense kernel scans the
+    // symbol array left-to-right) must agree on adversarial runs:
+    // self-overlap (a,a,a), a==b, interleavings
+    val sym = Gen.oneOf("a", "b", "ab", "c")
+    val symsGen = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, sym))
+    val pairGen = for { a <- sym; b <- sym } yield (a, b)
+    val cases = samples(Gen.zip(symsGen, pairGen), 120)
+    def scanMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val df = cases.zipWithIndex
+      .map { case ((syms, (a, b)), i) =>
+        (i, "_" + syms.mkString("__") + "_", s"_${a}__${b}_", s"_$a${b}_")
+      }
+      .toDF("i", "s", "find", "repl")
+    val got = df.select($"i", replace($"s", $"find", $"repl").as("m"))
+      .as[(Int, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((syms, (a, b)), i) =>
+      val expect =
+        if (syms.isEmpty) "__" // '_' ++ '_' with no symbols between
+        else "_" + scanMerge(syms, a, b).mkString("__") + "_"
+      assert(got(i) === expect, s"case $i: syms=$syms pair=($a,$b)")
+    }
+  }
+
+  test("personalized PageRank: dense/shuffle parity on random directed graphs") {
+    val v = Gen.oneOf("s", "t", "u", "v", "w", "x")
+    val edgeGen = Gen.zip(v, v).suchThat { case (a, b) => a != b }
+    val graphGen = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, edgeGen))
+    samples(graphGen, 12).zipWithIndex.foreach { case (es0, gi) =>
+      // ensure the seed exists as a source so both paths accept it
+      val es = (("s", "t") :: es0).distinct
+      val edges = es.toDF("src", "dst")
+      def run(thresh: Long) = graft.graph.GraphXAnalytics
+        .personalizedPageRank(spark, edges, "s", iters = 4, seqMaxEdges = thresh)
+        .select($"id", round($"rank", 6).as("r"))
+        .as[(String, Double)].collect().toMap
+      val dense = run(1000000L)
+      val shuffled = run(0L)
+      assert(dense === shuffled, s"graph $gi: $es")
+      // mass never exceeds the restart budget; dangling vertices leak
+      // their inflow (identically on both paths), so ≤ 1, not = 1
+      val mass = dense.values.sum
+      assert(mass > 0.0 && mass <= 1.0 + 1e-9, s"graph $gi mass $mass")
+    }
+  }
 }
