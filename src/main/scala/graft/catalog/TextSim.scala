@@ -946,6 +946,53 @@ object TextSim {
     merges.result().toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
   }
 
+  // A23: count-min sketch over corpus bigrams — the mergeable
+  // heavy-hitter structure for corpus statistics at 100 TB (Cormode &
+  // Muthukrishnan 2005): depth-3 × width-64 cells, bucket = two md5
+  // hex digits per row (digit-wise, the d3 discipline — no hex→int
+  // builtin needed in either engine). Each partition can sketch
+  // locally and cells ADD, which is the whole point; here the cells
+  // are built from the exact gram counts so the oracle replays them
+  // and the count-min guarantee (estimate ≥ exact, reported per row)
+  // is hash-gated rather than just asserted.
+  private def a23CountminNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val width = 64
+    def hv(m: org.apache.spark.sql.Column, p: Int) =
+      ascii(substring(m, p, 1)) -
+        when(substring(m, p, 1) >= "a", 87).otherwise(48)
+    def bucketJ(m: org.apache.spark.sql.Column, j: Int) =
+      pmod(hv(m, 8 * j + 1) * 16 + hv(m, 8 * j + 2), lit(width))
+    // bind the token array as a column BEFORE the lambda: an inlined
+    // split() would re-evaluate per element_at — O(tokens²) per doc
+    val grams = Tables.documents(spark, dir)
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("m", md5(col("g")))
+      // distinct-gram-bounded (Zipf); three consumers below (cells,
+      // top-k, bucket rows) — materialize the one corpus pass
+      .localCheckpoint(true)
+    val rows = grams.select(col("g"), col("exact_cnt"),
+      explode(array((0 until 3).map(j =>
+        struct(lit(j).as("j"), bucketJ(col("m"), j).as("bucket"))): _*)).as("jb"))
+      .select(col("g"), col("exact_cnt"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    val cells = rows.groupBy("j", "bucket").agg(sum("exact_cnt").as("cell"))
+    val top = grams.orderBy(desc("exact_cnt"), asc("g")).limit(10)
+      .select(col("g").as("tg"), col("exact_cnt"))
+    top.join(rows.select(col("g"), col("j"), col("bucket")),
+        col("tg") === col("g"))
+      .join(cells, Seq("j", "bucket"))
+      .groupBy(col("tg").as("gram"), col("exact_cnt"))
+      .agg(min("cell").as("est_cnt"))
+      .withColumn("tight", (col("est_cnt") === col("exact_cnt")).cast("int"))
+      .orderBy(desc("exact_cnt"), asc("gram"))
+  }
+
   // T13: Gopher-style quality-rule flags (Rae et al. 2021 §A1.1 shape):
   // word-count window, mean-word-length window, symbol ratio, stopword
   // evidence — each rule a named 0/1 column plus the conjunction, so a
@@ -1152,8 +1199,10 @@ object TextSim {
     val k = 8
     val docs = Tables.documents(spark, dir)
     val blocks = docs
-      .select(col("doc_id"),
-        explode(wordBlocks(TextAnalysis.tokens(col("text")), k)).as("b"))
+      // bind the token array before wordBlocks' lambda: an inlined
+      // split() re-evaluates per slice — O(tokens²/k) per doc
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(wordBlocks(col("toks"), k)).as("b"))
       .select(col("doc_id"), col("b.blk").as("blk"), col("b.btext").as("btext"))
     val w = Window.partitionBy(md5(col("btext"))).orderBy("doc_id", "blk")
     val perDoc = blocks.withColumn("rn", row_number().over(w))
@@ -1188,8 +1237,8 @@ object TextSim {
     val k = 4
     val docs = Tables.documents(spark, dir)
     val blocks = docs
-      .select(col("doc_id"),
-        explode(wordBlocks(TextAnalysis.tokens(col("text")), k)).as("b"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(wordBlocks(col("toks"), k)).as("b"))
       .select(col("doc_id"), col("b.blk").as("blk"), col("b.btext").as("btext"))
     val boiler = blocks.groupBy("btext")
       .agg(countDistinct("doc_id").as("dfr"))
@@ -1685,6 +1734,7 @@ object TextSim {
     "t22_bpe_merges" -> (t22BpeMerges(_, _)),
     "t23_curriculum_order" -> (t23CurriculumOrder(_, _)),
     "e12_stream_quality_gate" -> (e12StreamQualityGate(_, _)),
+    "a23_countmin_ngrams" -> (a23CountminNgrams(_, _)),
     "d10_contamination" -> (d10Contamination(_, _)),
     "d12_decontaminate" -> (d12Decontaminate(_, _)),
     "e11_stream_ingest_dedup" -> (e11StreamIngestDedup(_, _)),
@@ -2307,6 +2357,40 @@ object TextSim {
         |       WHEN nll <= p66 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM perdoc CROSS JOIN cuts
         |ORDER BY doc_id""".stripMargin,
+    "a23_countmin_ngrams" -> {
+      def hvSql(p: Int) =
+        s"(ascii(substr(m, $p, 1)) - CASE WHEN substr(m, $p, 1) >= 'a' THEN 87 ELSE 48 END)"
+      val jRows = (0 until 3).map { j =>
+        s"""SELECT g, exact_cnt, $j AS j,
+           |  ((${hvSql(8 * j + 1)}) * 16 + ${hvSql(8 * j + 2)}) % 64 AS bucket
+           |FROM grams""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |grams0 AS (
+         |  SELECT toks[i] || ' ' || toks[i+1] AS g
+         |  FROM toks, unnest(generate_series(1, len(toks) - 1)) AS gs(i)),
+         |grams AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS exact_cnt, md5(g) AS m
+         |  FROM grams0 GROUP BY g),
+         |jrows AS (
+         |$jRows),
+         |cells AS (
+         |  SELECT j, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
+         |  FROM jrows GROUP BY j, bucket),
+         |top AS (
+         |  SELECT g AS tg, exact_cnt FROM grams
+         |  ORDER BY exact_cnt DESC, g ASC LIMIT 10)
+         |SELECT t.tg AS gram, t.exact_cnt,
+         |  CAST(min(c.cell) AS BIGINT) AS est_cnt,
+         |  CAST(min(c.cell) = t.exact_cnt AS INT) AS tight
+         |FROM top t
+         |JOIN jrows r ON r.g = t.tg
+         |JOIN cells c ON c.j = r.j AND c.bucket = r.bucket
+         |GROUP BY t.tg, t.exact_cnt
+         |ORDER BY t.exact_cnt DESC, gram ASC""".stripMargin
+    },
     "t23_curriculum_order" -> {
       val u = graft.functions.ColFns.pseudoUniformSql("doc_id", 229L)
       val sh = graft.functions.ColFns.pseudoUniformSql("doc_id", 241L)

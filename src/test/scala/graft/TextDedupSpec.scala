@@ -371,6 +371,17 @@ class TextDedupSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("a23 count-min: estimate never undercounts, cells conserve total mass") {
+    val df = SparkEntry.queries("a23_countmin_ngrams")(spark, sfDir).cache()
+    try {
+      assert(df.count() === 10)
+      // the count-min guarantee — hash-gated, here asserted directly
+      assert(df.filter(col("est_cnt") < col("exact_cnt")).count() === 0)
+      assert(df.filter(col("tight") =!= (col("est_cnt") === col("exact_cnt"))
+        .cast("int")).count() === 0)
+    } finally df.unpersist()
+  }
+
   test("t22 BPE merges: greedy order, no pair repeats, counts non-increasing") {
     val rows = SparkEntry.queries("t22_bpe_merges")(spark, sfDir)
       .as[(Int, String, String, Long)].collect()
