@@ -1153,12 +1153,15 @@ object TextSim {
   // math — no shuffle at all.
   private def t15Repetition(spark: SparkSession, dir: String): DataFrame = {
     val n = 3
-    val toks = TextAnalysis.tokens(col("text"))
+    // toks bound as a column: inlined, the split would re-evaluate per
+    // slice inside the lambda — O(tokens²) per doc
+    val toks = col("toks")
     val grams = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(grams).as("n_grams"),
         size(array_distinct(grams)).as("n_distinct"))
       .withColumn("rep_ratio",

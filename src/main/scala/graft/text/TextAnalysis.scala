@@ -112,7 +112,9 @@ object TextAnalysis {
     * from re-inlining it. */
   def winnow(df: DataFrame, textCol: String, outCol: String,
              k: Int = 5, w: Int = 4): DataFrame = {
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // norm bound as a column too: inlined, the regexp_replace would
+    // re-run inside the gram lambda for every substr — O(len²) per doc
+    val norm = col("__winnow_norm")
     // sequence(1,0) descends rather than being empty — guard short docs
     val gramsExpr = when(length(norm) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), length(norm) - (k - 1)),
@@ -124,9 +126,11 @@ object TextAnalysis {
         .when(nWin < 1, array(array_min(grams)))
         .otherwise(transform(sequence(lit(1), nWin),
           j => array_min(slice(grams, j, lit(w)))))
-    df.withColumn("__winnow_grams", gramsExpr)
+    df.withColumn("__winnow_norm",
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+      .withColumn("__winnow_grams", gramsExpr)
       .withColumn(outCol, array_distinct(selected))
-      .drop("__winnow_grams")
+      .drop("__winnow_grams", "__winnow_norm")
   }
 
   /** Document fingerprint: position-weighted character sum (a rolling-
