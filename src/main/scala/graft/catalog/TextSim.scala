@@ -946,6 +946,80 @@ object TextSim {
     merges.result().toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
   }
 
+  // SIM: MMR diversity re-rank — the retrieval-side counterpart of the
+  // rec family's category diversity (Carbonell & Goldstein 1998):
+  // each query's ANN top-5 is greedily re-ranked to 3 results by
+  // maximal marginal relevance, score = λ·rel − (1−λ)·max cos to the
+  // already-selected set, λ=0.7, ties to the smaller id. Three
+  // unrolled greedy steps; every window is a per-query slice of ≤5
+  // rows and the candidate-candidate cosines are 20 pairs per query —
+  // the re-rank costs O(k²) per query regardless of corpus size, which
+  // is why production retrieval stacks bolt MMR onto the ANN serve
+  // path. Candidates ride the shared KnnCache kernel (j7's truth).
+  private def simMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lam = 0.7
+    val cand = graft.sim.KnnCache.topk(spark, dir, 5)
+      .select(col("src"), col("dst"), col("cos").as("rel"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val pair = cand.select(col("src"), col("dst").as("d1"))
+      .join(cand.select(col("src").as("s2x"), col("dst").as("d2")),
+        col("src") === col("s2x") && col("d1") =!= col("d2"))
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("v1")), "d1")
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("v2")), "d2")
+      .select(col("src"), col("d1"), col("d2"),
+        round(Similarity.cosine(col("v1"), col("v2")), 6).as("cc"))
+    // integer-scaled MMR: λ·rel − (1−λ)·cc on 6-decimal inputs lands on
+    // exact half-way points (x.xxxxx5) where Spark and DuckDB round
+    // doubles apart — the "never round a product of rounded inputs"
+    // trap. 7·(rel·1e6) − 3·(cc·1e6) is exact int64 in both engines;
+    // /1e7 at the end maps identical integers to identical doubles.
+    val w = Window.partitionBy("src")
+    val candI = cand.withColumn("irel", round(col("rel") * 1e6).cast("long"))
+    val s1 = candI
+      .withColumn("rk", row_number().over(w.orderBy(desc("rel"), asc("dst"))))
+      .filter(col("rk") === 1)
+      .select(col("src"), col("dst").as("s1"), col("rel").as("rel1"))
+    val ccTo = pair.select(col("src").as("ps"), col("d1"), col("d2"),
+      round(col("cc") * 1e6).cast("long").as("icc"))
+    val r2 = candI.join(s1.select("src", "s1"), "src")
+      .filter(col("dst") =!= col("s1"))
+      .join(ccTo, col("src") === col("ps") && col("dst") === col("d1") &&
+        col("s1") === col("d2"))
+      .select(col("src"), col("dst"),
+        (lit(7L) * col("irel") - lit(3L) * col("icc")).as("immr"))
+    val s2 = r2
+      .withColumn("rk", row_number().over(w.orderBy(desc("immr"), asc("dst"))))
+      .filter(col("rk") === 1)
+      .select(col("src"), col("dst").as("s2"), col("immr").as("immr2"))
+    val cc1 = ccTo.select(col("ps").as("p1"), col("d1").as("x1"),
+      col("d2").as("y1"), col("icc").as("icc_s1"))
+    val cc2 = ccTo.select(col("ps").as("p2"), col("d1").as("x2"),
+      col("d2").as("y2"), col("icc").as("icc_s2"))
+    val r3 = candI.join(s1.select("src", "s1"), "src")
+      .join(s2.select("src", "s2"), "src")
+      .filter(col("dst") =!= col("s1") && col("dst") =!= col("s2"))
+      .join(cc1, col("src") === col("p1") && col("dst") === col("x1") &&
+        col("s1") === col("y1"))
+      .join(cc2, col("src") === col("p2") && col("dst") === col("x2") &&
+        col("s2") === col("y2"))
+      .select(col("src"), col("dst"),
+        (lit(7L) * col("irel") -
+          lit(3L) * greatest(col("icc_s1"), col("icc_s2"))).as("immr"))
+    val s3 = r3
+      .withColumn("rk", row_number().over(w.orderBy(desc("immr"), asc("dst"))))
+      .filter(col("rk") === 1)
+      .select(col("src"), col("dst").as("s3"), col("immr").as("immr3"))
+    s1.select(col("src"), lit(1).as("rnk"), col("s1").as("dst"),
+        col("rel1").as("score"))
+      .unionByName(s2.select(col("src"), lit(2).as("rnk"),
+        col("s2").as("dst"), (col("immr2").cast("double") / 1e7).as("score")))
+      .unionByName(s3.select(col("src"), lit(3).as("rnk"),
+        col("s3").as("dst"), (col("immr3").cast("double") / 1e7).as("score")))
+      .orderBy("src", "rnk")
+  }
+
   // A23: count-min sketch over corpus bigrams — the mergeable
   // heavy-hitter structure for corpus statistics at 100 TB (Cormode &
   // Muthukrishnan 2005): depth-3 × width-64 cells, bucket = two md5
@@ -1738,6 +1812,7 @@ object TextSim {
     "t23_curriculum_order" -> (t23CurriculumOrder(_, _)),
     "e12_stream_quality_gate" -> (e12StreamQualityGate(_, _)),
     "a23_countmin_ngrams" -> (a23CountminNgrams(_, _)),
+    "sim_mmr_rerank" -> (simMmrRerank(_, _)),
     "d10_contamination" -> (d10Contamination(_, _)),
     "d12_decontaminate" -> (d12Decontaminate(_, _)),
     "e11_stream_ingest_dedup" -> (e11StreamIngestDedup(_, _)),
@@ -2360,6 +2435,68 @@ object TextSim {
         |       WHEN nll <= p66 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM perdoc CROSS JOIN cuts
         |ORDER BY doc_id""".stripMargin,
+    "sim_mmr_rerank" -> {
+      val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
+      val dot12 = Similarity.dotSql("e1.embedding", "e2.embedding", DIM)
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
+         |           FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |cand AS MATERIALIZED (
+         |  SELECT src, dst, round(cos, 6) AS rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst ASC) AS rn FROM scored)
+         |  WHERE rn <= 5),
+         |pair AS MATERIALIZED (
+         |  SELECT c1.src, c1.dst AS d1, c2.dst AS d2,
+         |    round($dot12 / (e1.nrm * e2.nrm), 6) AS cc
+         |  FROM cand c1 JOIN cand c2 ON c1.src = c2.src AND c1.dst <> c2.dst
+         |  JOIN n e1 ON e1.vec_id = c1.dst
+         |  JOIN n e2 ON e2.vec_id = c2.dst),
+         |candi AS MATERIALIZED (
+         |  SELECT src, dst, rel,
+         |    CAST(round(rel * 1000000) AS BIGINT) AS irel FROM cand),
+         |pairi AS MATERIALIZED (
+         |  SELECT src, d1, d2,
+         |    CAST(round(cc * 1000000) AS BIGINT) AS icc FROM pair),
+         |s1 AS MATERIALIZED (
+         |  SELECT src, dst AS s1, rel AS rel1 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY rel DESC, dst ASC) AS rk FROM candi)
+         |  WHERE rk = 1),
+         |r2 AS (
+         |  SELECT c.src, c.dst, 7 * c.irel - 3 * p.icc AS immr
+         |  FROM candi c
+         |  JOIN s1 ON c.src = s1.src AND c.dst <> s1.s1
+         |  JOIN pairi p ON p.src = c.src AND p.d1 = c.dst AND p.d2 = s1.s1),
+         |s2 AS MATERIALIZED (
+         |  SELECT src, dst AS s2, immr AS immr2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY immr DESC, dst ASC) AS rk FROM r2)
+         |  WHERE rk = 1),
+         |r3 AS (
+         |  SELECT c.src, c.dst,
+         |    7 * c.irel - 3 * greatest(p1.icc, p2.icc) AS immr
+         |  FROM candi c
+         |  JOIN s1 ON c.src = s1.src
+         |  JOIN s2 ON c.src = s2.src
+         |  JOIN pairi p1 ON p1.src = c.src AND p1.d1 = c.dst AND p1.d2 = s1.s1
+         |  JOIN pairi p2 ON p2.src = c.src AND p2.d1 = c.dst AND p2.d2 = s2.s2
+         |  WHERE c.dst <> s1.s1 AND c.dst <> s2.s2),
+         |s3 AS MATERIALIZED (
+         |  SELECT src, dst AS s3, immr AS immr3 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY immr DESC, dst ASC) AS rk FROM r3)
+         |  WHERE rk = 1)
+         |SELECT src, 1 AS rnk, s1 AS dst, rel1 AS score FROM s1
+         |UNION ALL
+         |SELECT src, 2, s2, CAST(immr2 AS DOUBLE) / 10000000 FROM s2
+         |UNION ALL
+         |SELECT src, 3, s3, CAST(immr3 AS DOUBLE) / 10000000 FROM s3
+         |ORDER BY src, rnk""".stripMargin
+    },
     "a23_countmin_ngrams" -> {
       def hvSql(p: Int) =
         s"(ascii(substr(m, $p, 1)) - CASE WHEN substr(m, $p, 1) >= 'a' THEN 87 ELSE 48 END)"

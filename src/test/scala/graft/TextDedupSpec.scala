@@ -371,6 +371,25 @@ class TextDedupSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("sim_mmr_rerank: rank-1 is the ANN best; picks diverge from plain top-3 somewhere") {
+    val mmr = SparkEntry.queries("sim_mmr_rerank")(spark, sfDir).cache()
+    try {
+      val ann = graft.sim.KnnCache.topk(spark, sfDir, 5)
+      // 3 distinct picks per query
+      assert(mmr.groupBy("src").agg(countDistinct("dst").as("d"))
+        .filter(col("d") =!= 3).count() === 0)
+      // relevance anchors the first pick: MMR rank 1 == ANN rank 1
+      val a1 = ann.filter(col("rn") === 1).select(col("src"), col("dst").as("a"))
+      assert(mmr.filter(col("rnk") === 1).join(a1, "src")
+        .filter(col("dst") =!= col("a")).count() === 0)
+      // and the diversity term actually changes something: for at least
+      // one query the MMR set differs from the plain top-3
+      val top3 = ann.filter(col("rn") <= 3).select("src", "dst")
+      val diff = mmr.select("src", "dst").except(top3).count()
+      assert(diff > 0, "MMR degenerated to plain relevance ranking")
+    } finally mmr.unpersist()
+  }
+
   test("a23 count-min: estimate never undercounts, cells conserve total mass") {
     val df = SparkEntry.queries("a23_countmin_ngrams")(spark, sfDir).cache()
     try {
