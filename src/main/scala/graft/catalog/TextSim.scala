@@ -840,8 +840,17 @@ object TextSim {
   // the corpus is never rescanned, which is exactly why BPE trainers
   // scale. Output: the learned merge table (step, lhs, rhs, pair
   // count) — the tokenizer artifact itself, integer-exact.
+  // the learned merge table is a pure function of the dir — compute
+  // once per (app, dir) and share between t22 (the table itself) and
+  // t22b (applying it back to the corpus)
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def t22BpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMerges(spark, dir, nMerges = 8, denseMaxVocab = 2000000L)
+    graft.core.AppCache.get(bpeCache,
+      (spark.sparkContext.applicationId, dir)) {
+      bpeMerges(spark, dir, nMerges = 8, denseMaxVocab = 2000000L)
+        .localCheckpoint(true)
+    }
 
   /** t22's engine with the dense-kernel threshold exposed so the
     * fallback path is spec-testable (`denseMaxVocab = 0` forces the
@@ -1065,6 +1074,38 @@ object TextSim {
       .agg(min("cell").as("est_cnt"))
       .withColumn("tight", (col("est_cnt") === col("exact_cnt")).cast("int"))
       .orderBy(desc("exact_cnt"), asc("gram"))
+  }
+
+  // T22b: tokenizer APPLY — the serve half of t22's training: the 8
+  // learned merges replayed over every word of every document in merge
+  // order, reporting per-doc BPE token counts and the compression the
+  // learned vocab buys over character tokenization. The merge table is
+  // a bounded driver artifact (8 rows, shared with t22 via the memo);
+  // application is a map-only pass — 8 chained literal replaces per
+  // word — which is exactly how a trained tokenizer deploys at 100 TB.
+  private def t22bBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = t22BpeMerges(spark, dir)
+      .select("lhs", "rhs").as[(String, String)].collect()
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val s0: org.apache.spark.sql.Column =
+      concat(lit("_"), array_join(chars, "__"), lit("_"))
+    val sMerged = merges.foldLeft(s0) { case (s, (a, b)) =>
+      org.apache.spark.sql.functions.replace(s,
+        lit(s"_${a}__${b}_"), lit(s"_$a${b}_"))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), length(col("w")).as("n_chars"),
+        size(split(regexp_replace(sMerged, "^_|_$", ""), "__")).as("n_sym"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("ws_tokens"),
+        sum(col("n_chars").cast("long")).as("char_tokens"),
+        sum(col("n_sym").cast("long")).as("bpe_tokens"))
+      .withColumn("compression",
+        round(col("char_tokens").cast("double") / col("bpe_tokens"), 6))
+      .orderBy("doc_id")
   }
 
   // T13: Gopher-style quality-rule flags (Rae et al. 2021 §A1.1 shape):
@@ -1809,6 +1850,7 @@ object TextSim {
     "t18_quality_nb" -> (t18QualityNb(_, _)),
     "t21_token_budget" -> (t21TokenBudget(_, _)),
     "t22_bpe_merges" -> (t22BpeMerges(_, _)),
+    "t22b_bpe_apply" -> (t22bBpeApply(_, _)),
     "t23_curriculum_order" -> (t23CurriculumOrder(_, _)),
     "e12_stream_quality_gate" -> (e12StreamQualityGate(_, _)),
     "a23_countmin_ngrams" -> (a23CountminNgrams(_, _)),
@@ -1860,6 +1902,39 @@ object TextSim {
     val hits = langs.map(l => s"h_$l").mkString(", ")
     val chain = langs.map(l => s"WHEN h_$l = greatest($hits) THEN '$l'").mkString(" ")
     s"CASE WHEN greatest($hits) = 0 THEN 'und' $chain END"
+  }
+
+  /** t22's 8 learned-merge rounds as CTE text (v0 word-frequency table
+    * + per-round l/p/t/v chain) — shared by the t22 oracle (reads the
+    * t_i argmaxes) and t22b's (replays the merges over the corpus). */
+  private def bpeStepsSql: String = {
+    def stepCte(i: Int): String =
+      s"""l$i AS MATERIALIZED (
+         |  SELECT freq,
+         |    string_split(regexp_replace(s, '^_|_${"$"}', '', 'g'), '__') AS l
+         |  FROM v${i - 1}),
+         |p$i AS MATERIALIZED (
+         |  SELECT l[j] AS a, l[j+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM l$i, unnest(generate_series(1, len(l) - 1)) AS g(j)
+         |  GROUP BY 1, 2),
+         |t$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
+         |        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT freq, replace(s,
+         |    '_' || (SELECT a FROM t$i) || '__' || (SELECT b FROM t$i) || '_',
+         |    '_' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || '_') AS s
+         |  FROM v${i - 1})""".stripMargin
+    val steps = (1 to 8).map(stepCte).mkString(",\n")
+    s"""toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |v0 AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    '_' || array_to_string(list_transform(
+       |      generate_series(1, len(w)), i -> substring(w, i, 1)), '__') || '_'
+       |      AS s
+       |  FROM toks GROUP BY w),
+       |$steps""".stripMargin
   }
 
   /** The NB quality model's DuckDB replay (train on the even half,
@@ -2634,38 +2709,42 @@ object TextSim {
          |ORDER BY doc_id""".stripMargin
     },
     "t22_bpe_merges" -> {
-      def stepCte(i: Int): String =
-        s"""l$i AS MATERIALIZED (
-           |  SELECT freq,
-           |    string_split(regexp_replace(s, '^_|_${"$"}', '', 'g'), '__') AS l
-           |  FROM v${i - 1}),
-           |p$i AS MATERIALIZED (
-           |  SELECT l[j] AS a, l[j+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM l$i, unnest(generate_series(1, len(l) - 1)) AS g(j)
-           |  GROUP BY 1, 2),
-           |t$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
-           |        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-           |v$i AS MATERIALIZED (
-           |  SELECT freq, replace(s,
-           |    '_' || (SELECT a FROM t$i) || '__' || (SELECT b FROM t$i) || '_',
-           |    '_' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || '_') AS s
-           |  FROM v${i - 1})""".stripMargin
-      val steps = (1 to 8).map(stepCte).mkString(",\n")
       val out = (1 to 8).map(i =>
         s"SELECT $i AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM t$i")
         .mkString("\nUNION ALL\n")
-      s"""WITH toks AS (
-         |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      s"""WITH $bpeStepsSql
+         |$out
+         |ORDER BY step""".stripMargin
+    },
+    "t22b_bpe_apply" -> {
+      // replay the learned merges over every word: nested literal
+      // replaces in merge order, each pattern read from its t_i argmax
+      val applied = (1 to 8).foldLeft("s0.s") { (acc, i) =>
+        s"""replace($acc,
+           |  '_' || (SELECT a FROM t$i) || '__' || (SELECT b FROM t$i) || '_',
+           |  '_' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || '_')""".stripMargin
+      }
+      s"""WITH $bpeStepsSql,
+         |dtoks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
          |  FROM documents),
-         |v0 AS MATERIALIZED (
-         |  SELECT CAST(count(*) AS BIGINT) AS freq,
+         |s0 AS MATERIALIZED (
+         |  SELECT doc_id, len(w) AS n_chars,
          |    '_' || array_to_string(list_transform(
          |      generate_series(1, len(w)), i -> substring(w, i, 1)), '__') || '_'
          |      AS s
-         |  FROM toks GROUP BY w),
-         |$steps
-         |$out
-         |ORDER BY step""".stripMargin
+         |  FROM dtoks),
+         |appl AS MATERIALIZED (
+         |  SELECT doc_id, n_chars,
+         |    len(string_split(regexp_replace($applied,
+         |      '^_|_$$', '', 'g'), '__')) AS n_sym
+         |  FROM s0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS char_tokens,
+         |  CAST(sum(n_sym) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_sym), 6) AS compression
+         |FROM appl GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
     },
     "sim_ivf_persisted" -> {
       val cc = Similarity.dotSql("c.cv", "c.cv", DIM)

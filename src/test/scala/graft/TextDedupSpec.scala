@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.text.{Dedup, TextAnalysis}
 
@@ -428,6 +429,25 @@ class TextDedupSpec extends SparkSpec {
       nMerges = 5, denseMaxVocab = 0L)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(dense === shuffled)
+  }
+
+  test("t22b BPE apply: learned merges compress, bounded by training pair counts") {
+    val merges = SparkEntry.queries("t22_bpe_merges")(spark, sfDir)
+      .agg(sum("pair_count")).head().getLong(0)
+    val df = SparkEntry.queries("t22b_bpe_apply")(spark, sfDir).cache()
+    try {
+      assert(df.count() === 500)
+      // a word is at least one symbol, a symbol at least one char
+      assert(df.filter(col("bpe_tokens") < col("ws_tokens")).count() === 0)
+      assert(df.filter(col("bpe_tokens") > col("char_tokens")).count() === 0)
+      // the merges actually fire: corpus-wide symbol reduction is
+      // positive and can't exceed the adjacency counts seen in training
+      val Row(chars: Long, syms: Long) = df
+        .agg(sum("char_tokens"), sum("bpe_tokens")).head()
+      assert(chars > syms, "8 merges must compress the corpus")
+      assert(chars - syms <= merges,
+        "reduction can't exceed training-time pair occurrences")
+    } finally df.unpersist()
   }
 
   test("t23 curriculum: positions dense per (bucket, shard), buckets ordered by difficulty") {
