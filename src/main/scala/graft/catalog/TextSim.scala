@@ -312,7 +312,16 @@ object TextSim {
     // storage so a long bench JVM doesn't carry the shingle arrays
     // until GC (the result below reads only the written parquet)
     org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(sgOnce)
-    spark.read.parquet(out).orderBy("doc_id")
+    // same guard as e12: no arrivals → no batch ever wrote `out`
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      spark.read.parquet(out).orderBy("doc_id")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_candidates", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_dups", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dup_of", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kept", org.apache.spark.sql.types.IntegerType))))
   }
 
   // E12: stream quality gate — the "train offline, serve in the ingest
@@ -369,8 +378,12 @@ object TextSim {
           .join(broadcast(wtOnce), col("w") === col("ww"), "left")
           .groupBy("doc_id").agg(
             sum(coalesce(col("lw"), lit(defaultLw))).as("s"))
+        // size(tokens), NOT tokenCount: t18 and the shared oracle count
+        // a whitespace-only doc as ONE (empty) token — the stream must
+        // score with the same convention or a blank arrival would flip
+        // the hash gate and the stream≡batch spec
         b.select(col("doc_id"),
-            TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
           .join(scored, Seq("doc_id"), "left")
           .withColumn("nb_score",
             round(lit(lprior) + coalesce(col("s"), lit(0.0)), 6))
@@ -382,7 +395,16 @@ object TextSim {
       .start()
     q.awaitTermination()
     org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(wtOnce)
-    spark.read.parquet(out).orderBy("doc_id")
+    // an empty arrival slice writes no micro-batch → no out dir; the
+    // admission log is then legitimately empty, not a read error
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      spark.read.parquet(out).orderBy("doc_id")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_toks", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("nb_score", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("admitted", org.apache.spark.sql.types.IntegerType))))
   }
 
   // D8: fuzzy entity matching with blocking — candidate (a, b) pairs
@@ -804,10 +826,14 @@ object TextSim {
     val tot = byLang.agg(sum("lang_toks").cast("double").as("tot_toks"))
     val wsum = byLang.crossJoin(broadcast(tot))
       .agg(sum(sqrt(col("lang_toks") / col("tot_toks"))).as("wsum"))
+    // round-then-floor: wsum is a float sum whose addend order is
+    // partition-dependent; snapping the product to 6 decimals first
+    // means a one-ulp wsum difference (across runs or vs the oracle)
+    // can no longer flip a budget sitting exactly on an integer
     val budgets = byLang.crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
       .select(col("lang"),
-        floor(lit(0.2) * col("tot_toks") *
-          (sqrt(col("lang_toks") / col("tot_toks")) / col("wsum")))
+        floor(round(lit(0.2) * col("tot_toks") *
+          (sqrt(col("lang_toks") / col("tot_toks")) / col("wsum")), 6))
           .cast("long").as("budget"))
     val wIn = Window.partitionBy("lang", "shard")
       .orderBy(col("u").asc, col("doc_id").asc)
@@ -858,8 +884,12 @@ object TextSim {
   private[graft] def bpeMerges(spark: SparkSession, dir: String,
                                  nMerges: Int, denseMaxVocab: Long): DataFrame = {
     import spark.implicits._
-    val chars = transform(sequence(lit(1), length(col("w"))),
-      i => col("w").substr(i, lit(1)))
+    // zero-length token guard: sequence(1, 0) DESCENDS to [1, 0] in
+    // Spark (two empty symbols → '____') while the oracle's
+    // generate_series(1, 0) is empty ('__') — same trap winnow guards
+    val chars = when(length(col("w")) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
     val vocabW = Tables.documents(spark, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -1087,8 +1117,10 @@ object TextSim {
     import spark.implicits._
     val merges = t22BpeMerges(spark, dir)
       .select("lhs", "rhs").as[(String, String)].collect()
-    val chars = transform(sequence(lit(1), length(col("w"))),
-      i => col("w").substr(i, lit(1)))
+    // same zero-length guard as bpeMerges: sequence(1,0) descends
+    val chars = when(length(col("w")) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
     val s0: org.apache.spark.sql.Column =
       concat(lit("_"), array_join(chars, "__"), lit("_"))
     val sMerged = merges.foldLeft(s0) { case (s, (a, b)) =>
@@ -1178,8 +1210,19 @@ object TextSim {
   // is bounded by document length, not corpus size.
   /** Contaminated (train_doc, bench_doc, n_shared) pairs — the core of
     * D10, factored so D12 can compose the decontaminated corpus from
-    * the same gram pipeline. */
-  private def contaminationPairs(spark: SparkSession, dir: String): DataFrame = {
+    * the same gram pipeline. Memoized per (app, dir) like the other
+    * shared kernels (`bpeCache`, `fuzzyPairCache`): d10 and d12 are one
+    * report + one enforcement over the SAME pair table, so the
+    * gram-hash pipeline — the expensive side — runs once and d12
+    * collapses to an anti-join against the checkpointed pairs. */
+  private val contaminationCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def contaminationPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.core.AppCache.get(contaminationCache,
+      (spark.sparkContext.applicationId, dir)) {
+      contaminationPairsPlan(spark, dir).localCheckpoint(true)
+    }
+  private def contaminationPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     val n = 8
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -2680,8 +2723,8 @@ object TextSim {
          |  FROM bylang CROSS JOIN tot),
          |budgets AS (
          |  SELECT lang,
-         |    CAST(floor(0.2 * tot_toks *
-         |      (sqrt(lang_toks / tot_toks) / wsum)) AS BIGINT) AS budget
+         |    CAST(floor(round(0.2 * tot_toks *
+         |      (sqrt(lang_toks / tot_toks) / wsum), 6)) AS BIGINT) AS budget
          |  FROM bylang CROSS JOIN tot CROSS JOIN ws),
          |shard_tots AS (
          |  SELECT lang, shard, CAST(sum(n_toks) AS BIGINT) AS shard_toks
@@ -2718,11 +2761,16 @@ object TextSim {
     },
     "t22b_bpe_apply" -> {
       // replay the learned merges over every word: nested literal
-      // replaces in merge order, each pattern read from its t_i argmax
+      // replaces in merge order, each pattern read from its t_i argmax.
+      // coalesce to an impossible sentinel (chr(1) can't appear in a
+      // whitespace token's sentinel string): a corpus that exhausts its
+      // merges early leaves later t_i EMPTY, and a bare scalar subquery
+      // would then NULL-poison the whole replace chain — the Scala side
+      // gracefully applies the truncated merge list, so must the oracle
       val applied = (1 to 8).foldLeft("s0.s") { (acc, i) =>
         s"""replace($acc,
-           |  '_' || (SELECT a FROM t$i) || '__' || (SELECT b FROM t$i) || '_',
-           |  '_' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || '_')""".stripMargin
+           |  '_' || coalesce((SELECT a FROM t$i), chr(1)) || '__' || coalesce((SELECT b FROM t$i), chr(1)) || '_',
+           |  '_' || coalesce((SELECT a FROM t$i), chr(1)) || coalesce((SELECT b FROM t$i), chr(1)) || '_')""".stripMargin
       }
       s"""WITH $bpeStepsSql,
          |dtoks AS (
