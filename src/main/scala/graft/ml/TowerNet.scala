@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.functions.ColFns
 
@@ -30,13 +30,22 @@ import graft.functions.ColFns
   * plain standardization (applied to the inputs) and eval-mode Dropout
   * is the identity.
   *
-  * The 100 TB shape is AdamWTrainer's: each epoch is ONE aggregate
-  * pass over the cached standardized corpus computing every gradient
-  * sum map-side (≈70 sum columns — W1/b1/w2/b2 — at these widths),
-  * the model is a broadcast 1-row frame of ~70 doubles (plans stay
-  * source-identical per epoch, one codegen compile serves the loop),
-  * and the optimizer state lives on the driver. Nothing per-row ever
-  * leaves the executors.
+  * The 100 TB shape is MLlib's own (LogisticRegression/LinearSVC train
+  * the same way): the standardized corpus is cached ONCE as a matrix of
+  * primitive rows, every epoch is one job of per-partition closed-form
+  * partial gradient sums (69 doubles + loss per partition — nothing
+  * per-row ever leaves the executors), and the driver combines partials
+  * IN PARTITION-INDEX ORDER, which makes the float trajectory
+  * bit-reproducible run-over-run (stronger than treeAggregate's
+  * arrival-order combine). The weights ride to the executors as a
+  * 69-double task closure — the broadcast-weights pattern at the size
+  * where a closure IS the broadcast. An earlier formulation expressed
+  * each epoch as a ~70-column SQL aggregate over a broadcast weight
+  * frame; at full-batch-per-epoch cadence the per-action re-analysis of
+  * that ~150-expression plan priced every epoch at a driver-side
+  * planning floor (~0.5 s) that this kernel does not pay — the
+  * distributed dataflow (map-side partial aggregation, driver-sized
+  * model state) is identical.
   */
 object TowerNet {
 
@@ -59,9 +68,8 @@ object TowerNet {
 
   // ---- flat parameter layout: for each tower (in declared order):
   // W1 row-major (j, i), then b1; after all towers: w2 (tower order),
-  // then b2. One layout function keeps the broadcast frame, the logit
-  // expression, the gradient aggregate order, and the Adam state
-  // walking the SAME indices.
+  // then b2. One layout function keeps the init, the kernel's forward/
+  // backward walk, and the Adam state walking the SAME indices.
   private def nParamsTotal: Int =
     towers.map { case (_, fs) => hidden * fs.size + hidden }.sum +
       towers.size * hidden + 1
@@ -83,50 +91,101 @@ object TowerNet {
     buf.result()
   }
 
-  /** Per-unit pre-activation expressions from broadcast weight columns
-    * p0..pP (consumed in flat-layout order). `x` maps feature name →
-    * standardized column. These deep trees appear exactly ONCE, in the
-    * stage-1 projection — every later stage references the named
-    * `pre_j` columns, so the per-epoch plan (re-analyzed on every
-    * action) stays hundreds of nodes smaller than inlining them into
-    * each of the ~70 gradient sums. */
-  private def preExprs(x: Map[String, Column]): Seq[Column] = {
-    var k = 0
-    def p(): Column = { val c = col(s"p$k"); k += 1; c }
-    towers.flatMap { case (_, fs) =>
-      val unitW = (0 until hidden).map(_ => fs.map(_ => p()))
-      val unitB = (0 until hidden).map(_ => p())
-      (0 until hidden).map { j =>
-        fs.zip(unitW(j)).foldLeft(unitB(j)) {
-          case (acc, (f, wji)) => acc + wji * x(f)
+  /** Serializable epoch kernel: forward + closed-form backward for one
+    * standardized row, accumulating gradient sums into `acc`
+    * (layout-ordered, `acc(P)` = loss sum). Static layout tables are
+    * computed once on the driver and ship inside the task closure. */
+  private final class RowKernel(val features: Seq[String],
+                                val posWeight: Double) extends Serializable {
+    private val fIdx = features.zipWithIndex.toMap
+    // per tower: feature indices into the row; layout offset of its W1
+    val towerFeat: Array[Array[Int]] =
+      towers.map { case (_, fs) => fs.map(fIdx).toArray }.toArray
+    val towerOff: Array[Int] = {
+      var off = 0
+      towers.map { case (_, fs) =>
+        val o = off; off += hidden * fs.size + hidden; o
+      }.toArray
+    }
+    val nUnits: Int = towers.size * hidden
+    val P: Int = nParamsTotal
+    val w2Offset: Int = P - nUnits - 1
+
+    /** logit + pre-activations for one row (pre written into `pre`). */
+    def forward(w: Array[Double], a: Array[Double],
+                pre: Array[Double]): Double = {
+      var t = 0; var unit = 0
+      while (t < towerFeat.length) {
+        val fs = towerFeat(t); val d = fs.length; val off = towerOff(t)
+        var j = 0
+        while (j < hidden) {
+          // same accumulation order as the reference forms: b1 first,
+          // then features in declared order
+          var s = w(off + hidden * d + j)
+          var i = 0
+          while (i < d) { s += w(off + j * d + i) * a(fs(i)); i += 1 }
+          pre(unit + j) = s
+          j += 1
         }
+        unit += hidden; t += 1
       }
+      var lg = 0.0
+      var j = 0
+      while (j < nUnits) {
+        lg += w(w2Offset + j) * (if (pre(j) > 0.0) pre(j) else 0.0); j += 1
+      }
+      lg + w(w2Offset + nUnits)
+    }
+
+    /** One row's contribution to the gradient/loss sums. */
+    def accumulate(w: Array[Double], a: Array[Double],
+                   pre: Array[Double], acc: Array[Double]): Unit = {
+      val nf = features.size
+      val y = a(nf)
+      val lg = forward(w, a, pre)
+      val sig = 1.0 / (1.0 + math.exp(-lg))
+      val gg = (1.0 - y) * sig - posWeight * y * (1.0 - sig)
+      acc(P) += (1.0 + (posWeight - 1.0) * y) *
+        (math.max(lg, 0.0) - lg * y + math.log1p(math.exp(-math.abs(lg))))
+      var t = 0; var unit = 0
+      while (t < towerFeat.length) {
+        val fs = towerFeat(t); val d = fs.length; val off = towerOff(t)
+        var j = 0
+        while (j < hidden) {
+          val p = pre(unit + j)
+          if (p > 0.0) { // relu gate: δ_j = gg · w2_j · 1[pre_j > 0]
+            val delta = gg * w(w2Offset + unit + j)
+            var i = 0
+            while (i < d) { acc(off + j * d + i) += delta * a(fs(i)); i += 1 }
+            acc(off + hidden * d + j) += delta
+            acc(w2Offset + unit + j) += gg * p // ∂L/∂w2_j = gg·z_j
+          }
+          j += 1
+        }
+        unit += hidden; t += 1
+      }
+      acc(w2Offset + nUnits) += gg // b2
     }
   }
 
-  /** The logit over named z columns: Σ w2_j·z_j + b2. */
-  private def logitExpr(w2Offset: Int, nUnits: Int): Column =
-    (0 until nUnits).foldLeft[Column](lit(0.0)) { (acc, j) =>
-      acc + col(s"p${w2Offset + j}") * col(s"z_$j")
-    } + col(s"p${w2Offset + nUnits}")
-
-  /** Gradient-sum aggregate columns in flat-layout order — every term
-    * is a product of plain named columns (delta_j, x_i, z_j, gg). */
-  private def gradAggs(features: Seq[String]): Seq[Column] = {
-    val fIdx = features.zipWithIndex.toMap
-    val buf = Seq.newBuilder[Column]
-    var unit = 0
-    towers.foreach { case (_, fs) =>
-      (0 until hidden).foreach(j =>
-        fs.foreach(f =>
-          buf += sum(col(s"delta_${unit + j}") * col(s"x${fIdx(f)}"))))
-      (0 until hidden).foreach(j => buf += sum(col(s"delta_${unit + j}")))
-      unit += hidden
+  /** Exact tie-aware Mann–Whitney ROC-AUC of collected (score, label)
+    * pairs — the driver leg of Metrics.auc's histogram math (average
+    * rank of a tied group = rows before it + (n+1)/2), applied to a
+    * bounded validation slice. */
+  private[ml] def rankAuc(scored: Array[(Double, Double)]): Double = {
+    val asc = scored.sortBy(_._1)
+    var i = 0; var before = 0L; var rankPos = 0.0; var np = 0.0
+    while (i < asc.length) {
+      var j = i; var npos = 0.0
+      while (j < asc.length && asc(j)._1 == asc(i)._1) { npos += asc(j)._2; j += 1 }
+      val n = j - i
+      rankPos += npos * (before + (n + 1.0) / 2.0)
+      before += n; np += npos
+      i = j
     }
-    (0 until towers.size * hidden).foreach(j =>
-      buf += sum(col("gg") * col(s"z_$j")))
-    buf += sum(col("gg"))
-    buf.result()
+    val nn = asc.length - np
+    if (np == 0 || nn == 0) 0.0
+    else (rankPos - np * (np + 1.0) / 2.0) / (np * nn)
   }
 
   /** Train on `data` (label + LinkPredict.featureNames), AdamWTrainer's
@@ -136,6 +195,7 @@ object TowerNet {
             lrPatience: Int = 5, lrFactor: Double = 0.5,
             seed: Long = 61L): Result = {
     val features = LinkPredict.featureNames
+    val nf = features.size
     val split = data.coalesce(2).withColumn("part",
       when(ColFns.pseudoUniform(
         xxhash64(col("customer"), col("product")), seed) < 0.8, "train")
@@ -151,19 +211,32 @@ object TowerNet {
     val xCols = features.zipWithIndex.map { case (c, i) =>
       ((col(c) - mu(i)) / sd(i)).as(s"x$i")
     }
-    val frame = split.select(xCols ++ Seq(col("label").as("y"), col("part")): _*)
-      .cache()
-    val trainDf = frame.filter(col("part") === "train")
-    val valDf = frame.filter(col("part") === "val")
+    // cached primitive matrices: [x0..x_{nf-1}, y] per row — built once,
+    // every epoch job scans these deserialized arrays, never the source
+    def toMat(part: String) = split.filter(col("part") === part)
+      .select(xCols :+ col("label").as("y"): _*)
+      .rdd.map { r =>
+        val a = new Array[Double](nf + 1)
+        var i = 0
+        while (i <= nf) { a(i) = r.getDouble(i); i += 1 }
+        a
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainMat = toMat("train")
+    val valMat = toMat("val")
     try {
-      val nPos = trainDf.filter(col("y") === 1.0).count().toDouble
-      val nNeg = trainDf.count().toDouble - nPos
+      // one pass materializes the train cache AND counts the classes
+      val (nTrain, nPosL) = trainMat.mapPartitions { it =>
+        var n = 0L; var np = 0L
+        it.foreach { a => n += 1; if (a(nf) == 1.0) np += 1 }
+        Iterator((n, np))
+      }.collect().foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      val nVal = valMat.count()
+      val nPos = nPosL.toDouble
+      val nNeg = (nTrain - nPosL).toDouble
       val posWeight = if (nPos > 0) nNeg / nPos else 1.0
-      val x = features.zipWithIndex
-        .map { case (c, i) => c -> col(s"x$i") }.toMap
+      val kernel = new RowKernel(features, posWeight)
+      val P = kernel.P
 
-      val P = nParamsTotal
-      val w2Offset = P - towers.size * hidden - 1
       val params = init(seed)
       val mW = new Array[Double](P); val vW = new Array[Double](P)
       val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
@@ -173,45 +246,51 @@ object TowerNet {
       var schedBest = 0.0; var plateau = 0
       val log = Seq.newBuilder[Epoch]
 
-      val ss = data.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(
-        (0 until P).map(i => org.apache.spark.sql.types.StructField(
-          s"p$i", org.apache.spark.sql.types.DoubleType, nullable = false)).toArray)
-      // Array.toSeq copies in 2.13, so each frame is an immutable
-      // snapshot of the params at call time — the background val-AUC
-      // job can never observe a later in-place update (same contract
-      // as AdamWTrainer's WeightModel.frame)
-      def weightFrame: DataFrame = ss.createDataFrame(
-        java.util.Collections.singletonList(
-          org.apache.spark.sql.Row.fromSeq(params.toSeq)), schema)
-
-      val nUnits = towers.size * hidden
-      // staged row-level pipeline: pre → z/logit → g/loss → delta, each
-      // intermediate computed once as a named column; the aggregate
-      // references only plain attributes
-      def staged(df: DataFrame): DataFrame = {
-        val st1 = df.select(col("*") +: preExprs(x).zipWithIndex
-          .map { case (c, j) => c.as(s"pre_$j") }: _*)
-        val st2 = st1.select(col("*") +: ((0 until nUnits)
-          .map(j => greatest(col(s"pre_$j"), lit(0.0)).as(s"z_$j")): Seq[Column]): _*)
-          .withColumn("lg", logitExpr(w2Offset, nUnits))
-        val sig = lit(1.0) / (lit(1.0) + exp(-col("lg")))
-        val st3 = st2
-          .withColumn("gg", (lit(1.0) - col("y")) * sig -
-            lit(posWeight) * col("y") * (lit(1.0) - sig))
-          .withColumn("lossr", (lit(1.0) + (lit(posWeight) - 1.0) * col("y")) *
-            (greatest(col("lg"), lit(0.0)) - col("lg") * col("y") +
-              log1p(exp(-abs(col("lg"))))))
-        st3.select(col("*") +: ((0 until nUnits).map(j =>
-          (col("gg") * col(s"p${w2Offset + j}") *
-            when(col(s"pre_$j") > 0.0, 1.0).otherwise(0.0)).as(s"delta_$j"))
-          : Seq[Column]): _*)
-      }
-      val aggs = gradAggs(features) ++
-        Seq(sum(col("lossr")).as("loss"), count(lit(1)).as("n"))
-
       def lap[T](tag: String)(f: => T): T =
         graft.core.Debug.lap("GRAFT_TOWER_DEBUG", tag)(f)
+
+      /** One gradient job: per-partition partial sums, combined on the
+        * driver in PARTITION-INDEX order (deterministic float fold). */
+      def gradPass(w: Array[Double]): (Array[Double], Double) = {
+        val wb = w.clone() // immutable snapshot into the closure
+        val partials = trainMat.mapPartitionsWithIndex { (pi, it) =>
+          val acc = new Array[Double](P + 1)
+          val pre = new Array[Double](kernel.nUnits)
+          it.foreach(a => kernel.accumulate(wb, a, pre, acc))
+          Iterator((pi, acc))
+        }.collect().sortBy(_._1)
+        val tot = new Array[Double](P + 1)
+        partials.foreach { case (_, acc) =>
+          var i = 0
+          while (i <= P) { tot(i) += acc(i); i += 1 }
+        }
+        (tot.take(P).map(_ / nTrain), tot(P) / nTrain)
+      }
+
+      /** One validation scoring job + exact rank AUC. The collect is
+        * bounded by the val slice (audit-scale here); past the same
+        * driver bound Metrics.auc uses, fall back to its distributed
+        * two-level histogram on a scored frame. */
+      def valAuc(w: Array[Double]): Double = {
+        val wb = w.clone()
+        val scoredRdd = valMat.mapPartitions { it =>
+          val pre = new Array[Double](kernel.nUnits)
+          it.map { a =>
+            val lg = kernel.forward(wb, a, pre)
+            (1.0 / (1.0 + math.exp(-lg)), a(nf))
+          }
+        }
+        if (nVal <= 1000000) rankAuc(scoredRdd.collect())
+        else Metrics.auc(
+          data.sparkSession.createDataFrame(
+            scoredRdd.map { case (p, y) => Row(y, p) },
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("label",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("p",
+                org.apache.spark.sql.types.DoubleType)))),
+          "label", col("p"))
+      }
 
       // Pipelined evaluation: epoch e's val-AUC job and epoch e+1's
       // gradient job both depend only on the post-update weights of
@@ -243,15 +322,10 @@ object TowerNet {
       try {
         var epoch = 0
         while (epoch < epochs) {
-          val row = lap(s"grad e$epoch")(
-            staged(trainDf.crossJoin(broadcast(weightFrame)))
-              .agg(aggs.head, aggs.tail: _*).head())
+          val (grads, loss) = lap(s"grad e$epoch")(gradPass(params))
           if (pendingAuc != null)
             bookkeep(epoch - 1, scala.concurrent.Await.result(
               pendingAuc, scala.concurrent.duration.Duration.Inf))
-          val n = row.getLong(P + 1).toDouble
-          val grads = (0 until P).map(i => row.getDouble(i) / n).toArray
-          val loss = row.getDouble(P) / n
           val norm = math.sqrt(grads.map(d => d * d).sum)
           val scale = if (norm > clipNorm) clipNorm / norm else 1.0
           val t = epoch + 1
@@ -267,13 +341,10 @@ object TowerNet {
             i += 1
           }
           lastLoss = loss; lastNorm = norm; lastClipped = scale < 1.0
-          val wf = weightFrame // frozen post-update snapshot for the side job
+          val wSnap = params.clone() // frozen post-update snapshot
           val e = epoch
-          pendingAuc = scala.concurrent.Future(lap(s"auc e$e")(
-            Metrics.auc(staged(valDf.crossJoin(broadcast(wf)))
-              .select(col("y").as("label"),
-                (lit(1.0) / (lit(1.0) + exp(-col("lg")))).as("p")),
-              "label", col("p"))))(aucEc)
+          pendingAuc = scala.concurrent.Future(
+            lap(s"auc e$e")(valAuc(wSnap)))(aucEc)
           epoch += 1
         }
         if (pendingAuc != null)
@@ -281,6 +352,6 @@ object TowerNet {
             pendingAuc, scala.concurrent.duration.Duration.Inf))
         Result(bestP, log.result(), bestAuc, bestEpoch, P)
       } finally aucEc.shutdown()
-    } finally frame.unpersist()
+    } finally { trainMat.unpersist(); valMat.unpersist() }
   }
 }
