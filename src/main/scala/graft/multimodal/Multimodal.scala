@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, batch-decoded via mapPartitions (the
   * Scala equivalent of the mapInPandas batch-UDF pattern).
   *
-  * The decode step itself is a DETERMINISTIC STUB — codec libraries are
-  * not in this container by design. Everything around it is real and
-  * tested: the schema contract, the partition-level batch shape, null
-  * handling, and metadata extraction. Swapping `stubDecode` for a JNI
-  * or library decoder changes one function.
+  * The decode step routes by payload SIGNATURE: JPEG/PNG payloads go
+  * through a REAL codec (the JDK's `javax.imageio` — no external
+  * dependency) producing true dimensions, band count, and a normalized
+  * 8-bin luminance histogram as the feature vector; any other payload
+  * (the testdata's text stand-ins included) falls back to the
+  * deterministic pseudo-codec, so the catalog gate stays a pure
+  * function of the bytes on every engine. Heavier codecs (video,
+  * audio) would slot behind the same signature switch.
   *
   * Scale notes: payloads stay as binary columns end-to-end (no
   * driver-side collection); decode runs per-partition so a codec's
@@ -40,13 +43,11 @@ object Multimodal {
       length(col(payloadCol).cast("binary")).cast("long").as("byte_len"),
       col(sourceCol).as("source"))
 
-  /** Deterministic fake "decode": a real decoder returns (width, height,
-    * channels, features); the stub derives them reproducibly from the
-    * payload bytes so downstream plumbing (schema, joins, aggregations)
-    * is fully exercisable. Marked for replacement. */
+  /** Deterministic pseudo-decode for payloads no codec claims: derives
+    * reproducible metadata from the payload bytes so downstream plumbing
+    * (schema, joins, aggregations) is fully exercisable on non-media
+    * testdata. */
   private def stubDecode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    // ??? <- real codec goes here; stub derives deterministic pseudo-
-    // metadata from payload content
     if (payload == null || payload.isEmpty) (0, 0, 0, Array.empty[Float])
     else {
       val h = java.util.Arrays.hashCode(payload)
@@ -57,6 +58,49 @@ object Multimodal {
       (w, ht, 3, feats)
     }
   }
+
+  /** Magic-byte signature check: PNG (89 'PNG') or JPEG (FF D8 FF).
+    * Routing on the signature — not on a try-decode — keeps the stub
+    * path untouched for non-media payloads. */
+  private[graft] def isImagePayload(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 &&
+      ((p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte) ||
+       (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte))
+
+  /** REAL image decode via the JDK codec: true (width, height, bands)
+    * plus a normalized 8-bin luminance histogram — a deterministic,
+    * library-independent feature vector. Returns None on a payload the
+    * codec rejects (caller falls back to the pseudo-decode, so a
+    * corrupt file degrades instead of failing the pass). */
+  private def imageDecode(payload: Array[Byte])
+      : Option[(Int, Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val bands = img.getRaster.getNumBands
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) // sRGB regardless of storage model
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(math.min(7, lum / 32)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var i = 0
+        while (i < 8) { hist(i) /= n; i += 1 }
+        Some((w, h, bands, hist))
+      }
+    } catch { case _: Exception => None }
 
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -74,9 +118,13 @@ object Multimodal {
       .encoderFor(decodedSchema)
     media.select("media_id", "modality", "payload", "byte_len")
       .mapPartitions { rows =>
-        // decoder init would happen here, once per partition
+        // per-partition decoder boundary: a heavier codec would init its
+        // native context here, once, and stream the partition through it
         rows.map { r =>
-          val (w, h, c, f) = stubDecode(r.getAs[Array[Byte]]("payload"))
+          val p = r.getAs[Array[Byte]]("payload")
+          val (w, h, c, f) =
+            if (isImagePayload(p)) imageDecode(p).getOrElse(stubDecode(p))
+            else stubDecode(p)
           Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
             w, h, c, f, r.getAs[Long]("byte_len"))
         }

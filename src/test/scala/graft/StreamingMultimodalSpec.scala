@@ -90,6 +90,37 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(decoded.exceptAll(again).count() === 0)
   }
 
+  test("real image payloads decode through the JDK codec with true dims + histogram") {
+    // fixture images built in-memory: a 48x32 PNG (solid mid-gray) and a
+    // 20x10 JPEG (black) — no external files, bit-deterministic
+    def imgBytes(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = imgBytes(48, 32, 0x808080, "png")   // lum 128 → bin 4
+    val jpg = imgBytes(20, 10, 0x000000, "jpg")   // lum 0   → bin 0
+    assert(Multimodal.isImagePayload(png) && Multimodal.isImagePayload(jpg))
+    val media = Seq((1L, png), (2L, jpg), (3L, "not an image".getBytes))
+      .toDF("media_id", "payload")
+      .select($"media_id", lit("image").as("modality"), $"payload",
+        length($"payload").cast("long").as("byte_len"), lit("fixture").as("source"))
+    val decoded = Multimodal.decode(media).collect().sortBy(_.getLong(0))
+    val Array(p, j, t) = decoded
+    assert(p.getInt(2) === 48 && p.getInt(3) === 32 && p.getInt(4) === 3)
+    assert(j.getInt(2) === 20 && j.getInt(3) === 10)
+    // solid-color image → the whole histogram mass lands in one bin
+    val pHist = p.getSeq[Float](5)
+    assert(math.abs(pHist(4) - 1.0f) < 1e-6, s"png histogram: $pHist")
+    val jHist = j.getSeq[Float](5)
+    assert(math.abs(jHist(0) - 1.0f) < 1e-6, s"jpg histogram: $jHist")
+    // non-image payload keeps the deterministic pseudo-decode path
+    assert(t.getInt(2) >= 64 && t.getSeq[Float](5).size === 8)
+  }
+
   test("resize fits the target box, preserves aspect, never emits 0-dims") {
     val media = Multimodal.asMedia(
       graft.core.Tables.documents(spark, sfDir).limit(100), "doc_id", "text", "image", "source")
