@@ -645,7 +645,65 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // TPC-H Q2 analogue (this generator has no partsupp, so lineitem
+  // plays the supply catalog): for every small part, the supplier(s)
+  // selling it at the minimum unit cost — the CORRELATED-MIN subquery
+  // shape. Catalyst must de-correlate the scalar subquery into an
+  // aggregate + equi-join on partkey (never a per-row re-scan), push
+  // p_size into the part scan, and broadcast the part/supplier dims.
+  // Unit cost is exact integer math (cents × 1000 div quantity) so the
+  // min-equality join key is bit-identical across engines.
+  private def sqlMinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """WITH supply AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000
+        |        DIV CAST(l_quantity AS BIGINT)) AS unit_millicents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, p_name, s_name, s_acctbal, sp.unit_millicents
+        |FROM part
+        |JOIN supply sp ON p_partkey = sp.partkey
+        |JOIN supplier ON s_suppkey = sp.suppkey
+        |WHERE p_size <= 5
+        |  AND sp.unit_millicents = (
+        |    SELECT min(unit_millicents) FROM supply s2
+        |    WHERE s2.partkey = sp.partkey)
+        |ORDER BY s_acctbal DESC, p_partkey, s_name""".stripMargin)
+  }
+
+  // TPC-H Q21 analogue (no commit/receipt dates: "late" = shipped more
+  // than 60 days after the order date): suppliers who were the ONLY
+  // late supplier on a finished multi-supplier order — the
+  // EXISTS + NOT-EXISTS double-correlation shape. Catalyst must plan
+  // the pair as one LeftSemi and one LeftAnti hash join on l_orderkey,
+  // never a nested-loop re-scan per row.
+  private def sqlWaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_q2_min_cost_supplier" -> (sqlMinCostSupplier(_, _)),
+    "sql_q21_waiting_supplier" -> (sqlWaitingSupplier(_, _)),
     "sql_q4_order_priority" -> (sqlOrderPriority(_, _)),
     "sql_q12_priority_shipping" -> (sqlPriorityShipping(_, _)),
     "sql_q19_disjunctive_revenue" -> (sqlDisjunctiveRevenue(_, _)),
@@ -696,6 +754,40 @@ object Relational {
   private val pu47 = ColFns.pseudoUniformSql("product", 47L)
 
   val oracles: Map[String, String] = Map(
+    "sql_q2_min_cost_supplier" ->
+      """WITH supply AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000
+        |        // CAST(l_quantity AS BIGINT)) AS unit_millicents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, p_name, s_name, s_acctbal, sp.unit_millicents
+        |FROM part
+        |JOIN supply sp ON p_partkey = sp.partkey
+        |JOIN supplier ON s_suppkey = sp.suppkey
+        |WHERE p_size <= 5
+        |  AND sp.unit_millicents = (
+        |    SELECT min(unit_millicents) FROM supply s2
+        |    WHERE s2.partkey = sp.partkey)
+        |ORDER BY s_acctbal DESC, p_partkey, s_name""".stripMargin,
+    "sql_q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "s10_schema_evolution" ->
       """WITH ev AS (
         |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS priority, 1 AS dvid
