@@ -164,7 +164,9 @@ object Analytics {
     val perFold = rows.groupBy("segment", "fold")
       .agg(count(lit(1)).as("cnt"), sum("target").as("pos"))
     val wSeg = Window.partitionBy("segment")
-    val wAll = Window.partitionBy()
+    // bounded: perFold has one row per (segment, fold) — a handful of
+    // segments × 5 folds, never data-sized
+    val wAll = ColFns.boundedGlobalAgg(col("segment"))
     perFold
       .withColumn("seg_cnt", sum("cnt").over(wSeg))
       .withColumn("seg_pos", sum("pos").over(wSeg))
@@ -185,8 +187,10 @@ object Analytics {
     val labeled = Tables.orders(spark, dir)
       .select(when(col("o_totalprice") > 250000.0, 1L).otherwise(0L).as("label"))
     labeled.groupBy("label").agg(count(lit(1)).as("cnt"))
+      // bounded: one row per class label
       .withColumn("ratio",
-        round(col("cnt").cast("double") / sum("cnt").over(Window.partitionBy()), 6))
+        round(col("cnt").cast("double") /
+          sum("cnt").over(ColFns.boundedGlobalAgg(col("label"))), 6))
       .orderBy("label")
   }
 
@@ -461,7 +465,8 @@ object Analytics {
     val budget = 200
     val counts = Tables.documents(spark, dir)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy()
+    // bounded: one row per language
+    val w = ColFns.boundedGlobalAgg(col("lang"))
     counts
       .withColumn("wgt", pow(col("n_docs").cast("double"), alpha))
       .withColumn("p", round(col("wgt") / sum("wgt").over(w), 6))

@@ -134,7 +134,10 @@ object TextSim {
   private def bandSignatures(spark: SparkSession, dir: String): DataFrame =
     graft.core.AppCache.get(signedCache,
       (spark.sparkContext.applicationId, dir)) {
-      Tables.documents(spark, dir)
+      // conditional spread before the expensive shingle/md5/minhash
+      // map: no-op when the scan already has enough splits (100 TB),
+      // a doc_id exchange when the corpus is one file (see spreadForMap)
+      Tables.spreadForMap(Tables.documents(spark, dir), col("doc_id"))
         .select(col("doc_id"), Dedup.shingleArray(col("text"), 5).as("sh"))
         .withColumn("hs", graft.plans.expressions.array_md5(col("sh")))
         .withColumn("mins", graft.plans.expressions.minhash_slices(col("hs"), 4))
@@ -737,17 +740,33 @@ object TextSim {
   // T12: token-budget sequence packing — the pretraining prep step that
   // concatenates the corpus token stream in doc_id order and slices it
   // into fixed `budget`-token packs: each doc starts at the running
-  // token offset, pack_id = offset / budget. One window cumsum; at
-  // 100 TB the ordering key becomes a per-shard document order so the
-  // cumsum shuffles once per shard, never globally.
+  // token offset, pack_id = offset / budget. The global running offset
+  // is computed WITHOUT a global window: contiguous doc_id RANGE shards
+  // cumsum independently (one shuffle keyed by shard), and each shard's
+  // starting offset is the rolled-up total of the shards before it — a
+  // boundedGlobal pass over the shard-TOTALS table (corpus/span rows,
+  // metadata-sized). Integer sums make the two-pass bit-identical to
+  // the single `Window.orderBy(doc_id)` cumsum it replaces, which put
+  // every row in one executor partition. t12b is the hash-sharded
+  // variant that also drops cross-shard pack numbering.
   private def t12PackSequences(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 256
+    // span sizes the within-shard slice; at scale it is corpus/nShards
+    val span = 1000L
     val docs = Tables.documents(spark, dir).select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)).cast("long"))
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("shard", floor(col("doc_id") / span))
+    val wIn = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSh = graft.functions.ColFns.boundedGlobal(col("shard"))(col("shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("shard").agg(sum("n_tokens").as("shard_toks"))
+      .withColumn("shard_offset", coalesce(sum("shard_toks").over(wSh), lit(0L)))
+      .select("shard", "shard_offset")
+    docs.join(broadcast(offsets), "shard")
+      .withColumn("offset", (col("shard_offset") +
+        coalesce(sum("n_tokens").over(wIn), lit(0L))).cast("long"))
       .withColumn("pack_id", floor(col("offset") / budget))
       .withColumn("offset_in_pack", col("offset") % budget)
       .select("doc_id", "n_tokens", "offset", "pack_id", "offset_in_pack")
@@ -1222,9 +1241,14 @@ object TextSim {
       (spark.sparkContext.applicationId, dir)) {
       contaminationPairsPlan(spark, dir).localCheckpoint(true)
     }
-  private def contaminationPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+  // private[graft]: PlanShapeSpec audits the RAW pipeline plan (the
+  // memoized entry above returns a checkpoint-truncated frame)
+  private[graft] def contaminationPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     val n = 8
-    val docs = Tables.documents(spark, dir)
+    // spread before the gram-hash map (same single-file trap as
+    // bandSignatures): the per-doc 8-gram md5 pipeline is the expensive
+    // side and must not run at the file count's parallelism
+    val docs = Tables.spreadForMap(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val grams = docs.select(col("doc_id"), explode(array_distinct(
         when(size(col("toks")) >= n,

@@ -54,4 +54,19 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** Spread a scan to the session's shuffle width BEFORE an expensive
+    * per-row map kernel (shingle/md5/minhash, gram hashing) when the
+    * file layout under-parallelizes it: a small corpus is one parquet
+    * file = ONE task computing every signature (measured 1.4 s
+    * single-task vs 0.3 s spread at sf0.1). At 100 TB the scan has
+    * thousands of splits and this is a NO-OP — the exchange only exists
+    * when its input is pathologically narrow, so corpus text is never
+    * shuffled at scale. Width pinned explicitly: a bare
+    * repartition(col) is AQE-coalesced right back to one partition on
+    * KB-sized stats, which are blind to the map's cost. */
+  def spreadForMap(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 <= width) df.repartition(width, key) else df
+  }
 }

@@ -31,6 +31,15 @@ object ColFns {
     Window.partitionBy(coalesce(pmod(xxhash64(key), lit(1)), lit(0L)))
       .orderBy(order: _*)
 
+  /** Orderless sibling of [[boundedGlobal]] for whole-frame aggregates
+    * (share-of-total over a grouped result): same explicit-bound
+    * contract, no ordering — the frame is the entire (bounded)
+    * partition. A bare `Window.partitionBy()` computes the same thing
+    * but reads as an accident and logs the executor's no-partition
+    * warning; this spells the bound out in the plan. */
+  def boundedGlobalAgg(key: Column): WindowSpec =
+    Window.partitionBy(coalesce(pmod(xxhash64(key), lit(1)), lit(0L)))
+
   /** F1: snake_case a column *name* the way the reference normalizes CSV
     * headers (strip, replace "-"/" " with "_", lowercase). */
   def normalizeName(name: String): String =

