@@ -350,6 +350,39 @@ object GraphML {
       r.bestEpoch, r.bestAuc)
   }
 
+  // M15: the reference's LITERAL loop — shuffled batch-512 minibatches,
+  // one AdamW step per batch, on the tower net (the last §7.4 loop
+  // divergence, Neural_network_multi_towered_training.py:660,702-735;
+  // m12/m14 are the full-batch forms, m13 the stream form). Per-epoch
+  // log: mean batch loss, val AUC, last step's norm/clip. Rows-only;
+  // m15b is the hash-gated trajectory-invariant twin.
+  private val m15Cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), graft.ml.TowerNet.Result]()
+  private def m15Fit(spark: SparkSession, dir: String): graft.ml.TowerNet.Result =
+    graft.core.AppCache.get(m15Cache,
+      (spark.sparkContext.applicationId, dir))(
+      graft.ml.TowerNet.trainMinibatch(
+        LinkPredict.trainingSetCached(spark, dir, cap = 20000), epochs = 10))
+
+  private def m15MinibatchLoop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = m15Fit(spark, dir)
+    r.epochs.map(e => (e.epoch, math.round(e.trainLoss * 1e6) / 1e6,
+        math.round(e.aucVal * 1e6) / 1e6, e.lr,
+        math.round(e.gradNorm * 1e6) / 1e6, if (e.clipped) 1 else 0,
+        if (e.improved) 1 else 0))
+      .toDF("epoch", "train_loss", "auc_val", "lr", "grad_norm",
+        "clipped", "improved")
+  }
+
+  private def m15bMinibatchDeterministic(spark: SparkSession, dir: String): DataFrame = {
+    val r = m15Fit(spark, dir)
+    trajectoryGate(spark, dir, "m15_trajectory",
+      r.epochs.map(e => (e.epoch, e.trainLoss, e.aucVal, e.lr, e.gradNorm,
+        if (e.clipped) 1 else 0, if (e.improved) 1 else 0)),
+      r.bestEpoch, r.bestAuc)
+  }
+
   // M13: the minibatch-stream AdamW demo — the one documented M9
   // divergence (full-batch step vs the reference's batch-512 loop)
   // closed as a demonstration entry: each stream micro-batch is one
@@ -1004,6 +1037,8 @@ object GraphML {
     "m12b_adamw_deterministic" -> (m12bAdamwDeterministic(_, _)),
     "m14_tower_loop" -> (m14TowerLoop(_, _)),
     "m14b_tower_deterministic" -> (m14bTowerDeterministic(_, _)),
+    "m15_minibatch_loop" -> (m15MinibatchLoop(_, _)),
+    "m15b_minibatch_deterministic" -> (m15bMinibatchDeterministic(_, _)),
     "m3b_incremental_policy" -> (m3bIncrementalPolicy(_, _)),
     "m10_class_weights" -> (m10ClassWeights(_, _)),
     "m13_minibatch_stream" -> (m13MinibatchStream(_, _)),
@@ -1634,6 +1669,7 @@ object GraphML {
          |FROM w2 ORDER BY epoch, step""".stripMargin,
     "m12b_adamw_deterministic" -> trajectoryGateSql("m12_trajectory"),
     "m14b_tower_deterministic" -> trajectoryGateSql("m14_trajectory"),
+    "m15b_minibatch_deterministic" -> trajectoryGateSql("m15_trajectory"),
     "m3b_incremental_policy" ->
       s"""WITH t AS (SELECT * FROM ${artifactSql("m3_policy")}),
          |w AS (SELECT t.*,

@@ -188,6 +188,218 @@ object TowerNet {
     else (rankPos - np * (np + 1.0) / 2.0) / (np * nn)
   }
 
+  /** splitmix64 finalizer keyed by (row key, epoch): the deterministic
+    * stand-in for the reference DataLoader's shuffle=True — a pure
+    * function both the dense kernel and the distributed fallback apply
+    * identically, so the within-epoch batch ORDER never depends on
+    * partitioning or path. */
+  private[ml] def shuffleKey(key: Long, epoch: Int, seed: Long): Long = {
+    var z = key ^ (seed + 0x9e3779b97f4a7c15L * (epoch + 1))
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The reference's LITERAL training loop — shuffled batch-512
+    * minibatches with one AdamW step per batch
+    * (`Neural_network_multi_towered_training.py:660,702-735`:
+    * DataLoader(batch_size=512, shuffle=True); per batch zero_grad →
+    * backward → clip(1.0) → step; per epoch mean batch loss, val AUC →
+    * ReduceLROnPlateau + strict-best checkpoint). This closes the one
+    * remaining §7.4 loop divergence: `train` above is the full-batch
+    * form, `AdamWTrainer.trainMinibatchStream` the stream form; this is
+    * the shuffled within-epoch iterator itself.
+    *
+    * Hybrid kernel, t22's discipline: at or under `denseMaxRows` the
+    * standardized matrix is collected ONCE and the whole multi-epoch
+    * step loop runs densely on the driver (hundreds of 512-row steps
+    * are driver arithmetic, not 31 Spark jobs per epoch); above the
+    * bound the exact same math runs distributed — per-epoch
+    * deterministic re-sort + zipWithIndex, one partial-sum job per
+    * batch — at the documented job-per-step price a parameter-server
+    * trainer pays. Both paths walk batches in the same shuffleKey
+    * order; MinibatchSpec asserts dense ≡ distributed.
+    *
+    * Logged per epoch (trajectoryGate shape): mean batch loss, val
+    * AUC, lr, and the LAST step's grad norm/clip flag. */
+  def trainMinibatch(data: DataFrame, epochs: Int = 10, batchSize: Int = 512,
+                     lr0: Double = 0.02, weightDecay: Double = 1e-4,
+                     clipNorm: Double = 1.0, lrPatience: Int = 5,
+                     lrFactor: Double = 0.5, seed: Long = 61L,
+                     denseMaxRows: Long = 2000000L): Result = {
+    val features = LinkPredict.featureNames
+    val nf = features.size
+    val split = data.coalesce(2).withColumn("part",
+      when(ColFns.pseudoUniform(
+        xxhash64(col("customer"), col("product")), seed) < 0.8, "train")
+        .otherwise("val"))
+    val momAgg = features.flatMap(c =>
+      Seq(avg(col(c)).as(s"mu_$c"), stddev_pop(col(c)).as(s"sd_$c")))
+    val mom = split.filter(col("part") === "train")
+      .agg(momAgg.head, momAgg.tail: _*).head()
+    val mu = features.indices.map(i => mom.getDouble(2 * i)).toArray
+    val sd = features.indices.map { i =>
+      val s = mom.getDouble(2 * i + 1); if (s > 0) s else 1.0
+    }.toArray
+    val xCols = features.zipWithIndex.map { case (c, i) =>
+      ((col(c) - mu(i)) / sd(i)).as(s"x$i")
+    }
+    def toKeyed(part: String) = split.filter(col("part") === part)
+      .select(xxhash64(col("customer"), col("product")).as("k") +:
+        xCols :+ col("label").as("y"): _*)
+      .rdd.map { r =>
+        val a = new Array[Double](nf + 1)
+        var i = 0
+        while (i <= nf) { a(i) = r.getDouble(i + 1); i += 1 }
+        (r.getLong(0), a)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainMat = toKeyed("train")
+    val valMat = toKeyed("val")
+    try {
+      val (nTrain, nPosL) = trainMat.mapPartitions { it =>
+        var n = 0L; var np = 0L
+        it.foreach { case (_, a) => n += 1; if (a(nf) == 1.0) np += 1 }
+        Iterator((n, np))
+      }.collect().foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      val nVal = valMat.count()
+      val posWeight =
+        if (nPosL > 0) (nTrain - nPosL).toDouble / nPosL else 1.0
+      val kernel = new RowKernel(features, posWeight)
+      val P = kernel.P
+
+      val params = init(seed)
+      val mW = new Array[Double](P); val vW = new Array[Double](P)
+      val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+      var lr = lr0
+      var stepT = 0 // AdamW bias-correction counter: one per STEP
+      var lastLoss = 0.0; var lastNorm = 0.0; var lastClipped = false
+      /** One optimizer step from raw gradient SUMS over `n` rows. */
+      def applyStep(sums: Array[Double], n: Long): Unit = {
+        val norm = {
+          var s = 0.0; var i = 0
+          while (i < P) { val g = sums(i) / n; s += g * g; i += 1 }
+          math.sqrt(s)
+        }
+        val scale = if (norm > clipNorm) clipNorm / norm else 1.0
+        stepT += 1
+        val bc1 = 1.0 - math.pow(beta1, stepT)
+        val bc2 = 1.0 - math.pow(beta2, stepT)
+        var i = 0
+        while (i < P) {
+          val gc = (sums(i) / n) * scale
+          mW(i) = beta1 * mW(i) + (1 - beta1) * gc
+          vW(i) = beta2 * vW(i) + (1 - beta2) * gc * gc
+          params(i) = params(i) - lr * (mW(i) / bc1 /
+            (math.sqrt(vW(i) / bc2) + eps) + weightDecay * params(i))
+          i += 1
+        }
+        lastNorm = norm; lastClipped = scale < 1.0
+      }
+
+      val dense = nTrain <= denseMaxRows
+      // dense kernel state: both matrices collected once, keyed
+      val trainArr = if (dense) trainMat.collect() else null
+      val valArr = if (dense) valMat.collect() else null
+
+      var bestAuc = 0.0; var bestEpoch = -1
+      var bestP: Array[Double] = params.clone()
+      var schedBest = 0.0; var plateau = 0
+      val log = Seq.newBuilder[Epoch]
+      var epoch = 0
+      while (epoch < epochs) {
+        val nBatches = ((nTrain + batchSize - 1) / batchSize).toInt
+        var lossSum = 0.0
+        if (dense) {
+          val order = trainArr.sortBy { case (k, _) =>
+            (shuffleKey(k, epoch, seed), k)
+          }
+          val pre = new Array[Double](kernel.nUnits)
+          var b = 0
+          while (b < nBatches) {
+            val lo = b * batchSize
+            val hi = math.min(lo + batchSize, nTrain.toInt)
+            val acc = new Array[Double](P + 1)
+            var i = lo
+            while (i < hi) { kernel.accumulate(params, order(i)._2, pre, acc); i += 1 }
+            lossSum += acc(P) / (hi - lo)
+            applyStep(acc, hi - lo)
+            b += 1
+          }
+        } else {
+          // distributed fallback: one deterministic re-sort per epoch,
+          // then one bounded partial-sum job per batch — the exact same
+          // batch walk at the price a per-step barrier costs
+          val e = epoch
+          val sorted = trainMat
+            .map { case (k, a) => ((shuffleKey(k, e, seed), k), a) }
+            .sortBy(_._1).zipWithIndex()
+            .map { case (((_, _), a), idx) => (idx, a) }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sorted.count()
+          var b = 0
+          while (b < nBatches) {
+            val lo = b.toLong * batchSize
+            val hi = math.min(lo + batchSize, nTrain)
+            val wb = params.clone()
+            val partials = sorted
+              .filter { case (idx, _) => idx >= lo && idx < hi }
+              .mapPartitionsWithIndex { (pi, it) =>
+                val acc = new Array[Double](P + 1)
+                val pre = new Array[Double](kernel.nUnits)
+                it.foreach { case (_, a) => kernel.accumulate(wb, a, pre, acc) }
+                Iterator((pi, acc))
+              }.collect().sortBy(_._1)
+            val acc = new Array[Double](P + 1)
+            partials.foreach { case (_, pa) =>
+              var i = 0
+              while (i <= P) { acc(i) += pa(i); i += 1 }
+            }
+            lossSum += acc(P) / (hi - lo)
+            applyStep(acc, hi - lo)
+            b += 1
+          }
+          sorted.unpersist()
+        }
+        lastLoss = lossSum / nBatches
+        // validation AUC on the post-epoch weights
+        val auc = if (dense) {
+          val pre = new Array[Double](kernel.nUnits)
+          rankAuc(valArr.map { case (_, a) =>
+            (1.0 / (1.0 + math.exp(-kernel.forward(params, a, pre))), a(nf))
+          })
+        } else {
+          val wb = params.clone()
+          val scoredRdd = valMat.mapPartitions { it =>
+            val pre = new Array[Double](kernel.nUnits)
+            it.map { case (_, a) =>
+              (1.0 / (1.0 + math.exp(-kernel.forward(wb, a, pre))), a(nf))
+            }
+          }
+          // bounded collect; past the driver bound ride Metrics.auc's
+          // distributed two-level histogram (same guard as train())
+          if (nVal <= 1000000) rankAuc(scoredRdd.collect())
+          else Metrics.auc(
+            data.sparkSession.createDataFrame(
+              scoredRdd.map { case (p, y) => Row(y, p) },
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("label",
+                  org.apache.spark.sql.types.DoubleType),
+                org.apache.spark.sql.types.StructField("p",
+                  org.apache.spark.sql.types.DoubleType)))),
+            "label", col("p"))
+        }
+        val improved = auc > bestAuc
+        if (improved) { bestAuc = auc; bestEpoch = epoch; bestP = params.clone() }
+        if (auc > schedBest + 1e-4) { schedBest = auc; plateau = 0 }
+        else plateau += 1
+        if (plateau > lrPatience) { lr *= lrFactor; plateau = 0 }
+        log += Epoch(epoch, lastLoss, auc, lr, lastNorm, lastClipped, improved)
+        epoch += 1
+      }
+      Result(bestP, log.result(), bestAuc, bestEpoch, P)
+    } finally { trainMat.unpersist(); valMat.unpersist() }
+  }
+
   /** Train on `data` (label + LinkPredict.featureNames), AdamWTrainer's
     * split/standardization/loop conventions. */
   def train(data: DataFrame, epochs: Int = 10, lr0: Double = 0.02,

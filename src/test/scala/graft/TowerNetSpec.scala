@@ -50,4 +50,36 @@ class TowerNetSpec extends SparkSpec {
     assert(r1.bestAuc === best)
     assert(r1.nParams === 69) // 5 towers x (4x d_t + 4) + 20 + 1
   }
+
+  test("m15 minibatch loop: dense kernel ≡ distributed per-batch jobs") {
+    val corpus = xorCorpus(600).cache()
+    val dense = TowerNet.trainMinibatch(corpus, epochs = 3, batchSize = 128)
+    // denseMaxRows = 0 forces the per-epoch sort + job-per-batch path;
+    // both walk batches in the same shuffleKey order, so trajectories
+    // agree to float-merge precision (partial sums combine in partition
+    // order vs a single sequential fold)
+    val dist = TowerNet.trainMinibatch(corpus, epochs = 3, batchSize = 128,
+      denseMaxRows = 0L)
+    dense.epochs.zip(dist.epochs).foreach { case (a, b) =>
+      assert(math.abs(a.trainLoss - b.trainLoss) < 1e-9,
+        s"loss diverged: ${a.trainLoss} vs ${b.trainLoss}")
+      assert(math.abs(a.aucVal - b.aucVal) < 1e-9)
+      assert(math.abs(a.gradNorm - b.gradNorm) < 1e-9)
+      assert(a.improved === b.improved)
+    }
+  }
+
+  test("m15 minibatch loop learns XOR and steps once per batch") {
+    val r = TowerNet.trainMinibatch(xorCorpus(4000), epochs = 40,
+      batchSize = 512, lr0 = 0.1)
+    assert(r.bestAuc > 0.95,
+      s"XOR not learned by the minibatch loop: bestAuc=${r.bestAuc}")
+    // invariants the m15b gate re-derives
+    var best = 0.0
+    r.epochs.foreach { e =>
+      assert(e.clipped === (e.gradNorm > 1.0))
+      assert(e.improved === (e.aucVal > best))
+      if (e.improved) best = e.aucVal
+    }
+  }
 }
