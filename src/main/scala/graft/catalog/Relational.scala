@@ -701,9 +701,123 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  // --- round-9 TPC-H breadth: five more classic shapes, written once
+  // in the ANSI subset both engines parse identically (integer-cents
+  // revenue, exact integer threshold comparisons), so the Spark entry
+  // and the DuckDB oracle run the SAME text. Shapes under test:
+  // q8 8-table snowflake + conditional share; q13 outer-join-with-
+  // join-predicate + double aggregate; q15 view + scalar-max equality;
+  // q17 correlated per-group average; q22 anti-join + scalar threshold.
+
+  // Q8 analogue: NATION_1's share of ASIA-customer STANDARD-part
+  // revenue by order year — the 8-table snowflake with nation joined
+  // TWICE (customer side and supplier side). The two sums ride one
+  // aggregate; share divides two BIGINTs built from identical cents.
+  private val q8Sql =
+    """SELECT o_year,
+      |  round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN cents ELSE 0 END) AS DOUBLE) /
+      |        sum(cents), 6) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year, n2.n_name AS nation,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |      CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') mkt
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // Q13 analogue: customer order-count distribution INCLUDING
+  // zero-order customers — the left-outer-join-with-extra-join-
+  // predicate trap (a WHERE would silently drop the NULL row and the
+  // zero bucket with it) followed by a second aggregate.
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // Q15 analogue: top supplier(s) by quarterly revenue — the
+  // view-plus-scalar-max shape; equality on exact integer cents keeps
+  // the tie set engine-independent.
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |        CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_cents
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // Q17 analogue: revenue lost to small-quantity orders of one brand —
+  // the correlated per-group AVERAGE subquery (de-correlates to an
+  // aggregate + partkey join). Quantities are integral doubles, so the
+  // per-part average is bit-identical across engines and the 0.2×
+  // threshold never straddles.
+  private val q17Sql =
+    """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 / 7.0, 6) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#12'
+      |  AND l_quantity < 0.2 * (
+      |    SELECT avg(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // Q22 analogue: well-funded customers gone DORMANT (no orders in the
+  // final two data years — this generator gives nearly every customer
+  // some lifetime order, so the literal never-ordered form is empty),
+  // by nation — anti-join plus a scalar average threshold made EXACT by
+  // integer cross-multiplication (cents × n > sum_cents avoids
+  // comparing against a float average whose last bit is
+  // summation-order-bound).
+  private val q22Sql =
+    """WITH pos AS (
+      |  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+      |         count(*) AS n
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT n_name AS nation, count(*) AS numcust,
+      |  round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+      |    AS totacctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |CROSS JOIN pos
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > sum_cents
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  private def sharedSql(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(spark, dir)
+    spark.sql(sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_q2_min_cost_supplier" -> (sqlMinCostSupplier(_, _)),
     "sql_q21_waiting_supplier" -> (sqlWaitingSupplier(_, _)),
+    "sql_q8_market_share" -> (sharedSql(q8Sql)(_, _)),
+    "sql_q13_order_distribution" -> (sharedSql(q13Sql)(_, _)),
+    "sql_q15_top_supplier" -> (sharedSql(q15Sql)(_, _)),
+    "sql_q17_small_quantity" -> (sharedSql(q17Sql)(_, _)),
+    "sql_q22_dormant_customers" -> (sharedSql(q22Sql)(_, _)),
     "sql_q4_order_priority" -> (sqlOrderPriority(_, _)),
     "sql_q12_priority_shipping" -> (sqlPriorityShipping(_, _)),
     "sql_q19_disjunctive_revenue" -> (sqlDisjunctiveRevenue(_, _)),
@@ -754,6 +868,12 @@ object Relational {
   private val pu47 = ColFns.pseudoUniformSql("product", 47L)
 
   val oracles: Map[String, String] = Map(
+    // the round-9 breadth queries run the SAME text on both engines
+    "sql_q8_market_share" -> q8Sql,
+    "sql_q13_order_distribution" -> q13Sql,
+    "sql_q15_top_supplier" -> q15Sql,
+    "sql_q17_small_quantity" -> q17Sql,
+    "sql_q22_dormant_customers" -> q22Sql,
     "sql_q2_min_cost_supplier" ->
       """WITH supply AS (
         |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
