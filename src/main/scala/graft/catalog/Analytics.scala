@@ -484,6 +484,22 @@ object Analytics {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
       .orderBy("window_start", "event_type")
 
+  // E13: data-driven SESSION windows — Spark's native session_window
+  // (gap-merged, per user), the batch face of the stateful
+  // sessionization the e4 stream runs. A session's end is its last
+  // event + gap; two sessions merge when the next event lands STRICTLY
+  // inside the previous window's end. One groupBy = one user-keyed
+  // shuffle; the oracle re-derives the same islands relationally
+  // (lag-gap break flags + running sum) — native-API and hand-rolled
+  // sessionization must agree event-for-event.
+  private def e13SessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
   // The same windowed aggregation executed through Structured Streaming
   // (AvailableNow over the parquet source, complete output mode so every
   // window flushes) — hash-checked against the SAME DuckDB oracle as the
@@ -829,6 +845,7 @@ object Analytics {
     "r7_weighted_pick" -> (r7WeightedPick(_, _)),
     "r8_temperature_mix" -> (r8TemperatureMix(_, _)),
     "e1_event_windows" -> (e1EventWindows(_, _)),
+    "e13_session_windows" -> (e13SessionWindows(_, _)),
     "e2_sessionize" -> (e2Sessionize(_, _)),
     "e3_stream_windows" -> (e3StreamWindows(_, _)),
     "e4_stream_sessionize" -> (e4StreamSessionize(_, _)),
@@ -1257,6 +1274,24 @@ object Analytics {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // native session_window re-derived as lag-gap islands: break when
+    // the gap is ≥ 30 min (Spark merges only a STRICT overlap with the
+    // previous window's end = last ts + gap); session end = last + gap
+    "e13_session_windows" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "p6_inactive_prune" ->
       """WITH last_act AS (
         |  SELECT o_custkey, max(o_orderdate) AS latest FROM orders

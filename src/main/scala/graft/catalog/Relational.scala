@@ -97,6 +97,22 @@ object Relational {
     spark.read.parquet(path).orderBy("o_orderstatus")
   }
 
+  // S11: ORC sink/source roundtrip — the second columnar interchange
+  // format Spark ships natively (a lakehouse neighbor hands you ORC as
+  // readily as parquet). Same discipline as s4: write an aggregate,
+  // read it back, gate the BYTES that came off disk against the
+  // relational oracle — exercising ORC's own type mapping (decimal/
+  // timestamp/long) through the engine's write+read path.
+  private def s11OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(spark, dir).groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n_lines"))
+    val path = tmpDir("s11_lineitem_orc")
+    agg.write.mode("overwrite").orc(path)
+    spark.read.orc(path).orderBy("l_returnflag", "l_linestatus")
+  }
+
   // S5/S7: GraphML export → re-import roundtrip; the label/type counts
   // must come back exactly as the graph had them, so a1's oracle doubles
   // as this entry's oracle. Exercises the distributed XML render and the
@@ -842,6 +858,7 @@ object Relational {
     "p9_dvid_predicate" -> (p9DvidPredicate(_, _)),
     "s2_csv_badrow_filter" -> (s2CsvBadRows(_, _)),
     "s4_parquet_sink_roundtrip" -> (s4ParquetRoundtrip(_, _)),
+    "s11_orc_roundtrip" -> (s11OrcRoundtrip(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1110,6 +1127,14 @@ object Relational {
     "s4_parquet_sink_roundtrip" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the ORC roundtrip must hand back exactly the relational aggregate
+    "s11_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // the roundtrip must reproduce the dvid-1 subgraph's label counts
     "s5_graphml_roundtrip" ->
       s"""WITH ${graft.graph.GraphSql.nodesCte},
