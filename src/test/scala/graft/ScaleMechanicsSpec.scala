@@ -202,6 +202,25 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(both.filter($"hof" =!= $"fast").count() === 0)
   }
 
+  test("spreadForMap: exchanges a narrow scan, is a NO-OP on a well-split input") {
+    // the single-file corpus (the small-SF trap): one partition in,
+    // shuffle-width partitions out — the expensive map kernel above it
+    // gets real parallelism
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    assume(docs.rdd.getNumPartitions * 2 <=
+      spark.sessionState.conf.numShufflePartitions)
+    val spread = graft.core.Tables.spreadForMap(docs, $"doc_id")
+    assert(spread.rdd.getNumPartitions ===
+      spark.sessionState.conf.numShufflePartitions)
+    assert(spread.count() === docs.count())
+    // the 100 TB case: input already has splits ≥ half the shuffle
+    // width → NO exchange is added (corpus text never shuffles at scale)
+    val wide = docs.repartition(
+      spark.sessionState.conf.numShufflePartitions, $"doc_id")
+    val noop = graft.core.Tables.spreadForMap(wide, $"doc_id")
+    assert(noop eq wide, "spreadForMap added an exchange to a wide input")
+  }
+
   test("bucketed tables join without a shuffle; result matches plain join") {
     import graft.functions.Bucketing
     val orders = graft.core.Tables.orders(spark, sfDir)
