@@ -1575,8 +1575,17 @@ object TextSim {
     * numbers the all-Column formulation produced, java.lang.Math.log
     * either way). Shared by t18 (batch scoring) and e12 (the stream
     * gate serving the identical model). */
+  // memoized per (app, dir): the model is a pure function of the corpus
+  // and serves THREE consumers (t18 batch scoring, e12's stream gate,
+  // and e12's oracle-twin spec) — train once, mount everywhere. The
+  // doc-level priors fold into the token-level aggregate
+  // (countDistinct over doc_id) so setup is ONE job + the weight table.
+  private val nbModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, Double, Double)]()
   private def nbQualityModel(spark: SparkSession, dir: String)
-      : (DataFrame, Double, Double) = {
+      : (DataFrame, Double, Double) =
+    graft.core.AppCache.get(nbModelCache,
+      (spark.sparkContext.applicationId, dir)) {
     val lab = Tables.documents(spark, dir).select(col("doc_id"),
       TextAnalysis.tokens(col("text")).as("toks"),
       qualityWeakLabel(col("text")).as("weak_label"))
@@ -1586,12 +1595,12 @@ object TextSim {
     val clsRow = tr.agg(
       sum(when(col("weak_label") === 1, 1L).otherwise(0L)).as("t1"),
       sum(when(col("weak_label") === 0, 1L).otherwise(0L)).as("t0"),
-      countDistinct("w").as("v")).head()
+      countDistinct("w").as("v"),
+      countDistinct(when(col("weak_label") === 1, col("doc_id"))).as("n1"),
+      countDistinct(when(col("weak_label") === 0, col("doc_id"))).as("n0"))
+      .head()
     val (t1, t0, v) = (clsRow.getLong(0), clsRow.getLong(1), clsRow.getLong(2))
-    val nRow = lab.filter(col("doc_id") % 2 === 0).agg(
-      sum(when(col("weak_label") === 1, 1.0).otherwise(0.0)).as("n1"),
-      sum(when(col("weak_label") === 0, 1.0).otherwise(0.0)).as("n0")).head()
-    val lprior = math.log(nRow.getDouble(0) / nRow.getDouble(1))
+    val lprior = math.log(clsRow.getLong(3).toDouble / clsRow.getLong(4))
     val defaultLw = math.log((t0 + v).toDouble / (t1 + v))
     val wt = tr.groupBy("w").agg(
         sum(when(col("weak_label") === 1, 1L).otherwise(0L)).as("c1"),
@@ -1599,6 +1608,7 @@ object TextSim {
       .select(col("w").as("ww"),
         (log((col("c1") + lit(1.0)) / lit((t1 + v).toDouble)) -
           log((col("c0") + lit(1.0)) / lit((t0 + v).toDouble))).as("lw"))
+      .localCheckpoint(true)
     (wt, lprior, defaultLw)
   }
 

@@ -141,7 +141,13 @@ object Similarity {
     val vecs = corpusRows.map(_._2)
     val norms = vecs.map(v => math.sqrt(dotArr(v, v)))
     val bc = sp.sparkContext.broadcast((ids, vecs, norms))
-    queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // spread the QUERY side before the O(|q|·|corpus|·dim) score map —
+    // a single-file embeddings scan would otherwise run every dot
+    // product in one task (the small-corpus file-layout trap; no-op
+    // once the input has real splits)
+    graft.core.Tables.spreadForMap(
+        queries.select(col(idCol).cast("long").as("__id"),
+          col(vecCol).cast("array<double>").as("__v")), col("__id"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val (cids, cvecs, cnorms) = bc.value
@@ -197,7 +203,10 @@ object Similarity {
     val vecs = rows.map(_._2)
     val norms = vecs.map(v => math.sqrt(dotArr(v, v)))
     val bc = sp.sparkContext.broadcast((ids, vecs, norms))
-    vectors.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // same query-side spread as bruteForceTopKBlocked (single-file trap)
+    graft.core.Tables.spreadForMap(
+        vectors.select(col(idCol).cast("long").as("__id"),
+          col(vecCol).cast("array<double>").as("__v")), col("__id"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val (cids, cvecs, cnorms) = bc.value

@@ -103,9 +103,12 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    bucket: Column, n: Int = 5, minJaccard: Double = 0.0): DataFrame = {
     // materialized: `base` is consumed four times (both explode sides +
-    // both size lookups); without it the shingle build runs 4×
-    val base = docs.select(col(idCol).as("doc"), bucket.as("bucket"),
-      shingleArray(col(textCol), n).as("sh")).localCheckpoint(true)
+    // both size lookups); without it the shingle build runs 4×.
+    // spreadForMap: the shingle build must not run at the file count's
+    // parallelism (single-file trap; no-op on a well-split input)
+    val base = graft.core.Tables.spreadForMap(docs, col(idCol))
+      .select(col(idCol).as("doc"), bucket.as("bucket"),
+        shingleArray(col(textCol), n).as("sh")).localCheckpoint(true)
     val sizes = base.select(col("doc"), col("bucket"), size(col("sh")).as("n_sh"))
     val ex = base.select(col("doc"), col("bucket"), explode(col("sh")).as("s"))
     val a = ex.select(col("bucket"), col("doc").as("doc_a"), col("s"))
