@@ -172,7 +172,7 @@ object TowerNet {
     * pairs — the driver leg of Metrics.auc's histogram math (average
     * rank of a tied group = rows before it + (n+1)/2), applied to a
     * bounded validation slice. */
-  private[ml] def rankAuc(scored: Array[(Double, Double)]): Double = {
+  private[graft] def rankAuc(scored: Array[(Double, Double)]): Double = {
     val asc = scored.sortBy(_._1)
     var i = 0; var before = 0L; var rankPos = 0.0; var np = 0.0
     while (i < asc.length) {

@@ -23,6 +23,29 @@ class MetricsSpec extends SparkSpec {
     (y, s)
   }.toDF("label", "s").cache()
 
+  test("TowerNet.rankAuc ≡ Metrics.auc on ties, duplicates, and concentrated scores") {
+    // the in-kernel AUC the tower loops use must be the SAME statistic
+    // Metrics.auc computes — tie-aware average-rank Mann–Whitney.
+    // Fixture mixes exact duplicates (quantized scores) with the
+    // concentrated tail, plus degenerate all-one-class slices.
+    val mixed = (1 to 5000).map { i =>
+      val s = if (i % 3 == 0) math.floor(u(i.toLong, 11L) * 20) / 20.0
+              else 0.4999 + u(i.toLong, 13L) * 0.0002
+      val y = if (u(i.toLong, 17L) < 0.2 + 0.6 * s) 1.0 else 0.0
+      (y, s)
+    }
+    val df = mixed.toDF("label", "s")
+    val viaMetrics = Metrics.auc(df, "label", col("s"))
+    val viaKernel = graft.ml.TowerNet.rankAuc(
+      mixed.map { case (y, s) => (s, y) }.toArray)
+    assert(math.abs(viaMetrics - viaKernel) < 1e-12,
+      s"metrics=$viaMetrics kernel=$viaKernel")
+    // degenerate: single class → both report 0.0
+    assert(graft.ml.TowerNet.rankAuc(Array((0.3, 1.0), (0.7, 1.0))) === 0.0)
+    assert(Metrics.auc(Seq((1.0, 0.3), (1.0, 0.7)).toDF("label", "s"),
+      "label", col("s")) === 0.0)
+  }
+
   test("distributed AUC ≡ driver AUC on concentrated scores") {
     val exact = Metrics.aucBounded(concentrated, "label", col("s"), 1 << 20)
     val dist = Metrics.aucBounded(concentrated, "label", col("s"), 1000)
