@@ -1768,6 +1768,46 @@ object TextSim {
       .orderBy("src", "rn")
   }
 
+  // DELETE-AWARE serving over a persisted IVF index — the lifecycle
+  // leg after build/serve/ingest/train/filter: a standing index
+  // outlives documents that have since been REMOVED (takedowns, TTL,
+  // dedup enforcement). Deletions arrive as a tombstone log (here:
+  // vec_id ≡ 0 mod 13), never as an index rebuild: serving anti-joins
+  // the inverted-list rows against the broadcast tombstone set BEFORE
+  // ranking — post-filtering a finished top-k under-fills k, the
+  // filtered-ANN trap applied to deletes — and tombstoned ids neither
+  // query nor serve. Folding tombstones into the lists artifact is the
+  // nightly compaction; this entry is the intervening serve window,
+  // which is where production indexes live most of the time.
+  private def simIvfDeletes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nLists = 16; val nProbe = 3; val k = 5
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.hashRankedPick(
+      e.select(col("vec_id").as("cid"), col("v").as("cv")),
+      nLists, 13L, "list")
+      .select("list", "cv")
+    val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
+    val lists = e.crossJoin(broadcast(cents))
+      .withColumn("rank_d",
+        Similarity.dot(col("cv"), col("cv")) -
+          lit(2.0) * Similarity.dot(col("v"), col("cv")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("list"), col("vec_id"), col("v"),
+        Similarity.norm(col("v")).as("nrm"))
+    val centA = artifact(spark, dir, "ivf_d_centroids", cents)
+    val listA = artifact(spark, dir, "ivf_d_lists", lists)
+    // the tombstone log is a bounded side table (deletes since the last
+    // compaction), broadcast into a LeftAnti against the list scan
+    val tomb = listA.select(col("vec_id").as("del_id"))
+      .filter(col("del_id") % 13 === 0)
+    val live = listA.join(broadcast(tomb),
+      col("vec_id") === col("del_id"), "left_anti")
+    ivfServe(centA, live, nProbe, k)
+  }
+
   // TRAINED-quantizer IVF under the same build/serve artifact split as
   // sim_ivf_persisted: the coarse centroids come from an 8-pass KMeans
   // fit (model-coupled — the fit itself has no SQL mirror, exactly like
@@ -1884,6 +1924,7 @@ object TextSim {
 
   val queries: Map[String, Q] = Map(
     "sim_ivf_persisted" -> (simIvfPersisted(_, _)),
+    "sim_ivf_deletes" -> (simIvfDeletes(_, _)),
     "sim_ivf_trained" -> (simIvfTrained(_, _)),
     "sim_filtered_ivf" -> (simFilteredIvf(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
@@ -2834,6 +2875,31 @@ object TextSim {
       val qd = Similarity.dotSql("p.qv", "l.v", DIM)
       s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_centroids")}),
          |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf_lists")}),
+         |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn FROM lists WHERE vec_id % 7 = 0),
+         |pr AS (
+         |  SELECT q.src, q.qv, q.qn, c.list, ($cc - 2.0 * $qc) AS rank_d
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (SELECT * FROM (
+         |    SELECT pr.*, row_number() OVER (PARTITION BY src
+         |      ORDER BY rank_d ASC, list ASC) AS prn FROM pr)
+         |  WHERE prn <= 3),
+         |scored AS (
+         |  SELECT p.src, l.vec_id AS dst, $qd / (p.qn * l.nrm) AS cos
+         |  FROM probes p JOIN lists l USING (list) WHERE p.src <> l.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src
+         |        ORDER BY cos DESC, dst ASC) AS rn FROM scored)
+         |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= 5
+         |ORDER BY src, rn""".stripMargin
+    },
+    "sim_ivf_deletes" -> {
+      // the persisted-serve oracle with the tombstone rule applied to
+      // the LIST rows (deleted ids neither query nor serve)
+      val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
+      val qc = Similarity.dotSql("q.qv", "c.cv", DIM)
+      val qd = Similarity.dotSql("p.qv", "l.v", DIM)
+      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_d_centroids")}),
+         |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf_d_lists")}
+         |          WHERE vec_id % 13 <> 0),
          |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn FROM lists WHERE vec_id % 7 = 0),
          |pr AS (
          |  SELECT q.src, q.qv, q.qn, c.list, ($cc - 2.0 * $qc) AS rank_d

@@ -218,7 +218,7 @@ object TowerNet {
     * deterministic re-sort + zipWithIndex, one partial-sum job per
     * batch — at the documented job-per-step price a parameter-server
     * trainer pays. Both paths walk batches in the same shuffleKey
-    * order; MinibatchSpec asserts dense ≡ distributed.
+    * order; TowerNetSpec asserts dense ≡ distributed.
     *
     * Logged per epoch (trajectoryGate shape): mean batch loss, val
     * AUC, lr, and the LAST step's grad norm/clip flag. */
