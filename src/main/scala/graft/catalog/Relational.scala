@@ -821,6 +821,104 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // --- round-9 completion: the last four classic TPC-H shapes
+  // (q9/q11/q16/q20), again in the shared ANSI subset so one text runs
+  // on both engines. This generator has no partsupp table, so the
+  // supply-cost/stock columns are derived from lineitem itself — the
+  // SHAPES under test (agg-then-rejoin, scalar-threshold HAVING,
+  // NOT-IN + count(DISTINCT), nested semi-join over a conditional
+  // aggregate) are the point, not the economics.
+
+  // Q9 analogue (product-type profit): per-(part,supplier) supply cost
+  // proxied by the cheapest observed line price (95% of min cents, an
+  // exact integer) — the aggregate-then-rejoin plan Catalyst must pick
+  // instead of a correlated re-scan — then a 6-table snowflake with a
+  // LIKE filter pushed into the part scan, grouped by supplier nation
+  // and order year. All-integer profit keeps the hash engine-stable.
+  private val q9Sql =
+    """WITH supply AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT nation, o_year, sum(rev_c4 - cost_c4) AS profit_c4
+      |FROM (
+      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |      CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS rev_c4,
+      |    95 * sp.min_cents AS cost_c4
+      |  FROM lineitem
+      |  JOIN supply sp ON sp.partkey = l_partkey AND sp.suppkey = l_suppkey
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // Q11 analogue (important stock): per-part inventory value held by
+  // one nation's suppliers, kept only when it exceeds 1/1000 of the
+  // nation's total — the scalar-subquery-over-the-same-CTE threshold.
+  // The fraction compare is exact integer cross-multiplication
+  // (value*1000 > total), never a float threshold.
+  private val q11Sql =
+    """WITH stock AS (
+      |  SELECT l_partkey AS partkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |        CAST(l_quantity AS BIGINT)) AS value_units
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY l_partkey)
+      |SELECT partkey, value_units
+      |FROM stock
+      |WHERE value_units * 1000 > (SELECT sum(value_units) FROM stock)
+      |ORDER BY value_units DESC, partkey""".stripMargin
+
+  // Q16 analogue (parts/supplier relationship): distinct suppliers per
+  // (brand, type, size) excluding one brand, two types, and the
+  // "complaint" suppliers (negative account balance stands in for the
+  // comment LIKE — this generator has no s_comment). Shape under test:
+  // null-aware NOT-IN → broadcast anti join + count(DISTINCT) over a
+  // 3-column group.
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND p_type NOT IN ('PROMO', 'LARGE')
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // Q20 analogue (potential part promotion): suppliers who shipped
+  // more than half of their lifetime volume of some SMALL part inside
+  // 1996 — availqty>½·sold re-expressed as a conditional sum vs total
+  // sum over the same group, feeding a semi-join back to supplier.
+  // Quantities are integral doubles, so the ×2 compare is exact. The
+  // qty_all >= 60 volume floor keeps the predicate selective (without
+  // it every singleton supplier-part pair passes trivially: measured
+  // 100/100 suppliers at sf0.01; with it, 49/100 and 89/1000 at sf0.1).
+  private val q20Sql =
+    """SELECT s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT y.l_suppkey
+      |  FROM (
+      |    SELECT l_suppkey, l_partkey,
+      |      sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |               THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_1996,
+      |      sum(CAST(l_quantity AS BIGINT)) AS qty_all
+      |    FROM lineitem
+      |    JOIN part ON p_partkey = l_partkey
+      |    WHERE p_type = 'SMALL'
+      |    GROUP BY l_suppkey, l_partkey) y
+      |  WHERE y.qty_all >= 60 AND y.qty_1996 * 2 > y.qty_all)
+      |ORDER BY s_name""".stripMargin
+
   private def sharedSql(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Views.register(spark, dir)
     spark.sql(sql)
@@ -834,6 +932,10 @@ object Relational {
     "sql_q15_top_supplier" -> (sharedSql(q15Sql)(_, _)),
     "sql_q17_small_quantity" -> (sharedSql(q17Sql)(_, _)),
     "sql_q22_dormant_customers" -> (sharedSql(q22Sql)(_, _)),
+    "sql_q9_product_profit" -> (sharedSql(q9Sql)(_, _)),
+    "sql_q11_important_stock" -> (sharedSql(q11Sql)(_, _)),
+    "sql_q16_supplier_relation" -> (sharedSql(q16Sql)(_, _)),
+    "sql_q20_part_promotion" -> (sharedSql(q20Sql)(_, _)),
     "sql_q4_order_priority" -> (sqlOrderPriority(_, _)),
     "sql_q12_priority_shipping" -> (sqlPriorityShipping(_, _)),
     "sql_q19_disjunctive_revenue" -> (sqlDisjunctiveRevenue(_, _)),
@@ -891,6 +993,10 @@ object Relational {
     "sql_q15_top_supplier" -> q15Sql,
     "sql_q17_small_quantity" -> q17Sql,
     "sql_q22_dormant_customers" -> q22Sql,
+    "sql_q9_product_profit" -> q9Sql,
+    "sql_q11_important_stock" -> q11Sql,
+    "sql_q16_supplier_relation" -> q16Sql,
+    "sql_q20_part_promotion" -> q20Sql,
     "sql_q2_min_cost_supplier" ->
       """WITH supply AS (
         |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,

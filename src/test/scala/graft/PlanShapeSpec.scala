@@ -206,6 +206,66 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-N not planned:\n$plan")
   }
 
+  test("Q9: the supply-cost lookup de-correlates to one broadcast aggregate") {
+    val df = graft.catalog.Relational.queries("sql_q9_product_profit")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // the per-(part,supplier) min-cost proxy must be a single aggregate
+    // joined back (5 dims/derived sides broadcast at this SF) — never a
+    // correlated re-scan of lineitem per row or a cartesian
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5,
+      s"expected the snowflake + supply agg as broadcast joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"supply lookup degenerated:\n$plan")
+  }
+
+  test("Q11: the importance threshold filters ABOVE the partkey aggregate") {
+    val df = graft.catalog.Relational.queries("sql_q11_important_stock")(spark, sfDir)
+    // read the pre-AQE plan: at runtime the scalar subquery and the main
+    // branch share the partkey aggregate via ReusedExchange, so the join
+    // subtree is hidden inside a materialized stage in the final render
+    val plan = df.queryExecution.sparkPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"dimension joins not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"threshold degenerated:\n$plan")
+    // the Σ-threshold compare applies to aggregated rows (agg below the
+    // subquery filter), never per input row
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"threshold not planned as a scalar subquery:\n$plan")
+    val fin = finalPlanString(df)
+    assert(fin.contains("ReusedExchange"),
+      s"the stock CTE should be computed once and reused:\n$fin")
+  }
+
+  test("Q16: NOT IN plans as a broadcast anti join; distinct count is two-level") {
+    val df = graft.catalog.Relational.queries("sql_q16_supplier_relation")(spark, sfDir)
+    // pre-AQE plan: when the complaint list happens to be EMPTY at a
+    // given SF, AQE's empty-relation propagation eliminates the anti
+    // join outright (observed at sf0.001) — correct, but the property
+    // under test is how Catalyst PLANS the NOT IN
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN not planned as an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"null-aware NOT IN degenerated to a nested loop:\n$plan")
+    // count(DISTINCT l_suppkey) expands to the standard two-level aggregate
+    assert("HashAggregate".r.findAllIn(plan).size >= 3,
+      s"distinct count not expanded two-level:\n$plan")
+  }
+
+  test("Q20: the promotion predicate is a semi join over ONE conditional aggregate") {
+    val df = graft.catalog.Relational.queries("sql_q20_part_promotion")(spark, sfDir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("LeftSemi"),
+      s"IN-subquery not planned as a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"promotion subquery degenerated:\n$plan")
+    // both the 1996 share and the lifetime total are sums over the SAME
+    // (supp, part) group — one grouped aggregate (partial+final), not two
+    // separate lineitem passes: exactly one Exchange keyed on the pair
+    val pairExchanges = "Exchange hashpartitioning\\(l_suppkey".r.findAllIn(plan).size
+    assert(pairExchanges <= 1, s"conditional sums split into two passes:\n$plan")
+  }
+
   test("SIM incremental: arrivals meet only the broadcast centroid table") {
     val df = graft.catalog.TextSim.queries("sim_ivf_incremental")(spark, sfDir)
     val plan = finalPlanString(df)
