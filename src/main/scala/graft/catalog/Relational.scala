@@ -113,6 +113,39 @@ object Relational {
     spark.read.orc(path).orderBy("l_returnflag", "l_linestatus")
   }
 
+  // S12: data-layout-for-skipping — the op that decides whether a
+  // 100 TB probe reads 100 TB or 100 GB. Lineitem is laid out
+  // hive-partitioned by ship year (directory pruning) and range-sorted
+  // by l_orderkey within partitions with small parquet row groups
+  // (min/max stat skipping), then probed with a year + key-range
+  // predicate. The hash gate proves layout changes nothing about the
+  // ANSWER (oracle runs on the raw table); the PlanShapeSpec/
+  // ScaleMechanicsSpec assertions prove the probe reads only the
+  // matching directory and row groups — PartitionFilters carries the
+  // year, PushedFilters the key range, and the scan's numOutputRows
+  // collapses vs the same probe on an unsorted single-directory copy.
+  private def s12SortedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("s12_lineitem_layout")
+    Tables.lineitem(spark, dir)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      // range-partition on the sort key so each output file owns a
+      // contiguous orderkey span, then sort within partitions: row-group
+      // min/max stats become disjoint ranges a BETWEEN probe can skip
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 131072)
+      .partitionBy("ship_year")
+      .parquet(path)
+    spark.read.parquet(path)
+      .filter(col("ship_year") === 1997 && col("l_orderkey").between(1000, 3000))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+      .orderBy("l_returnflag")
+  }
+
   // S5/S7: GraphML export → re-import roundtrip; the label/type counts
   // must come back exactly as the graph had them, so a1's oracle doubles
   // as this entry's oracle. Exercises the distributed XML render and the
@@ -961,6 +994,7 @@ object Relational {
     "s2_csv_badrow_filter" -> (s2CsvBadRows(_, _)),
     "s4_parquet_sink_roundtrip" -> (s4ParquetRoundtrip(_, _)),
     "s11_orc_roundtrip" -> (s11OrcRoundtrip(_, _)),
+    "s12_sorted_layout_pruning" -> (s12SortedLayout(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1241,6 +1275,16 @@ object Relational {
         |  count(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the layout probe's answer is layout-independent: the oracle runs
+    // the same predicate + aggregate over the RAW lineitem table
+    "s12_sorted_layout_pruning" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1997 AND l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // the roundtrip must reproduce the dvid-1 subgraph's label counts
     "s5_graphml_roundtrip" ->
       s"""WITH ${graft.graph.GraphSql.nodesCte},
