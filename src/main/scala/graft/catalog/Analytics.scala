@@ -475,6 +475,23 @@ object Analytics {
       .orderBy("lang")
   }
 
+  // R11: per-group k-sample as a native Catalyst AGGREGATE — the
+  // BottomKByHash TypedImperativeAggregate keeps the k keys with the
+  // smallest pseudoUniform hash per group. The window formulation
+  // (row_number OVER hash order, the r1/r4 family's shape when a
+  // per-group CAP is needed) shuffles and sorts EVERY row; the
+  // aggregate keeps ≤k keys per group map-side (ObjectHashAggregate
+  // partial) so the exchange carries k·|groups| keys — the sampling
+  // plan a 100 TB negative-sampling stage actually wants. Exploded to
+  // rows for the hash gate; draw order = ascending hash = the oracle's
+  // row_number order.
+  private def r11GroupSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(graft.plans.expressions.bottom_k_by_hash(col("c_custkey"), 8, 7L).as("ids"))
+      .select(col("c_mktsegment"), posexplode(col("ids")).as(Seq("rank", "c_custkey")))
+      .orderBy("c_mktsegment", "rank")
+
   // Event-stream shaped: tumbling window aggregation (the batch twin of
   // the Structured Streaming path in graft.streaming)
   private def e1EventWindows(spark: SparkSession, dir: String): DataFrame =
@@ -844,6 +861,7 @@ object Analytics {
     "r6b_smote_interp" -> (r6bSmoteInterp(_, _)),
     "r7_weighted_pick" -> (r7WeightedPick(_, _)),
     "r8_temperature_mix" -> (r8TemperatureMix(_, _)),
+    "r11_groupk_sample" -> (r11GroupSample(_, _)),
     "e1_event_windows" -> (e1EventWindows(_, _)),
     "e13_session_windows" -> (e13SessionWindows(_, _)),
     "e2_sessionize" -> (e2Sessionize(_, _)),
@@ -1266,6 +1284,19 @@ object Analytics {
         |p AS (SELECT lang, n_docs, round(wgt / sum(wgt) OVER (), 6) AS p FROM w)
         |SELECT lang, n_docs, p, CAST(round(p * 200, 0) AS BIGINT) AS n_target
         |FROM p ORDER BY lang""".stripMargin,
+    // the aggregate's draw order is ascending (hash, key) — exactly the
+    // window oracle's row_number order on the shared pseudo-uniform
+    "r11_groupk_sample" ->
+      s"""WITH h AS (
+         |  SELECT c_mktsegment, c_custkey,
+         |    ${ColFns.pseudoUniformSql("c_custkey", 7L)} AS u
+         |  FROM customer),
+         |r AS (
+         |  SELECT c_mktsegment, c_custkey,
+         |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY u, c_custkey) - 1 AS rank
+         |  FROM h)
+         |SELECT c_mktsegment, rank, c_custkey FROM r WHERE rank < 8
+         |ORDER BY c_mktsegment, rank""".stripMargin,
     "e1_event_windows" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |  round(sum(value), 4) AS total_value

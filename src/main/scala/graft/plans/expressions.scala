@@ -395,6 +395,127 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       l: Expression, r: Expression): SortedIntersectCount = copy(left = l, right = r)
 }
 
+/** Deterministic per-group bottom-k-by-hash sample as a native Catalyst
+  * AGGREGATE (the §2.13 surface so far held only scalar expressions).
+  *
+  * Keeps, per group, the k keys with the smallest `(mix(key), key)`
+  * where `mix` is the SAME Knuth multiplicative hash as
+  * `ColFns.pseudoUniform` — so the sample is a uniform without-
+  * replacement draw that both engines can reproduce bit-for-bit, and
+  * every draw is retry/AQE/partitioning-stable (the reference samples
+  * with `pandas.sample(random_state)`; this is the distributed
+  * contract that replaces it, Create_pytorch_geometric_graph_data.py's
+  * negative-sampling draw being the canonical consumer).
+  *
+  * Why an aggregate and not a window: `row_number() OVER (PARTITION BY
+  * g ORDER BY hash)` shuffles and SORTS every row of the corpus. A
+  * TypedImperativeAggregate keeps ≤k keys per group per partition
+  * map-side (partial aggregation through ObjectHashAggregate), so at
+  * 100 TB the exchange carries k·|groups| keys instead of the corpus —
+  * the same partial-combine story every other aggregate in the engine
+  * rides. The buffer is a bounded max-heap on the WORST kept element;
+  * serialize ships only the kept keys (hashes recompute from salt).
+  */
+case class BottomKByHash(
+    child: Expression,
+    k: Int,
+    salt: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]] {
+
+  require(k > 0, "bottom_k_by_hash: k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bottom_k_by_hash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bottom_k_by_hash needs a BIGINT key, got ${t.sql}")
+    }
+
+  /** ColFns.pseudoUniform's integer core — identical on both engines. */
+  private def mix(key: Long): Long = {
+    val reduced = ((key % 999983L) + 999983L) % 999983L
+    ((reduced * 2654435761L + salt * 40503L) % 1000003L + 1000003L) % 1000003L
+  }
+
+  // heap top = the WORST kept key (largest (mix, key)) → O(log k) evict
+  private def worstFirst: java.util.Comparator[java.lang.Long] =
+    new java.util.Comparator[java.lang.Long] {
+      override def compare(a: java.lang.Long, b: java.lang.Long): Int = {
+        val c = java.lang.Long.compare(mix(b), mix(a))
+        if (c != 0) c else java.lang.Long.compare(b, a)
+      }
+    }
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Long] =
+    new java.util.PriorityQueue[java.lang.Long](k + 1, worstFirst)
+
+  private def offer(buf: java.util.PriorityQueue[java.lang.Long], key: Long): Unit = {
+    if (buf.size < k) { buf.offer(key); () }
+    else {
+      val worst = buf.peek()
+      val mk = mix(key); val mw = mix(worst)
+      if (mk < mw || (mk == mw && key < worst)) { buf.poll(); buf.offer(key); () }
+    }
+  }
+
+  override def update(buf: java.util.PriorityQueue[java.lang.Long],
+                      input: InternalRow): java.util.PriorityQueue[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.PriorityQueue[java.lang.Long],
+                     other: java.util.PriorityQueue[java.lang.Long]): java.util.PriorityQueue[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) offer(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.PriorityQueue[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    // ascending (mix, key): the sample in draw order
+    val sorted = arr.sortBy(x => (mix(x), x))
+    new GenericArrayData(sorted)
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.offer(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKByHash =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKByHash =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKByHash =
+    copy(child = newChildren.head)
+}
+
 object expressions {
   import org.apache.spark.sql.GraftColumnBridge._
 
@@ -416,6 +537,9 @@ object expressions {
 
   def minhash_slices(hs: Column, nSlices: Int, width: Int = 8): Column =
     toColumn(MinhashSlices(toExpression(hs), nSlices, width))
+
+  def bottom_k_by_hash(key: Column, k: Int, salt: Long): Column =
+    toColumn(BottomKByHash(toExpression(key), k, salt).toAggregateExpression())
 
   def weighted_step_pick(nbrs: Column, prevNbrs: Column, prev: Column,
                          baseHash: Column, invP: Double, invQ: Double,

@@ -51,6 +51,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(edge.filter($"fast" =!= $"ref").count() === 0)
   }
 
+  test("bottom_k_by_hash: aggregate sample ≡ window sample, partial combine planned") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ColFns
+    import graft.plans.expressions.bottom_k_by_hash
+    // many partitions + interleaved groups so update/merge/serialize all
+    // run (partials cross the exchange serialized)
+    val df = spark.range(0, 5000).toDF("key")
+      .withColumn("g", pmod(col("key"), lit(7)))
+      .repartition(8)
+    val agg = df.groupBy("g")
+      .agg(bottom_k_by_hash(col("key"), 5, 7L).as("ids"))
+      .select(col("g"), posexplode(col("ids")).as(Seq("rank", "key")))
+    // reference: the window formulation over the SAME hash
+    val w = Window.partitionBy("g").orderBy(ColFns.pseudoUniform(col("key"), 7L), col("key"))
+    val ref = df.withColumn("rank", row_number().over(w) - 1)
+      .filter(col("rank") < 5).select("g", "rank", "key")
+    val a = agg.orderBy("g", "rank").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = ref.orderBy("g", "rank").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq, "aggregate draw diverged from the window draw")
+    // the scale property: TypedImperative plans through ObjectHashAggregate
+    // with a PARTIAL phase before the exchange — k keys per group per
+    // partition shuffle, never the corpus
+    val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("ObjectHashAggregate"), s"not an object-hash aggregate:\n$plan")
+    assert("partial_bottom_k_by_hash".r.findAllIn(plan).nonEmpty,
+      s"no map-side partial phase:\n$plan")
+    // empty-group safety: aggregating an empty frame yields no rows
+    val empty = df.filter(col("key") < 0).groupBy("g")
+      .agg(bottom_k_by_hash(col("key"), 5, 7L).as("ids"))
+    assert(empty.count() === 0)
+  }
+
   test("foreachBatch incremental ingest appends dvid partitions") {
     val store = "/tmp/graft_stream_store"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
