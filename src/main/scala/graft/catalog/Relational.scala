@@ -146,6 +146,25 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // S13: small-file compaction — the ingest-debris housekeeping op.
+  // Events staged as 48 KB-sized files (what a micro-batch sink leaves
+  // behind), compacted to ⌈bytes/target⌉ ≈ 4 files with a ZERO-shuffle
+  // coalesce rewrite, then read back and aggregated under the hash
+  // gate: compaction must be invisible to every reader. File-count
+  // collapse is asserted in ScaleMechanicsSpec.
+  private def s13Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val staged = tmpDir("s13_events_debris")
+    val compacted = tmpDir("s13_events_compacted")
+    Tables.events(spark, dir).repartition(48)
+      .write.mode("overwrite").parquet(staged)
+    val target = math.max(1L, graft.sources.Compactor.dataBytes(spark, staged) / 4)
+    graft.sources.Compactor.compact(spark, staged, compacted, target)
+    graft.sources.Compactor.read(spark, compacted)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .orderBy("event_type")
+  }
+
   // S5/S7: GraphML export → re-import roundtrip; the label/type counts
   // must come back exactly as the graph had them, so a1's oracle doubles
   // as this entry's oracle. Exercises the distributed XML render and the
@@ -995,6 +1014,7 @@ object Relational {
     "s4_parquet_sink_roundtrip" -> (s4ParquetRoundtrip(_, _)),
     "s11_orc_roundtrip" -> (s11OrcRoundtrip(_, _)),
     "s12_sorted_layout_pruning" -> (s12SortedLayout(_, _)),
+    "s13_small_file_compaction" -> (s13Compaction(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1285,6 +1305,10 @@ object Relational {
         |WHERE year(l_shipdate) = 1997 AND l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // compaction is invisible to readers: the oracle is the RAW table
+    "s13_small_file_compaction" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the roundtrip must reproduce the dvid-1 subgraph's label counts
     "s5_graphml_roundtrip" ->
       s"""WITH ${graft.graph.GraphSql.nodesCte},

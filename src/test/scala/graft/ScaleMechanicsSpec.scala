@@ -87,6 +87,58 @@ class ScaleMechanicsSpec extends SparkSpec {
       s"sorted layout skipped nothing: sorted=$sortedScanned flat=$flatScanned")
   }
 
+  test("S13: compaction collapses the file tail without touching a row") {
+    import graft.sources.Compactor
+    // run the entry: stages 48-file debris, compacts, aggregates
+    graft.catalog.Relational.queries("s13_small_file_compaction")(spark, sfDir).collect()
+    val staged = "/tmp/graft_roundtrip/s13_events_debris"
+    val compacted = "/tmp/graft_roundtrip/s13_events_compacted"
+    assert(Compactor.dataFiles(spark, staged) === 48, "debris staging changed")
+    val nOut = Compactor.dataFiles(spark, compacted)
+    assert(nOut <= 6, s"tail not collapsed: $nOut files")
+    // same rows, both directions — compaction is purely physical
+    val a = spark.read.parquet(staged)
+    val b = spark.read.parquet(compacted)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "compaction changed row content")
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime (the un-salted path)") {
+    // j10 pins MANUAL salting; this pins the runtime alternative the
+    // same plans get for free on a cluster: AQE detects the oversized
+    // post-shuffle partition and splits it across tasks. Thresholds
+    // scaled down to local data sizes (the ratios, not the absolutes,
+    // are what a 100 TB job tunes).
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+    ns.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    import ns.implicits._
+    // 90% of facts on ONE key → one shuffle partition carries ~the
+    // table. The payload must SURVIVE into the aggregate, or column
+    // pruning leaves only the (highly compressible) key in the shuffle
+    // and the partition never crosses the byte threshold
+    val fact = ns.range(200000).toDF("i")
+      .withColumn("k", when(pmod($"i", lit(10)) < 9, 0L).otherwise(pmod($"i", lit(50))))
+      .withColumn("payload", sha2(concat(lit("x"), $"i"), 256))
+    val dim = ns.range(50).toDF("k").withColumn("name", concat(lit("d"), $"k"))
+    // the consumer must not REQUIRE the join's hash distribution (a
+    // groupBy on the join key would: AQE then refuses to split rather
+    // than break the downstream requirement — itself a property worth
+    // knowing). A global aggregate is distribution-agnostic.
+    val joined = fact.join(dim, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum(length($"payload")).as("bytes"))
+    val row = joined.collect().head
+    // correctness first: the split must not change the answer
+    assert(row.getLong(0) === 200000L)
+    assert(row.getLong(1) === 200000L * 64)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skewed"),
+      s"AQE did not split the skewed partition:\n$plan")
+  }
+
   test("salted join equals the plain join") {
     import graft.functions.Skew
     // heavy skew: 90% of facts share one key
