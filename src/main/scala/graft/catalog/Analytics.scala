@@ -475,6 +475,25 @@ object Analytics {
       .orderBy("lang")
   }
 
+  // E14: stream–stream LEFT OUTER interval join — the null-emission-at-
+  // watermark semantics e8's inner join can't express. Purchases with
+  // zero band clicks surface as n_clicks = 0 once the watermark proves
+  // no click can still arrive; the fixed cutoff keeps the output the
+  // watermark-safe subset at EVERY SF (testdata spans Jan 1–30, so
+  // max(ts) − 2 h always clears Jan 30 00:00). Aggregated per purchase
+  // so the gate needs no cross-engine NULL-ordering contract.
+  private def e14StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runAvailableNow(spark, dir, df =>
+        graft.streaming.EventStream.intervalJoinOuter(df)
+          .select("purchase_id", "p_ts", "c_ts", "c_value"),
+        queryName = s"e14_oivj_${math.abs(dir.hashCode)}",
+        shufflePartitions = Some(4))
+      .filter(col("p_ts") < lit("2024-01-30 00:00:00").cast("timestamp"))
+      .groupBy("purchase_id")
+      .agg(count(col("c_ts")).as("n_clicks"),
+        round(sum(coalesce(col("c_value"), lit(0.0))), 2).as("click_value"))
+      .orderBy("purchase_id")
+
   // R11: per-group k-sample as a native Catalyst AGGREGATE — the
   // BottomKByHash TypedImperativeAggregate keeps the k keys with the
   // smallest pseudoUniform hash per group. The window formulation
@@ -870,6 +889,7 @@ object Analytics {
     "e5_stream_dedup" -> (e5StreamDedup(_, _)),
     "e6_stream_static_join" -> (e6StreamStaticJoin(_, _)),
     "e8_stream_interval_join" -> (e8StreamIntervalJoin(_, _)),
+    "e14_stream_outer_join" -> (e14StreamOuterJoin(_, _)),
     "a15_rollup" -> (a15Rollup(_, _)),
     "a17_pivot" -> (a17Pivot(_, _)),
     "a19_exact_percentiles" -> (a19ExactPercentiles(_, _)),
@@ -994,6 +1014,20 @@ object Analytics {
         |SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
         |       round(sum(c.value), 2) AS click_value
         |FROM purch p JOIN clicks c ON c.user_id = p.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        | AND epoch_us(c.ts) < epoch_us(p.ts)
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
+    // the outer join's batch truth: every cutoff purchase, matched or
+    // not — n_clicks counts non-null band clicks, 0 when none
+    "e14_stream_outer_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-30 00:00:00')
+        |SELECT p.event_id AS purchase_id, count(c.ts) AS n_clicks,
+        |       round(sum(coalesce(c.value, 0.0)), 2) AS click_value
+        |FROM purch p LEFT JOIN clicks c ON c.user_id = p.user_id
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,

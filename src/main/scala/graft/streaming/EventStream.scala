@@ -108,6 +108,32 @@ object EventStream {
       s"c_user = p_user AND c_ts >= p_ts - interval $bandSec seconds AND c_ts < p_ts"))
   }
 
+  /** Stream–stream LEFT OUTER interval join — e8's inner join plus the
+    * semantics the inner form cannot express: a purchase with NO click
+    * in its band must still emit, and in a stream that answer only
+    * becomes safe once the watermark proves no matching click can
+    * arrive. Spark holds the unmatched purchase in state and emits the
+    * null-extended row in the micro-batch whose watermark passes
+    * p_ts (all matches satisfy c_ts < p_ts); under AvailableNow the
+    * trailing no-data batch — which exists precisely for
+    * watermark-only results — flushes every purchase older than
+    * max(ts) − 2 h. State remains O(band × rate), same bound as the
+    * inner join; the outer rows add nothing (evicted state IS the
+    * emission). */
+  def intervalJoinOuter(events: DataFrame, bandSec: Long = 1800): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks, expr(
+      s"c_user = p_user AND c_ts >= p_ts - interval $bandSec seconds AND c_ts < p_ts"),
+      "leftOuter")
+  }
+
   /** Incremental dvid ingest as a stream (§2.12): each micro-batch of
     * arriving event files is appended to a dvid-partitioned store via
     * foreachBatch — the Structured-Streaming twin of

@@ -64,6 +64,29 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out.agg(sum("n")).head().getLong(0) === expect)
   }
 
+  test("e14: the outer join emits watermark-proven zero-click purchases") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("e14_stream_outer_join")(spark, sfDir)
+    val cut = lit("2024-01-30 00:00:00").cast("timestamp")
+    val ev = graft.core.Tables.events(spark, sfDir)
+    // every cutoff purchase surfaced — including the ones with NO band
+    // click, which only the null-emission path can produce
+    val nPurch = ev.filter($"event_type" === "purchase" && $"ts" < cut).count()
+    assert(out.count() === nPurch, "outer join lost purchases")
+    val zeros = out.filter($"n_clicks" === 0)
+    assert(zeros.count() > 0, "no unmatched purchases — outer semantics vacuous")
+    assert(zeros.filter($"click_value" =!= 0.0).count() === 0)
+    // and the matched subset is exactly the inner join's answer
+    val inner = SparkEntry.queries("e8_stream_interval_join")(spark, sfDir)
+    val matchedIds = out.filter($"n_clicks" > 0).select("purchase_id")
+    val innerIds = inner.select("purchase_id")
+      .join(ev.filter($"event_type" === "purchase" && $"ts" < cut)
+        .select($"event_id".as("purchase_id")), Seq("purchase_id"))
+    assert(matchedIds.exceptAll(innerIds).count() === 0 &&
+      innerIds.exceptAll(matchedIds).count() === 0,
+      "outer's matched set diverged from the inner join")
+  }
+
   test("e11 stream-ingest dedup equals the d7 batch computation, plus the kept flag") {
     val e11 = SparkEntry.queries("e11_stream_ingest_dedup")(spark, sfDir).cache()
     val d7 = SparkEntry.queries("d7_incremental_dedup")(spark, sfDir)
