@@ -475,6 +475,38 @@ object Analytics {
       .orderBy("lang")
   }
 
+  // A25: single-pass pipeline audit via Spark's Observation API
+  // (CollectMetrics). A production quality gate needs BOTH its
+  // survivors and its drop counters; the naive form scans twice (once
+  // to filter, once to count per rule). `observe` rides the counters
+  // on the gate's OWN scan as accumulator-backed metrics — at 100 TB
+  // the audit is free, and unlike a cached two-pass it can never
+  // disagree with the rows the job actually shipped. The entry returns
+  // the audit table; the one action that fills it IS the gate job.
+  private def a25ObservedAudit(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val gated = Tables.documents(spark, dir)
+      .withColumn("r_short", (length(col("text")) < 200).cast("long"))
+      .withColumn("r_zh", (col("lang") === "zh").cast("long"))
+    val observed = gated.observe(obs,
+      count(lit(1)).as("n_total"),
+      sum(col("r_short")).as("n_short"),
+      sum(col("r_zh")).as("n_zh"),
+      sum((col("r_short") === 0 && col("r_zh") === 0).cast("long")).as("n_pass"))
+    // the gate job — survivors counted here stand in for the write a
+    // real pipeline would do; the metrics fill during this same scan
+    val shipped = observed.filter(col("r_short") === 0 && col("r_zh") === 0).count()
+    val m = obs.get
+    import spark.implicits._
+    Seq("n_total", "n_short", "n_zh", "n_pass")
+      .map(k => (k, m(k).asInstanceOf[Long]))
+      .toDF("metric", "n")
+      // belt and braces: the observed pass count must equal the rows
+      // the gate actually shipped (they share one scan, so always true)
+      .filter(lit(shipped) === lit(m("n_pass").asInstanceOf[Long]))
+      .orderBy("metric")
+  }
+
   // E14: stream–stream LEFT OUTER interval join — the null-emission-at-
   // watermark semantics e8's inner join can't express. Purchases with
   // zero band clicks surface as n_clicks = 0 once the watermark proves
@@ -890,6 +922,7 @@ object Analytics {
     "e6_stream_static_join" -> (e6StreamStaticJoin(_, _)),
     "e8_stream_interval_join" -> (e8StreamIntervalJoin(_, _)),
     "e14_stream_outer_join" -> (e14StreamOuterJoin(_, _)),
+    "a25_observed_audit" -> (a25ObservedAudit(_, _)),
     "a15_rollup" -> (a15Rollup(_, _)),
     "a17_pivot" -> (a17Pivot(_, _)),
     "a19_exact_percentiles" -> (a19ExactPercentiles(_, _)),
@@ -1017,6 +1050,20 @@ object Analytics {
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
+    // the observed counters re-derived relationally (HUGEINT sums cast
+    // back to BIGINT so the schemas agree)
+    "a25_observed_audit" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN length(text) < 200 THEN 1 ELSE 0 END AS r_short,
+        |         CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS r_zh
+        |  FROM documents)
+        |SELECT metric, n FROM (
+        |  SELECT 'n_total' AS metric, count(*) AS n FROM f
+        |  UNION ALL SELECT 'n_short', CAST(sum(r_short) AS BIGINT) FROM f
+        |  UNION ALL SELECT 'n_zh', CAST(sum(r_zh) AS BIGINT) FROM f
+        |  UNION ALL SELECT 'n_pass',
+        |    CAST(sum(CASE WHEN r_short = 0 AND r_zh = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM f)
+        |ORDER BY metric""".stripMargin,
     // the outer join's batch truth: every cutoff purchase, matched or
     // not — n_clicks counts non-null band clicks, 0 when none
     "e14_stream_outer_join" ->
