@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDot)
     ext.injectFunction(GraftExtensions.charShingles)
+    ext.injectOptimizerRule(_ => IntegerizeSampleFilter)
   }
 }
 

@@ -84,6 +84,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("IntegerizeSampleFilter: sampling compares go integer, guarded, draw unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ColFns
+    // order-independent harness: session-level injection only happens
+    // for the FIRST session in a JVM (Verify/Bench install it there via
+    // withExtensions); the spec mounts the same rule explicitly
+    val ns = spark.newSession()
+    ns.experimental.extraOptimizations = Seq(graft.plans.IntegerizeSampleFilter)
+    val df = ns.range(0, 100000).toDF("k")
+    def mix(key: Long, salt: Long): Long = {
+      val r = ((key % 999983L) + 999983L) % 999983L
+      ((r * 2654435761L + salt * 40503L) % 1000003L + 1000003L) % 1000003L
+    }
+    // LessThan leg (r1's shape): the divide is gone from the plan...
+    val sampled = df.filter(ColFns.pseudoUniform(col("k"), 42L) < 0.05)
+    val opt = sampled.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("/ 1000003.0"), s"rule did not fire:\n$opt")
+    // ...and the draw is EXACTLY the float form's draw
+    val expect = (0L until 100000L)
+      .filter(k => mix(k, 42L).toDouble / 1000003.0 < 0.05).toSet
+    assert(sampled.collect().map(_.getLong(0)).toSet === expect)
+    // GreaterThan leg (r3's keep-filter shape)
+    val kept = df.filter(ColFns.pseudoUniform(col("k"), 13L) > 0.15)
+    assert(!kept.queryExecution.optimizedPlan.toString.contains("/ 1000003.0"))
+    assert(kept.count() ===
+      (0L until 100000L).count(k => mix(k, 13L).toDouble / 1000003.0 > 0.15).toLong)
+    // the guard: a threshold whose p·M sits on an integer keeps the
+    // original float compare (rounding could flip the boundary key)
+    val risky = df.filter(ColFns.pseudoUniform(col("k"), 42L) < 50000.0 / 1000003.0)
+    assert(risky.queryExecution.optimizedPlan.toString.contains("1000003.0"),
+      "guard failed: near-integer p*M must not be rewritten")
+  }
+
   test("foreachBatch incremental ingest appends dvid partitions") {
     val store = "/tmp/graft_stream_store"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))

@@ -21,6 +21,9 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
+      // same extension set as Verify/Bench: the suites must test the
+      // plans the engine actually ships (incl. IntegerizeSampleFilter)
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
