@@ -475,6 +475,26 @@ object Analytics {
       .orderBy("lang")
   }
 
+  // W9: calendar gap-fill — e1's hourly rollup reports only hours that
+  // HAVE events; a report needs every hour, zero-filled. The dense hour
+  // spine comes from sequence() over the measured [min, max] span — a
+  // metadata-sized generate off a 1-row aggregate, never a corpus scan —
+  // left-joined by the hourly counts (both sides tiny; AQE broadcasts).
+  // At 100 TB the spine is still |hours| rows: gap-fill cost is a
+  // function of the CALENDAR, not the data.
+  private def w9GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val span = hourly.agg(min("h").as("lo"), max("h").as("hi"))
+    val spine = span.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    spine.join(hourly, Seq("h"), "left")
+      .select(col("h").as("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour")
+  }
+
   // A25: single-pass pipeline audit via Spark's Observation API
   // (CollectMetrics). A production quality gate needs BOTH its
   // survivors and its drop counters; the naive form scans twice (once
@@ -923,6 +943,7 @@ object Analytics {
     "e8_stream_interval_join" -> (e8StreamIntervalJoin(_, _)),
     "e14_stream_outer_join" -> (e14StreamOuterJoin(_, _)),
     "a25_observed_audit" -> (a25ObservedAudit(_, _)),
+    "w9_gapfill" -> (w9GapFill(_, _)),
     "a15_rollup" -> (a15Rollup(_, _)),
     "a17_pivot" -> (a17Pivot(_, _)),
     "a19_exact_percentiles" -> (a19ExactPercentiles(_, _)),
@@ -1050,6 +1071,17 @@ object Analytics {
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
+    // the dense spine re-derived via generate_series; zero-filled hours
+    // must appear with n = 0
+    "w9_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT spine.h AS hour, coalesce(hourly.n, 0) AS n
+        |FROM spine LEFT JOIN hourly USING (h)
+        |ORDER BY hour""".stripMargin,
     // the observed counters re-derived relationally (HUGEINT sums cast
     // back to BIGINT so the schemas agree)
     "a25_observed_audit" ->
