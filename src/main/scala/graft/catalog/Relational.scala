@@ -165,6 +165,65 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // S14: corrupt-record channel — the engine-grade version of s2's
+  // bad-row filtering. PERMISSIVE mode parses what it can and routes
+  // unparseable lines into a declared _corrupt column instead of
+  // failing the job or silently dropping rows — at 100 TB "0.001% of
+  // lines are garbage" is a certainty, and the corrupt channel is what
+  // makes the pipeline auditable (count them, quarantine them, alert
+  // on rate) without a second pass. Staged: the part table as clean
+  // CSV plus 7 deliberately malformed lines; the gate checks the good
+  // rows aggregate to exactly the raw table AND exactly 7 landed in
+  // the corrupt bucket.
+  private def s14CorruptRecords(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("s14_part_badcsv")
+    Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+      .write.mode("overwrite").csv(path)
+    // 7 malformed lines, each failing a TYPED field parse (or quote
+    // balance) — unambiguously corrupt under any parser mode. Arity
+    // edge cases (missing/extra tokens) are deliberately NOT staged:
+    // their good/corrupt classification is parser-mode-dependent, which
+    // is the second half of the lesson this entry pins (see below).
+    val bad = Seq("oops,BrandX,1", "x,Brand#2,12", "2,Brand#3,tall",
+      "3,\"Brand#4,9", "q,w,e", "7.5,Brand#6,2", "8,Brand#7,big")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-badlines.csv"),
+      bad.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p_partkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p_brand",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p_size",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType)))
+    // THE TRAP this entry pins (measured, Spark 4.1): malformedness is
+    // judged per CONVERTED field, and conversion follows column
+    // pruning — an aggregate touching just (p_brand, _corrupt) parses
+    // "2,Brand#3,tall" as CLEAN because the broken size field is never
+    // converted, silently moving garbage into the good channel
+    // (measured: 2 of 7 staged bad lines leaked). A corrupt-channel
+    // audit must therefore reference EVERY schema column in its output
+    // so the full row converts — here via per-channel checksums, which
+    // also harden the gate (a leaked bad line would poison a sum, not
+    // just a count).
+    val raw = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+    // one pass splits the channels: good rows roll up per brand, the
+    // corrupt bucket keeps its count (its content is quarantine payload)
+    raw.groupBy(when(col("_corrupt").isNull, col("p_brand"))
+        .otherwise(lit("__corrupt__")).as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_corrupt").isNull, col("p_partkey")).otherwise(lit(0L)))
+          .as("key_sum"),
+        sum(when(col("_corrupt").isNull, col("p_size")).otherwise(lit(0)))
+          .cast("long").as("size_sum"))
+      .orderBy("k")
+  }
+
   // S5/S7: GraphML export → re-import roundtrip; the label/type counts
   // must come back exactly as the graph had them, so a1's oracle doubles
   // as this entry's oracle. Exercises the distributed XML render and the
@@ -1015,6 +1074,7 @@ object Relational {
     "s11_orc_roundtrip" -> (s11OrcRoundtrip(_, _)),
     "s12_sorted_layout_pruning" -> (s12SortedLayout(_, _)),
     "s13_small_file_compaction" -> (s13Compaction(_, _)),
+    "s14_corrupt_records" -> (s14CorruptRecords(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1305,6 +1365,17 @@ object Relational {
         |WHERE year(l_shipdate) = 1997 AND l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // the good channel must aggregate to exactly the raw table; the 7
+    // staged malformed lines all land in the corrupt bucket
+    "s14_corrupt_records" ->
+      """SELECT k, n, key_sum, size_sum FROM (
+        |  SELECT p_brand AS k, count(*) AS n,
+        |    sum(p_partkey) AS key_sum,
+        |    CAST(sum(p_size) AS BIGINT) AS size_sum
+        |  FROM part GROUP BY p_brand
+        |  UNION ALL SELECT '__corrupt__', CAST(7 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+        |ORDER BY k""".stripMargin,
     // compaction is invisible to readers: the oracle is the RAW table
     "s13_small_file_compaction" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
