@@ -129,6 +129,35 @@ object ScaleOps {
       .orderBy("purchase_id")
   }
 
+  // J11b: the SAME as-of semantics as j11, through the engine's native
+  // custom operator (graft.plans.AsOfJoinPlan → AsOfJoinStrategy →
+  // AsOfJoinExec, injected by GraftExtensions). One exchange + sort per
+  // side, then a single forward merge pass holding ONE buffered click —
+  // O(1) state per partition instead of j11's union + running-window
+  // over both sides. The two sides are loaded as INDEPENDENT scans so
+  // each carries its own attribute lineage (the operator references
+  // key/time by name, but analyzer self-join dedup is still cleaner
+  // avoided than survived). Oracle: identical SQL to j11 — the window
+  // formulation IS the spec for the native operator.
+  private def j11bAsOfNative(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoinOps.asOfJoin(purchases, clicks,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "c_user", rightTime = "click_ts",
+        tieBreak = Seq("click_id"))
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("last_click_id"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("click_ts")),
+          lit(-1L)).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   // J12: band join — clicks in the 30 minutes before each purchase by
   // the same user. Scale shape: coarse 30-min time buckets bound the
   // fan-out (each purchase probes exactly 2 buckets of its user), the
@@ -415,6 +444,7 @@ object ScaleOps {
     "j10_salted_skew_join" -> (j10SaltedJoin(_, _)),
     "j13_bucketed_join" -> (j13BucketedJoin(_, _)),
     "j11_asof_join" -> (j11AsOfJoin(_, _)),
+    "j11b_asof_native" -> (j11bAsOfNative(_, _)),
     "j12_range_join" -> (j12RangeJoin(_, _)),
     "sim_recall_eval" -> (simRecallEval(_, _)),
     "e7_incremental_ingest" -> (e7IncrementalIngest(_, _)),
@@ -449,26 +479,11 @@ object ScaleOps {
         |SELECT d.flag_name, count(*) AS n_lines, round(sum(l.l_quantity), 2) AS total_qty
         |FROM lineitem l JOIN dim d USING (l_returnflag)
         |GROUP BY d.flag_name ORDER BY d.flag_name""".stripMargin,
-    "j11_asof_join" ->
-      """WITH tagged AS (
-        |  SELECT user_id, ts, 0 AS kind, event_id, event_id AS click_id, ts AS click_ts
-        |  FROM events WHERE event_type = 'click'
-        |  UNION ALL
-        |  SELECT user_id, ts, 1, event_id, NULL, NULL
-        |  FROM events WHERE event_type = 'purchase'),
-        |w AS (
-        |  SELECT *,
-        |    last_value(click_id IGNORE NULLS) OVER (
-        |      PARTITION BY user_id ORDER BY ts, kind, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
-        |    last_value(click_ts IGNORE NULLS) OVER (
-        |      PARTITION BY user_id ORDER BY ts, kind, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lct
-        |  FROM tagged)
-        |SELECT event_id AS purchase_id, user_id,
-        |       coalesce(lc, -1) AS last_click_id,
-        |       coalesce(epoch_us(ts) - epoch_us(lct), -1) AS gap_us
-        |FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin,
+    // j11b runs the native AsOfJoinExec; the oracle is the SAME relational
+    // truth as j11 — the operator must be indistinguishable from the
+    // window formulation
+    "j11b_asof_native" -> asOfOracleSql,
+    "j11_asof_join" -> asOfOracleSql,
     "j12_range_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
@@ -520,4 +535,30 @@ object ScaleOps {
       """SELECT CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS dvid,
         |       event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY dvid, event_type""".stripMargin)
+
+  /** Shared by j11 (window formulation) and j11b (native AsOfJoinExec):
+    * the as-of truth stated relationally — tag both event kinds, order by
+    * (ts, kind, event_id) per user, take the running last non-null click.
+    * Ties: a click at the purchase's exact ts counts as prior (kind sorts
+    * clicks first); equal-ts clicks resolve to the max event_id. */
+  private lazy val asOfOracleSql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, 0 AS kind, event_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, event_id, NULL, NULL
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT *,
+      |    last_value(click_id IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, kind, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+      |    last_value(click_ts IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, kind, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lct
+      |  FROM tagged)
+      |SELECT event_id AS purchase_id, user_id,
+      |       coalesce(lc, -1) AS last_click_id,
+      |       coalesce(epoch_us(ts) - epoch_us(lct), -1) AS gap_us
+      |FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin
 }

@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.arrayDot)
     ext.injectFunction(GraftExtensions.charShingles)
     ext.injectOptimizerRule(_ => IntegerizeSampleFilter)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -11,6 +11,13 @@ object GraftColumnBridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Wrap a custom LogicalPlan node (e.g. graft.plans.AsOfJoinPlan) as a
+    * DataFrame — the construction path every extension operator needs,
+    * private[sql] in Spark 4. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Release the block-manager storage behind a localCheckpoint-backed
     * frame. `Dataset.unpersist` only covers `cache()`; a checkpoint's
     * blocks otherwise live until the RDD is GC'd and the context
