@@ -19,9 +19,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Strategies.queries("rec_q1_diverse")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Analytics.queries ++ TextSim.queries ++
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * SortedMap, deliberately: an unordered HashMap gave Verify,
+    * Bench, and CatalogSpec three DIFFERENT execution orders, so an
+    * order-dependent failure (round 9's session-poisoning bug) produced
+    * a different victim set in every artifact. One deterministic
+    * name-ascending order everywhere makes such bugs reproduce
+    * identically across all three consumers. */
+  def queries: scala.collection.immutable.SortedMap[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.SortedMap.empty[String, (SparkSession, String) => DataFrame] ++
+      Relational.queries ++ Analytics.queries ++ TextSim.queries ++
       Strategies.queries ++ GraphML.queries ++ ScaleOps.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

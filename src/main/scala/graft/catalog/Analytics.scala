@@ -504,8 +504,17 @@ object Analytics {
   // disagree with the rows the job actually shipped. The entry returns
   // the audit table; the one action that fills it IS the gate job.
   private def a25ObservedAudit(spark: SparkSession, dir: String): DataFrame = {
+    // Observation() lazily initializes the session's ObservationManager —
+    // a NON-SERIALIZABLE field on Spark 4's classic.SparkSession. Any
+    // later job whose task closure pins the session (e.g. an MLlib model
+    // carrying its trainingSummary) then dies with
+    // NotSerializableException. Run the observed gate on an isolated
+    // newSession() clone (shares the SparkContext and cached data, own
+    // sessionState) so the shared session is never touched; only plain
+    // Longs cross back to the driver.
+    val iso = spark.newSession()
     val obs = org.apache.spark.sql.Observation()
-    val gated = Tables.documents(spark, dir)
+    val gated = Tables.documents(iso, dir)
       .withColumn("r_short", (length(col("text")) < 200).cast("long"))
       .withColumn("r_zh", (col("lang") === "zh").cast("long"))
     val observed = gated.observe(obs,

@@ -882,8 +882,8 @@ object Relational {
   private val q15Sql =
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
-      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |        CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS total_cents
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |        CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -951,7 +951,7 @@ object Relational {
       |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
       |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents
       |  FROM lineitem GROUP BY 1, 2)
-      |SELECT nation, o_year, sum(rev_c4 - cost_c4) AS profit_c4
+      |SELECT nation, o_year, CAST(sum(rev_c4 - cost_c4) AS BIGINT) AS profit_c4
       |FROM (
       |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
       |    CAST(round(l_extendedprice * 100) AS BIGINT) *
@@ -975,8 +975,8 @@ object Relational {
   private val q11Sql =
     """WITH stock AS (
       |  SELECT l_partkey AS partkey,
-      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |        CAST(l_quantity AS BIGINT)) AS value_units
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |        CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_units
       |  FROM lineitem
       |  JOIN supplier ON s_suppkey = l_suppkey
       |  JOIN nation ON s_nationkey = n_nationkey
@@ -1359,8 +1359,8 @@ object Relational {
     // the same predicate + aggregate over the RAW lineitem table
     "s12_sorted_layout_pruning" ->
       """SELECT l_returnflag, count(*) AS n_lines,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM lineitem
         |WHERE year(l_shipdate) = 1997 AND l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY l_returnflag
@@ -1370,7 +1370,7 @@ object Relational {
     "s14_corrupt_records" ->
       """SELECT k, n, key_sum, size_sum FROM (
         |  SELECT p_brand AS k, count(*) AS n,
-        |    sum(p_partkey) AS key_sum,
+        |    CAST(sum(p_partkey) AS BIGINT) AS key_sum,
         |    CAST(sum(p_size) AS BIGINT) AS size_sum
         |  FROM part GROUP BY p_brand
         |  UNION ALL SELECT '__corrupt__', CAST(7 AS BIGINT),

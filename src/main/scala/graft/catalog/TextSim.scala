@@ -1808,6 +1808,62 @@ object TextSim {
     ivfServe(centA, live, nProbe, k)
   }
 
+  // EXACTLY-ONCE INDEX COMPACTION — the nightly maintenance job
+  // sim_ivf_deletes' doc promises: rewrite the inverted lists MINUS the
+  // tombstone log, then serve from the compacted artifact with NO
+  // delete filter, and prove serve-before ≡ serve-after. Three proofs
+  // stack: (1) in-entry, the pre-compaction delete-aware top-k and the
+  // post-compaction plain top-k are joined on every column and the
+  // result is gated on exact set equality — a lost or resurrected id
+  // empties the output; (2) the DuckDB oracle recomputes the serve from
+  // the PRE-compaction v1 artifact plus the tombstone rule, so a
+  // hash-match proves the rewritten bits are semantically exactly the
+  // anti-join; (3) the rewrite itself is one hash partition on `list`
+  // (each inverted list lands contiguous in one file run — the s13
+  // small-file collapse applied to an index), so at 100 TB compaction
+  // is per-list parallel IO with a single key shuffle and serving never
+  // pays the per-query anti-join again.
+  private def simIvfCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nLists = 16; val nProbe = 3; val k = 5
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.hashRankedPick(
+      e.select(col("vec_id").as("cid"), col("v").as("cv")),
+      nLists, 13L, "list")
+      .select("list", "cv")
+    val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
+    val lists = e.crossJoin(broadcast(cents))
+      .withColumn("rank_d",
+        Similarity.dot(col("cv"), col("cv")) -
+          lit(2.0) * Similarity.dot(col("v"), col("cv")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("list"), col("vec_id"), col("v"),
+        Similarity.norm(col("v")).as("nrm"))
+    val centA = artifact(spark, dir, "ivf_c_centroids", cents)
+    val listA = artifact(spark, dir, "ivf_c_lists_v1", lists)
+    val tomb = listA.select(col("vec_id").as("del_id"))
+      .filter(col("del_id") % 13 === 0)
+    val live = listA.join(broadcast(tomb),
+      col("vec_id") === col("del_id"), "left_anti")
+    // the serve window BEFORE the nightly job (sim_ivf_deletes' shape)
+    val before = ivfServe(centA, live, nProbe, k)
+    // the nightly job: one keyed repartition so every inverted list is
+    // a contiguous file run in the v2 artifact, tombstones folded in
+    val listB = artifact(spark, dir, "ivf_c_lists_v2",
+      live.repartition(4, col("list")))
+    // serving AFTER compaction carries no tombstone logic at all
+    val after = ivfServe(centA, listB, nProbe, k)
+    // exactly-once gate: identical row SETS or the entry returns empty.
+    // The doubles join exactly because v2's rows are byte-identical
+    // subsets of v1's (same artifact lineage, same serve math).
+    val nBefore = before.count()
+    val nAfter = after.count()
+    val nJoint = after.join(before, Seq("src", "rn", "dst", "cos")).count()
+    after.filter(lit(nBefore) === lit(nJoint) && lit(nAfter) === lit(nJoint))
+  }
+
   // TRAINED-quantizer IVF under the same build/serve artifact split as
   // sim_ivf_persisted: the coarse centroids come from an 8-pass KMeans
   // fit (model-coupled — the fit itself has no SQL mirror, exactly like
@@ -1925,6 +1981,7 @@ object TextSim {
   val queries: Map[String, Q] = Map(
     "sim_ivf_persisted" -> (simIvfPersisted(_, _)),
     "sim_ivf_deletes" -> (simIvfDeletes(_, _)),
+    "sim_ivf_compaction" -> (simIvfCompaction(_, _)),
     "sim_ivf_trained" -> (simIvfTrained(_, _)),
     "sim_filtered_ivf" -> (simFilteredIvf(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
@@ -2899,6 +2956,33 @@ object TextSim {
       val qd = Similarity.dotSql("p.qv", "l.v", DIM)
       s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_d_centroids")}),
          |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf_d_lists")}
+         |          WHERE vec_id % 13 <> 0),
+         |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn FROM lists WHERE vec_id % 7 = 0),
+         |pr AS (
+         |  SELECT q.src, q.qv, q.qn, c.list, ($cc - 2.0 * $qc) AS rank_d
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (SELECT * FROM (
+         |    SELECT pr.*, row_number() OVER (PARTITION BY src
+         |      ORDER BY rank_d ASC, list ASC) AS prn FROM pr)
+         |  WHERE prn <= 3),
+         |scored AS (
+         |  SELECT p.src, l.vec_id AS dst, $qd / (p.qn * l.nrm) AS cos
+         |  FROM probes p JOIN lists l USING (list) WHERE p.src <> l.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src
+         |        ORDER BY cos DESC, dst ASC) AS rn FROM scored)
+         |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= 5
+         |ORDER BY src, rn""".stripMargin
+    },
+    "sim_ivf_compaction" -> {
+      // deliberately reads the PRE-compaction v1 lists plus the
+      // tombstone rule — the Spark side serves from the compacted v2
+      // with no delete logic, so a hash match IS the proof that the
+      // nightly rewrite dropped exactly the tombstoned rows
+      val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
+      val qc = Similarity.dotSql("q.qv", "c.cv", DIM)
+      val qd = Similarity.dotSql("p.qv", "l.v", DIM)
+      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_c_centroids")}),
+         |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf_c_lists_v1")}
          |          WHERE vec_id % 13 <> 0),
          |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn FROM lists WHERE vec_id % 7 = 0),
          |pr AS (

@@ -184,11 +184,14 @@ object LinkPredict {
           .setWeightCol("w").setMaxIter(maxIter).setMaxDepth(maxDepth)
           .setStepSize(0.1).setSubsamplingRate(0.8).setSeed(seed)
           .fit(weighted)
-        (m, featureNames.zip(m.featureImportances.toArray))
+        (ModelRegistry.stripSummary(m), featureNames.zip(m.featureImportances.toArray))
       case "lr" =>
-        val m = new LogisticRegression().setLabelCol("label").setFeaturesCol("features")
-          .setWeightCol("w").setMaxIter(lrMaxIter).setRegParam(0.01)
-          .fit(weighted)
+        // summary-free before any transform: scoring closures must never
+        // drag the fit session (see ModelRegistry.stripSummary)
+        val m = ModelRegistry.stripSummary(
+          new LogisticRegression().setLabelCol("label").setFeaturesCol("features")
+            .setWeightCol("w").setMaxIter(lrMaxIter).setRegParam(0.01)
+            .fit(weighted))
         (m, featureNames.zip(m.coefficients.toArray.map(math.abs)))
     } }
 

@@ -17,6 +17,40 @@ object ModelRegistry {
   def saveModel(model: MLWritable, path: String): Unit =
     model.write.overwrite().save(path)
 
+  /** Serialization hygiene: drop MLlib's lazily-attached training
+    * summary. The summary holds the predictions DataFrame, and through
+    * it the SparkSession the model was fit on — so a model captured in a
+    * task closure drags the whole session into serialization. That works
+    * only while every lazily-created session field happens to be null;
+    * the moment anything initializes a non-serializable one (Spark 4's
+    * `ObservationManager` is created by the first `Observation()` on the
+    * session), every post-fit `transform` dies with
+    * NotSerializableException. Stripping the summary keeps scoring
+    * closures model-only. Walks the class hierarchy because
+    * HasTrainingSummary's field is a private trait var with a
+    * compiler-mangled name; models without a summary pass through
+    * untouched, and PipelineModel is cleaned stage-by-stage. */
+  def stripSummary[M](model: M): M = {
+    def clear(o: AnyRef): Unit = {
+      var c: Class[_] = o.getClass
+      while (c != null) {
+        c.getDeclaredFields.foreach { f =>
+          if (f.getName.contains("trainingSummary")) {
+            f.setAccessible(true)
+            f.set(o, None)
+          }
+        }
+        c = c.getSuperclass
+      }
+    }
+    model match {
+      case p: org.apache.spark.ml.PipelineModel => p.stages.foreach(clear)
+      case m: AnyRef => clear(m)
+      case _ => ()
+    }
+    model
+  }
+
   def loadGbt(path: String): GBTClassificationModel =
     GBTClassificationModel.load(path)
 

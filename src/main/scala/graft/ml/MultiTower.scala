@@ -66,7 +66,7 @@ object MultiTower {
     val train = split.filter(col("part") === "train").cache()
     val test = split.filter(col("part") === "test").cache()
     try {
-      val model = pipeline.fit(train)
+      val model = ModelRegistry.stripSummary(pipeline.fit(train))
       val scored = model.transform(test).cache()
       val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1)
       val auc = Metrics.auc(scored, "label", p1, bounds = Some((0.0, 1.0)))

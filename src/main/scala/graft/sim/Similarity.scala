@@ -501,8 +501,9 @@ object Similarity {
       .localCheckpoint(true)
     // a coarse quantizer only has to balance the lists, not converge —
     // 8 Lloyd passes is plenty for an ANN routing table
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("fv").setPredictionCol("list").fit(base)
+    val model = graft.ml.ModelRegistry.stripSummary(
+      new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("fv").setPredictionCol("list").fit(base))
     val cents = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }.toDF("list", "cv")
     val lists = model.transform(base)

@@ -8,10 +8,12 @@ class ExtensionsSpec extends SparkSpec {
     // the extension class itself installs cleanly
     new graft.plans.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
-    // builder.withExtensions is a no-op when a session already exists in
-    // the JVM (getOrCreate returns it), so register on a fresh child
-    // session's registry directly — same injection path
-    val s2 = SparkSession.builder().master("local[4]").getOrCreate().newSession()
+    // derive the child session from the SHARED SparkSpec session — a bare
+    // builder().getOrCreate() here would, if this suite runs first, create
+    // the JVM's default session WITHOUT GraftExtensions and silently
+    // un-extend every later suite (the getOrCreate-drops-extensions trap
+    // that cost round 9 its AsOfJoinStrategy in the whole test JVM)
+    val s2 = spark.newSession()
     val reg = s2.sessionState.functionRegistry
     Seq(graft.plans.GraftExtensions.arrayDot,
       graft.plans.GraftExtensions.charShingles).foreach {

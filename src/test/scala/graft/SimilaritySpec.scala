@@ -153,6 +153,27 @@ class SimilaritySpec extends SparkSpec {
     assert(trained > 0.5, s"trained IVF recall degenerate: $trained")
   }
 
+  test("IVF compaction: serve-after ≡ delete-aware serve, v2 tombstone-free") {
+    // the compaction entry gates itself on before≡after and returns the
+    // post-compaction serve; the delete-aware entry serves v1 + anti-join.
+    // Same centroid pick, same tombstone rule → identical row sets.
+    val comp = SparkEntry.queries("sim_ivf_compaction")(spark, sfDir)
+    val del = SparkEntry.queries("sim_ivf_deletes")(spark, sfDir)
+    assert(comp.count() > 0, "compaction self-gate emptied the output")
+    assert(comp.exceptAll(del).count() === 0 && del.exceptAll(comp).count() === 0,
+      "post-compaction serve diverged from the delete-aware serve")
+    // the rewritten artifact itself must hold zero tombstoned rows
+    val v2 = spark.read.parquet(
+      s"/tmp/graft_artifacts/${new java.io.File(sfDir).getName}/ivf_c_lists_v2")
+    assert(v2.filter($"vec_id" % 13 === 0).count() === 0,
+      "tombstoned ids survived compaction")
+    // and no live row was lost: v2 ≡ v1 minus the tombstone rule
+    val v1 = spark.read.parquet(
+      s"/tmp/graft_artifacts/${new java.io.File(sfDir).getName}/ivf_c_lists_v1")
+    assert(v2.count() === v1.filter($"vec_id" % 13 =!= 0).count(),
+      "compaction changed the live row count")
+  }
+
   test("d13 IVF near-dup pairs: exact-subset with usable recall") {
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

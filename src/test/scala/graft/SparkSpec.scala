@@ -26,6 +26,24 @@ object SparkSpec {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // getOrCreate silently DROPS withExtensions when some earlier code
+    // already created the JVM's default session. Fail loudly here rather
+    // than let the whole suite audit plans the shipping engine doesn't
+    // produce (round-9 postmortem: ExtensionsSpec ran first with a bare
+    // getOrCreate and disabled AsOfJoinStrategy JVM-wide).
+    require(
+      s.sessionState.planner.extraPlanningStrategies
+        .exists(_.getClass.getName.contains("AsOfJoinStrategy")) ||
+      s.sessionState.planner.strategies
+        .exists(_.getClass.getName.contains("AsOfJoinStrategy")),
+      "GraftExtensions not installed: AsOfJoinStrategy missing from the " +
+        "planner — a default session was created before SparkSpec.session " +
+        "(getOrCreate-drops-extensions trap)")
+    require(
+      s.sessionState.optimizer.extendedOperatorOptimizationRules
+        .exists(_.getClass.getName.contains("IntegerizeSampleFilter")),
+      "GraftExtensions not installed: IntegerizeSampleFilter missing from " +
+        "the optimizer's extended rules")
     s
   }
 }
