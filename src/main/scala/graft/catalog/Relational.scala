@@ -146,6 +146,52 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // S15: Z-ORDER layout — multi-dimensional clustering, the layout op
+  // s12 can't express. Sorting by ONE key (s12) makes row-group min/max
+  // stats disjoint on that key only; a probe that ALSO filters a second
+  // column still reads every row group the first key admits, because
+  // the second column's stats straddle everywhere. Interleaving the
+  // bits of both keys into a Morton z-value (the native codegen
+  // MortonInterleave expression, plans/expressions.scala) and
+  // range-sorting the write by z keeps each row group compact in BOTH
+  // dimensions at once, so its min/max stats form a tight box on the
+  // ORIGINAL columns and a two-predicate probe skips row groups on both
+  // — with NO query rewrite: the probe filters the raw columns, the
+  // pushed filters do the rest. At 100 TB this is the difference
+  // between "fast for the one blessed predicate" and "fast for the
+  // predicate family": z-cells bound what ANY box probe reads. The hash
+  // gate proves the layout changes nothing about the answer (oracle on
+  // the raw table); ScaleMechanicsSpec measures that the same probe
+  // surfaces fewer rows from the z-layout than from the s12-style
+  // single-key sort.
+  private def s15ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("s15_lineitem_zorder")
+    val li = Tables.lineitem(spark, dir)
+    // normalize both keys into the 16-bit z domain by linear quantization
+    // against the observed max — one metadata-cheap aggregate job; at
+    // scale these bounds come from table stats, not a scan
+    val mx = li.agg(max("l_orderkey"), max("l_suppkey")).head()
+    val (maxO, maxS) = (mx.getLong(0), mx.getLong(1))
+    li.withColumn("z", graft.plans.expressions.morton_interleave(
+        col("l_orderkey") * lit(65536L) / lit(maxO + 1),
+        col("l_suppkey") * lit(65536L) / lit(maxS + 1)))
+      // range-partition on z so each file owns a compact z-cell (an
+      // axis-aligned 2-D box), sort within so row groups are sub-cells
+      .repartitionByRange(64, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 131072)
+      .parquet(path)
+    spark.read.parquet(path)
+      .filter(col("l_orderkey").between(100, 400) &&
+        col("l_suppkey").between(1, 3))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+      .orderBy("l_returnflag")
+  }
+
   // S13: small-file compaction — the ingest-debris housekeeping op.
   // Events staged as 48 KB-sized files (what a micro-batch sink leaves
   // behind), compacted to ⌈bytes/target⌉ ≈ 4 files with a ZERO-shuffle
@@ -1075,6 +1121,7 @@ object Relational {
     "s12_sorted_layout_pruning" -> (s12SortedLayout(_, _)),
     "s13_small_file_compaction" -> (s13Compaction(_, _)),
     "s14_corrupt_records" -> (s14CorruptRecords(_, _)),
+    "s15_zorder_layout" -> (s15ZorderLayout(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1363,6 +1410,16 @@ object Relational {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM lineitem
         |WHERE year(l_shipdate) = 1997 AND l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // z-order is invisible to the answer: the oracle runs the same
+    // two-predicate probe + aggregate over the RAW lineitem table
+    "s15_zorder_layout" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 1 AND 3
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // the good channel must aggregate to exactly the raw table; the 7

@@ -243,6 +243,53 @@ object ScaleOps {
       .orderBy("dvid", "event_type")
   }
 
+  // E15: incremental AGGREGATE maintenance — the materialized-view
+  // refresh pattern. e7 maintains the raw dvid store; this maintains a
+  // metadata-sized AGGREGATE STATE over it: each arriving batch writes
+  // only ITS OWN partial aggregates (count/sum/min/max per group — all
+  // commutative monoids) as a new dvid partition of the state table,
+  // and the serving aggregate is a MERGE of partials (sum the counts,
+  // sum the sums, min the mins, max the maxes). At 100 TB this is the
+  // difference between "refresh rescans the corpus" and "refresh costs
+  // |delta| + |groups|": history is never re-read, the state table is
+  // |groups|·|batches| rows, and the merge job is metadata-sized.
+  // Non-decomposable aggregates ride the decomposable ones (avg =
+  // merged sum / merged count); sums are exact integer cents so the
+  // merge order can never change the answer. The DuckDB oracle is the
+  // FULL RECOMPUTE over the raw table — the hash gate proves the
+  // incremental path equals the from-scratch path.
+  private def e15IncrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e15_$tag")
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    val state = s"$base/agg_state"
+    val ev = Tables.events(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    // three ingests; each scans ONLY its delta and appends one partial
+    // partition — the base corpus is never re-read by a later batch
+    Seq(0, 1, 2).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_c"),
+          min("cents").as("min_c"), max("cents").as("max_c"))
+        .withColumn("dvid", lit(i + 1))
+        .write.mode("append").partitionBy("dvid").parquet(state)
+    }
+    // merge-on-read: re-aggregate the monoid partials — |groups|·3 rows
+    spark.read.parquet(state)
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"), sum("sum_c").as("sum_cents"),
+        min("min_c").as("min_cents"), max("max_c").as("max_cents"))
+      .orderBy("event_type")
+  }
+
   /** min/max of the `ts` column in microseconds, straight from the
     * parquet footer row-group statistics — None when the file layout or
     * stats don't allow it (caller falls back to a scan). */
@@ -448,6 +495,7 @@ object ScaleOps {
     "j12_range_join" -> (j12RangeJoin(_, _)),
     "sim_recall_eval" -> (simRecallEval(_, _)),
     "e7_incremental_ingest" -> (e7IncrementalIngest(_, _)),
+    "e15_incremental_agg_merge" -> (e15IncrementalAggMerge(_, _)),
     "e10_late_data_drop" -> (e10LateDataDrop(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -534,7 +582,15 @@ object ScaleOps {
     "e7_incremental_ingest" ->
       """SELECT CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS dvid,
         |       event_type, count(*) AS cnt
-        |FROM events GROUP BY 1, 2 ORDER BY dvid, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY dvid, event_type""".stripMargin,
+    // the FULL RECOMPUTE over the raw table: a hash match proves the
+    // partial-merge refresh path equals the from-scratch aggregate
+    "e15_incremental_agg_merge" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+        |  max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   /** Shared by j11 (window formulation) and j11b (native AsOfJoinExec):
     * the as-of truth stated relationally — tag both event kinds, order by

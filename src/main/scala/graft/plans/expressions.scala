@@ -68,6 +68,73 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 2-D Morton (Z-order) interleave: the low 32 bits of `left` occupy
+  * the even bit positions of the result, the low 32 bits of `right`
+  * the odd ones. The z-value is the multi-dimensional clustering key
+  * the s15 layout entry range-partitions and sorts by: rows close in z
+  * are close in BOTH dimensions, so every parquet row group's min/max
+  * stats form a tight box on the ORIGINAL columns and a 2-predicate
+  * probe skips row groups on both at once — no query rewrite, plain
+  * pushed filters. A SQL formulation would be 32 shift/mask terms per
+  * dimension interpreted row-by-row; this is one generated loop-free
+  * sequence inside whole-stage codegen (the classic parallel-bit
+  * spread, 5 shift-mask rounds per dimension).
+  */
+case class MortonInterleave(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"MortonInterleave needs bigint inputs, got ${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MortonInterleave.spread(a.asInstanceOf[Long]) |
+      (MortonInterleave.spread(b.asInstanceOf[Long]) << 1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the 5-round parallel bit spread, inlined per side with fresh
+    // names (same collision rationale as ArrayDotProduct)
+    def spreadCode(in: String, out: String): String =
+      s"""
+         |long $out = $in & 0xFFFFFFFFL;
+         |$out = ($out | ($out << 16)) & 0x0000FFFF0000FFFFL;
+         |$out = ($out | ($out << 8))  & 0x00FF00FF00FF00FFL;
+         |$out = ($out | ($out << 4))  & 0x0F0F0F0F0F0F0F0FL;
+         |$out = ($out | ($out << 2))  & 0x3333333333333333L;
+         |$out = ($out | ($out << 1))  & 0x5555555555555555L;
+       """.stripMargin
+    val za = ctx.freshName("mortonA")
+    val zb = ctx.freshName("mortonB")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${spreadCode(a, za)}
+         |${spreadCode(b, zb)}
+         |${ev.value} = $za | ($zb << 1);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MortonInterleave =
+    copy(left = newLeft, right = newRight)
+}
+
+object MortonInterleave {
+  /** Reference spread (low 32 bits → even bit positions of a long). */
+  def spread(x0: Long): Long = {
+    var x = x0 & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+}
+
 /** Distinct character n-gram shingles of an (already normalized) string,
   * in first-occurrence order — replaces
   * array_distinct(transform(sequence(...), i -> substr(...))) which
@@ -525,6 +592,10 @@ object expressions {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpression(a), toExpression(b)))
+
+  def morton_interleave(a: Column, b: Column): Column =
+    toColumn(MortonInterleave(
+      toExpression(a.cast("long")), toExpression(b.cast("long"))))
 
   def char_shingles(s: Column, n: Int): Column =
     toColumn(CharShingles(toExpression(s), n))
