@@ -290,6 +290,47 @@ object ScaleOps {
       .orderBy("event_type")
   }
 
+  // E16: incremental COUNT(DISTINCT) — the aggregate e15's monoid merge
+  // CANNOT maintain (distinct counts don't add across batches: the same
+  // user appears in many deltas). The KMV sketch (plans/expressions
+  // .scala) makes it mergeable: each batch persists one fixed-size
+  // binary sketch per group, and serving unions the sketches — the same
+  // aggregate, switched to binary input. Below k distinct keys the
+  // sketch is EXACT (the mix is a bijection, so the k smallest hashes
+  // ARE the distinct set), which is what lets the oracle be a plain
+  // COUNT(DISTINCT); beyond k it degrades to a ~1/√k-error estimate at
+  // the SAME state size — at 100 TB the state per group is 64 KB
+  // whether the group has 10³ or 10¹⁰ distinct users, and refresh cost
+  // is |delta| + |groups|, never a re-scan of history.
+  private def e16IncrementalDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.expressions.{kmv_sketch, kmv_card}
+    val K = 8192
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e16_$tag")
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    val state = s"$base/distinct_state"
+    val ev = Tables.events(spark, dir)
+    Seq(0, 1, 2).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .groupBy("event_type")
+        .agg(kmv_sketch(col("user_id").cast("long"), K).as("sk"))
+        .withColumn("dvid", lit(i + 1))
+        .write.mode("append").partitionBy("dvid").parquet(state)
+    }
+    spark.read.parquet(state)
+      .groupBy("event_type")
+      .agg(kmv_sketch(col("sk"), K).as("sk")) // binary input → sketch union
+      .select(col("event_type"), kmv_card(col("sk")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   /** min/max of the `ts` column in microseconds, straight from the
     * parquet footer row-group statistics — None when the file layout or
     * stats don't allow it (caller falls back to a scan). */
@@ -496,6 +537,7 @@ object ScaleOps {
     "sim_recall_eval" -> (simRecallEval(_, _)),
     "e7_incremental_ingest" -> (e7IncrementalIngest(_, _)),
     "e15_incremental_agg_merge" -> (e15IncrementalAggMerge(_, _)),
+    "e16_incremental_distinct" -> (e16IncrementalDistinct(_, _)),
     "e10_late_data_drop" -> (e10LateDataDrop(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -590,6 +632,12 @@ object ScaleOps {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
         |  max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact COUNT(DISTINCT) — valid because the per-group distinct
+    // cardinality is below the sketch's k at the gate SF, where the KMV
+    // estimate IS the exact set size (bijective mix, no collisions)
+    "e16_incremental_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   /** Shared by j11 (window formulation) and j11b (native AsOfJoinExec):

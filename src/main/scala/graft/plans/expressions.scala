@@ -583,6 +583,168 @@ case class BottomKByHash(
     copy(child = newChildren.head)
 }
 
+/** KMV (K-Minimum-Values) distinct sketch — the mergeable form of
+  * COUNT(DISTINCT), the one aggregate a partial-merge refresh (e15's
+  * pattern) cannot maintain with plain monoids: distinct counts don't
+  * add. The sketch keeps the k smallest values of a BIJECTIVE 64-bit
+  * mix of the key (splitmix64's finalizer — a permutation of the longs,
+  * so distinct keys NEVER collide): below k distinct keys the sketch IS
+  * the distinct set and the count is EXACT (which is what lets the
+  * DuckDB oracle be a plain COUNT(DISTINCT)); beyond k it estimates
+  * (k−1)·2⁶⁴∕kth-min with ~1/√k relative error, at a FIXED 8k-entry
+  * state per group regardless of corpus size. Sketches union by keeping
+  * the k smallest of the merged sets — associative and commutative, so
+  * per-batch sketches persisted as binary columns can be merged in any
+  * order, across dvid partitions, days, or clusters.
+  *
+  * One aggregate serves both ends of the lifecycle, switching on input
+  * type: a BIGINT column builds a sketch from raw keys; a BINARY column
+  * unions previously persisted sketches. Binary layout:
+  * [int k][int n][n longs ascending in unsigned order].
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k > 1, "kmv_sketch: k must be > 1")
+
+  // lazy: the child is unresolved at construction (no dataType yet)
+  private lazy val rawInput: Boolean = child.dataType == LongType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kmv_sketch"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_sketch takes a BIGINT key or a BINARY sketch, got ${t.sql}")
+    }
+
+  // buffer holds SHIFTED hashes (h ^ Long.MinValue) so the TreeSet's
+  // signed order is the hash's unsigned order; k-smallest = first k
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], shifted: Long): Unit = {
+    if (buf.size < k) { buf.add(shifted); () }
+    else if (shifted < buf.last()) {
+      if (buf.add(shifted)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (rawInput)
+        insert(buf, KmvSketch.mix64(v.asInstanceOf[Long]) ^ java.lang.Long.MIN_VALUE)
+      else {
+        val bb = java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+        bb.getInt // stored k (the wrapper pins one k per pipeline)
+        val n = bb.getInt
+        var i = 0
+        while (i < n) { insert(buf, bb.getLong); i += 1 }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = serialize(buf)
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * buf.size)
+    bb.putInt(k)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.getInt
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren.head)
+}
+
+object KmvSketch {
+  /** splitmix64 finalizer — a BIJECTION on the 64-bit longs, so the
+    * sketch's below-k regime is exactly the distinct set (no collision
+    * can ever undercount). */
+  def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= (x >>> 30); x *= 0xbf58476d1ce4e5b9L
+    x ^= (x >>> 27); x *= 0x94d049bb133111ebL
+    x ^= (x >>> 31)
+    x
+  }
+}
+
+/** Cardinality readout of a KMV sketch binary: exact set size below k,
+  * (k−1)·2⁶⁴∕kth-min beyond. Per-group scalar (one eval per output
+  * row), so interpreted eval is immaterial — CodegenFallback. */
+case class KmvCardinality(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_card"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_card needs a BINARY sketch, got ${t.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bb = java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    val k = bb.getInt
+    val n = bb.getInt
+    if (n < k) n.toLong
+    else {
+      // kth-min as a fraction of the unsigned hash space: values are
+      // stored shifted (h ^ MIN_VALUE), so unsigned = stored − MIN_VALUE
+      var kth = 0L
+      var i = 0
+      while (i < n) { kth = bb.getLong; i += 1 }
+      val frac = (kth.toDouble - java.lang.Long.MIN_VALUE.toDouble + 1.0) /
+        math.pow(2.0, 64)
+      math.round((k - 1).toDouble / frac)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KmvCardinality =
+    copy(child = newChild)
+}
+
 object expressions {
   import org.apache.spark.sql.GraftColumnBridge._
 
@@ -611,6 +773,14 @@ object expressions {
 
   def bottom_k_by_hash(key: Column, k: Int, salt: Long): Column =
     toColumn(BottomKByHash(toExpression(key), k, salt).toAggregateExpression())
+
+  /** Build a KMV distinct sketch from a BIGINT key column, or union
+    * BINARY sketch columns (input type selects the mode). */
+  def kmv_sketch(c: Column, k: Int): Column =
+    toColumn(KmvSketch(toExpression(c), k).toAggregateExpression())
+
+  def kmv_card(sketch: Column): Column =
+    toColumn(KmvCardinality(toExpression(sketch)))
 
   def weighted_step_pick(nbrs: Column, prevNbrs: Column, prev: Column,
                          baseHash: Column, invP: Double, invQ: Double,

@@ -118,6 +118,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("kmv_sketch: exact below k, binary union ≡ one-shot, bounded error beyond k") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.expressions.{kmv_sketch, kmv_card}
+    // heavy duplication across 8 partitions so update/merge/serialize
+    // all run (partials cross the exchange serialized)
+    val df = spark.range(0, 20000).toDF("i")
+      .withColumn("g", pmod(col("i"), lit(4)))
+      .withColumn("key", pmod(col("i"), lit(3000)))
+      .repartition(8)
+    val exact = df.groupBy("g").agg(countDistinct("key").as("truth"))
+    // raw-key path: below k the readout is EXACT (bijective mix)
+    val viaSketch = df.groupBy("g").agg(kmv_sketch(col("key"), 4096).as("sk"))
+      .select(col("g"), kmv_card(col("sk")).as("est"))
+    assert(viaSketch.join(exact, "g").filter(col("est") =!= col("truth")).count() === 0,
+      "below-k sketch diverged from COUNT(DISTINCT)")
+    // incremental path: per-batch sketches persisted then UNIONED as
+    // binary input give the same exact answer (the e16 refresh shape)
+    val batches = Seq(0L, 1L).map(b =>
+      df.filter(pmod(col("i"), lit(2)) === b)
+        .groupBy("g").agg(kmv_sketch(col("key"), 4096).as("sk")))
+    val merged = batches.reduce(_ unionByName _)
+      .groupBy("g").agg(kmv_sketch(col("sk"), 4096).as("sk"))
+      .select(col("g"), kmv_card(col("sk")).as("est"))
+    assert(merged.join(exact, "g").filter(col("est") =!= col("truth")).count() === 0,
+      "sketch-union path diverged from COUNT(DISTINCT)")
+    // beyond k: 20000 distinct with k=256 must land within ~3/√k
+    val est = spark.range(0, 20000).toDF("key")
+      .agg(kmv_card(kmv_sketch(col("key"), 256)).as("est")).head().getLong(0)
+    assert(math.abs(est - 20000L) < 20000L * 0.2,
+      s"beyond-k estimate out of tolerance: $est vs 20000")
+    // the scale property: partial sketches combine map-side, so the
+    // exchange carries ≤k hashes per group per partition — never rows
+    val plan = viaSketch.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ObjectHashAggregate"), s"not object-hash planned:\n$plan")
+    assert("partial_kmv_sketch".r.findAllIn(plan).nonEmpty,
+      s"no map-side partial phase:\n$plan")
+  }
+
   test("IntegerizeSampleFilter: sampling compares go integer, guarded, draw unchanged") {
     import org.apache.spark.sql.functions._
     import graft.functions.ColFns
