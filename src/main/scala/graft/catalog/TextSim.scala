@@ -1847,14 +1847,18 @@ object TextSim {
       .filter(col("del_id") % 13 === 0)
     val live = listA.join(broadcast(tomb),
       col("vec_id") === col("del_id"), "left_anti")
-    // the serve window BEFORE the nightly job (sim_ivf_deletes' shape)
-    val before = ivfServe(centA, live, nProbe, k)
+    // the serve window BEFORE the nightly job (sim_ivf_deletes' shape).
+    // Both serves are audited by THREE counts below and the returned
+    // frame is executed again by the caller — localCheckpoint the
+    // top-k results (k·|queries| rows, trivially small) so each serve's
+    // scan+rank runs exactly once, not per count.
+    val before = ivfServe(centA, live, nProbe, k).localCheckpoint(true)
     // the nightly job: one keyed repartition so every inverted list is
     // a contiguous file run in the v2 artifact, tombstones folded in
     val listB = artifact(spark, dir, "ivf_c_lists_v2",
       live.repartition(4, col("list")))
     // serving AFTER compaction carries no tombstone logic at all
-    val after = ivfServe(centA, listB, nProbe, k)
+    val after = ivfServe(centA, listB, nProbe, k).localCheckpoint(true)
     // exactly-once gate: identical row SETS or the entry returns empty.
     // The doubles join exactly because v2's rows are byte-identical
     // subsets of v1's (same artifact lineage, same serve math).
