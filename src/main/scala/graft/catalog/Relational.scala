@@ -192,6 +192,62 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // S16: CDC MERGE — copy-on-write upsert, the lakehouse maintenance op
+  // (Delta/Iceberg MERGE INTO re-expressed on plain partitioned
+  // parquet). A change batch of deletes (key ≡ 0 mod 101), updates
+  // (+$5.00, key ≡ 0 mod 37, delete wins on overlap) and inserts
+  // (clones of key ≡ 0 mod 97 under fresh keys) — all confined to two
+  // month partitions — is applied by rewriting ONLY the affected
+  // partitions: survivors ∪ updates ∪ inserts, staged off-lineage, then
+  // written with dynamic partitionOverwriteMode so untouched months'
+  // files are never rewritten (ScaleMechanicsSpec asserts them
+  // byte-identical). At 100 TB this is the difference between "MERGE
+  // costs the table" and "MERGE costs the touched partitions": the
+  // rewrite is |affected|, the read side is directory-pruned to the
+  // change batch's months, and history stays immutable. The oracle
+  // reconstructs the merge relationally over the RAW table, so the hash
+  // gate proves the partition-scoped rewrite equals the logical merge.
+  private def s16CdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("s16_orders_cow")
+    val months = Seq("1996-03", "1996-04")
+    // dynamic overwrite on an isolated session clone — the shared
+    // session's conf is never mutated
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val orders = Tables.orders(iso, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("o_orderkey", "o_totalprice", "o_month")
+    // base snapshot, hive-partitioned by month (the real layout: a
+    // date-partitioned fact table)
+    orders.write.mode("overwrite").partitionBy("o_month").parquet(path)
+    val snap = iso.read.parquet(path)
+    val affected = snap.filter(col("o_month").isin(months: _*))
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val deletes = affected.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .select(col("o_orderkey"))
+    val updates = affected.filter(pmod(col("o_orderkey"), lit(37)) === 0 &&
+        pmod(col("o_orderkey"), lit(101)) =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+    val inserts = affected.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey + 1))
+    val survivors = affected.join(
+      deletes.unionByName(updates.select("o_orderkey")).select("o_orderkey"),
+      Seq("o_orderkey"), "left_anti")
+    // stage the rewrite OFF-LINEAGE before overwriting the dirs it reads
+    // from (the self-overwrite trap); the staged set is |affected|-sized
+    val rewritten = survivors.unionByName(updates).unionByName(inserts)
+      .localCheckpoint(true)
+    rewritten.write.mode("overwrite").partitionBy("o_month").parquet(path)
+    // full-table audit AFTER the merge: every month reported, so a
+    // corrupted untouched partition cannot hide
+    spark.read.parquet(path)
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("o_month")
+  }
+
   // S13: small-file compaction — the ingest-debris housekeeping op.
   // Events staged as 48 KB-sized files (what a micro-batch sink leaves
   // behind), compacted to ⌈bytes/target⌉ ≈ 4 files with a ZERO-shuffle
@@ -1122,6 +1178,7 @@ object Relational {
     "s13_small_file_compaction" -> (s13Compaction(_, _)),
     "s14_corrupt_records" -> (s14CorruptRecords(_, _)),
     "s15_zorder_layout" -> (s15ZorderLayout(_, _)),
+    "s16_cdc_merge" -> (s16CdcMerge(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1412,6 +1469,31 @@ object Relational {
         |WHERE year(l_shipdate) = 1997 AND l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // the logical merge reconstructed relationally over the raw table:
+    // hash match proves the partition-scoped copy-on-write rewrite
+    // equals MERGE INTO semantics (delete wins over update on overlap)
+    "s16_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_month FROM orders),
+        |changed AS (
+        |  SELECT * FROM base WHERE o_month IN ('1996-03', '1996-04')),
+        |merged AS (
+        |  SELECT o_orderkey, o_totalprice, o_month FROM base
+        |  WHERE o_month NOT IN ('1996-03', '1996-04')
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_month FROM changed
+        |  WHERE o_orderkey % 101 <> 0 AND o_orderkey % 37 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 5.0, o_month FROM changed
+        |  WHERE o_orderkey % 37 = 0 AND o_orderkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base),
+        |    o_totalprice, o_month FROM changed WHERE o_orderkey % 97 = 0)
+        |SELECT o_month, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_month ORDER BY o_month""".stripMargin,
     // z-order is invisible to the answer: the oracle runs the same
     // two-predicate probe + aggregate over the RAW lineitem table
     "s15_zorder_layout" ->

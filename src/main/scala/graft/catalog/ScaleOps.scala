@@ -331,6 +331,46 @@ object ScaleOps {
       .orderBy("event_type")
   }
 
+  // E17: exactly-once under REPLAY — the delivery-retry leg e7's
+  // append-mode ingest cannot survive (an at-least-once transport WILL
+  // redeliver a batch eventually, and append doubles it). The
+  // idempotent sink overwrites the batch's OWN dvid partition (dynamic
+  // partition overwrite), so (dvid → content) is a function of the
+  // batch, not of the delivery count. The entry ingests two batches,
+  // then REDELIVERS the second in full; the oracle aggregates the raw
+  // table once — a doubled batch flips every count and the hash gate
+  // with it. At 100 TB this is what lets a failed ingest job simply be
+  // re-run: no dedup scan of the store, no transaction log, just
+  // partition-scoped last-writer-wins keyed by batch identity.
+  private def e17IdempotentReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e17_$tag")
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    val ev = Tables.events(spark, dir)
+    val store = s"$base/store"
+    Seq(0, 1).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(2)) === i)
+        .write.parquet(s"$base/src$i")
+      graft.streaming.EventStream.idempotentIngest(
+        spark, s"$base/src$i", store, startDvid = i + 1)
+    }
+    // the retry: batch 2 arrives AGAIN in full
+    graft.streaming.EventStream.idempotentIngest(
+      spark, s"$base/src1", store, startDvid = 2)
+    spark.read.parquet(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+  }
+
   /** min/max of the `ts` column in microseconds, straight from the
     * parquet footer row-group statistics — None when the file layout or
     * stats don't allow it (caller falls back to a scan). */
@@ -538,6 +578,7 @@ object ScaleOps {
     "e7_incremental_ingest" -> (e7IncrementalIngest(_, _)),
     "e15_incremental_agg_merge" -> (e15IncrementalAggMerge(_, _)),
     "e16_incremental_distinct" -> (e16IncrementalDistinct(_, _)),
+    "e17_idempotent_replay" -> (e17IdempotentReplay(_, _)),
     "e10_late_data_drop" -> (e10LateDataDrop(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -638,6 +679,12 @@ object ScaleOps {
     // estimate IS the exact set size (bijective mix, no collisions)
     "e16_incremental_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the raw table aggregated ONCE: a redelivered batch that appended
+    // instead of overwriting would double its counts and flip the hash
+    "e17_idempotent_replay" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   /** Shared by j11 (window formulation) and j11b (native AsOfJoinExec):

@@ -153,6 +153,30 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Idempotent variant of `incrementalIngest`: each micro-batch
+    * OVERWRITES its own dvid partition (dynamic partitionOverwriteMode,
+    * set on an isolated session clone so the caller's conf is never
+    * touched) instead of appending. Re-delivering a batch — the retry
+    * every at-least-once transport eventually makes — replaces the
+    * partition with identical content rather than doubling it: the sink
+    * is exactly-once under replay because (dvid → content) is a pure
+    * function of the batch, not of how many times it arrived. */
+  def idempotentIngest(spark: SparkSession, srcDir: String, storeDir: String,
+                       startDvid: Int): Unit = {
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val schema = iso.read.parquet(srcDir).schema
+    val src = iso.readStream.schema(schema).parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("dvid", lit(startDvid + batchId.toInt))
+          .write.mode("overwrite").partitionBy("dvid").parquet(storeDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query over the events parquet dir synchronously
     * (memory sink), returning the materialized result — used by tests
     * and the availableNow incremental-ingest path. */
