@@ -248,6 +248,42 @@ object Relational {
       .orderBy("o_month")
   }
 
+  // S17: DYNAMIC partition pruning — the runtime half of what s12
+  // proves statically. A static predicate prunes directories at plan
+  // time; the classic warehouse probe ("fact JOIN calendar-dim WHERE
+  // dim.attribute = …", TPC-DS's date_dim pattern) has NO static
+  // predicate on the fact's partition column — the eligible partitions
+  // are only known after the dim side is evaluated. Spark's DPP turns
+  // the broadcast dim into an IN-subquery partition filter on the fact
+  // scan AT RUNTIME, so a 100 TB fact table reads only the dim-selected
+  // partitions. The dim is read BACK from parquet (not a literal
+  // DataFrame) so Catalyst cannot constant-fold the filter into a
+  // static prune — the entry exercises the genuine runtime path
+  // (ScaleMechanicsSpec asserts `dynamicpruning` in the scan's
+  // PartitionFilters and that the scan reads a strict subset of the
+  // partitions). The oracle restates the dim rule relationally over the
+  // raw table, so the hash gate proves pruning changed nothing.
+  private def s17DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val factPath = tmpDir("s17_lineitem_by_year")
+    val dimPath = tmpDir("s17_calendar_dim")
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("ship_year", year(col("l_shipdate")))
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(factPath)
+    // the calendar dimension: one row per observed year, attributed
+    li.select(col("ship_year")).distinct()
+      .withColumn("era",
+        when(col("ship_year") >= 1996, lit("late")).otherwise(lit("early")))
+      .write.mode("overwrite").parquet(dimPath)
+    val fact = spark.read.parquet(factPath)
+    val cal = spark.read.parquet(dimPath).filter(col("era") === "late")
+    fact.join(broadcast(cal), Seq("ship_year"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+      .orderBy("l_returnflag")
+  }
+
   // S13: small-file compaction — the ingest-debris housekeeping op.
   // Events staged as 48 KB-sized files (what a micro-batch sink leaves
   // behind), compacted to ⌈bytes/target⌉ ≈ 4 files with a ZERO-shuffle
@@ -1179,6 +1215,7 @@ object Relational {
     "s14_corrupt_records" -> (s14CorruptRecords(_, _)),
     "s15_zorder_layout" -> (s15ZorderLayout(_, _)),
     "s16_cdc_merge" -> (s16CdcMerge(_, _)),
+    "s17_dynamic_pruning" -> (s17DynamicPruning(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1467,6 +1504,16 @@ object Relational {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM lineitem
         |WHERE year(l_shipdate) = 1997 AND l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the dim rule restated statically over the raw table: pruning must
+    // be invisible to the answer
+    "s17_dynamic_pruning" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE year(l_shipdate) >= 1996
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // the logical merge reconstructed relationally over the raw table:

@@ -169,10 +169,15 @@ class ScaleMechanicsSpec extends SparkSpec {
       .values.map(newestFile).max
     assert(untouchedMax < touchedMin,
       "merge rewrote files outside the affected partitions")
-    // row-level semantics on the touched months: no deleted key serves,
-    // every update took, inserts present under fresh keys
+    // the merge's READ side is directory-pruned: the month predicate is
+    // a PartitionFilter on the snapshot scan, so at 100 TB the change
+    // batch reads |affected partitions|, never the table
     val merged = spark.read.parquet(base)
       .filter(col("o_month").isin("1996-03", "1996-04"))
+    val mScan = merged.queryExecution.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.head
+    assert(mScan.metadata.getOrElse("PartitionFilters", "").contains("o_month"),
+      s"month predicate not a partition filter: ${mScan.metadata}")
     val raw = graft.core.Tables.orders(spark, sfDir)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
       .filter(col("o_month").isin("1996-03", "1996-04"))
@@ -212,6 +217,39 @@ class ScaleMechanicsSpec extends SparkSpec {
     val half = ev.filter(pmod(col("event_id"), lit(2)) === 1).count()
     assert(spark.read.parquet(ctl).count() === 2 * half,
       "append-mode control did not exhibit the duplication the sink prevents")
+  }
+
+  test("S17: the join's dim filter prunes fact partitions at RUNTIME") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val entry = graft.catalog.Relational.queries("s17_dynamic_pruning")(spark, sfDir)
+    entry.collect() // builds the layout + runs the gate query
+    // observe the probe on a non-AQE session (executable scan node with
+    // readable metrics; DPP is independent of AQE)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.adaptive.enabled", "false")
+    val probe = ns.read.parquet("/tmp/graft_roundtrip/s17_lineitem_by_year")
+      .join(broadcast(ns.read.parquet("/tmp/graft_roundtrip/s17_calendar_dim")
+        .filter(col("era") === "late")), Seq("ship_year"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    probe.collect()
+    // the fact scan must carry a DPP subquery filter — there is no
+    // static predicate on ship_year anywhere in the query
+    val scans = probe.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }
+    val fact = scans.find(_.metadata.getOrElse("Location", "")
+      .contains("s17_lineitem_by_year")).get
+    val pf = fact.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.toLowerCase.contains("dynamicpruning"),
+      s"fact scan not dynamically pruned: $pf")
+    // and the pruning is REAL: the scan read a strict subset of the
+    // year partitions (the dim admits years >= 1996 of 1992–1998)
+    val totalYears = spark.read.parquet("/tmp/graft_roundtrip/s17_lineitem_by_year")
+      .select("ship_year").distinct().count()
+    val readParts = fact.metrics.get("numPartitions").map(_.value)
+      .getOrElse(fail("scan exposes no numPartitions metric"))
+    assert(readParts < totalYears,
+      s"no partitions pruned: read $readParts of $totalYears")
+    assert(readParts > 0, "scan read nothing — pruning over-fired")
   }
 
   test("S13: compaction collapses the file tail without touching a row") {
