@@ -371,6 +371,52 @@ object ScaleOps {
       .orderBy("event_type")
   }
 
+  // E18: checkpoint RESUME — the source-side exactly-once half (e17's
+  // idempotent sink is the sink side). A checkpointed AvailableNow query
+  // drains the source dir, the pipeline stops (deploy, crash, nightly
+  // window), MORE files arrive, and the restarted query — same
+  // checkpoint — processes ONLY the new arrivals: the file-source
+  // offsets persist, so already-ingested files can never re-enter the
+  // store no matter how many times the job is bounced. The oracle
+  // aggregates the raw table once; a restart that re-read drain 1's
+  // files would double them and flip the hash. At 100 TB this is what
+  // makes ingest a CRON JOB instead of a long-lived process: each run
+  // costs |new files|, state is the checkpoint's offset log, and the
+  // dvid per drain gives the store its version lineage for free
+  // (batchId continues across restarts).
+  private def e18CheckpointResume(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e18_$tag")
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    val ev = Tables.events(spark, dir)
+    val src = s"$base/src"
+    val store = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    // drain 1: half the corpus is present
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .write.mode("append").parquet(src)
+    graft.streaming.EventStream.checkpointedIngest(spark, src, store, ckpt,
+      startDvid = 1)
+    // the pipeline is DOWN while the rest arrives
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .write.mode("append").parquet(src)
+    // drain 2: same checkpoint — only the new files are read
+    graft.streaming.EventStream.checkpointedIngest(spark, src, store, ckpt,
+      startDvid = 1)
+    spark.read.parquet(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+  }
+
   /** min/max of the `ts` column in microseconds, straight from the
     * parquet footer row-group statistics — None when the file layout or
     * stats don't allow it (caller falls back to a scan). */
@@ -579,6 +625,7 @@ object ScaleOps {
     "e15_incremental_agg_merge" -> (e15IncrementalAggMerge(_, _)),
     "e16_incremental_distinct" -> (e16IncrementalDistinct(_, _)),
     "e17_idempotent_replay" -> (e17IdempotentReplay(_, _)),
+    "e18_checkpoint_resume" -> (e18CheckpointResume(_, _)),
     "e10_late_data_drop" -> (e10LateDataDrop(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -683,6 +730,12 @@ object ScaleOps {
     // the raw table aggregated ONCE: a redelivered batch that appended
     // instead of overwriting would double its counts and flip the hash
     "e17_idempotent_replay" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // one aggregate over the raw table: a restart that re-read the
+    // first drain's files would double them and flip the hash
+    "e18_checkpoint_resume" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)

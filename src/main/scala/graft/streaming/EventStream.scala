@@ -177,6 +177,27 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Checkpointed variant of `incrementalIngest`: the query's file-source
+    * offsets persist in `checkpointDir`, so a RESTART over a grown source
+    * directory processes only the files that arrived since the last
+    * drain — the source-side exactly-once guarantee (e17's idempotent
+    * sink is the sink-side half). batchId continues across restarts from
+    * the checkpoint, so each drain's rows land in their own dvid. */
+  def checkpointedIngest(spark: SparkSession, srcDir: String, storeDir: String,
+                         checkpointDir: String, startDvid: Int): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("dvid", lit(startDvid + batchId.toInt))
+          .write.mode("append").partitionBy("dvid").parquet(storeDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query over the events parquet dir synchronously
     * (memory sink), returning the materialized result — used by tests
     * and the availableNow incremental-ingest path. */

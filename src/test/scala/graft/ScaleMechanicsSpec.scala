@@ -252,6 +252,27 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(readParts > 0, "scan read nothing — pruning over-fired")
   }
 
+  test("E18: the restarted query reads only the files that arrived while it was down") {
+    val audit = graft.catalog.ScaleOps.queries("e18_checkpoint_resume")(spark, sfDir)
+    audit.collect()
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir))
+    val store = spark.read.parquet(s"/tmp/graft_stream/e18_$tag/store")
+    val ev = graft.core.Tables.events(spark, sfDir)
+    // source-side exactly-once: full coverage, zero reprocessing
+    assert(store.count() === ev.count(), "resume reprocessed or lost files")
+    assert(store.select("event_id").distinct().count() === store.count(),
+      "resume duplicated event ids")
+    // lineage: drain 1's rows live in dvid 1, drain 2's (the files that
+    // arrived during downtime) in dvid 2 — batchId continued from the
+    // checkpoint instead of restarting at 0
+    val byDvid = store.groupBy("dvid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val even = ev.filter(pmod(col("event_id"), lit(2)) === 0).count()
+    assert(byDvid === Map(1 -> even, 2 -> (ev.count() - even)),
+      s"drain lineage wrong: $byDvid")
+  }
+
   test("S13: compaction collapses the file tail without touching a row") {
     import graft.sources.Compactor
     // run the entry: stages 48-file debris, compacts, aggregates
