@@ -270,12 +270,18 @@ object ScaleOps {
       finally walk.close()
     }
     val state = s"$base/agg_state"
-    val ev = Tables.events(spark, dir)
+    // stage the three arrivals as real per-batch directories (one
+    // partitioned write), so each ingest below genuinely reads ONLY its
+    // delta's files — the shape a drop-in arrival has in production
+    val deltas = s"$base/deltas"
+    Tables.events(spark, dir)
       .withColumn("cents", round(col("value") * 100).cast("long"))
-    // three ingests; each scans ONLY its delta and appends one partial
+      .withColumn("b", pmod(col("event_id"), lit(3)))
+      .write.partitionBy("b").parquet(deltas)
+    // three ingests; each scans only its delta and appends one partial
     // partition — the base corpus is never re-read by a later batch
     Seq(0, 1, 2).foreach { i =>
-      ev.filter(pmod(col("event_id"), lit(3)) === i)
+      spark.read.parquet(s"$deltas/b=$i")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_c"),
           min("cents").as("min_c"), max("cents").as("max_c"))
@@ -316,9 +322,14 @@ object ScaleOps {
       finally walk.close()
     }
     val state = s"$base/distinct_state"
-    val ev = Tables.events(spark, dir)
+    // staged per-batch dirs (e15's discipline): each ingest reads only
+    // its own delta's files, never the corpus
+    val deltas = s"$base/deltas"
+    Tables.events(spark, dir)
+      .withColumn("b", pmod(col("event_id"), lit(3)))
+      .write.partitionBy("b").parquet(deltas)
     Seq(0, 1, 2).foreach { i =>
-      ev.filter(pmod(col("event_id"), lit(3)) === i)
+      spark.read.parquet(s"$deltas/b=$i")
         .groupBy("event_type")
         .agg(kmv_sketch(col("user_id").cast("long"), K).as("sk"))
         .withColumn("dvid", lit(i + 1))
