@@ -536,6 +536,51 @@ object Analytics {
       .orderBy("metric")
   }
 
+  // A26: table-level CONSTRAINT AUDIT — the data-contract gate (Deequ's
+  // shape re-expressed as plain aggregates). Six declared constraints
+  // across five tables: PK uniqueness, two FK referential checks, a
+  // range rule, a NOT-NULL rule, and a business rule
+  // (customer_acctbal_nonneg) that the data genuinely VIOLATES — the
+  // failing channel is exercised, not just compiled. Execution
+  // discipline: every scalar constraint on a table rides ONE aggregate
+  // scan of it (conditional sums), and each FK check is a single
+  // key-shuffled anti-join — at 100 TB validation costs one pass per
+  // table plus one join per FK, and the report is |constraints| rows.
+  // Contrast with a25: that entry audits a pipeline's own gate scan;
+  // this one audits standing tables against a declared contract.
+  private def a26ConstraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val o = orders.agg(count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("d")).head()
+    val p = part.agg(count(lit(1)).as("n"),
+      sum(when(col("p_size").between(1, 50), 0L).otherwise(1L)).as("v")).head()
+    val e = ev.agg(count(lit(1)).as("n"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v")).head()
+    val c = cust.agg(count(lit(1)).as("n"),
+      sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("v")).head()
+    val liN = li.count()
+    val fkOrders = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti").count()
+    val fkPart = li.select(col("l_partkey"))
+      .join(part.select(col("p_partkey").as("l_partkey")),
+        Seq("l_partkey"), "left_anti").count()
+    Seq(
+      ("orders_pk_unique", o.getLong(0), o.getLong(0) - o.getLong(1)),
+      ("lineitem_fk_orders", liN, fkOrders),
+      ("lineitem_fk_part", liN, fkPart),
+      ("part_size_range", p.getLong(0), p.getLong(1)),
+      ("events_user_not_null", e.getLong(0), e.getLong(1)),
+      ("customer_acctbal_nonneg", c.getLong(0), c.getLong(1)))
+      .toDF("rule", "checked", "violations")
+      .orderBy("rule")
+  }
+
   // E14: stream–stream LEFT OUTER interval join — the null-emission-at-
   // watermark semantics e8's inner join can't express. Purchases with
   // zero band clicks surface as n_clicks = 0 once the watermark proves
@@ -952,6 +997,7 @@ object Analytics {
     "e8_stream_interval_join" -> (e8StreamIntervalJoin(_, _)),
     "e14_stream_outer_join" -> (e14StreamOuterJoin(_, _)),
     "a25_observed_audit" -> (a25ObservedAudit(_, _)),
+    "a26_constraint_audit" -> (a26ConstraintAudit(_, _)),
     "w9_gapfill" -> (w9GapFill(_, _)),
     "a15_rollup" -> (a15Rollup(_, _)),
     "a17_pivot" -> (a17Pivot(_, _)),
@@ -1093,6 +1139,34 @@ object Analytics {
         |ORDER BY hour""".stripMargin,
     // the observed counters re-derived relationally (HUGEINT sums cast
     // back to BIGINT so the schemas agree)
+    // the declared contract restated rule by rule; the acctbal rule has
+    // real violations in the data, so the failing channel is gated too
+    "a26_constraint_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_pk_unique' AS rule, count(*) AS checked,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_orders', count(*),
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_part', count(*),
+        |    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |  UNION ALL
+        |  SELECT 'part_size_range', count(*),
+        |    CAST(sum(CASE WHEN p_size BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 'events_user_not_null', count(*),
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'customer_acctbal_nonneg', count(*),
+        |    CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer)
+        |ORDER BY rule""".stripMargin,
     "a25_observed_audit" ->
       """WITH f AS (
         |  SELECT CASE WHEN length(text) < 200 THEN 1 ELSE 0 END AS r_short,
