@@ -581,6 +581,35 @@ object Analytics {
       .orderBy("rule")
   }
 
+  // A27: feature correlation — the EDA pass a feature-engineering
+  // pipeline runs before trusting a column pair (does discount actually
+  // move quantity?). Computed per group from EXACT INTEGER moment sums
+  // (n, Σx, Σy, Σxy, Σx², Σy² — quantity units and whole discount
+  // percents, both small integers, so every sum is exact BIGINT): both
+  // engines then evaluate the same closed-form Pearson expression on
+  // identical integers and produce identical doubles — no
+  // summation-order float drift, the trap a naive corr() aggregate
+  // hash-gate would hit. One scan, map-side partial sums; at 100 TB a
+  // whole correlation MATRIX is one pass with k·(k+1)/2 conditional
+  // sums, never k² scans.
+  private def a27FeatureCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("x", col("l_quantity").cast("long"))
+      .withColumn("y", round(col("l_discount") * 100).cast("long"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_qty_disc", round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+      .select("l_returnflag", "n", "sxy", "corr_qty_disc")
+      .orderBy("l_returnflag")
+  }
+
   // E14: stream–stream LEFT OUTER interval join — the null-emission-at-
   // watermark semantics e8's inner join can't express. Purchases with
   // zero band clicks surface as n_clicks = 0 once the watermark proves
@@ -998,6 +1027,7 @@ object Analytics {
     "e14_stream_outer_join" -> (e14StreamOuterJoin(_, _)),
     "a25_observed_audit" -> (a25ObservedAudit(_, _)),
     "a26_constraint_audit" -> (a26ConstraintAudit(_, _)),
+    "a27_feature_correlation" -> (a27FeatureCorrelation(_, _)),
     "w9_gapfill" -> (w9GapFill(_, _)),
     "a15_rollup" -> (a15Rollup(_, _)),
     "a17_pivot" -> (a17Pivot(_, _)),
@@ -1139,6 +1169,25 @@ object Analytics {
         |ORDER BY hour""".stripMargin,
     // the observed counters re-derived relationally (HUGEINT sums cast
     // back to BIGINT so the schemas agree)
+    // same exact-integer moments, same closed-form expression — the
+    // doubles agree because the integers do
+    "a27_feature_correlation" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) *
+        |             CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) *
+        |             CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT) *
+        |             CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sxy,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_disc
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     // the declared contract restated rule by rule; the acctbal rule has
     // real violations in the data, so the failing channel is gated too
     "a26_constraint_audit" ->
