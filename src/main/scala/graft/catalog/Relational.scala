@@ -284,6 +284,49 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // S18: RETENTION VACUUM — the TTL enforcement job on a versioned
+  // store (the third leg of the lake-housekeeping triad: s13 compacts
+  // files, s16 rewrites changed partitions, s18 DELETES expired ones).
+  // A dvid-partitioned store accretes history forever unless something
+  // reclaims it; the vacuum drops every partition older than the
+  // retention window, dir-by-dir — partition directories are the
+  // deletion unit, so a reader of the RETAINED window can never observe
+  // a partially-deleted version (at 100 TB the dir delete is fronted by
+  // a manifest commit so in-flight listings stay consistent; the
+  // invariant pinned here is the same). Proof stack: in-entry, the
+  // retained-window aggregate is computed BEFORE and AFTER the vacuum
+  // and the result is gated on their equality — vacuum must be
+  // invisible inside the window; cross-engine, the oracle recomputes
+  // the retained window from the raw table, so the hash also proves the
+  // vacuum dropped EXACTLY the expired versions (an over-delete loses
+  // rows, an under-delete leaves dvids the full-store scan would add).
+  private def s18RetentionVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val store = tmpDir("s18_events_versioned")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    // four injected versions; retention keeps the newest two
+    Tables.events(spark, dir)
+      .withColumn("dvid", (pmod(col("event_id"), lit(4)) + 1).cast("int"))
+      .write.partitionBy("dvid").parquet(store)
+    def retained(df: DataFrame) = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    // the retained window BEFORE the vacuum (explicit dvid predicate)
+    val pre = retained(spark.read.parquet(store).filter(col("dvid") >= 3))
+      .localCheckpoint(true)
+    // VACUUM: expired versions go partition-dir by partition-dir
+    Seq(1, 2).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$store/dvid=$d"))
+    }
+    // AFTER: a full-store scan — no predicate — sees only the window
+    val post = retained(spark.read.parquet(store))
+    val nPre = pre.count()
+    val nJoint = post.join(pre, Seq("event_type", "n", "value_cents")).count()
+    post.filter(lit(nPre) === lit(nJoint) && lit(post.count()) === lit(nJoint))
+      .orderBy("event_type")
+  }
+
   // S13: small-file compaction — the ingest-debris housekeeping op.
   // Events staged as 48 KB-sized files (what a micro-batch sink leaves
   // behind), compacted to ⌈bytes/target⌉ ≈ 4 files with a ZERO-shuffle
@@ -1216,6 +1259,7 @@ object Relational {
     "s15_zorder_layout" -> (s15ZorderLayout(_, _)),
     "s16_cdc_merge" -> (s16CdcMerge(_, _)),
     "s17_dynamic_pruning" -> (s17DynamicPruning(_, _)),
+    "s18_retention_vacuum" -> (s18RetentionVacuum(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1506,6 +1550,14 @@ object Relational {
         |WHERE year(l_shipdate) = 1997 AND l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // the retained window recomputed from the raw table: dvid = id%4+1,
+    // retention keeps dvids 3 and 4
+    "s18_retention_vacuum" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_id % 4 IN (2, 3)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the dim rule restated statically over the raw table: pruning must
     // be invisible to the answer
     "s17_dynamic_pruning" ->

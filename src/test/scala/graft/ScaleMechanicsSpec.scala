@@ -288,6 +288,22 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(audit.values.forall { case (checked, v) => checked > 0 && v <= checked })
   }
 
+  test("S18: vacuum reclaims exactly the expired versions, invisibly to the window") {
+    val audit = graft.catalog.Relational.queries("s18_retention_vacuum")(spark, sfDir)
+    assert(audit.count() > 0, "vacuum self-gate emptied the output")
+    val store = "/tmp/graft_roundtrip/s18_events_versioned"
+    // the expired partition dirs are GONE, the retained ones intact
+    for (d <- Seq(1, 2))
+      assert(!new java.io.File(s"$store/dvid=$d").exists(), s"dvid=$d survived vacuum")
+    for (d <- Seq(3, 4))
+      assert(new java.io.File(s"$store/dvid=$d").exists(), s"dvid=$d reclaimed wrongly")
+    // space actually reclaimed: the store now holds exactly the window's rows
+    val ev = graft.core.Tables.events(spark, sfDir)
+    assert(spark.read.parquet(store).count() ===
+      ev.filter(pmod(col("event_id"), lit(4)) >= 2).count(),
+      "post-vacuum store row count is not the retained window")
+  }
+
   test("S13: compaction collapses the file tail without touching a row") {
     import graft.sources.Compactor
     // run the entry: stages 48-file debris, compacts, aggregates
