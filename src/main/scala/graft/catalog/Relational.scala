@@ -327,6 +327,69 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // S19: ATOMIC MULTI-TABLE PUBLISH — the commit protocol the s18/
+  // compact notes allude to, made first-class. Two derived tables
+  // (per-customer order rollup + per-nation rollup) must move to a new
+  // version TOGETHER: a reader that mixes customer-rollup v2 with
+  // nation-rollup v1 reconciles to garbage. The protocol: write BOTH
+  // tables under a new version directory (v2 is invisible while being
+  // written — nothing references it), then flip ONE pointer file via
+  // atomic rename. Readers resolve the pointer first, so every read is
+  // entirely-v1 or entirely-v2, never mixed — and a crashed publish
+  // leaves the pointer (and readers) on v1 with only an orphaned v2 dir
+  // to garbage-collect (s18's job). At 100 TB this is the manifest
+  // commit every table format builds on; the version directories also
+  // give time travel for free. The entry publishes v1, then publishes
+  // v2 with one MORE month of orders folded in, reads via the pointer,
+  // and the oracle recomputes v2's cross-table reconciliation from the
+  // raw table — a torn read (v1 half + v2 half) breaks the row-level
+  // reconciliation the result carries.
+  private def s19AtomicPublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir("s19_published")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val orders = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+    def publish(version: Int, cutoff: String): Unit = {
+      val snap = orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      val vDir = s"$root/v=$version"
+      snap.groupBy("c_custkey", "c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .write.mode("overwrite").parquet(s"$vDir/by_customer")
+      snap.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .write.mode("overwrite").parquet(s"$vDir/by_nation")
+      // the commit: stage the pointer, then ONE atomic rename flips
+      // both tables to the new version at the same instant
+      val staged = java.nio.file.Paths.get(s"$root/_CURRENT.staged")
+      java.nio.file.Files.writeString(staged, s"v=$version")
+      java.nio.file.Files.move(staged, java.nio.file.Paths.get(s"$root/_CURRENT"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    publish(1, "1996-01-01")
+    publish(2, "1997-01-01")
+    // a reader: resolve the pointer ONCE, then read both tables from
+    // that version — cross-table consistency by construction
+    val v = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_CURRENT")).trim
+    val byCust = spark.read.parquet(s"$root/$v/by_customer")
+    val byNation = spark.read.parquet(s"$root/$v/by_nation")
+    // the reconciliation IS the output: per nation, the customer-level
+    // rollup re-aggregated must equal the nation-level table exactly —
+    // any mixed-version read breaks n_match/cents_match
+    byCust.groupBy("c_nationkey")
+      .agg(sum(col("n_orders")).as("n_from_cust"),
+        sum(col("cents")).as("cents_from_cust"))
+      .join(byNation, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("n_orders"), col("cents"),
+        (col("n_from_cust") === col("n_orders")).as("n_match"),
+        (col("cents_from_cust") === col("cents")).as("cents_match"))
+      .orderBy("c_nationkey")
+  }
+
   // S13: small-file compaction — the ingest-debris housekeeping op.
   // Events staged as 48 KB-sized files (what a micro-batch sink leaves
   // behind), compacted to ⌈bytes/target⌉ ≈ 4 files with a ZERO-shuffle
@@ -1260,6 +1323,7 @@ object Relational {
     "s16_cdc_merge" -> (s16CdcMerge(_, _)),
     "s17_dynamic_pruning" -> (s17DynamicPruning(_, _)),
     "s18_retention_vacuum" -> (s18RetentionVacuum(_, _)),
+    "s19_atomic_publish" -> (s19AtomicPublish(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1550,6 +1614,22 @@ object Relational {
         |WHERE year(l_shipdate) = 1997 AND l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // v2's reconciliation recomputed from the raw table (cutoff
+    // 1997-01-01); the match flags are literal TRUE in a consistent
+    // read — a torn cross-version read would flip them
+    "s19_atomic_publish" ->
+      """WITH snap AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |by_nation AS (
+        |  SELECT c_nationkey, count(*) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM snap GROUP BY c_nationkey)
+        |SELECT c_nationkey, n_orders, cents,
+        |  TRUE AS n_match, TRUE AS cents_match
+        |FROM by_nation ORDER BY c_nationkey""".stripMargin,
     // the retained window recomputed from the raw table: dvid = id%4+1,
     // retention keeps dvids 3 and 4
     "s18_retention_vacuum" ->

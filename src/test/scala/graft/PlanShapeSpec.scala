@@ -354,6 +354,20 @@ class PlanShapeSpec extends SparkSpec {
       s"no gram-keyed join found:\n$plan")
   }
 
+  test("A27: correlation is ONE scan with a partial/final aggregate pair — no joins") {
+    val df = graft.catalog.Analytics.queries("a27_feature_correlation")(spark, sfDir)
+    val plan = finalPlanString(df)
+    // the moment sums combine map-side; the exchange carries 6 longs per
+    // group per partition, never rows
+    assert(plan.split("\n").count(_.contains("Scan parquet")) === 1,
+      s"more than one scan:\n$plan")
+    assert(!plan.contains("Join"), s"correlation should not join:\n$plan")
+    assert(plan.contains("partial_") || plan.contains("HashAggregate"),
+      s"no partial aggregate phase:\n$plan")
+    val hashEx = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, s"moment rollup should shuffle exactly once:\n$plan")
+  }
+
   test("T13: the quality-rule scan is one map-only codegen stage (no shuffle before sort)") {
     val df = graft.catalog.TextSim.queries("t13_quality_rules")(spark, sfDir)
     val plan = finalPlanString(df)

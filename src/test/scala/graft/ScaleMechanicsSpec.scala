@@ -304,6 +304,26 @@ class ScaleMechanicsSpec extends SparkSpec {
       "post-vacuum store row count is not the retained window")
   }
 
+  test("S19: pointer reads are never torn; a mixed-version read provably breaks") {
+    val audit = graft.catalog.Relational.queries("s19_atomic_publish")(spark, sfDir)
+    val rows = audit.collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      "pointer read failed its own cross-table reconciliation")
+    val root = "/tmp/graft_roundtrip/s19_published"
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_CURRENT")).trim === "v=2",
+      "publish did not flip the pointer")
+    assert(new java.io.File(s"$root/v=1").exists(),
+      "time travel lost: the previous version was reclaimed by publish")
+    // the counter-factual that makes the gate non-vacuous: pairing v1's
+    // customer rollup with v2's nation rollup breaks the reconciliation
+    val torn = spark.read.parquet(s"$root/v=1/by_customer")
+      .groupBy("c_nationkey").agg(sum("n_orders").as("nc"))
+      .join(spark.read.parquet(s"$root/v=2/by_nation"), Seq("c_nationkey"))
+      .filter(col("nc") =!= col("n_orders")).count()
+    assert(torn > 0, "a torn cross-version read did not break — check is vacuous")
+  }
+
   test("S13: compaction collapses the file tail without touching a row") {
     import graft.sources.Compactor
     // run the entry: stages 48-file debris, compacts, aggregates
