@@ -322,6 +322,17 @@ class ScaleMechanicsSpec extends SparkSpec {
       .join(spark.read.parquet(s"$root/v=2/by_nation"), Seq("c_nationkey"))
       .filter(col("nc") =!= col("n_orders")).count()
     assert(torn > 0, "a torn cross-version read did not break — check is vacuous")
+    // the crash claim: a publish that dies AFTER writing its version
+    // dirs but BEFORE the pointer flip is invisible — readers still
+    // resolve v2 and their reconciliation still holds
+    val v3 = s"$root/v=3"
+    spark.read.parquet(s"$root/v=2/by_customer").limit(1)
+      .write.mode("overwrite").parquet(s"$v3/by_customer") // garbage half-publish
+    val resolved = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_CURRENT")).trim
+    assert(resolved === "v=2", "an unflipped pointer moved — crash isolation broken")
+    val reread = graft.catalog.Relational.queries("s19_atomic_publish")(spark, sfDir)
+    assert(reread.count() > 0, "re-publish over crash debris failed")
   }
 
   test("S13: compaction collapses the file tail without touching a row") {
