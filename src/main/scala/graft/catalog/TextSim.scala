@@ -1712,13 +1712,13 @@ object TextSim {
   // list id, and no plan node ever rescans the corpus — the 100 TB
   // serving shape where the index outlives the batch that built it.
   // Both engines recompute routing + scoring from the same parquet.
-  private def simIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.ColFns
+  /** Shared hash-pick IVF BUILD (one corpus pass): centroid pick +
+    * nearest-list assignment with precomputed norms. The persisted,
+    * deletes, and compaction entries all build through this — CODE is
+    * shared, artifacts deliberately are not (each entry persists under
+    * its own names so catalog entries stay order-independent). */
+  private def buildHashIvf(e: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val nLists = 16; val nProbe = 3; val k = 5
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // ---- build: one corpus pass → persisted centroids + inverted lists
     val cents = Similarity.hashRankedPick(
       e.select(col("vec_id").as("cid"), col("v").as("cv")),
       nLists, 13L, "list")
@@ -1732,6 +1732,17 @@ object TextSim {
       .filter(col("arn") === 1)
       .select(col("list"), col("vec_id"), col("v"),
         Similarity.norm(col("v")).as("nrm"))
+    (cents, lists)
+  }
+
+  private def embeddingsV(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def simIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val nLists = 16; val nProbe = 3; val k = 5
+    // ---- build: one corpus pass → persisted centroids + inverted lists
+    val (cents, lists) = buildHashIvf(embeddingsV(spark, dir), nLists)
     val centA = artifact(spark, dir, "ivf_centroids", cents)
     val listA = artifact(spark, dir, "ivf_lists", lists)
     ivfServe(centA, listA, nProbe, k)
@@ -1780,23 +1791,8 @@ object TextSim {
   // nightly compaction; this entry is the intervening serve window,
   // which is where production indexes live most of the time.
   private def simIvfDeletes(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nLists = 16; val nProbe = 3; val k = 5
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents = Similarity.hashRankedPick(
-      e.select(col("vec_id").as("cid"), col("v").as("cv")),
-      nLists, 13L, "list")
-      .select("list", "cv")
-    val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
-    val lists = e.crossJoin(broadcast(cents))
-      .withColumn("rank_d",
-        Similarity.dot(col("cv"), col("cv")) -
-          lit(2.0) * Similarity.dot(col("v"), col("cv")))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("list"), col("vec_id"), col("v"),
-        Similarity.norm(col("v")).as("nrm"))
+    val (cents, lists) = buildHashIvf(embeddingsV(spark, dir), nLists)
     val centA = artifact(spark, dir, "ivf_d_centroids", cents)
     val listA = artifact(spark, dir, "ivf_d_lists", lists)
     // the tombstone log is a bounded side table (deletes since the last
@@ -1824,23 +1820,8 @@ object TextSim {
   // is per-list parallel IO with a single key shuffle and serving never
   // pays the per-query anti-join again.
   private def simIvfCompaction(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nLists = 16; val nProbe = 3; val k = 5
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents = Similarity.hashRankedPick(
-      e.select(col("vec_id").as("cid"), col("v").as("cv")),
-      nLists, 13L, "list")
-      .select("list", "cv")
-    val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
-    val lists = e.crossJoin(broadcast(cents))
-      .withColumn("rank_d",
-        Similarity.dot(col("cv"), col("cv")) -
-          lit(2.0) * Similarity.dot(col("v"), col("cv")))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("list"), col("vec_id"), col("v"),
-        Similarity.norm(col("v")).as("nrm"))
+    val (cents, lists) = buildHashIvf(embeddingsV(spark, dir), nLists)
     val centA = artifact(spark, dir, "ivf_c_centroids", cents)
     val listA = artifact(spark, dir, "ivf_c_lists_v1", lists)
     val tomb = listA.select(col("vec_id").as("del_id"))
