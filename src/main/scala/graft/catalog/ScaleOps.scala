@@ -221,16 +221,7 @@ object ScaleOps {
   private def e7IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
     // staging root keyed by the input dir (like e8's queryName) so
     // concurrent runs against different SFs never clobber each other
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
-    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e7_$tag")
-    if (java.nio.file.Files.exists(base)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(base)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
+    val base = freshStagingDir("e7", dir)
     val ev = Tables.events(spark, dir)
     val store = s"$base/store"
     Seq(0, 1).foreach { i =>
@@ -241,6 +232,24 @@ object ScaleOps {
     spark.read.parquet(store)
       .groupBy("dvid", "event_type").agg(count(lit(1)).as("cnt"))
       .orderBy("dvid", "event_type")
+  }
+
+  /** Fresh per-(entry, input-dir) staging root under /tmp/graft_stream —
+    * keyed by the input dir's hash so concurrent runs against different
+    * SFs never clobber each other; prior contents are removed so every
+    * run starts from an empty store. */
+  private def freshStagingDir(name: String, dir: String): java.nio.file.Path = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/${name}_$tag")
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    base
   }
 
   // E15: incremental AGGREGATE maintenance — the materialized-view
@@ -259,16 +268,7 @@ object ScaleOps {
   // FULL RECOMPUTE over the raw table — the hash gate proves the
   // incremental path equals the from-scratch path.
   private def e15IncrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
-    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e15_$tag")
-    if (java.nio.file.Files.exists(base)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(base)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
+    val base = freshStagingDir("e15", dir)
     val state = s"$base/agg_state"
     // stage the three arrivals as real per-batch directories (one
     // partitioned write), so each ingest below genuinely reads ONLY its
@@ -311,16 +311,7 @@ object ScaleOps {
   private def e16IncrementalDistinct(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.expressions.{kmv_sketch, kmv_card}
     val K = 8192
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
-    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e16_$tag")
-    if (java.nio.file.Files.exists(base)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(base)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
+    val base = freshStagingDir("e16", dir)
     val state = s"$base/distinct_state"
     // staged per-batch dirs (e15's discipline): each ingest reads only
     // its own delta's files, never the corpus
@@ -354,16 +345,7 @@ object ScaleOps {
   // re-run: no dedup scan of the store, no transaction log, just
   // partition-scoped last-writer-wins keyed by batch identity.
   private def e17IdempotentReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
-    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e17_$tag")
-    if (java.nio.file.Files.exists(base)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(base)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
+    val base = freshStagingDir("e17", dir)
     val ev = Tables.events(spark, dir)
     val store = s"$base/store"
     Seq(0, 1).foreach { i =>
@@ -396,16 +378,7 @@ object ScaleOps {
   // dvid per drain gives the store its version lineage for free
   // (batchId continues across restarts).
   private def e18CheckpointResume(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
-    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/e18_$tag")
-    if (java.nio.file.Files.exists(base)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(base)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
+    val base = freshStagingDir("e18", dir)
     val ev = Tables.events(spark, dir)
     val src = s"$base/src"
     val store = s"$base/store"

@@ -1717,7 +1717,8 @@ object TextSim {
     * deletes, and compaction entries all build through this — CODE is
     * shared, artifacts deliberately are not (each entry persists under
     * its own names so catalog entries stay order-independent). */
-  private def buildHashIvf(e: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
+  private def buildHashIvf(e: DataFrame, nLists: Int,
+                           extraCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val cents = Similarity.hashRankedPick(
       e.select(col("vec_id").as("cid"), col("v").as("cv")),
@@ -1730,8 +1731,8 @@ object TextSim {
           lit(2.0) * Similarity.dot(col("v"), col("cv")))
       .withColumn("arn", row_number().over(aw))
       .filter(col("arn") === 1)
-      .select(col("list"), col("vec_id"), col("v"),
-        Similarity.norm(col("v")).as("nrm"))
+      .select((Seq(col("list"), col("vec_id"), col("v"),
+        Similarity.norm(col("v")).as("nrm")) ++ extraCols.map(col)): _*)
     (cents, lists)
   }
 
@@ -1880,25 +1881,13 @@ object TextSim {
   // lists' same-label rows rank. Index build is one corpus pass (own
   // `ivf_f_*` artifacts — entries stay order-independent).
   private def simFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.ColFns
     import org.apache.spark.sql.expressions.Window
     val nLists = 16; val nProbe = 3; val k = 5
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
-    val cents = Similarity.hashRankedPick(
-      e.select(col("vec_id").as("cid"), col("v").as("cv")),
-      nLists, 13L, "list")
-      .select("list", "cv")
-    val aw = Window.partitionBy("vec_id").orderBy(col("rank_d").asc, col("list").asc)
-    val lists = e.crossJoin(broadcast(cents))
-      .withColumn("rank_d",
-        Similarity.dot(col("cv"), col("cv")) -
-          lit(2.0) * Similarity.dot(col("v"), col("cv")))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("list"), col("vec_id"), col("v"),
-        Similarity.norm(col("v")).as("nrm"), col("label"))
+    // label rides the lists artifact as inline metadata (extraCols)
+    val (cents, lists) = buildHashIvf(e, nLists, extraCols = Seq("label"))
     val centA = artifact(spark, dir, "ivf_f_centroids", cents)
     val listA = artifact(spark, dir, "ivf_f_lists", lists)
     val q = listA.filter(col("vec_id") % 7 === 0)
