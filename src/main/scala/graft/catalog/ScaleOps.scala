@@ -24,6 +24,10 @@ import graft.sim.Similarity
   *  - e7: the dvid injection pattern as Structured Streaming —
   *    foreachBatch appends each arriving file batch to the
   *    dvid-partitioned store (EventStream.incrementalIngest).
+  *  - e15/e16: incremental view maintenance — monoid partial-aggregate
+  *    merge, and COUNT(DISTINCT) via the mergeable KMV sketch.
+  *  - e17/e18: exactly-once ingest — the idempotent overwrite-own-dvid
+  *    sink (redelivery-proof) and checkpointed resume (restart-proof).
   */
 object ScaleOps {
   type Q = (SparkSession, String) => DataFrame
