@@ -162,6 +162,32 @@ object ScaleOps {
       .orderBy("purchase_id")
   }
 
+  // J11c: the SAME as-of semantics a third time, now through the SQL
+  // surface — the GraftSqlParser extension (plans/GraftSqlParser.scala)
+  // parses `ASOF JOIN … ON … AT … TIE …` DIRECTLY to AsOfJoinPlan over
+  // the registered views, completing the §2.13 ladder's last injection
+  // point (functions, aggregate, optimizer rule, planner strategy, and
+  // now the parser). Identical physical pipeline to j11b; identical
+  // oracle to j11/j11b — the window formulation stays the spec.
+  private def j11cAsOfSql(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .createOrReplaceTempView("j11c_clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("j11c_purchases")
+    spark.sql(
+      """ASOF JOIN j11c_purchases AND j11c_clicks
+        |ON user_id = c_user AT click_ts <= ts TIE click_id""".stripMargin)
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("last_click_id"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("click_ts")),
+          lit(-1L)).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   // J12: band join — clicks in the 30 minutes before each purchase by
   // the same user. Scale shape: coarse 30-min time buckets bound the
   // fan-out (each purchase probes exactly 2 buckets of its user), the
@@ -607,6 +633,7 @@ object ScaleOps {
     "j13_bucketed_join" -> (j13BucketedJoin(_, _)),
     "j11_asof_join" -> (j11AsOfJoin(_, _)),
     "j11b_asof_native" -> (j11bAsOfNative(_, _)),
+    "j11c_asof_sql" -> (j11cAsOfSql(_, _)),
     "j12_range_join" -> (j12RangeJoin(_, _)),
     "sim_recall_eval" -> (simRecallEval(_, _)),
     "e7_incremental_ingest" -> (e7IncrementalIngest(_, _)),
@@ -649,6 +676,7 @@ object ScaleOps {
     // truth as j11 — the operator must be indistinguishable from the
     // window formulation
     "j11b_asof_native" -> asOfOracleSql,
+    "j11c_asof_sql" -> asOfOracleSql,
     "j11_asof_join" -> asOfOracleSql,
     "j12_range_join" ->
       """WITH clicks AS (

@@ -68,7 +68,11 @@ case class AsOfJoinPlan(
     * prune every column neither the merge nor the parent needs: exactly
     * the pushdown behaviour a 100 TB as-of join wants. */
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+    // guard: the parser path constructs this node over UNRESOLVED
+    // relations, and analysis rules may ask for references before the
+    // children resolve — `output` on an unresolved child throws
+    if (!childrenResolved) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet(
       left.output.filter(a => a.name == leftKey || a.name == leftTime) ++
         right.output.filter(a => a.name == rightKey || a.name == rightTime ||
           rightTieBreak.contains(a.name)))

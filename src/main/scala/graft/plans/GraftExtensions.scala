@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.charShingles)
     ext.injectOptimizerRule(_ => IntegerizeSampleFilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectParser((_, parser) => new GraftSqlParser(parser))
   }
 }
 

@@ -53,6 +53,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(edge.filter($"fast" =!= $"ref").count() === 0)
   }
 
+  test("parser extension: ASOF JOIN parses to AsOfJoinPlan, normal SQL untouched") {
+    import org.apache.spark.sql.functions._
+    // the statement parses straight to the native logical node
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      "ASOF JOIN a AND b ON k = rk AT rt <= lt TIE t1, t2")
+    val node = parsed.asInstanceOf[graft.plans.AsOfJoinPlan]
+    assert(node.leftKey === "k" && node.rightKey === "rk" &&
+      node.leftTime === "lt" && node.rightTime === "rt" &&
+      node.rightTieBreak === Seq("t1", "t2"))
+    // no TIE clause → empty tie-break
+    assert(spark.sessionState.sqlParser.parsePlan(
+      "ASOF JOIN a AND b ON k = rk AT rt <= lt")
+      .asInstanceOf[graft.plans.AsOfJoinPlan].rightTieBreak.isEmpty)
+    // everything else delegates verbatim to Spark's parser
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+    // end-to-end: the SQL spelling produces exactly the DataFrame-API
+    // entry's rows (same plan, same exec)
+    val viaSql = SparkEntry.queries("j11c_asof_sql")(spark, sfDir)
+    val viaApi = SparkEntry.queries("j11b_asof_native")(spark, sfDir)
+    assert(viaSql.exceptAll(viaApi).count() === 0 &&
+      viaApi.exceptAll(viaSql).count() === 0,
+      "SQL-spelled as-of join diverged from the DataFrame-API form")
+    // and it runs through AsOfJoinExec, not a fallback
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "SQL as-of join did not plan through the native exec")
+  }
+
   test("morton_interleave: codegen matches a bit-by-bit reference, deinterleaves back") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
