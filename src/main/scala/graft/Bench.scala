@@ -73,14 +73,20 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is also persisted: a clipped log buffer must
-    // never truncate the per-query map the round's perf judgment needs
-    try {
-      val out = java.nio.file.Paths.get("target/bench_last.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write target/bench_last.json: $e")
+    // never truncate the per-query map the round's perf judgment needs.
+    // Written BOTH to target/ (scratch) and the repo root — the root
+    // copy is committed at each round close so every round's verdict
+    // can diff ALL timings against the previous round, not just the
+    // ~38 the driver's truncated tail happens to keep.
+    for (path <- Seq("target/bench_last.json", "bench_last.json")) {
+      try {
+        val out = java.nio.file.Paths.get(path)
+        if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $path: $e")
+      }
     }
     spark.stop()
   }

@@ -602,10 +602,16 @@ object Analytics {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .withColumn("corr_qty_disc", round(
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+      // zero-variance guard: Spark's Divide NULLs on a 0 divisor while
+      // DuckDB (ieee_floating_point_ops) yields inf/nan — emit NULL on
+      // BOTH sides explicitly so degenerate groups keep the cross-engine
+      // contract (correlation is undefined there anyway)
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("corr_qty_disc",
+        when(col("vx") > 0 && col("vy") > 0, round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))), 6)))
       .select("l_returnflag", "n", "sxy", "corr_qty_disc")
       .orderBy("l_returnflag")
   }
@@ -613,17 +619,27 @@ object Analytics {
   // E14: stream–stream LEFT OUTER interval join — the null-emission-at-
   // watermark semantics e8's inner join can't express. Purchases with
   // zero band clicks surface as n_clicks = 0 once the watermark proves
-  // no click can still arrive; the fixed cutoff keeps the output the
-  // watermark-safe subset at EVERY SF (testdata spans Jan 1–30, so
-  // max(ts) − 2 h always clears Jan 30 00:00). Aggregated per purchase
-  // so the gate needs no cross-engine NULL-ordering contract.
+  // no click can still arrive. The gate keeps only the watermark-SAFE
+  // subset, and the cutoff is DERIVED from the data in both engines:
+  // date_trunc('day', max(ts) − 2 h). The final watermark under
+  // AvailableNow is exactly max(ts) − 2 h, and day-truncation only
+  // moves the cutoff DOWN, so cutoff ≤ watermark on any dataset span —
+  // every kept purchase is flushed, quantized identically by Spark and
+  // DuckDB (both UTC). Aggregated per purchase so the gate needs no
+  // cross-engine NULL-ordering contract.
+  /** e14's watermark-safe cutoff: day-truncated (max(ts) − delay). */
+  private[graft] def e14Cutoff(spark: SparkSession, dir: String): java.sql.Timestamp =
+    Tables.events(spark, dir)
+      .agg(date_trunc("day", max(col("ts")) - expr("INTERVAL 2 HOURS")).as("c"))
+      .head().getTimestamp(0)
+
   private def e14StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.runAvailableNow(spark, dir, df =>
         graft.streaming.EventStream.intervalJoinOuter(df)
           .select("purchase_id", "p_ts", "c_ts", "c_value"),
         queryName = s"e14_oivj_${math.abs(dir.hashCode)}",
         shufflePartitions = Some(4))
-      .filter(col("p_ts") < lit("2024-01-30 00:00:00").cast("timestamp"))
+      .filter(col("p_ts") < lit(e14Cutoff(spark, dir)))
       .groupBy("purchase_id")
       .agg(count(col("c_ts")).as("n_clicks"),
         round(sum(coalesce(col("c_value"), lit(0.0))), 2).as("click_value"))
@@ -1184,9 +1200,11 @@ object Analytics {
         |             CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n, sxy,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_disc
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS corr_qty_disc
         |FROM m ORDER BY l_returnflag""".stripMargin,
     // the declared contract restated rule by rule; the acctbal rule has
     // real violations in the data, so the failing channel is gated too
@@ -1229,13 +1247,18 @@ object Analytics {
         |    CAST(sum(CASE WHEN r_short = 0 AND r_zh = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM f)
         |ORDER BY metric""".stripMargin,
     // the outer join's batch truth: every cutoff purchase, matched or
-    // not — n_clicks counts non-null band clicks, 0 when none
+    // not — n_clicks counts non-null band clicks, 0 when none. The
+    // cutoff is the SAME data-derived expression the entry computes:
+    // day-truncated (max(ts) − 2 h watermark delay), so the gate holds
+    // on any dataset span, not just Jan 2024
     "e14_stream_outer_join" ->
-      """WITH clicks AS (
+      """WITH cut AS (
+        |  SELECT date_trunc('day', max(ts) - INTERVAL 2 HOUR) AS c FROM events),
+        |clicks AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
         |purch AS (
         |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-30 00:00:00')
+        |  WHERE event_type = 'purchase' AND ts < (SELECT c FROM cut))
         |SELECT p.event_id AS purchase_id, count(c.ts) AS n_clicks,
         |       round(sum(coalesce(c.value, 0.0)), 2) AS click_value
         |FROM purch p LEFT JOIN clicks c ON c.user_id = p.user_id

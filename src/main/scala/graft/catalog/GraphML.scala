@@ -707,7 +707,7 @@ object GraphML {
     val metrics = Tables.orders(spark, dir).groupBy("o_orderstatus")
       .agg(round(sum("o_totalprice"), 2).as("v"))
       .collect().map(r => s"total_${r.getString(0)}" -> r.getDouble(1)).toMap
-    val path = s"/tmp/graft_roundtrip/s8_history.json"
+    val path = graft.catalog.Relational.tmpDir("s8_history", dir) + ".json"
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
     graft.ml.ModelRegistry.appendHistory(path, metrics)
     graft.ml.ModelRegistry.appendHistory(path, metrics.map { case (k, v) => k -> (v + 1.0) })
@@ -731,7 +731,7 @@ object GraphML {
       col("o_totalprice").as("p"))
     val prevAuc = graft.ml.Metrics.auc(
       o.filter(pmod(col("o_orderkey"), lit(2)) === 0), "label", col("p"))
-    val path = "/tmp/graft_roundtrip/m6_history.json"
+    val path = graft.catalog.Relational.tmpDir("m6_history", dir) + ".json"
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
     graft.ml.ModelRegistry.appendHistory(path, Map("auc_val" -> prevAuc))
     val prev = graft.ml.ModelRegistry.readHistory(path).last("auc_val")

@@ -17,7 +17,16 @@ import graft.graph.Links
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
-  private def tmpDir(name: String) = s"/tmp/graft_roundtrip/$name"
+  /** Staging root keyed by the input dir's hash (the freshStagingDir
+    * discipline from ScaleOps): the s16/s18/s19 entries are multi-step
+    * read-modify-write over these dirs, so concurrent runs against
+    * different SF dirs must never share a store. Exposed package-private
+    * so specs resolve the same per-SF path the entry used. */
+  private[graft] def tmpDir(name: String, dir: String) = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"/tmp/graft_roundtrip/${name}_$tag"
+  }
 
   // S1: CSV scan + header normalization (First_Data_injection.py:33-43):
   // write customer with reference-style messy headers, re-ingest with the
@@ -25,7 +34,7 @@ object Relational {
   private def s1CsvScan(spark: SparkSession, dir: String): DataFrame = {
     val messy = Tables.customer(spark, dir)
       .toDF("C-CustKey", "C Name", "C NationKey", "C AcctBal", "C MktSegment")
-    val path = tmpDir("s1_customer_csv")
+    val path = tmpDir("s1_customer_csv", dir)
     messy.write.mode("overwrite").option("header", "true").csv(path)
     val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     val renamed = raw.toDF(raw.columns.map(ColFns.normalizeName): _*)
@@ -41,7 +50,7 @@ object Relational {
   private def s2CsvBadRows(spark: SparkSession, dir: String): DataFrame = {
     val messy = Tables.part(spark, dir)
       .toDF("P-PartKey", "P Name", "P Brand", "P Type", "P Size", "P RetailPrice")
-    val path = tmpDir("s2_part_csv")
+    val path = tmpDir("s2_part_csv", dir)
     messy.write.mode("overwrite").option("header", "true").csv(path)
     val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     val renamed = raw.toDF(raw.columns.map(ColFns.normalizeName): _*)
@@ -62,7 +71,7 @@ object Relational {
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_size"), col("p_type"))
       .toDF("SKU Code", "Design No.", "Brand", "Size", "Category")
-    val path = tmpDir("s3_catalog_csv")
+    val path = tmpDir("s3_catalog_csv", dir)
     messy.write.mode("overwrite").option("header", "true").csv(path)
     graft.sources.ReferenceIngest.productCatalog(spark, path)
       .select(col("sku").cast("long").as("sku"), col("design_no"),
@@ -76,7 +85,7 @@ object Relational {
   // and attested by per-(label/type, dvid) histograms.
   private def s6GraphCheckpoint(spark: SparkSession, dir: String): DataFrame = {
     val g = graft.graph.GraphBuilder.fromTpch(spark, dir)
-    val path = tmpDir("s6_graph_checkpoint")
+    val path = tmpDir("s6_graph_checkpoint", dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     graft.pipeline.Injections.append(g, path)
     val back = graft.pipeline.Injections.load(spark, path)
@@ -92,7 +101,7 @@ object Relational {
     val agg = Tables.orders(spark, dir).groupBy("o_orderstatus")
       .agg(round(sum("o_totalprice"), 2).as("total_price"),
         count(lit(1)).as("n_orders"))
-    val path = tmpDir("s4_orders_parquet")
+    val path = tmpDir("s4_orders_parquet", dir)
     agg.write.mode("overwrite").parquet(path)
     spark.read.parquet(path).orderBy("o_orderstatus")
   }
@@ -108,7 +117,7 @@ object Relational {
       .agg(round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_price"),
         count(lit(1)).as("n_lines"))
-    val path = tmpDir("s11_lineitem_orc")
+    val path = tmpDir("s11_lineitem_orc", dir)
     agg.write.mode("overwrite").orc(path)
     spark.read.orc(path).orderBy("l_returnflag", "l_linestatus")
   }
@@ -125,7 +134,7 @@ object Relational {
   // year, PushedFilters the key range, and the scan's numOutputRows
   // collapses vs the same probe on an unsorted single-directory copy.
   private def s12SortedLayout(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmpDir("s12_lineitem_layout")
+    val path = tmpDir("s12_lineitem_layout", dir)
     Tables.lineitem(spark, dir)
       .withColumn("ship_year", year(col("l_shipdate")))
       // range-partition on the sort key so each output file owns a
@@ -164,17 +173,25 @@ object Relational {
   // the raw table); ScaleMechanicsSpec measures that the same probe
   // surfaces fewer rows from the z-layout than from the s12-style
   // single-key sort.
+  /** Linear quantization of a key into the 16-bit z domain from both
+    * table-stats bounds: (key − lo) · 2¹⁶ / (hi − lo + 1) ∈ [0, 65536). */
+  private[graft] def zNorm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+    (c - lit(lo)) * lit(65536L) / lit(hi - lo + 1)
+
   private def s15ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmpDir("s15_lineitem_zorder")
+    val path = tmpDir("s15_lineitem_zorder", dir)
     val li = Tables.lineitem(spark, dir)
     // normalize both keys into the 16-bit z domain by linear quantization
-    // against the observed max — one metadata-cheap aggregate job; at
-    // scale these bounds come from table stats, not a scan
-    val mx = li.agg(max("l_orderkey"), max("l_suppkey")).head()
-    val (maxO, maxS) = (mx.getLong(0), mx.getLong(1))
+    // from BOTH observed bounds — one metadata-cheap aggregate job; at
+    // scale these bounds come from table stats, not a scan. Min matters:
+    // a key domain that starts at 10⁹ (surrogate ids, epoch millis)
+    // would otherwise collapse into the top z-cells and the layout would
+    // stop discriminating.
+    val b = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
     li.withColumn("z", graft.plans.expressions.morton_interleave(
-        col("l_orderkey") * lit(65536L) / lit(maxO + 1),
-        col("l_suppkey") * lit(65536L) / lit(maxS + 1)))
+        zNorm(col("l_orderkey"), b.getLong(0), b.getLong(1)),
+        zNorm(col("l_suppkey"), b.getLong(2), b.getLong(3))))
       // range-partition on z so each file owns a compact z-cell (an
       // axis-aligned 2-D box), sort within so row groups are sub-cells
       .repartitionByRange(64, col("z"))
@@ -208,7 +225,7 @@ object Relational {
   // reconstructs the merge relationally over the RAW table, so the hash
   // gate proves the partition-scoped rewrite equals the logical merge.
   private def s16CdcMerge(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmpDir("s16_orders_cow")
+    val path = tmpDir("s16_orders_cow", dir)
     val months = Seq("1996-03", "1996-04")
     // dynamic overwrite on an isolated session clone — the shared
     // session's conf is never mutated
@@ -264,8 +281,8 @@ object Relational {
   // partitions). The oracle restates the dim rule relationally over the
   // raw table, so the hash gate proves pruning changed nothing.
   private def s17DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
-    val factPath = tmpDir("s17_lineitem_by_year")
-    val dimPath = tmpDir("s17_calendar_dim")
+    val factPath = tmpDir("s17_lineitem_by_year", dir)
+    val dimPath = tmpDir("s17_calendar_dim", dir)
     val li = Tables.lineitem(spark, dir)
       .withColumn("ship_year", year(col("l_shipdate")))
     li.write.mode("overwrite").partitionBy("ship_year").parquet(factPath)
@@ -301,7 +318,7 @@ object Relational {
   // vacuum dropped EXACTLY the expired versions (an over-delete loses
   // rows, an under-delete leaves dvids the full-store scan would add).
   private def s18RetentionVacuum(spark: SparkSession, dir: String): DataFrame = {
-    val store = tmpDir("s18_events_versioned")
+    val store = tmpDir("s18_events_versioned", dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
     // four injected versions; retention keeps the newest two
     Tables.events(spark, dir)
@@ -345,7 +362,7 @@ object Relational {
   // raw table — a torn read (v1 half + v2 half) breaks the row-level
   // reconciliation the result carries.
   private def s19AtomicPublish(spark: SparkSession, dir: String): DataFrame = {
-    val root = tmpDir("s19_published")
+    val root = tmpDir("s19_published", dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val orders = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
@@ -397,8 +414,8 @@ object Relational {
   // gate: compaction must be invisible to every reader. File-count
   // collapse is asserted in ScaleMechanicsSpec.
   private def s13Compaction(spark: SparkSession, dir: String): DataFrame = {
-    val staged = tmpDir("s13_events_debris")
-    val compacted = tmpDir("s13_events_compacted")
+    val staged = tmpDir("s13_events_debris", dir)
+    val compacted = tmpDir("s13_events_compacted", dir)
     Tables.events(spark, dir).repartition(48)
       .write.mode("overwrite").parquet(staged)
     val target = math.max(1L, graft.sources.Compactor.dataBytes(spark, staged) / 4)
@@ -420,7 +437,7 @@ object Relational {
   // rows aggregate to exactly the raw table AND exactly 7 landed in
   // the corrupt bucket.
   private def s14CorruptRecords(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmpDir("s14_part_badcsv")
+    val path = tmpDir("s14_part_badcsv", dir)
     Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
       .write.mode("overwrite").csv(path)
     // 7 malformed lines, each failing a TYPED field parse (or quote
@@ -484,7 +501,7 @@ object Relational {
     val g = graft.graph.PropertyGraph(
       g0.nodes.filter(col("dvid") === 1), g0.edges.filter(col("dvid") === 1),
       cacheToken = Some(s"tpch-dvid1:$dir"))
-    val path = tmpDir("s5_graphml")
+    val path = tmpDir("s5_graphml", dir)
     graft.sources.GraphMLSink.write(g, path)
     val back = graft.sources.GraphMLSource.read(spark, path)
     back.nodes.groupBy("label").agg(count(lit(1)).as("cnt"))
@@ -799,7 +816,7 @@ object Relational {
   // NULL for the new column (the append-only injection store's survival
   // rule: producers may add columns, never retype them).
   private def s10SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmpDir("s10_evolving")
+    val path = tmpDir("s10_evolving", dir)
     val o = Tables.orders(spark, dir)
     o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
       .select(col("o_orderkey"), col("o_totalprice"))

@@ -48,6 +48,56 @@ object ScaleOps {
       .orderBy("flag_name")
   }
 
+  // J10B: the SAME skewed join UN-salted, rescued by AQE at runtime —
+  // the counterpart that documents when the engine should NOT hand-salt.
+  // Manual salting (j10) pays its exploded dim and salted shuffle on
+  // every run, known-skew-or-not; AQE's skew-join handling detects the
+  // oversized post-shuffle partition at runtime and splits it across
+  // tasks with NO logical-plan change, which is the right default when
+  // skew is data-dependent. Thresholds are scaled to local data sizes —
+  // a 100 TB job tunes the ratios, not the absolutes. Broadcast is
+  // disabled so the join genuinely sort-merges (the skewed case AQE
+  // splits); the downstream aggregate keys on flag_name, NOT the join
+  // key, so the split doesn't violate a required distribution.
+  // The fact rows carry a 64-byte incompressible payload (sha2 of the
+  // row key): testdata lineitem rows are a few bytes post-compression,
+  // far narrower than any production fact row — the payload restores a
+  // realistic row width so the hot partition crosses the (scaled-down)
+  // byte threshold at every SF. It survives pruning because the output
+  // aggregates over it. PlanShapeSpec asserts the executed plan carries
+  // the skew split.
+  private def j10bAqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    ns.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    // spreadForMap: a single-file scan yields ONE mapper, and AQE's
+    // skew splitter works at map-chunk granularity — one mapper means
+    // the hot partition is one unsplittable chunk. A real 100 TB fact
+    // scan has thousands of splits; this restores that shape locally.
+    val fact = Tables.spreadForMap(
+        Tables.lineitem(ns, dir)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+        col("l_orderkey"))
+      .withColumn("payload", sha2(concat(col("l_orderkey").cast("string"),
+        lit("_"), col("l_linenumber").cast("string")), 256))
+    // the dim MATERIALIZED as a standalone table (what it is in
+    // production) — measured lesson: OptimizeSkewedJoin only matches
+    // SMJ(Sort(shuffle), Sort(shuffle)), so a dim built by distinct()
+    // leaves its final HashAggregate under the Sort and silently
+    // disables the skew split. 3 rows, trivially checkpointable.
+    val dim = Tables.lineitem(ns, dir).select("l_returnflag").distinct()
+      .withColumn("flag_name", concat(lit("flag_"), col("l_returnflag")))
+      .localCheckpoint(true)
+    fact.join(dim, Seq("l_returnflag"))
+      .groupBy("flag_name")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("total_qty"),
+        sum(length(col("payload"))).as("payload_bytes"))
+      .orderBy("flag_name")
+  }
+
   // J13: bucketed co-located join — the "pre-shuffle once, join many
   // times free" piece of the 100 TB design as a first-class entry: both
   // sides of the recurring orders⋈lineitem join are written as
@@ -341,6 +391,19 @@ object ScaleOps {
   private def e16IncrementalDistinct(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.expressions.{kmv_sketch, kmv_card}
     val K = 8192
+    // LOUD precondition gate (gate-SF only — production serves the
+    // estimate): the exact-COUNT(DISTINCT) oracle is valid only while
+    // every group's distinct cardinality stays STRICTLY below k (at
+    // n == k KmvCardinality already switches to the estimator). A
+    // bigger dataset must fail here with a clear message, not as an
+    // inscrutable hash mismatch.
+    val maxDistinct = Tables.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    require(maxDistinct < K,
+      s"e16 exact-oracle precondition violated: a group has $maxDistinct " +
+        s"distinct users >= k=$K — the KMV estimate is no longer exact; " +
+        "raise K (or switch the oracle to a tolerance gate) for this SF")
     val base = freshStagingDir("e16", dir)
     val state = s"$base/distinct_state"
     // staged per-batch dirs (e15's discipline): each ingest reads only
@@ -630,6 +693,7 @@ object ScaleOps {
 
   val queries: Map[String, Q] = Map(
     "j10_salted_skew_join" -> (j10SaltedJoin(_, _)),
+    "j10b_aqe_skew_join" -> (j10bAqeSkewJoin(_, _)),
     "j13_bucketed_join" -> (j13BucketedJoin(_, _)),
     "j11_asof_join" -> (j11AsOfJoin(_, _)),
     "j11b_asof_native" -> (j11bAsOfNative(_, _)),
@@ -670,6 +734,15 @@ object ScaleOps {
       """WITH dim AS (
         |  SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS flag_name FROM lineitem)
         |SELECT d.flag_name, count(*) AS n_lines, round(sum(l.l_quantity), 2) AS total_qty
+        |FROM lineitem l JOIN dim d USING (l_returnflag)
+        |GROUP BY d.flag_name ORDER BY d.flag_name""".stripMargin,
+    // same relational truth as j10 — salting and AQE skew-splitting are
+    // physical-plan physics only, the answers must be identical
+    "j10b_aqe_skew_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS flag_name FROM lineitem)
+        |SELECT d.flag_name, count(*) AS n_lines, round(sum(l.l_quantity), 2) AS total_qty,
+        |       CAST(count(*) * 64 AS BIGINT) AS payload_bytes
         |FROM lineitem l JOIN dim d USING (l_returnflag)
         |GROUP BY d.flag_name ORDER BY d.flag_name""".stripMargin,
     // j11b runs the native AsOfJoinExec; the oracle is the SAME relational

@@ -35,7 +35,13 @@ object ModelRegistry {
       var c: Class[_] = o.getClass
       while (c != null) {
         c.getDeclaredFields.foreach { f =>
-          if (f.getName.contains("trainingSummary")) {
+          // name AND type gated: only Option-typed summary slots are
+          // cleared, so a future Spark that renames the field (silent
+          // no-op caught by SerializationHygieneSpec) or adds a non-
+          // Option field containing the substring can't be corrupted
+          // by an unconditional None assignment
+          if (f.getName.contains("trainingSummary") &&
+              classOf[Option[_]].isAssignableFrom(f.getType)) {
             f.setAccessible(true)
             f.set(o, None)
           }

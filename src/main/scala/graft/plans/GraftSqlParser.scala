@@ -21,6 +21,16 @@ import org.apache.spark.sql.types.StructType
   * pipeline the DataFrame API entry j11b rides). Everything that is not
   * this one statement shape is delegated verbatim to Spark's parser, so
   * the wrapper can never change the meaning of normal SQL.
+  *
+  * Declared grammar limits (by design — this is a whole-query match,
+  * not a grammar graft): relation names must be bare dotted
+  * identifiers (no backtick-quoted names), and the spelling is the
+  * WHOLE query — it composes as a view body or via parseQuery (both
+  * routed below, so `CREATE VIEW v AS ASOF JOIN …` works through
+  * Spark's own delegation to parseQuery), but it cannot appear as one
+  * subclause inside a larger SELECT. Wrap it in a view/CTE first —
+  * the same restriction Spark itself puts on e.g. TABLESAMPLE-less
+  * pipe syntax extensions.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -30,20 +40,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """\s+AT\s+(\w+)\s*<=\s*(\w+)""" +
     """(?:\s+TIE\s+([\w\s,]+?))?\s*;?\s*""").r
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case AsOf(l, r, leftKey, rightKey, rightTime, leftTime, tie) =>
-      AsOfJoinPlan(
-        UnresolvedRelation(delegate.parseMultipartIdentifier(l)),
-        UnresolvedRelation(delegate.parseMultipartIdentifier(r)),
-        leftKey = leftKey, leftTime = leftTime,
-        rightKey = rightKey, rightTime = rightTime,
-        rightTieBreak = Option(tie).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
-    case _ => delegate.parsePlan(sqlText)
-  }
+  private def asOfOrElse(sqlText: String,
+                         fallback: String => LogicalPlan): LogicalPlan =
+    sqlText match {
+      case AsOf(l, r, leftKey, rightKey, rightTime, leftTime, tie) =>
+        AsOfJoinPlan(
+          UnresolvedRelation(delegate.parseMultipartIdentifier(l)),
+          UnresolvedRelation(delegate.parseMultipartIdentifier(r)),
+          leftKey = leftKey, leftTime = leftTime,
+          rightKey = rightKey, rightTime = rightTime,
+          rightTieBreak = Option(tie).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+      case _ => fallback(sqlText)
+    }
 
+  override def parsePlan(sqlText: String): LogicalPlan =
+    asOfOrElse(sqlText, delegate.parsePlan)
+
+  // parseQuery is what Spark calls for view bodies / CTAS sources —
+  // routing it through the same match lets the ASOF spelling compose
+  // (e.g. CREATE TEMP VIEW enriched AS ASOF JOIN p AND c ON …)
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    asOfOrElse(sqlText, delegate.parseQuery)
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

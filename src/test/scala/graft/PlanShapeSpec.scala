@@ -368,6 +368,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx === 1, s"moment rollup should shuffle exactly once:\n$plan")
   }
 
+  test("J10B: AQE marks and splits the skewed sort-merge join in the executed plan") {
+    val df = graft.catalog.ScaleOps.queries("j10b_aqe_skew_join")(spark, sfDir)
+    val rows = df.collect() // AQE decisions exist only after execution
+    assert(rows.length === 3, "skew split changed the answer shape")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"),
+      s"j10b must sort-merge (broadcast disabled):\n$plan")
+    assert(plan.contains("skew") || plan.contains("Skew"),
+      s"AQE did not mark the skewed join partition:\n$plan")
+  }
+
   test("T13: the quality-rule scan is one map-only codegen stage (no shuffle before sort)") {
     val df = graft.catalog.TextSim.queries("t13_quality_rules")(spark, sfDir)
     val plan = finalPlanString(df)

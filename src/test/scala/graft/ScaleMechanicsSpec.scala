@@ -64,8 +64,8 @@ class ScaleMechanicsSpec extends SparkSpec {
     // is directly observable; metrics read after execution.
     val ns = spark.newSession()
     ns.conf.set("spark.sql.adaptive.enabled", "false")
-    val layout = "/tmp/graft_roundtrip/s12_lineitem_layout"
-    val flat = "/tmp/graft_roundtrip/s12_lineitem_flat"
+    val layout = graft.catalog.Relational.tmpDir("s12_lineitem_layout", sfDir)
+    val flat = graft.catalog.Relational.tmpDir("s12_lineitem_flat", sfDir)
     graft.core.Tables.lineitem(ns, sfDir)
       .withColumn("ship_year", year(col("l_shipdate")))
       // coalesce(1): one file, interleaved orderkeys — every row group's
@@ -129,8 +129,8 @@ class ScaleMechanicsSpec extends SparkSpec {
     // scan surfaces strictly fewer rows. AQE off for observable scans.
     val ns = spark.newSession()
     ns.conf.set("spark.sql.adaptive.enabled", "false")
-    val zPath = "/tmp/graft_roundtrip/s15_lineitem_zorder"
-    val oPath = "/tmp/graft_roundtrip/s15_lineitem_okeysort"
+    val zPath = graft.catalog.Relational.tmpDir("s15_lineitem_zorder", sfDir)
+    val oPath = graft.catalog.Relational.tmpDir("s15_lineitem_okeysort", sfDir)
     graft.core.Tables.lineitem(ns, sfDir)
       .repartitionByRange(64, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
@@ -151,10 +151,26 @@ class ScaleMechanicsSpec extends SparkSpec {
       s"z-order skipped nothing beyond the single-key sort: z=$zScanned okey=$oScanned")
   }
 
+  test("S15: zNorm quantizes a SHIFTED key domain across the full z range") {
+    // surrogate ids / epoch millis don't start at 0: a max-only
+    // normalize collapses a [10⁹, 10⁹+5000] domain into the topmost
+    // z sliver. Range-normalizing from both bounds must spread it.
+    val lo = 1000000000L
+    val hi = lo + 4999L
+    val df = spark.range(lo, hi + 1).toDF("k")
+      .select(graft.catalog.Relational.zNorm(col("k"), lo, hi)
+        .cast("long").as("q"))
+    val r = df.agg(min("q"), max("q"), countDistinct("q")).head()
+    assert(r.getLong(0) === 0L, s"shifted domain doesn't start at cell 0: $r")
+    assert(r.getLong(1) >= 65000L && r.getLong(1) < 65536L,
+      s"shifted domain doesn't reach the top cells: $r")
+    assert(r.getLong(2) >= 4000L, s"quantization lost discrimination: $r")
+  }
+
   test("S16: CDC merge rewrites only the touched partitions, semantics exact") {
     val audit = graft.catalog.Relational.queries("s16_cdc_merge")(spark, sfDir)
     audit.collect()
-    val base = "/tmp/graft_roundtrip/s16_orders_cow"
+    val base = graft.catalog.Relational.tmpDir("s16_orders_cow", sfDir)
     val dirs = new java.io.File(base).listFiles().filter(_.isDirectory)
       .map(d => d.getName -> d).toMap
     val affected = Seq("o_month=1996-03", "o_month=1996-04")
@@ -227,8 +243,8 @@ class ScaleMechanicsSpec extends SparkSpec {
     // readable metrics; DPP is independent of AQE)
     val ns = spark.newSession()
     ns.conf.set("spark.sql.adaptive.enabled", "false")
-    val probe = ns.read.parquet("/tmp/graft_roundtrip/s17_lineitem_by_year")
-      .join(broadcast(ns.read.parquet("/tmp/graft_roundtrip/s17_calendar_dim")
+    val probe = ns.read.parquet(graft.catalog.Relational.tmpDir("s17_lineitem_by_year", sfDir))
+      .join(broadcast(ns.read.parquet(graft.catalog.Relational.tmpDir("s17_calendar_dim", sfDir))
         .filter(col("era") === "late")), Seq("ship_year"))
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     probe.collect()
@@ -243,7 +259,7 @@ class ScaleMechanicsSpec extends SparkSpec {
       s"fact scan not dynamically pruned: $pf")
     // and the pruning is REAL: the scan read a strict subset of the
     // year partitions (the dim admits years >= 1996 of 1992–1998)
-    val totalYears = spark.read.parquet("/tmp/graft_roundtrip/s17_lineitem_by_year")
+    val totalYears = spark.read.parquet(graft.catalog.Relational.tmpDir("s17_lineitem_by_year", sfDir))
       .select("ship_year").distinct().count()
     val readParts = fact.metrics.get("numPartitions").map(_.value)
       .getOrElse(fail("scan exposes no numPartitions metric"))
@@ -291,7 +307,7 @@ class ScaleMechanicsSpec extends SparkSpec {
   test("S18: vacuum reclaims exactly the expired versions, invisibly to the window") {
     val audit = graft.catalog.Relational.queries("s18_retention_vacuum")(spark, sfDir)
     assert(audit.count() > 0, "vacuum self-gate emptied the output")
-    val store = "/tmp/graft_roundtrip/s18_events_versioned"
+    val store = graft.catalog.Relational.tmpDir("s18_events_versioned", sfDir)
     // the expired partition dirs are GONE, the retained ones intact
     for (d <- Seq(1, 2))
       assert(!new java.io.File(s"$store/dvid=$d").exists(), s"dvid=$d survived vacuum")
@@ -309,7 +325,7 @@ class ScaleMechanicsSpec extends SparkSpec {
     val rows = audit.collect()
     assert(rows.nonEmpty && rows.forall(r => r.getBoolean(3) && r.getBoolean(4)),
       "pointer read failed its own cross-table reconciliation")
-    val root = "/tmp/graft_roundtrip/s19_published"
+    val root = graft.catalog.Relational.tmpDir("s19_published", sfDir)
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/_CURRENT")).trim === "v=2",
       "publish did not flip the pointer")
@@ -339,8 +355,8 @@ class ScaleMechanicsSpec extends SparkSpec {
     import graft.sources.Compactor
     // run the entry: stages 48-file debris, compacts, aggregates
     graft.catalog.Relational.queries("s13_small_file_compaction")(spark, sfDir).collect()
-    val staged = "/tmp/graft_roundtrip/s13_events_debris"
-    val compacted = "/tmp/graft_roundtrip/s13_events_compacted"
+    val staged = graft.catalog.Relational.tmpDir("s13_events_debris", sfDir)
+    val compacted = graft.catalog.Relational.tmpDir("s13_events_compacted", sfDir)
     assert(Compactor.dataFiles(spark, staged) === 48, "debris staging changed")
     val nOut = Compactor.dataFiles(spark, compacted)
     assert(nOut <= 6, s"tail not collapsed: $nOut files")

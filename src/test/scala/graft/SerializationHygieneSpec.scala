@@ -69,6 +69,67 @@ class SerializationHygieneSpec extends SparkSpec {
     assert(stripped.transform(df).filter(col("prediction").isNotNull).count() === 100)
   }
 
+  // --- part 2: the cache REGISTRY, by enumeration -------------------
+  // Round 9's bug entered through one memoized TrainResult; the spec
+  // above pins that exact shape. This sweep pins the CLASS: every value
+  // any AppCache memo ever holds is audited, so a future cache can't
+  // quietly reintroduce a session-pinning model.
+
+  /** All MLlib transformers reachable at the top level of a cached
+    * value (the value itself, its Product elements, pipeline stages). */
+  private def reachableModels(v: Any): Seq[AnyRef] = {
+    val tops: Seq[Any] = v match {
+      case p: Product => p.productIterator.toSeq :+ p
+      case other => Seq(other)
+    }
+    tops.collect { case m: org.apache.spark.ml.Transformer => m }
+      .flatMap {
+        case pm: org.apache.spark.ml.PipelineModel => pm.stages.toSeq
+        case m => Seq(m: AnyRef)
+      }
+  }
+
+  /** Mirror of stripSummary's match: does any Option-typed
+    * trainingSummary slot still hold a value? */
+  private def carriesSummary(o: AnyRef): Boolean = {
+    var c: Class[_] = o.getClass
+    while (c != null) {
+      for (f <- c.getDeclaredFields
+           if f.getName.contains("trainingSummary") &&
+             classOf[Option[_]].isAssignableFrom(f.getType)) {
+        f.setAccessible(true)
+        val v = f.get(o)
+        if (v != null && v != None) return true
+      }
+      c = c.getSuperclass
+    }
+    false
+  }
+
+  test("registry sweep: no memoized value carries a session-pinning model") {
+    // populate the model-bearing memo caches through their real entries
+    // (cheap at sf0.001; no-ops if an earlier suite already ran them)
+    for (n <- Seq("m1b_gbt_deterministic", "m2b_multidate_deterministic",
+        "m7b_mlp_deterministic", "t18_quality_nb"))
+      SparkEntry.queries(n)(spark, sfDir).count()
+    val vals = graft.core.AppCache.allCachedValues
+    assert(vals.nonEmpty, "AppCache registry is empty — sweep is vacuous")
+    val models = vals.flatMap(reachableModels)
+    assert(models.nonEmpty,
+      "no memoized models found — the sweep no longer covers the bug class")
+    val dirty = models.filter(carriesSummary)
+    assert(dirty.isEmpty,
+      s"memoized models pin their fit session via trainingSummary: " +
+        dirty.map(_.getClass.getSimpleName).mkString(", "))
+    // and each memoized model java-serializes on its own — the closure
+    // payload a .transform ships to executors
+    models.foreach { m =>
+      val bos = new java.io.ByteArrayOutputStream()
+      new java.io.ObjectOutputStream(bos).writeObject(m)
+      assert(bos.size() > 0)
+    }
+  }
+
   test("a25_observed_audit leaves the shared session transform-safe") {
     // run the real catalog entry (it must isolate its Observation on a
     // newSession clone), then prove a summary-carrying model fit on the

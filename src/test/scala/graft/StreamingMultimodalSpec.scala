@@ -87,6 +87,49 @@ class StreamingMultimodalSpec extends SparkSpec {
       "outer's matched set diverged from the inner join")
   }
 
+  test("e14: the derived cutoff keeps the gate green on a re-spanned events table") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    // shift the whole corpus +400 days: the old hard-coded Jan-2024
+    // cutoff would keep EVERY purchase un-gated here, so this dataset
+    // distinguishes a derived cutoff from a frozen one
+    val base = java.nio.file.Files.createTempDirectory("e14_respan")
+    val stage = base.resolve("stage")
+    graft.core.Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts") + expr("INTERVAL 400 DAYS"))
+      .coalesce(1).write.parquet(stage.toString)
+    val part = {
+      val l = java.nio.file.Files.list(stage)
+      try l.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally l.close()
+    }
+    java.nio.file.Files.move(part, base.resolve("events.parquet"))
+    val dir = base.toString
+
+    val cut = graft.catalog.Analytics.e14Cutoff(spark, dir)
+    assert(cut.after(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")),
+      s"cutoff did not follow the re-spanned data: $cut")
+    val out = SparkEntry.queries("e14_stream_outer_join")(spark, dir)
+
+    // batch truth, same derived cutoff (the oracle SQL restated)
+    val ev = graft.core.Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"value".as("c_value"))
+    val purch = ev.filter($"event_type" === "purchase" && $"ts" < lit(cut))
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val truth = purch.join(clicks,
+        $"c_user" === $"p_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 1800 SECONDS") && $"c_ts" < $"p_ts",
+        "left")
+      .groupBy("purchase_id")
+      .agg(count($"c_ts").as("n_clicks"),
+        round(sum(coalesce($"c_value", lit(0.0))), 2).as("click_value"))
+    assert(out.count() > 0 && out.filter($"n_clicks" === 0).count() > 0,
+      "re-spanned run lost the null-emission path")
+    assert(out.exceptAll(truth).count() === 0 && truth.exceptAll(out).count() === 0,
+      "re-spanned stream output diverged from the batch truth")
+  }
+
   test("e11 stream-ingest dedup equals the d7 batch computation, plus the kept flag") {
     val e11 = SparkEntry.queries("e11_stream_ingest_dedup")(spark, sfDir).cache()
     val d7 = SparkEntry.queries("d7_incremental_dedup")(spark, sfDir)
