@@ -469,9 +469,24 @@ object TextSim {
   // deterministic hash-sampled quantizer → full DuckDB oracle (the
   // KMeans variant stays in the library as Similarity.ivfTopK, asserted
   // against the exact path in SimilaritySpec)
+  // One ranked-assignment table (every vector with its 3 nearest lists,
+  // rank 1 = assigned cell) shared by BOTH in-flight ANN query modes —
+  // top-k (probes 3) and near-dup pairs (probes 2) ride the same index
+  // build, the memo holding the k·maxRank-bounded table checkpointed.
+  // Same economics as sharedIvfIndex, for the un-persisted formulation.
+  private val ivfRankedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def ivfRanked(spark: SparkSession, dir: String): DataFrame =
+    graft.core.AppCache.get(ivfRankedCache,
+      (spark.sparkContext.applicationId, dir)) {
+      Similarity.ivfHashRanked(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", nLists = 16, maxRank = 3, salt = 13L)
+        .localCheckpoint(true)
+    }
+
   private def simIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfHashTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        k = 5, nLists = 16, nProbe = 3)
+    Similarity.ivfTopKFromScored(
+        Similarity.ivfScoredFromRanked(ivfRanked(spark, dir), nProbe = 3), k = 5)
       .orderBy("src", "rn")
 
   // D13: d5's semantic near-dup detection on its scale path — pairs are
@@ -479,8 +494,9 @@ object TextSim {
   // sizes, never n²); same 0.4 threshold as d5, recall vs the exact
   // kernel asserted in SimilaritySpec
   private def d13SemanticDedup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfNearDupPairs(Tables.embeddings(spark, dir), "vec_id",
-        "embedding", minCos = 0.4, nLists = 16, nProbe = 2)
+    Similarity.ivfNearDupPairsFromScored(
+        Similarity.ivfScoredFromRanked(ivfRanked(spark, dir), nProbe = 2),
+        minCos = 0.4)
       .orderBy("src", "dst")
 
   private def a10SimilarityStats(spark: SparkSession, dir: String): DataFrame =
@@ -1712,11 +1728,13 @@ object TextSim {
   // list id, and no plan node ever rescans the corpus — the 100 TB
   // serving shape where the index outlives the batch that built it.
   // Both engines recompute routing + scoring from the same parquet.
-  /** Shared hash-pick IVF BUILD (one corpus pass): centroid pick +
-    * nearest-list assignment with precomputed norms. The persisted,
-    * deletes, and compaction entries all build through this — CODE is
-    * shared, artifacts deliberately are not (each entry persists under
-    * its own names so catalog entries stay order-independent). */
+  /** Hash-pick IVF BUILD (one corpus pass): centroid pick +
+    * nearest-list assignment with precomputed norms. All hash-pick
+    * lifecycle entries consume ONE build of this via sharedIvfIndex —
+    * the production shape (an index is built nightly, served by every
+    * query); order-independence comes from the memo, not from
+    * per-entry artifact copies (which cost the suite ~7 builds in
+    * rounds 8–10). */
   private def buildHashIvf(e: DataFrame, nLists: Int,
                            extraCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
@@ -1736,16 +1754,48 @@ object TextSim {
     (cents, lists)
   }
 
-  private def embeddingsV(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  // THE shared standing index (VERDICT r10 #2): ONE hash-pick IVF build
+  // per (app, dir), persisted under the ivf0_* artifact names, consumed
+  // READ-ONLY by every hash-pick lifecycle entry (persisted serve,
+  // delete-aware serve, compaction's v1, filtered serve) — build once,
+  // serve many ways, exactly like production. The label column rides
+  // the lists inline so the filtered entry needs no side join; the
+  // others ignore it. Order-independence is the memo, not execution
+  // order: whichever entry runs first triggers the build, every later
+  // one rides it — and the staging entry sim_ann0_ivf_index sorts
+  // before all consumers so in a name-ordered suite the build cost
+  // lands there, hash-gated on its own.
+  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame)]()
+  private def sharedIvfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.core.AppCache.get(ivfIndexCache,
+      (spark.sparkContext.applicationId, dir)) {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val (cents, lists) = buildHashIvf(e, 16, extraCols = Seq("label"))
+      (artifact(spark, dir, "ivf0_centroids", cents),
+        artifact(spark, dir, "ivf0_lists", lists))
+    }
+
+  // The staging entry's own hash gate: per-list inventory of the
+  // persisted index (membership count, exact id sum, norm mass). The
+  // oracle recomputes the ENTIRE build relationally from the raw
+  // embeddings table — hash-pick centroids, argmin assignment — so a
+  // green hash proves the artifact every consumer serves from is
+  // exactly the declared function of the corpus.
+  private def simIvf0IndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val (_, listA) = sharedIvfIndex(spark, dir)
+    listA.groupBy("list")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("vec_id")).as("id_sum"),
+        round(sum(col("nrm")), 4).as("norm_mass"))
+      .orderBy("list")
+  }
 
   private def simIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val nLists = 16; val nProbe = 3; val k = 5
-    // ---- build: one corpus pass → persisted centroids + inverted lists
-    val (cents, lists) = buildHashIvf(embeddingsV(spark, dir), nLists)
-    val centA = artifact(spark, dir, "ivf_centroids", cents)
-    val listA = artifact(spark, dir, "ivf_lists", lists)
+    val nProbe = 3; val k = 5
+    val (centA, listA) = sharedIvfIndex(spark, dir)
     ivfServe(centA, listA, nProbe, k)
   }
 
@@ -1792,10 +1842,8 @@ object TextSim {
   // nightly compaction; this entry is the intervening serve window,
   // which is where production indexes live most of the time.
   private def simIvfDeletes(spark: SparkSession, dir: String): DataFrame = {
-    val nLists = 16; val nProbe = 3; val k = 5
-    val (cents, lists) = buildHashIvf(embeddingsV(spark, dir), nLists)
-    val centA = artifact(spark, dir, "ivf_d_centroids", cents)
-    val listA = artifact(spark, dir, "ivf_d_lists", lists)
+    val nProbe = 3; val k = 5
+    val (centA, listA) = sharedIvfIndex(spark, dir)
     // the tombstone log is a bounded side table (deletes since the last
     // compaction), broadcast into a LeftAnti against the list scan
     val tomb = listA.select(col("vec_id").as("del_id"))
@@ -1821,10 +1869,10 @@ object TextSim {
   // is per-list parallel IO with a single key shuffle and serving never
   // pays the per-query anti-join again.
   private def simIvfCompaction(spark: SparkSession, dir: String): DataFrame = {
-    val nLists = 16; val nProbe = 3; val k = 5
-    val (cents, lists) = buildHashIvf(embeddingsV(spark, dir), nLists)
-    val centA = artifact(spark, dir, "ivf_c_centroids", cents)
-    val listA = artifact(spark, dir, "ivf_c_lists_v1", lists)
+    val nProbe = 3; val k = 5
+    // v1 IS the shared standing index, consumed read-only — compaction
+    // writes only its own v2 artifact
+    val (centA, listA) = sharedIvfIndex(spark, dir)
     val tomb = listA.select(col("vec_id").as("del_id"))
       .filter(col("del_id") % 13 === 0)
     val live = listA.join(broadcast(tomb),
@@ -1878,18 +1926,13 @@ object TextSim {
   // recall; the classic filtered-ANN trap). The label is stored IN the
   // lists artifact (inline metadata), so serving needs no side join:
   // probes meet the broadcast centroid table, then exactly the probed
-  // lists' same-label rows rank. Index build is one corpus pass (own
-  // `ivf_f_*` artifacts — entries stay order-independent).
+  // lists' same-label rows rank. Serves from the SHARED ivf0_* index
+  // (the label was stored at build time for exactly this entry).
   private def simFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nLists = 16; val nProbe = 3; val k = 5
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        col("label"))
-    // label rides the lists artifact as inline metadata (extraCols)
-    val (cents, lists) = buildHashIvf(e, nLists, extraCols = Seq("label"))
-    val centA = artifact(spark, dir, "ivf_f_centroids", cents)
-    val listA = artifact(spark, dir, "ivf_f_lists", lists)
+    val nProbe = 3; val k = 5
+    // label rides the SHARED lists artifact as inline metadata
+    val (centA, listA) = sharedIvfIndex(spark, dir)
     val q = listA.filter(col("vec_id") % 7 === 0)
       .select(col("vec_id").as("src"), col("v").as("qv"), col("nrm").as("qn"),
         col("label").as("ql"))
@@ -1953,6 +1996,7 @@ object TextSim {
   private def artifactSql(name: String): String = graft.core.Artifacts.sql(name)
 
   val queries: Map[String, Q] = Map(
+    "sim_ann0_ivf_index" -> (simIvf0IndexBuild(_, _)),
     "sim_ivf_persisted" -> (simIvfPersisted(_, _)),
     "sim_ivf_deletes" -> (simIvfDeletes(_, _)),
     "sim_ivf_compaction" -> (simIvfCompaction(_, _)),
@@ -2900,12 +2944,43 @@ object TextSim {
          |FROM appl GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     },
+    "sim_ann0_ivf_index" -> {
+      // the build recomputed END-TO-END from the raw embeddings table:
+      // hash-pick centroids (same pseudo-uniform, same tie-break),
+      // argmin assignment, per-list inventory — a hash match proves the
+      // persisted ivf0_* artifacts ARE the declared function of the
+      // corpus, which is what lets every consumer read them blindly
+      import graft.functions.ColFns
+      val u = ColFns.pseudoUniformSql("vec_id", 13L)
+      val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
+      val vc = Similarity.dotSql("e.v", "c.cv", DIM)
+      val nn = Similarity.dotSql("e.v", "e.v", DIM)
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cents AS (
+         |  SELECT list, cv FROM (
+         |    SELECT v AS cv,
+         |      row_number() OVER (ORDER BY $u ASC, vec_id ASC) AS list
+         |    FROM e)
+         |  WHERE list <= 16),
+         |ranked AS (
+         |  SELECT e.vec_id, c.list, ($cc - 2.0 * $vc) AS rank_d,
+         |         sqrt($nn) AS nrm
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY rank_d ASC, list ASC) AS arn FROM ranked)
+         |  WHERE arn = 1)
+         |SELECT list, count(*) AS n_vectors,
+         |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+         |  round(sum(nrm), 4) AS norm_mass
+         |FROM assigned GROUP BY list ORDER BY list""".stripMargin
+    },
     "sim_ivf_persisted" -> {
       val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
       val qc = Similarity.dotSql("q.qv", "c.cv", DIM)
       val qd = Similarity.dotSql("p.qv", "l.v", DIM)
-      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_centroids")}),
-         |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf_lists")}),
+      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf0_centroids")}),
+         |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf0_lists")}),
          |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn FROM lists WHERE vec_id % 7 = 0),
          |pr AS (
          |  SELECT q.src, q.qv, q.qn, c.list, ($cc - 2.0 * $qc) AS rank_d
@@ -2928,8 +3003,8 @@ object TextSim {
       val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
       val qc = Similarity.dotSql("q.qv", "c.cv", DIM)
       val qd = Similarity.dotSql("p.qv", "l.v", DIM)
-      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_d_centroids")}),
-         |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf_d_lists")}
+      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf0_centroids")}),
+         |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf0_lists")}
          |          WHERE vec_id % 13 <> 0),
          |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn FROM lists WHERE vec_id % 7 = 0),
          |pr AS (
@@ -2955,8 +3030,8 @@ object TextSim {
       val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
       val qc = Similarity.dotSql("q.qv", "c.cv", DIM)
       val qd = Similarity.dotSql("p.qv", "l.v", DIM)
-      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_c_centroids")}),
-         |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf_c_lists_v1")}
+      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf0_centroids")}),
+         |lists AS (SELECT list, vec_id, v, nrm FROM ${artifactSql("ivf0_lists")}
          |          WHERE vec_id % 13 <> 0),
          |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn FROM lists WHERE vec_id % 7 = 0),
          |pr AS (
@@ -3000,9 +3075,9 @@ object TextSim {
       val cc = Similarity.dotSql("c.cv", "c.cv", DIM)
       val qc = Similarity.dotSql("q.qv", "c.cv", DIM)
       val qd = Similarity.dotSql("p.qv", "l.v", DIM)
-      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf_f_centroids")}),
+      s"""WITH cents AS (SELECT list, cv FROM ${artifactSql("ivf0_centroids")}),
          |lists AS (SELECT list, vec_id, v, nrm, label
-         |          FROM ${artifactSql("ivf_f_lists")}),
+         |          FROM ${artifactSql("ivf0_lists")}),
          |q AS (SELECT vec_id AS src, v AS qv, nrm AS qn, label AS ql
          |      FROM lists WHERE vec_id % 7 = 0),
          |pr AS (

@@ -554,19 +554,25 @@ object Similarity {
     * hash is arithmetic, matching ColFns.pseudoUniformSql).
     */
   def ivfHashTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-                  nLists: Int = 16, nProbe: Int = 3, salt: Long = 13L): DataFrame = {
-    val scored = ivfHashScored(vectors, idCol, vecCol, nLists, nProbe, salt)
+                  nLists: Int = 16, nProbe: Int = 3, salt: Long = 13L): DataFrame =
+    ivfTopKFromScored(ivfHashScored(vectors, idCol, vecCol, nLists, nProbe, salt), k)
+
+  /** Finishing step shared by the fresh-build and prebuilt-index top-k
+    * paths: per-query rank window + cutoff. */
+  def ivfTopKFromScored(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("src"), col("rn"), col("dst"), round(col("cos"), 6).as("cos"))
   }
 
-  /** The common IVF candidate pipeline: hash-picked centroids, nearest-
-    * list assignment, `nProbe` probing, in-list cosine scoring. Returns
-    * every (src, dst, cos) where src probed dst's assigned cell. */
-  private def ivfHashScored(vectors: DataFrame, idCol: String, vecCol: String,
-                            nLists: Int, nProbe: Int, salt: Long): DataFrame = {
+  /** The index half of the hash-pick IVF pipeline: every vector with its
+    * `maxRank` nearest lists (rank 1 = its assigned cell). One corpus
+    * pass; reusable across query modes that probe ≤ maxRank lists — the
+    * catalog memoizes ONE of these for the top-k and near-dup entries
+    * (one index, many query shapes, the production economics). */
+  def ivfHashRanked(vectors: DataFrame, idCol: String, vecCol: String,
+                    nLists: Int, maxRank: Int, salt: Long): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val cents = hashRankedPick(
@@ -579,14 +585,30 @@ object Similarity {
       .withColumn("rank_d",
         dot(col("cv"), col("cv")) - lit(2.0) * dot(col("v"), col("cv")))
     val aw = Window.partitionBy("id").orderBy(col("rank_d").asc, col("list").asc)
-    val arn = ranked.withColumn("arn", row_number().over(aw))
-    val assigned = arn.filter(col("arn") === 1)
+    ranked.withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= maxRank)
+      .select("id", "v", "nrm", "list", "arn")
+  }
+
+  /** Candidate scoring over a prebuilt ranked-assignment table:
+    * assigned cell = rank 1, probes = ranks ≤ nProbe (requires the
+    * table's maxRank ≥ nProbe), in-list cosine on the survivors. */
+  def ivfScoredFromRanked(ranked: DataFrame, nProbe: Int): DataFrame = {
+    val assigned = ranked.filter(col("arn") === 1)
       .select(col("id").as("dst"), col("v").as("dv"), col("nrm").as("cn"), col("list"))
-    val probes = arn.filter(col("arn") <= nProbe)
+    val probes = ranked.filter(col("arn") <= nProbe)
       .select(col("id").as("src"), col("v").as("qv"), col("nrm").as("qn"), col("list"))
     probes.join(assigned, Seq("list")).filter(col("src") =!= col("dst"))
       .withColumn("cos", dot(col("qv"), col("dv")) / (col("qn") * col("cn")))
   }
+
+  /** The common IVF candidate pipeline: hash-picked centroids, nearest-
+    * list assignment, `nProbe` probing, in-list cosine scoring. Returns
+    * every (src, dst, cos) where src probed dst's assigned cell. */
+  private def ivfHashScored(vectors: DataFrame, idCol: String, vecCol: String,
+                            nLists: Int, nProbe: Int, salt: Long): DataFrame =
+    ivfScoredFromRanked(
+      ivfHashRanked(vectors, idCol, vecCol, nLists, maxRank = nProbe, salt), nProbe)
 
   /** D13: semantic near-dup pairs, IVF-bucketed — the scale path for
     * the brute-force threshold join (d5): a pair is compared only when
@@ -605,7 +627,13 @@ object Similarity {
   def ivfNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                       minCos: Double, nLists: Int = 16, nProbe: Int = 2,
                       salt: Long = 13L): DataFrame =
-    ivfHashScored(vectors, idCol, vecCol, nLists, nProbe, salt)
+    ivfNearDupPairsFromScored(
+      ivfHashScored(vectors, idCol, vecCol, nLists, nProbe, salt), minCos)
+
+  /** Finishing step shared by the fresh-build and prebuilt-index
+    * near-dup paths: threshold, normalize (src < dst), dedup. */
+  def ivfNearDupPairsFromScored(scored: DataFrame, minCos: Double): DataFrame =
+    scored
       // NaN guard: a zero-norm vector makes cos 0/0 = NaN, and Spark's
       // DoubleType ordering ranks NaN ABOVE every number, so a bare
       // >= would emit NaN pairs the exact kernel (primitive Java >=)

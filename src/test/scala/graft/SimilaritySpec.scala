@@ -168,8 +168,9 @@ class SimilaritySpec extends SparkSpec {
     assert(v2.filter($"vec_id" % 13 === 0).count() === 0,
       "tombstoned ids survived compaction")
     // and no live row was lost: v2 ≡ v1 minus the tombstone rule
+    // (v1 is the SHARED standing index, consumed read-only)
     val v1 = spark.read.parquet(
-      s"/tmp/graft_artifacts/${new java.io.File(sfDir).getName}/ivf_c_lists_v1")
+      s"/tmp/graft_artifacts/${new java.io.File(sfDir).getName}/ivf0_lists")
     assert(v2.count() === v1.filter($"vec_id" % 13 =!= 0).count(),
       "compaction changed the live row count")
   }
