@@ -344,6 +344,82 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // S20: MANIFEST-FRONTED VACUUM — s18 composed with s19's commit
+  // primitive, closing the loop s18's own doc promised ("at 100 TB the
+  // dir delete is fronted by a manifest commit"). The store's readable
+  // contents are DEFINED by a manifest file resolved through one
+  // atomic pointer — never by directory listing — so the TTL job is
+  // two ordered steps: (1) COMMIT the post-TTL manifest (one atomic
+  // rename; every new read instantly sees only the retained window,
+  // the expired dirs become unreferenced garbage), (2) physically
+  // delete the unreferenced dirs. A crash between the steps leaves
+  // only invisible debris; a crash mid-step-2 leaves a half-deleted
+  // set NO reader can ever list, because readers never list. An
+  // in-flight reader that resolved the old manifest before the flip
+  // still reads its full version while the dirs live (production puts
+  // the physical delete behind a grace period for exactly that
+  // reader). Gate: retained-window aggregate via the OLD manifest
+  // BEFORE ≡ full read via the NEW manifest AFTER (in-entry equality),
+  // and the oracle recomputes the window from the raw table.
+  private[graft] def s20CommitManifest(root: String, version: Int,
+                                       dvids: Seq[Int]): Unit = {
+    val mDir = java.nio.file.Paths.get(s"$root/manifests")
+    java.nio.file.Files.createDirectories(mDir)
+    java.nio.file.Files.writeString(mDir.resolve(s"m$version.txt"),
+      dvids.mkString("\n"))
+    val staged = java.nio.file.Paths.get(s"$root/_CURRENT.staged")
+    java.nio.file.Files.writeString(staged, s"m$version.txt")
+    java.nio.file.Files.move(staged,
+      java.nio.file.Paths.get(s"$root/_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Manifest-scoped read: resolve the pointer ONCE, read exactly the
+    * referenced partition dirs — debris and half-deleted state are
+    * invisible by construction. */
+  private[graft] def s20ReadViaManifest(spark: SparkSession,
+                                        root: String): DataFrame = {
+    val m = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_CURRENT")).trim
+    val dvids = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/manifests/$m")).trim
+      .split("\n").filter(_.nonEmpty).map(_.toInt)
+    spark.read.option("basePath", s"$root/data")
+      .parquet(dvids.map(d => s"$root/data/dvid=$d").toSeq: _*)
+  }
+
+  private def s20ManifestVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir("s20_manifest_store", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Tables.events(spark, dir)
+      .withColumn("dvid", (pmod(col("event_id"), lit(4)) + 1).cast("int"))
+      .write.partitionBy("dvid").parquet(s"$root/data")
+    s20CommitManifest(root, 1, Seq(1, 2, 3, 4))
+    def retained(df: DataFrame) = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    // the retained window through the PRE-vacuum manifest (explicit
+    // dvid predicate over the full version set)
+    val pre = retained(s20ReadViaManifest(spark, root).filter(col("dvid") >= 3))
+      .localCheckpoint(true)
+    // VACUUM step 1: the commit — one atomic pointer flip and the
+    // expired versions are unreferenced
+    s20CommitManifest(root, 2, Seq(3, 4))
+    // step 2: physical reclamation of what no manifest references
+    Seq(1, 2).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root/data/dvid=$d"))
+    }
+    // AFTER: a manifest-scoped read, no predicate — sees only the window
+    val post = retained(s20ReadViaManifest(spark, root))
+    val nPre = pre.count()
+    val nJoint = post.join(pre, Seq("event_type", "n", "value_cents")).count()
+    post.filter(lit(nPre) === lit(nJoint) && lit(post.count()) === lit(nJoint))
+      .orderBy("event_type")
+  }
+
   // S19: ATOMIC MULTI-TABLE PUBLISH — the commit protocol the s18/
   // compact notes allude to, made first-class. Two derived tables
   // (per-customer order rollup + per-nation rollup) must move to a new
@@ -1341,6 +1417,7 @@ object Relational {
     "s17_dynamic_pruning" -> (s17DynamicPruning(_, _)),
     "s18_retention_vacuum" -> (s18RetentionVacuum(_, _)),
     "s19_atomic_publish" -> (s19AtomicPublish(_, _)),
+    "s20_manifest_vacuum" -> (s20ManifestVacuum(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1650,6 +1727,14 @@ object Relational {
     // the retained window recomputed from the raw table: dvid = id%4+1,
     // retention keeps dvids 3 and 4
     "s18_retention_vacuum" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_id % 4 IN (2, 3)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same retained window as s18 — manifest-fronting is commit-protocol
+    // physics only, the answer must be identical
+    "s20_manifest_vacuum" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events

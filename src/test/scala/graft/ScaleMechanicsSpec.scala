@@ -351,6 +351,56 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(reread.count() > 0, "re-publish over crash debris failed")
   }
 
+  test("S20: manifest-fronted vacuum — readers never see a half-vacuumed store") {
+    import graft.catalog.Relational.{s20CommitManifest, s20ReadViaManifest}
+    // the entry itself: gate non-empty and the hash-window shape
+    val out = graft.catalog.Relational.queries("s20_manifest_vacuum")(spark, sfDir)
+    assert(out.count() > 0, "s20 self-gate emptied the output")
+
+    // crash-scenario construction on a spec-owned store
+    val root = graft.catalog.Relational.tmpDir("s20_spec_store", sfDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    spark.range(100).toDF("event_id")
+      .withColumn("dvid", (pmod($"event_id", lit(2)) + 1).cast("int"))
+      .write.partitionBy("dvid").parquet(s"$root/data")
+    s20CommitManifest(root, 1, Seq(1, 2))
+    assert(s20ReadViaManifest(spark, root).count() === 100)
+
+    // CRASH BETWEEN STEPS: the post-TTL manifest commits, the process
+    // dies before deleting dvid=1. New readers see ONLY the retained
+    // window even though the expired dir still exists on disk…
+    s20CommitManifest(root, 2, Seq(2))
+    assert(new java.io.File(s"$root/data/dvid=1").exists(), "setup broken")
+    assert(s20ReadViaManifest(spark, root).count() === 50,
+      "reader saw an unreferenced (expired) dir — it listed instead of resolving")
+    // …while an in-flight reader that resolved the OLD manifest before
+    // the flip still reads its full version (the grace-period contract)
+    val oldRead = spark.read.option("basePath", s"$root/data")
+      .parquet(s"$root/data/dvid=1", s"$root/data/dvid=2")
+    assert(oldRead.count() === 100)
+
+    // resumed vacuum finishes the physical delete: reader unchanged
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/data/dvid=1"))
+    assert(s20ReadViaManifest(spark, root).count() === 50)
+
+    // CRASHED COMMIT: a new manifest file lands but the process dies
+    // before the pointer flip — readers stay on the committed version
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/manifests/m3.txt"), "")
+    assert(s20ReadViaManifest(spark, root).count() === 50,
+      "an un-flipped manifest changed what readers see")
+
+    // debris dirs (a crashed ingest's orphan) are invisible too
+    spark.range(7).toDF("event_id").withColumn("dvid", lit(9))
+      .write.partitionBy("dvid").parquet(s"$root/data_tmp")
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(s"$root/data_tmp/dvid=9"),
+      new java.io.File(s"$root/data/dvid=9"))
+    assert(s20ReadViaManifest(spark, root).count() === 50,
+      "reader saw un-manifested debris")
+  }
+
   test("S13: compaction collapses the file tail without touching a row") {
     import graft.sources.Compactor
     // run the entry: stages 48-file debris, compacts, aggregates
