@@ -288,17 +288,64 @@ object GraphXAnalytics {
     * DataFrame, treated as undirected (GraphX canonicalizes + dedups
     * internally). Ids of any type — hashed via their string form to
     * GraphX Long vertex ids, translated back through the kept mapping. */
-  def triangles(spark: SparkSession, edges: DataFrame): DataFrame = {
+  def triangles(spark: SparkSession, edges: DataFrame,
+                seqMaxEdges: Long = 5000000L): DataFrame = {
     import spark.implicits._
     val vm = edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id"))).distinct()
       .select(col("id"), xxhash64(col("id").cast("string")).as("vid"))
-    val edgeRdd = edges
-      .select(xxhash64(col("src").cast("string")).as("s"),
-        xxhash64(col("dst").cast("string")).as("d"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    Graph.fromEdges(edgeRdd, ()).triangleCount().vertices.toDF("vid", "tri")
-      .join(vm, "vid")
+    val counted: DataFrame = if (edges.count() <= seqMaxEdges) {
+      // Hybrid dense leg (same gate as CC/PageRank/BFS): the hashed
+      // canonical edge set fits on the driver, and sorted-adjacency
+      // intersection counts every vertex's triangles in one pass —
+      // per edge (u,v), |N(u)∩N(v)| accumulates on both endpoints, and
+      // each triangle contributes exactly 2 to each of its vertices
+      // (one per incident edge), so tri(v) = acc(v)/2. Semantics match
+      // GraphX triangleCount: direction-canonicalized, self-loops and
+      // duplicate edges dropped.
+      val rows = edges
+        .select(xxhash64(col("src").cast("string")).as("s"),
+          xxhash64(col("dst").cast("string")).as("d"))
+        .collect()
+      val canon = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      rows.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (a != b) canon += ((math.min(a, b), math.max(a, b)))
+      }
+      val adjB = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      def nb(v: Long) =
+        adjB.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer.empty[Long])
+      canon.foreach { case (a, b) => nb(a) += b; nb(b) += a }
+      val adj = adjB.map { case (v, ns) => v -> ns.toArray.sorted }
+      def common(x: Array[Long], y: Array[Long]): Long = {
+        var i = 0; var j = 0; var c = 0L
+        while (i < x.length && j < y.length) {
+          if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+          else if (x(i) < y(j)) i += 1 else j += 1
+        }
+        c
+      }
+      val acc = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      canon.foreach { case (a, b) =>
+        val c = common(adj(a), adj(b))
+        if (c > 0) { acc(a) += c; acc(b) += c }
+      }
+      // every endpoint reports, zero-triangle vertices included (even
+      // self-loop-only ones, which have no adjacency) — exactly
+      // GraphX's triangleCount().vertices coverage
+      val verts = scala.collection.mutable.HashSet.empty[Long]
+      rows.foreach { r => verts += r.getLong(0); verts += r.getLong(1) }
+      verts.iterator.map(v => (v, acc(v) / 2)).toSeq.toDF("vid", "tri")
+    } else {
+      val edgeRdd = edges
+        .select(xxhash64(col("src").cast("string")).as("s"),
+          xxhash64(col("dst").cast("string")).as("d"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      Graph.fromEdges(edgeRdd, ()).triangleCount().vertices.toDF("vid", "tri")
+    }
+    counted.join(vm, "vid")
       .select(col("id"), col("tri").cast("long").as("triangles"))
   }
 

@@ -44,6 +44,18 @@ class GraphXEnrichSpec extends SparkSpec {
     assert(diff === 0, s"$diff of ${seq.size} rounded ranks diverge")
   }
 
+  test("triangle-count driver kernel matches the GraphX path exactly") {
+    import org.apache.spark.sql.functions.col
+    val edges = graft.sim.KnnCache.topk(spark, sfDir, 5).select("src", "dst")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id").cast("string"), col("triangles"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val seq = asSet(GraphXAnalytics.triangles(spark, edges))
+    val gx = asSet(GraphXAnalytics.triangles(spark, edges, seqMaxEdges = 0L))
+    assert(seq === gx)
+    assert(seq.exists(_._2 > 0L), "no triangles at all — parity is vacuous")
+  }
+
   test("landmark-BFS driver kernel matches the Pregel path exactly") {
     val g = GraphBuilder.fromTpch(spark, sfDir)
     val seq = GraphXAnalytics.shortestPaths(spark, g, "loc_", rounds = 8)
