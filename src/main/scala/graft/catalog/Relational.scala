@@ -1443,6 +1443,32 @@ object Relational {
   private val pu7 = ColFns.pseudoUniformSql("ck * 131 + pk", 7L)
   private val pu47 = ColFns.pseudoUniformSql("product", 47L)
 
+  /** The relational MERGE truth, shared by the batch entry (s16) and
+    * the streaming one (e19_stream_cdc_merge): one textual source so
+    * the stream/batch parity contract can never drift. */
+  private[graft] val mergeOracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    strftime(o_orderdate, '%Y-%m') AS o_month FROM orders),
+      |changed AS (
+      |  SELECT * FROM base WHERE o_month IN ('1996-03', '1996-04')),
+      |merged AS (
+      |  SELECT o_orderkey, o_totalprice, o_month FROM base
+      |  WHERE o_month NOT IN ('1996-03', '1996-04')
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_month FROM changed
+      |  WHERE o_orderkey % 101 <> 0 AND o_orderkey % 37 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 5.0, o_month FROM changed
+      |  WHERE o_orderkey % 37 = 0 AND o_orderkey % 101 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base),
+      |    o_totalprice, o_month FROM changed WHERE o_orderkey % 97 = 0)
+      |SELECT o_month, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM merged GROUP BY o_month ORDER BY o_month""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the round-9 breadth queries run the SAME text on both engines
     "sql_q8_market_share" -> q8Sql,
@@ -1753,28 +1779,7 @@ object Relational {
     // the logical merge reconstructed relationally over the raw table:
     // hash match proves the partition-scoped copy-on-write rewrite
     // equals MERGE INTO semantics (delete wins over update on overlap)
-    "s16_cdc_merge" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_totalprice,
-        |    strftime(o_orderdate, '%Y-%m') AS o_month FROM orders),
-        |changed AS (
-        |  SELECT * FROM base WHERE o_month IN ('1996-03', '1996-04')),
-        |merged AS (
-        |  SELECT o_orderkey, o_totalprice, o_month FROM base
-        |  WHERE o_month NOT IN ('1996-03', '1996-04')
-        |  UNION ALL
-        |  SELECT o_orderkey, o_totalprice, o_month FROM changed
-        |  WHERE o_orderkey % 101 <> 0 AND o_orderkey % 37 <> 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_totalprice + 5.0, o_month FROM changed
-        |  WHERE o_orderkey % 37 = 0 AND o_orderkey % 101 <> 0
-        |  UNION ALL
-        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base),
-        |    o_totalprice, o_month FROM changed WHERE o_orderkey % 97 = 0)
-        |SELECT o_month, count(*) AS n_orders,
-        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
-        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-        |FROM merged GROUP BY o_month ORDER BY o_month""".stripMargin,
+    "s16_cdc_merge" -> mergeOracleSql,
     // z-order is invisible to the answer: the oracle runs the same
     // two-predicate probe + aggregate over the RAW lineitem table
     "s15_zorder_layout" ->

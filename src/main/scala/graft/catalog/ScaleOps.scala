@@ -494,6 +494,94 @@ object ScaleOps {
       .orderBy("event_type")
   }
 
+  /** e19's per-micro-batch MERGE: one CDC batch (op ∈ U/D/I rows)
+    * applied to the month-partitioned store with s16's copy-on-write
+    * discipline — read ONLY the touched months, anti-join the touched
+    * keys out, re-insert the upserts, stage off-lineage, dynamic
+    * partition overwrite so untouched months' files never move.
+    * Package-private: the spec drives it directly to pin the
+    * partition-scoped rewrite. */
+  private[graft] def e19MergeBatch(store: String)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val sp = batch.sparkSession
+    val months = batch.select("o_month").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (months.nonEmpty) {
+      val cur = sp.read.parquet(store).filter(col("o_month").isin(months: _*))
+      val touched = batch.select("o_orderkey").distinct()
+      val upserts = batch.filter(col("op") =!= "D")
+        .select("o_orderkey", "o_totalprice", "o_month")
+      cur.join(touched, Seq("o_orderkey"), "left_anti")
+        .unionByName(upserts)
+        .localCheckpoint(true) // stage off-lineage before self-overwrite
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_month").parquet(store)
+    }
+  }
+
+  // E19: STREAM→LAKEHOUSE CDC MERGE — the composition the e- and
+  // s-families left open: e17/e18 land raw appends exactly-once, s16
+  // merges a batch of changes, but a production CDC feed is a STREAM of
+  // ordered change batches that must maintain the lakehouse table
+  // continuously. foreachBatch applies each micro-batch with the s16
+  // copy-on-write mechanics (per batch: |touched months| read +
+  // rewrite, never the table); the e18 checkpoint makes the source
+  // exactly-once across restarts — the updates batch drains, the
+  // pipeline is DOWN while the deletes+inserts batch arrives, and the
+  // restarted query applies only the new batch, in arrival order
+  // (delete-after-update wins by ORDER, not by precedence logic).
+  // The oracle is s16's relational MERGE truth verbatim: the streamed
+  // ordered application must reach exactly the state the batch MERGE
+  // declares — stream/batch parity for table maintenance, the same
+  // contract e3 pins for aggregation.
+  private def e19StreamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = freshStagingDir("e19", dir)
+    val src = s"$base/changes"; val store = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val months = Seq("1996-03", "1996-04")
+    val orders = Tables.orders(spark, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("o_orderkey", "o_totalprice", "o_month")
+    orders.write.partitionBy("o_month").parquet(store)
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val affected = orders.filter(col("o_month").isin(months: _*))
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(e19MergeBatch(store) _)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // change batch 1: price updates (+$5.00, key ≡ 0 mod 37) — drained
+    affected.filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(lit("U").as("op"), col("o_orderkey"),
+        (col("o_totalprice") + 5.0).as("o_totalprice"), col("o_month"))
+      .write.mode("append").parquet(src)
+    drain()
+    // the pipeline is DOWN while batch 2 arrives: deletes (≡ 0 mod 101,
+    // overriding batch 1's update where both hit) + inserts (clones of
+    // ≡ 0 mod 97 under fresh keys, original price)
+    affected.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .select(lit("D").as("op"), col("o_orderkey"),
+        col("o_totalprice"), col("o_month"))
+      .unionByName(affected.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(lit("I").as("op"),
+          (col("o_orderkey") + lit(maxKey + 1)).as("o_orderkey"),
+          col("o_totalprice"), col("o_month")))
+      .write.mode("append").parquet(src)
+    // drain 2, same checkpoint: only the new batch is read and applied
+    drain()
+    spark.read.parquet(store).groupBy("o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("o_month")
+  }
+
   /** min/max of the `ts` column in microseconds, straight from the
     * parquet footer row-group statistics — None when the file layout or
     * stats don't allow it (caller falls back to a scan). */
@@ -703,6 +791,7 @@ object ScaleOps {
     "e7_incremental_ingest" -> (e7IncrementalIngest(_, _)),
     "e15_incremental_agg_merge" -> (e15IncrementalAggMerge(_, _)),
     "e16_incremental_distinct" -> (e16IncrementalDistinct(_, _)),
+    "e19_stream_cdc_merge" -> (e19StreamCdcMerge(_, _)),
     "e17_idempotent_replay" -> (e17IdempotentReplay(_, _)),
     "e18_checkpoint_resume" -> (e18CheckpointResume(_, _)),
     "e10_late_data_drop" -> (e10LateDataDrop(_, _)))
@@ -816,6 +905,10 @@ object ScaleOps {
     "e16_incremental_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // s16's relational MERGE truth VERBATIM (one shared string): the
+    // streamed ordered-batch application must reach exactly the state
+    // the batch MERGE declares — stream/batch parity for maintenance
+    "e19_stream_cdc_merge" -> graft.catalog.Relational.mergeOracleSql,
     // the raw table aggregated ONCE: a redelivered batch that appended
     // instead of overwriting would double its counts and flip the hash
     "e17_idempotent_replay" ->

@@ -130,6 +130,41 @@ class StreamingMultimodalSpec extends SparkSpec {
       "re-spanned stream output diverged from the batch truth")
   }
 
+  test("e19: the streamed CDC merge reaches exactly the batch MERGE state") {
+    val stream = SparkEntry.queries("e19_stream_cdc_merge")(spark, sfDir)
+    val batch = SparkEntry.queries("s16_cdc_merge")(spark, sfDir)
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(stream).count() === 0,
+      "ordered per-batch application diverged from the one-shot MERGE")
+  }
+
+  test("e19 merge function: untouched partitions' files never move") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("e19_toy").toString + "/store"
+    Seq((1L, 10.0, "m1"), (2L, 20.0, "m1"), (3L, 30.0, "m2"), (4L, 40.0, "m2"))
+      .toDF("o_orderkey", "o_totalprice", "o_month")
+      .write.partitionBy("o_month").parquet(store)
+    def filesOf(month: String) =
+      new java.io.File(s"$store/o_month=$month").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val m2Before = filesOf("m2")
+    // a batch touching ONLY m1: update key 1, delete key 2, insert key 9
+    val batch = Seq(("U", 1L, 11.0, "m1"), ("D", 2L, 0.0, "m1"),
+        ("I", 9L, 99.0, "m1"))
+      .toDF("op", "o_orderkey", "o_totalprice", "o_month")
+    graft.catalog.ScaleOps.e19MergeBatch(store)(batch, 0L)
+    assert(filesOf("m2") === m2Before,
+      "merge rewrote a partition its batch never touched")
+    val m1 = spark.read.parquet(store).filter($"o_month" === "m1")
+      .select("o_orderkey", "o_totalprice")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m1 === Map(1L -> 11.0, 9L -> 99.0),
+      s"merge semantics wrong for the touched partition: $m1")
+  }
+
   test("e11 stream-ingest dedup equals the d7 batch computation, plus the kept flag") {
     val e11 = SparkEntry.queries("e11_stream_ingest_dedup")(spark, sfDir).cache()
     val d7 = SparkEntry.queries("d7_incremental_dedup")(spark, sfDir)
