@@ -1198,6 +1198,38 @@ object TextSim {
     (nWords, meanLen, symbolRatio, stopHits)
   }
 
+  // T24: the DATASET CARD — the corpus-level report a training-data
+  // pipeline publishes with every snapshot: per (lang, source) docs,
+  // whitespace-token mass, quality-gate pass count (t13's exact rules),
+  // and exact-duplicate count (d1's md5 canonical rule: a doc is a dup
+  // iff its hash repeats and it is not the lowest-id holder). One scan
+  // computes every per-doc signal, one md5-keyed window marks dups
+  // (dup-cluster-bounded partitions), one |lang×source|-row aggregate —
+  // at 100 TB the card costs a scan plus a hash shuffle, and it is the
+  // artifact dataset consumers cite, so it sits under the same hash
+  // gate as the data ops themselves.
+  private def t24DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (nWords, meanLen, symbolRatio, stopHits) = qualityRuleSignals(col("text"))
+    val per = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      nWords.cast("long").as("n_words"),
+      (nWords >= 20 && nWords <= 500 && meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio < 0.1 && stopHits >= 2).cast("long").as("passes"),
+      md5(col("text")).as("h"))
+    val w = Window.partitionBy("h")
+    per
+      .withColumn("is_dup",
+        (count(lit(1)).over(w) > 1 &&
+          col("doc_id") =!= min(col("doc_id")).over(w)).cast("long"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_tokens"),
+        sum("passes").as("n_quality_pass"),
+        sum("is_dup").as("n_exact_dups"))
+      .orderBy("lang", "source")
+  }
+
   private def t13QualityRules(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     val (nWords, meanLen, symbolRatio, stopHits) = qualityRuleSignals(t)
@@ -1958,6 +1990,32 @@ object TextSim {
       .orderBy("src", "rn")
   }
 
+  /** The t13 quality-signal CTE chain (b → m), shared by the t13
+    * per-doc oracle and the t24 dataset-card rollup — one text, no
+    * drift. m carries doc_id/lang/source/h through for the card. */
+  private lazy val qualitySignalsSqlCte: String =
+    """b AS (
+      |  SELECT doc_id, lang, source, md5(text) AS h,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+      |    len(text) AS n_char,
+      |    len(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+      |    len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_sym,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> list_contains(['the','a','and','of','to','in','is','that',
+      |        'der','die','das','und','ist','nicht','ein','zu',
+      |        'el','la','los','que','de','un','una','es',
+      |        'le','les','et','est','une','des'], x))) AS stop_hits
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang, source, h, n_words,
+      |    CASE WHEN n_words = 0 THEN 0.0
+      |         ELSE CAST(n_nonspace AS DOUBLE) / n_words END AS mean_word_len,
+      |    CASE WHEN n_char = 0 THEN 0.0
+      |         ELSE CAST(n_sym AS DOUBLE) / n_char END AS symbol_ratio,
+      |    stop_hits
+      |  FROM b)""".stripMargin
+
   // min-VARCHAR-label propagation unrolled 16 rounds over the
   // undirected near-dup pair graph (same technique as the CC oracle in
   // GraphML; MATERIALIZED stops exponential CTE inlining). Near-dup
@@ -2035,6 +2093,7 @@ object TextSim {
     "t12b_pack_sharded" -> (t12bPackSharded(_, _)),
     "t17_shuffle_shards" -> (t17ShuffleShards(_, _)),
     "t13_quality_rules" -> (t13QualityRules(_, _)),
+    "t24_dataset_card" -> (t24DatasetCard(_, _)),
     "t14_pii_redact" -> (t14PiiRedact(_, _)),
     "t15_repetition" -> (t15Repetition(_, _)),
     "d14_span_dedup" -> (d14SpanDedup(_, _)),
@@ -2546,27 +2605,7 @@ object TextSim {
         |  offset_in_shard % 256 AS offset_in_pack
         |FROM off ORDER BY doc_id""".stripMargin,
     "t13_quality_rules" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
-        |    len(text) AS n_char,
-        |    len(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
-        |    len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_sym,
-        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      x -> list_contains(['the','a','and','of','to','in','is','that',
-        |        'der','die','das','und','ist','nicht','ein','zu',
-        |        'el','la','los','que','de','un','una','es',
-        |        'le','les','et','est','une','des'], x))) AS stop_hits
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, n_words,
-        |    CASE WHEN n_words = 0 THEN 0.0
-        |         ELSE CAST(n_nonspace AS DOUBLE) / n_words END AS mean_word_len,
-        |    CASE WHEN n_char = 0 THEN 0.0
-        |         ELSE CAST(n_sym AS DOUBLE) / n_char END AS symbol_ratio,
-        |    stop_hits
-        |  FROM b)
+      s"""WITH $qualitySignalsSqlCte
         |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
         |  round(symbol_ratio, 6) AS symbol_ratio, stop_hits,
         |  CAST(n_words BETWEEN 20 AND 500 AS INT) AS flag_word_count,
@@ -2576,6 +2615,22 @@ object TextSim {
         |  CAST(n_words BETWEEN 20 AND 500 AND mean_word_len BETWEEN 3.0 AND 10.0
         |    AND symbol_ratio < 0.1 AND stop_hits >= 2 AS INT) AS passes
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the same signal CTE, rolled up with d1's canonical-dup rule —
+    // one shared text so card and per-doc gate can never drift
+    "t24_dataset_card" ->
+      s"""WITH $qualitySignalsSqlCte,
+        |d AS (
+        |  SELECT lang, source, n_words,
+        |    CAST(n_words BETWEEN 20 AND 500 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |      AND symbol_ratio < 0.1 AND stop_hits >= 2 AS BIGINT) AS passes,
+        |    CAST(count(*) OVER (PARTITION BY h) > 1
+        |      AND doc_id <> min(doc_id) OVER (PARTITION BY h) AS BIGINT) AS is_dup
+        |  FROM m)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+        |  CAST(sum(passes) AS BIGINT) AS n_quality_pass,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_exact_dups
+        |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "t14_pii_redact" ->
       """WITH c AS (
         |  SELECT c_custkey,

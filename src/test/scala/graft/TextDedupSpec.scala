@@ -471,6 +471,23 @@ class TextDedupSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("t24 dataset card foots to its per-doc sources exactly") {
+    import org.apache.spark.sql.functions._
+    val card = SparkEntry.queries("t24_dataset_card")(spark, sfDir).cache()
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    // every doc counted exactly once across card cells
+    assert(card.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    // quality mass = t13's per-doc verdicts summed
+    val t13 = SparkEntry.queries("t13_quality_rules")(spark, sfDir)
+    assert(card.agg(sum("n_quality_pass")).head().getLong(0) ===
+      t13.agg(sum("passes")).head().getLong(0))
+    // dup mass = d1's canonical rule: total copies minus one keeper per hash
+    val d1 = SparkEntry.queries("d1_exact_dedup")(spark, sfDir)
+    assert(card.agg(sum("n_exact_dups")).head().getLong(0) ===
+      d1.agg(sum(col("dup_count") - 1)).head().getLong(0))
+    card.unpersist(); ()
+  }
+
   test("t18 NB quality classifier: distillation tracks the rule gate without collapsing") {
     val df = SparkEntry.queries("t18_quality_nb")(spark, sfDir).cache()
     try {
