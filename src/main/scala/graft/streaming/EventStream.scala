@@ -211,15 +211,28 @@ object EventStream {
                       queryName: String,
                       mode: OutputMode = OutputMode.Append,
                       shufflePartitions: Option[Int] = None): DataFrame = {
-    // FileStreamSource requires a *directory*; the testdata table is a
-    // single parquet file, so stage it into one (micro-batch ingest of a
-    // dropped-in file is exactly the dvid-injection pattern anyway)
+    // FileStreamSource requires a *directory* of data files; the driver
+    // testdata table is a single parquet file, generated scale-sweep
+    // tables (graft.tools.ScaleUp) are directories of part files —
+    // stage either shape into one flat dir (micro-batch ingest of
+    // dropped-in files is exactly the dvid-injection pattern anyway)
     val staged = java.nio.file.Paths.get(s"/tmp/graft_stream/$queryName")
     java.nio.file.Files.createDirectories(staged)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val src0 = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isDirectory(src0)) {
+      val l = java.nio.file.Files.list(src0)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(p => java.nio.file.Files.copy(p,
+            staged.resolve(p.getFileName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      } finally l.close()
+    } else {
+      java.nio.file.Files.copy(src0, staged.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // run the stream on a CLONED session (shared context, own SQLConf):
     // pinning shuffle partitions there never leaks into — or races —
