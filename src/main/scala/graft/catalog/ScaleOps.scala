@@ -391,19 +391,6 @@ object ScaleOps {
   private def e16IncrementalDistinct(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.expressions.{kmv_sketch, kmv_card}
     val K = 8192
-    // LOUD precondition gate (gate-SF only — production serves the
-    // estimate): the exact-COUNT(DISTINCT) oracle is valid only while
-    // every group's distinct cardinality stays STRICTLY below k (at
-    // n == k KmvCardinality already switches to the estimator). A
-    // bigger dataset must fail here with a clear message, not as an
-    // inscrutable hash mismatch.
-    val maxDistinct = Tables.events(spark, dir)
-      .groupBy("event_type").agg(countDistinct(col("user_id")).as("d"))
-      .agg(max(col("d"))).head().getLong(0)
-    require(maxDistinct < K,
-      s"e16 exact-oracle precondition violated: a group has $maxDistinct " +
-        s"distinct users >= k=$K — the KMV estimate is no longer exact; " +
-        "raise K (or switch the oracle to a tolerance gate) for this SF")
     val base = freshStagingDir("e16", dir)
     val state = s"$base/distinct_state"
     // staged per-batch dirs (e15's discipline): each ingest reads only
@@ -419,10 +406,23 @@ object ScaleOps {
         .withColumn("dvid", lit(i + 1))
         .write.mode("append").partitionBy("dvid").parquet(state)
     }
-    spark.read.parquet(state)
+    val merged = spark.read.parquet(state)
       .groupBy("event_type")
       .agg(kmv_sketch(col("sk"), K).as("sk")) // binary input → sketch union
-      .select(col("event_type"), kmv_card(col("sk")).as("n_users"))
+    // LOUD precondition gate, read off the sketch ITSELF for free: the
+    // binary layout is [k][n][n longs], so a merged sketch is exact iff
+    // its length stays under 8 + 8k (n < k; at n == k KmvCardinality
+    // already switches to the estimator). The exact-COUNT(DISTINCT)
+    // oracle is valid only in that regime — a bigger dataset must fail
+    // HERE with a clear message, not as an inscrutable hash mismatch.
+    // Cost: one job over |groups| sketch rows, never a corpus scan.
+    val maxLen = merged.agg(max(length(col("sk")))).head().getInt(0)
+    require(maxLen < 8 + 8 * K,
+      s"e16 exact-oracle precondition violated: a merged sketch is full " +
+        s"(>= k=$K distinct users in a group) — the KMV readout is an " +
+        "estimate now; raise K (or switch the oracle to a tolerance " +
+        "gate) for this SF")
+    merged.select(col("event_type"), kmv_card(col("sk")).as("n_users"))
       .orderBy("event_type")
   }
 

@@ -182,6 +182,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"not object-hash planned:\n$plan")
     assert("partial_kmv_sketch".r.findAllIn(plan).nonEmpty,
       s"no map-side partial phase:\n$plan")
+    // the e16 precondition gate's length law: [k][n][n longs] means a
+    // sketch is exact iff length < 8 + 8k (n < k), and pins AT the
+    // boundary when full — both regimes asserted on real binaries
+    val lenBelow = df.agg(kmv_sketch(col("key"), 4096).as("sk"))
+      .select(length(col("sk"))).head().getInt(0)
+    assert(lenBelow === 8 + 8 * 3000, s"below-k length law broken: $lenBelow")
+    val lenFull = spark.range(0, 20000).toDF("key")
+      .agg(kmv_sketch(col("key"), 256).as("sk"))
+      .select(length(col("sk"))).head().getInt(0)
+    assert(lenFull === 8 + 8 * 256, s"full-sketch length law broken: $lenFull")
   }
 
   test("IntegerizeSampleFilter: sampling compares go integer, guarded, draw unchanged") {
