@@ -446,13 +446,18 @@ object Relational {
   // and the oracle recomputes v2's cross-table reconciliation from the
   // raw table — a torn read (v1 half + v2 half) breaks the row-level
   // reconciliation the result carries.
-  private def s19AtomicPublish(spark: SparkSession, dir: String): DataFrame = {
-    val root = tmpDir("s19_published", dir)
+  /** s19/s21's publish step: both derived tables written under an
+    * unreferenced version dir, then one atomic pointer flip. Extracted
+    * so the time-travel entry (s21) builds version history through the
+    * exact commit path the publish entry (s19) pins. */
+  private def publishVersions(spark: SparkSession, dir: String,
+                              root: String,
+                              versions: Seq[(Int, String)]): Unit = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val orders = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
-    def publish(version: Int, cutoff: String): Unit = {
+    versions.foreach { case (version, cutoff) =>
       val snap = orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
       val vDir = s"$root/v=$version"
       snap.groupBy("c_custkey", "c_nationkey")
@@ -471,8 +476,12 @@ object Relational {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    publish(1, "1996-01-01")
-    publish(2, "1997-01-01")
+  }
+
+  private def s19AtomicPublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir("s19_published", dir)
+    publishVersions(spark, dir, root,
+      Seq(1 -> "1996-01-01", 2 -> "1997-01-01"))
     // a reader: resolve the pointer ONCE, then read both tables from
     // that version — cross-table consistency by construction
     val v = java.nio.file.Files.readString(
@@ -489,6 +498,37 @@ object Relational {
       .select(col("c_nationkey"), col("n_orders"), col("cents"),
         (col("n_from_cust") === col("n_orders")).as("n_match"),
         (col("cents_from_cust") === col("cents")).as("cents_match"))
+      .orderBy("c_nationkey")
+  }
+
+  // S21: TIME TRAVEL — the read-side payoff of s19's version
+  // directories ("version dirs double as time travel"): the pointer
+  // names the CURRENT version, but every committed version remains
+  // addressable, so "what changed between v1 and v2" is a plain
+  // relational diff of two snapshot reads — the audit/debug query every
+  // versioned lakehouse serves (Delta's VERSION AS OF, Iceberg's
+  // snapshot id). Published through the exact s19 commit path (shared
+  // helper), read back as an AS-OF pair: per nation, v1's rollup, v2's
+  // rollup, and the delta — which the oracle recomputes as the
+  // relational difference of the two cutoff windows over raw orders, so
+  // the hash gate proves snapshots are immutable history, not views.
+  private def s21TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir("s21_versioned", dir)
+    publishVersions(spark, dir, root,
+      Seq(1 -> "1996-01-01", 2 -> "1997-01-01"))
+    // AS OF reads: explicit versions, NOT the pointer — time travel is
+    // exactly the right to ignore _CURRENT
+    def asOf(v: Int) = spark.read.parquet(s"$root/v=$v/by_nation")
+      .select(col("c_nationkey"), col("n_orders").as(s"n_v$v"),
+        col("cents").as(s"cents_v$v"))
+    asOf(1).join(asOf(2), Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        (coalesce(col("n_v2"), lit(0L)) - coalesce(col("n_v1"), lit(0L)))
+          .as("orders_added"),
+        (coalesce(col("cents_v2"), lit(0L)) - coalesce(col("cents_v1"), lit(0L)))
+          .as("cents_added"))
       .orderBy("c_nationkey")
   }
 
@@ -1427,6 +1467,7 @@ object Relational {
     "s18_retention_vacuum" -> (s18RetentionVacuum(_, _)),
     "s19_atomic_publish" -> (s19AtomicPublish(_, _)),
     "s20_manifest_vacuum" -> (s20ManifestVacuum(_, _)),
+    "s21_time_travel" -> (s21TimeTravel(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1767,6 +1808,25 @@ object Relational {
         |FROM events
         |WHERE event_id % 4 IN (2, 3)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the two snapshot windows recomputed over raw orders and diffed —
+    // a snapshot that "moved" after commit would break either side
+    "s21_time_travel" ->
+      """WITH j AS (
+        |  SELECT c_nationkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |v1 AS (
+        |  SELECT c_nationkey, count(*) AS n1, CAST(sum(cents) AS BIGINT) AS c1
+        |  FROM j WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1),
+        |v2 AS (
+        |  SELECT c_nationkey, count(*) AS n2, CAST(sum(cents) AS BIGINT) AS c2
+        |  FROM j WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1)
+        |SELECT c_nationkey,
+        |  coalesce(n1, 0) AS n_v1, coalesce(n2, 0) AS n_v2,
+        |  coalesce(n2, 0) - coalesce(n1, 0) AS orders_added,
+        |  coalesce(c2, 0) - coalesce(c1, 0) AS cents_added
+        |FROM v2 FULL OUTER JOIN v1 USING (c_nationkey)
+        |ORDER BY c_nationkey""".stripMargin,
     // same retained window as s18 — manifest-fronting is commit-protocol
     // physics only, the answer must be identical
     "s20_manifest_vacuum" ->

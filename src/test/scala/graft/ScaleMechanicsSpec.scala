@@ -351,6 +351,26 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(reread.count() > 0, "re-publish over crash debris failed")
   }
 
+  test("S21: committed snapshots stay addressable and internally consistent") {
+    val out = graft.catalog.Relational.queries("s21_time_travel")(spark, sfDir)
+    // the window is monotone: v2 extends v1, nothing can shrink
+    assert(out.count() > 0 && out.filter($"orders_added" < 0).count() === 0)
+    val root = graft.catalog.Relational.tmpDir("s21_versioned", sfDir)
+    // the pointer moved on to v2…
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_CURRENT")).trim === "v=2")
+    // …but v1 remains addressable AND self-consistent: its own
+    // cross-table reconciliation (the s19 invariant) still holds —
+    // immutable history, not a view over moving data
+    val v1c = spark.read.parquet(s"$root/v=1/by_customer")
+      .groupBy("c_nationkey")
+      .agg(sum($"n_orders").as("n"), sum($"cents").as("c"))
+    val v1n = spark.read.parquet(s"$root/v=1/by_nation")
+    val broken = v1c.join(v1n, Seq("c_nationkey"))
+      .filter($"n" =!= $"n_orders" || $"c" =!= $"cents").count()
+    assert(broken === 0, "v1's cross-table reconciliation broke after the v2 commit")
+  }
+
   test("S20: manifest-fronted vacuum — readers never see a half-vacuumed store") {
     import graft.catalog.Relational.{s20CommitManifest, s20ReadViaManifest}
     // the entry itself: gate non-empty and the hash-window shape
