@@ -396,8 +396,7 @@ object GraphML {
   private def m13Fit(spark: SparkSession, dir: String): graft.ml.AdamWTrainer.StreamResult =
     graft.core.AppCache.get(m13Cache,
       (spark.sparkContext.applicationId, dir)) {
-      val tag = java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir))
+      val tag = graft.core.Artifacts.dirTag(dir)
       // 2 epochs × 3 shards: enough steps to show descent + epoch replay;
       // every extra shard is another per-step barrier (the cost the entry
       // demonstrates), so the demo stays small by design

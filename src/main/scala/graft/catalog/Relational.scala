@@ -23,8 +23,7 @@ object Relational {
     * different SF dirs must never share a store. Exposed package-private
     * so specs resolve the same per-SF path the entry used. */
   private[graft] def tmpDir(name: String, dir: String) = {
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val tag = graft.core.Artifacts.dirTag(dir)
     s"/tmp/graft_roundtrip/${name}_$tag"
   }
 
@@ -478,10 +477,23 @@ object Relational {
     }
   }
 
+  // one published store per (app, dir): the publish job runs once, the
+  // pointer reader (s19) and the time-travel reader (s21) both consume
+  // it — production's economics (one nightly publish, many readers),
+  // the s17/j13/sharedIvfIndex staging discipline applied here
+  private val publishedStore =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def sharedPublishedRoot(spark: SparkSession, dir: String): String =
+    graft.core.AppCache.get(publishedStore,
+      (spark.sparkContext.applicationId, dir)) {
+      val root = tmpDir("s19_published", dir)
+      publishVersions(spark, dir, root,
+        Seq(1 -> "1996-01-01", 2 -> "1997-01-01"))
+      root
+    }
+
   private def s19AtomicPublish(spark: SparkSession, dir: String): DataFrame = {
-    val root = tmpDir("s19_published", dir)
-    publishVersions(spark, dir, root,
-      Seq(1 -> "1996-01-01", 2 -> "1997-01-01"))
+    val root = sharedPublishedRoot(spark, dir)
     // a reader: resolve the pointer ONCE, then read both tables from
     // that version — cross-table consistency by construction
     val v = java.nio.file.Files.readString(
@@ -512,10 +524,9 @@ object Relational {
   // rollup, and the delta — which the oracle recomputes as the
   // relational difference of the two cutoff windows over raw orders, so
   // the hash gate proves snapshots are immutable history, not views.
+  // Consumes the SHARED published store: one publish, many readers.
   private def s21TimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val root = tmpDir("s21_versioned", dir)
-    publishVersions(spark, dir, root,
-      Seq(1 -> "1996-01-01", 2 -> "1997-01-01"))
+    val root = sharedPublishedRoot(spark, dir)
     // AS OF reads: explicit versions, NOT the pointer — time travel is
     // exactly the right to ignore _CURRENT
     def asOf(v: Int) = spark.read.parquet(s"$root/v=$v/by_nation")

@@ -117,11 +117,8 @@ object ScaleOps {
     // app-scoped + dir-scoped: two Spark apps sharing one warehouse (or
     // a dir-hash collision) must not DROP/overwrite each other's tables
     // while the other app's memo still believes its tables are valid
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        spark.sparkContext.applicationId)) + "_" +
-      java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir))
+    val tag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId) + "_" +
+      graft.core.Artifacts.dirTag(dir)
     graft.core.AppCache.get(j13Written,
       (spark.sparkContext.applicationId, dir)) {
       // cross-process hygiene, same age-gated policy as
@@ -319,8 +316,7 @@ object ScaleOps {
     * SFs never clobber each other; prior contents are removed so every
     * run starts from an empty store. */
   private def freshStagingDir(name: String, dir: String): java.nio.file.Path = {
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val tag = graft.core.Artifacts.dirTag(dir)
     val base = java.nio.file.Paths.get(s"/tmp/graft_stream/${name}_$tag")
     if (java.nio.file.Files.exists(base)) {
       import scala.jdk.CollectionConverters._
@@ -651,8 +647,7 @@ object ScaleOps {
   private val e10StagedCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private def e10LateDataDrop(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val tag = graft.core.Artifacts.dirTag(dir)
     // applicationId in the path: two concurrent runs over the same sfDir
     // (bench + test suite on a shared box) must not delete each other's
     // checkpoint/out mid-stream — same rule as the memo caches. Dead

@@ -201,8 +201,7 @@ object TextSim {
   // demonstrated the same invariant at twice the fixed micro-batch
   // setup cost (r7 finding 3).
   private def e11StreamIngestDedup(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val tag = graft.core.Artifacts.dirTag(dir)
     val base = s"/tmp/graft_stream/e11_${spark.sparkContext.applicationId}_$tag"
     graft.core.Artifacts.reapStale("/tmp/graft_stream", "e11_", base)
     val basePath = java.nio.file.Paths.get(base)
@@ -340,8 +339,7 @@ object TextSim {
   // this is the same ingest topology with a model where the signature
   // store was.
   private def e12StreamQualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val tag = graft.core.Artifacts.dirTag(dir)
     val base = s"/tmp/graft_stream/e12_${spark.sparkContext.applicationId}_$tag"
     graft.core.Artifacts.reapStale("/tmp/graft_stream", "e12_", base)
     val basePath = java.nio.file.Paths.get(base)

@@ -13,6 +13,13 @@ object Artifacts {
   private def root(dir: String) =
     s"/tmp/graft_artifacts/${new java.io.File(dir).getName}"
 
+  /** THE path-tag for keying /tmp staging roots by an input string
+    * (usually the SF dir): one definition, because a spec that resolves
+    * the same path as its entry must agree bit-for-bit, and the scheme
+    * had been hand-rolled at 7+ sites. */
+  def dirTag(s: String): String =
+    java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s))
+
   /** Persist `df` under the per-SF artifact root and read it back, so
     * downstream plans consume the exact persisted bits. */
   def write(spark: SparkSession, dir: String, name: String,

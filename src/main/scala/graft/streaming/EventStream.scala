@@ -216,7 +216,12 @@ object EventStream {
     // tables (graft.tools.ScaleUp) are directories of part files —
     // stage either shape into one flat dir (micro-batch ingest of
     // dropped-in files is exactly the dvid-injection pattern anyway)
+    // delete-then-stage (the freshStagingDir discipline): a prior run's
+    // part files carry run-unique names, so REPLACE_EXISTING alone would
+    // leave stale files behind when the source dir is regenerated — the
+    // stream would silently ingest old+new and double its rows
     val staged = java.nio.file.Paths.get(s"/tmp/graft_stream/$queryName")
+    org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
     java.nio.file.Files.createDirectories(staged)
     val src0 = java.nio.file.Paths.get(s"$dir/events.parquet")
     if (java.nio.file.Files.isDirectory(src0)) {

@@ -47,18 +47,31 @@ object ScaleUp {
     // dims copied verbatim — FK targets, not fact mass
     Seq("region", "nation").foreach(n => write(n, read(n)))
 
-    /** One pass per table: crossJoin a `copies`-row frame, shift the
-      * named long keys by i·(max+1) each, preserve column order. */
-    def tile(name: String, keys: Seq[String],
+    // Every key's shift base comes from the table that OWNS the key,
+    // never from the referencing column's own max: an FK column whose
+    // maximum referenced key happens to be unreferenced (TPC-H leaves
+    // every custkey ≡ 0 mod 3 orderless) would otherwise shift by a
+    // smaller base than its PK and cross-wire copies. One base per key
+    // domain keeps every copy a self-consistent universe.
+    def keyBase(table: String, key: String): Long =
+      read(table).agg(max(col(key))).head().getLong(0) + 1L
+    val custBase = keyBase("customer", "c_custkey")
+    val suppBase = keyBase("supplier", "s_suppkey")
+    val partBase = keyBase("part", "p_partkey")
+    val orderBase = keyBase("orders", "o_orderkey")
+    val eventBase = keyBase("events", "event_id")
+    val docBase = keyBase("documents", "doc_id")
+    val vecBase = keyBase("embeddings", "vec_id")
+
+    /** One pass per table: crossJoin a `copies`-row frame, shift each
+      * named key by i·(its domain base), preserve column order. */
+    def tile(name: String, keys: Seq[(String, Long)],
              extra: DataFrame => DataFrame = identity): Unit = {
       val df0 = read(name)
-      val maxes = keys.map { k =>
-        k -> (df0.agg(max(col(k))).head().getLong(0) + 1L)
-      }
       val cols = df0.columns
       val tiled0 = df0.crossJoin(
         broadcast(spark.range(copies.toLong).toDF("__c")))
-      val shifted = maxes.foldLeft(tiled0) { case (df, (k, m)) =>
+      val shifted = keys.foldLeft(tiled0) { case (df, (k, m)) =>
         df.withColumn(k, col(k) + col("__c") * lit(m))
       }
       write(name, extra(shifted).select(cols.head, cols.tail: _*))
@@ -68,19 +81,20 @@ object ScaleUp {
     // substrings, and 10 verbatim copies of every name would merge the
     // blocks into a 100× pair blowup no organic corpus has (distinct
     // real-world names keep blocks bounded — the tag preserves that)
-    tile("customer", Seq("c_custkey"), extra = df =>
+    tile("customer", Seq("c_custkey" -> custBase), extra = df =>
       df.withColumn("c_name",
         when(col("__c") === 0, col("c_name"))
           .otherwise(concat(col("c_name"), lit("_c"), col("__c")))))
-    tile("supplier", Seq("s_suppkey"), extra = df =>
+    tile("supplier", Seq("s_suppkey" -> suppBase), extra = df =>
       df.withColumn("s_name",
         when(col("__c") === 0, col("s_name"))
           .otherwise(concat(col("s_name"), lit("_c"), col("__c")))))
-    tile("part", Seq("p_partkey"))
-    tile("orders", Seq("o_orderkey", "o_custkey"))
-    tile("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    tile("events", Seq("event_id", "user_id"))
-    tile("embeddings", Seq("vec_id"))
+    tile("part", Seq("p_partkey" -> partBase))
+    tile("orders", Seq("o_orderkey" -> orderBase, "o_custkey" -> custBase))
+    tile("lineitem", Seq("l_orderkey" -> orderBase, "l_partkey" -> partBase,
+      "l_suppkey" -> suppBase))
+    tile("events", Seq("event_id" -> eventBase, "user_id" -> custBase))
+    tile("embeddings", Seq("vec_id" -> vecBase))
     // documents: per-copy ALPHABET ROTATION, not token tagging. The
     // dedup kernels shingle CHARACTERS, and any uniform tag string
     // becomes a copy-wide shared shingle fabric that collapses minhash
@@ -90,13 +104,19 @@ object ScaleUp {
     // similarity structure is preserved EXACTLY (isomorphic shingle
     // sets, identical dup clusters), cross-copy shingles are disjoint,
     // and n_chars/token boundaries don't move.
+    // rotation i = 0 (identity) recurs at every multiple of 26 — copy
+    // 26 would duplicate copy 0 verbatim and re-create the cross-copy
+    // collision blowup the rotation exists to prevent; fail loudly
+    require(copies <= 26,
+      s"copies=$copies > 26: the per-copy alphabet rotation repeats at " +
+        "i % 26 == 0 — pick <= 26 copies or extend the perturbation")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val rotated = (1 until copies).foldLeft(
         when(col("__c") === 0, col("text"))) { (w, i) =>
-      val r = alpha.drop(i % 26) + alpha.take(i % 26)
+      val r = alpha.drop(i) + alpha.take(i)
       w.when(col("__c") === i, translate(col("text"), alpha, r))
     }
-    tile("documents", Seq("doc_id"), extra = df =>
+    tile("documents", Seq("doc_id" -> docBase), extra = df =>
       df.withColumn("text", rotated))
 
     spark.stop()

@@ -355,7 +355,7 @@ class ScaleMechanicsSpec extends SparkSpec {
     val out = graft.catalog.Relational.queries("s21_time_travel")(spark, sfDir)
     // the window is monotone: v2 extends v1, nothing can shrink
     assert(out.count() > 0 && out.filter($"orders_added" < 0).count() === 0)
-    val root = graft.catalog.Relational.tmpDir("s21_versioned", sfDir)
+    val root = graft.catalog.Relational.tmpDir("s19_published", sfDir)
     // the pointer moved on to v2…
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/_CURRENT")).trim === "v=2")
