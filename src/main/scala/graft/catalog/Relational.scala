@@ -449,9 +449,9 @@ object Relational {
     * unreferenced version dir, then one atomic pointer flip. Extracted
     * so the time-travel entry (s21) builds version history through the
     * exact commit path the publish entry (s19) pins. */
-  private def publishVersions(spark: SparkSession, dir: String,
-                              root: String,
-                              versions: Seq[(Int, String)]): Unit = {
+  private[graft] def publishVersions(spark: SparkSession, dir: String,
+                                     root: String,
+                                     versions: Seq[(Int, String)]): Unit = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val orders = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
@@ -483,10 +483,17 @@ object Relational {
   // the s17/j13/sharedIvfIndex staging discipline applied here
   private val publishedStore =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  /** The shared store's path — app-scoped like j13's bucketed tables:
+    * the memo trusts the on-disk store for the app's lifetime, so a
+    * concurrent app must publish into its OWN root, never wipe this
+    * one. Package-private so specs resolve the same path. */
+  private[graft] def publishedRoot(spark: SparkSession, dir: String): String =
+    tmpDir("s19_published_" +
+      graft.core.Artifacts.dirTag(spark.sparkContext.applicationId), dir)
   private def sharedPublishedRoot(spark: SparkSession, dir: String): String =
     graft.core.AppCache.get(publishedStore,
       (spark.sparkContext.applicationId, dir)) {
-      val root = tmpDir("s19_published", dir)
+      val root = publishedRoot(spark, dir)
       publishVersions(spark, dir, root,
         Seq(1 -> "1996-01-01", 2 -> "1997-01-01"))
       root

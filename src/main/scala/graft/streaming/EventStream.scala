@@ -219,8 +219,11 @@ object EventStream {
     // delete-then-stage (the freshStagingDir discipline): a prior run's
     // part files carry run-unique names, so REPLACE_EXISTING alone would
     // leave stale files behind when the source dir is regenerated — the
-    // stream would silently ingest old+new and double its rows
-    val staged = java.nio.file.Paths.get(s"/tmp/graft_stream/$queryName")
+    // stream would silently ingest old+new and double its rows. App-
+    // scoped (the j13 rule): the wipe is destructive, so two concurrent
+    // apps over the same dir must never share a staged source.
+    val appTag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
+    val staged = java.nio.file.Paths.get(s"/tmp/graft_stream/${appTag}_$queryName")
     org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
     java.nio.file.Files.createDirectories(staged)
     val src0 = java.nio.file.Paths.get(s"$dir/events.parquet")

@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions._
   * is a self-consistent universe, so joins/graphs scale linearly by
   * construction and graph components don't merge across copies.
   * Dimension tables (region, nation) are NOT tiled: FK targets stay
-  * valid and group-by cardinalities stay realistic. Document text gets
-  * every token suffixed `_c<i>` in copies > 0 — cross-copy shingles
-  * and gram hashes can never collide, so the dedup kernels see the
-  * SAME per-copy duplicate structure as the source SF instead of a
-  * pathological everything-matches-everything blowup. Embedding
-  * vectors are copied verbatim (vec_id shifted); the ANN sweep rows
-  * note this when interpreting cross-copy dup counts.
+  * valid and group-by cardinalities stay realistic. Document text is
+  * alphabet-ROTATED per copy (see the documents tile below for why a
+  * token tag fails) — cross-copy shingles and gram hashes can never
+  * collide, so the dedup kernels see the SAME per-copy duplicate
+  * structure as the source SF instead of a pathological
+  * everything-matches-everything blowup. Embedding vectors are copied
+  * verbatim (vec_id shifted by the doc_id base it joins against); the
+  * ANN sweep rows note this when interpreting cross-copy dup counts.
   *
   * Usage: graft.tools.ScaleUp <srcSfDir> <dstDir> <copies>
   */
@@ -27,6 +28,14 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, copiesS) = args.take(3)
     val copies = copiesS.toInt
+    // input-only validation BEFORE any writes: a late failure would
+    // leave a partially-tiled destination that looks like a valid SF.
+    // (rotation i = 0 recurs at every multiple of 26 — copy 26 would
+    // duplicate copy 0 verbatim and re-create the cross-copy collision
+    // blowup the rotation exists to prevent)
+    require(copies >= 1 && copies <= 26,
+      s"copies=$copies out of [1, 26]: the per-copy alphabet rotation " +
+        "repeats at i % 26 == 0 — pick <= 26 copies or extend the perturbation")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,7 +70,6 @@ object ScaleUp {
     val orderBase = keyBase("orders", "o_orderkey")
     val eventBase = keyBase("events", "event_id")
     val docBase = keyBase("documents", "doc_id")
-    val vecBase = keyBase("embeddings", "vec_id")
 
     /** One pass per table: crossJoin a `copies`-row frame, shift each
       * named key by i·(its domain base), preserve column order. */
@@ -94,7 +102,11 @@ object ScaleUp {
     tile("lineitem", Seq("l_orderkey" -> orderBase, "l_partkey" -> partBase,
       "l_suppkey" -> suppBase))
     tile("events", Seq("event_id" -> eventBase, "user_id" -> custBase))
-    tile("embeddings", Seq("vec_id" -> vecBase))
+    // vec_id lives in the doc_id DOMAIN (sql_extension_fns joins
+    // embeddings.vec_id = documents.doc_id), so it must shift by the
+    // document base — its own max is smaller (not every doc has a
+    // vector) and would cross-wire copies
+    tile("embeddings", Seq("vec_id" -> docBase))
     // documents: per-copy ALPHABET ROTATION, not token tagging. The
     // dedup kernels shingle CHARACTERS, and any uniform tag string
     // becomes a copy-wide shared shingle fabric that collapses minhash
@@ -104,12 +116,6 @@ object ScaleUp {
     // similarity structure is preserved EXACTLY (isomorphic shingle
     // sets, identical dup clusters), cross-copy shingles are disjoint,
     // and n_chars/token boundaries don't move.
-    // rotation i = 0 (identity) recurs at every multiple of 26 — copy
-    // 26 would duplicate copy 0 verbatim and re-create the cross-copy
-    // collision blowup the rotation exists to prevent; fail loudly
-    require(copies <= 26,
-      s"copies=$copies > 26: the per-copy alphabet rotation repeats at " +
-        "i % 26 == 0 — pick <= 26 copies or extend the perturbation")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val rotated = (1 until copies).foldLeft(
         when(col("__c") === 0, col("text"))) { (w, i) =>

@@ -99,8 +99,7 @@ class ScaleMechanicsSpec extends SparkSpec {
       direct.exceptAll(merged).count() === 0,
       "incremental merge diverged from the full recompute")
     // the refresh state is |groups|·|batches| rows — never corpus-sized
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sfDir))
+    val tag = graft.core.Artifacts.dirTag(sfDir)
     val state = spark.read.parquet(s"/tmp/graft_stream/e15_$tag/agg_state")
     val groups = direct.count()
     assert(state.count() === groups * 3,
@@ -215,8 +214,7 @@ class ScaleMechanicsSpec extends SparkSpec {
   test("E17: replay leaves the idempotent store unchanged; append would double") {
     val audit = graft.catalog.ScaleOps.queries("e17_idempotent_replay")(spark, sfDir)
     audit.collect()
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sfDir))
+    val tag = graft.core.Artifacts.dirTag(sfDir)
     val store = spark.read.parquet(s"/tmp/graft_stream/e17_$tag/store")
     val ev = graft.core.Tables.events(spark, sfDir)
     // exactly-once despite the redelivery: full coverage, zero dupes
@@ -271,8 +269,7 @@ class ScaleMechanicsSpec extends SparkSpec {
   test("E18: the restarted query reads only the files that arrived while it was down") {
     val audit = graft.catalog.ScaleOps.queries("e18_checkpoint_resume")(spark, sfDir)
     audit.collect()
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sfDir))
+    val tag = graft.core.Artifacts.dirTag(sfDir)
     val store = spark.read.parquet(s"/tmp/graft_stream/e18_$tag/store")
     val ev = graft.core.Tables.events(spark, sfDir)
     // source-side exactly-once: full coverage, zero reprocessing
@@ -325,7 +322,7 @@ class ScaleMechanicsSpec extends SparkSpec {
     val rows = audit.collect()
     assert(rows.nonEmpty && rows.forall(r => r.getBoolean(3) && r.getBoolean(4)),
       "pointer read failed its own cross-table reconciliation")
-    val root = graft.catalog.Relational.tmpDir("s19_published", sfDir)
+    val root = graft.catalog.Relational.publishedRoot(spark, sfDir)
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/_CURRENT")).trim === "v=2",
       "publish did not flip the pointer")
@@ -347,15 +344,28 @@ class ScaleMechanicsSpec extends SparkSpec {
     val resolved = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/_CURRENT")).trim
     assert(resolved === "v=2", "an unflipped pointer moved — crash isolation broken")
+    // readers stay debris-blind (the entry memo-hits the standing store)
     val reread = graft.catalog.Relational.queries("s19_atomic_publish")(spark, sfDir)
-    assert(reread.count() > 0, "re-publish over crash debris failed")
+    assert(reread.count() > 0, "reader over crash debris failed")
+    // and a RE-PUBLISH self-heals over debris — exercised directly on a
+    // spec-owned root (the shared store's memo deliberately skips it)
+    val specRoot = graft.catalog.Relational.tmpDir("s19_spec_republish", sfDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(specRoot))
+    spark.read.parquet(s"$root/v=2/by_customer").limit(1)
+      .write.parquet(s"$specRoot/v=9/by_customer") // pre-seeded debris
+    graft.catalog.Relational.publishVersions(spark, sfDir, specRoot,
+      Seq(1 -> "1996-01-01"))
+    assert(!new java.io.File(s"$specRoot/v=9").exists(),
+      "publish did not clear crash debris")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$specRoot/_CURRENT")).trim === "v=1")
   }
 
   test("S21: committed snapshots stay addressable and internally consistent") {
     val out = graft.catalog.Relational.queries("s21_time_travel")(spark, sfDir)
     // the window is monotone: v2 extends v1, nothing can shrink
     assert(out.count() > 0 && out.filter($"orders_added" < 0).count() === 0)
-    val root = graft.catalog.Relational.tmpDir("s19_published", sfDir)
+    val root = graft.catalog.Relational.publishedRoot(spark, sfDir)
     // the pointer moved on to v2…
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/_CURRENT")).trim === "v=2")
