@@ -74,11 +74,15 @@ object Bench {
     println(line)
     // the stdout line is also persisted: a clipped log buffer must
     // never truncate the per-query map the round's perf judgment needs.
-    // Written BOTH to target/ (scratch) and the repo root — the root
-    // copy is committed at each round close so every round's verdict
-    // can diff ALL timings against the previous round, not just the
-    // ~38 the driver's truncated tail happens to keep.
-    for (path <- Seq("target/bench_last.json", "bench_last.json")) {
+    // target/bench_last.json is always written (scratch); the repo-root
+    // copy — the artifact committed at round close so verdicts can diff
+    // ALL timings round-over-round — is gated on
+    // SPARK_GRAFT_COMMIT_BENCH=1, so a stray/subset/judge re-run can
+    // never silently clobber the committed full map or dirty the tree.
+    val commitRoot = sys.env.get("SPARK_GRAFT_COMMIT_BENCH").contains("1")
+    val outPaths = if (commitRoot) Seq("target/bench_last.json", "bench_last.json")
+      else Seq("target/bench_last.json")
+    for (path <- outPaths) {
       try {
         val out = java.nio.file.Paths.get(path)
         if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

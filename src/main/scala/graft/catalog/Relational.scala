@@ -285,9 +285,21 @@ object Relational {
   // after bench, bench reruns) pay only the probe
   private val s17Staged =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Unit]()
+  /** s17's staged layout paths, app-scoped like publishedRoot/j13: the
+    * memo trusts the on-disk layout for the app's lifetime, and the
+    * write is a non-atomic mode(overwrite), so a concurrent app over the
+    * SAME SF dir must stage into its OWN paths — sharing them risks a
+    * mid-probe FileNotFoundException when the other app rewrites.
+    * Package-private so the DPP spec resolves the exact paths its entry
+    * staged. */
+  private[graft] def s17Paths(spark: SparkSession, dir: String): (String, String) = {
+    val appTag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
+    (tmpDir(s"s17_lineitem_by_year_$appTag", dir),
+      tmpDir(s"s17_calendar_dim_$appTag", dir))
+  }
   private def s17DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
-    val factPath = tmpDir("s17_lineitem_by_year", dir)
-    val dimPath = tmpDir("s17_calendar_dim", dir)
+    val (factPath, dimPath) = s17Paths(spark, dir)
+    val appTag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
     graft.core.AppCache.get(s17Staged,
       (spark.sparkContext.applicationId, dir)) {
       val li = Tables.lineitem(spark, dir)
@@ -298,6 +310,11 @@ object Relational {
         .withColumn("era",
           when(col("ship_year") >= 1996, lit("late")).otherwise(lit("early")))
         .write.mode("overwrite").parquet(dimPath)
+      // dead apps' staged layouts stop accumulating (e11/e12 discipline);
+      // age-gating keeps a live concurrent app's fresh layout safe
+      graft.core.Artifacts.reapStaleWhere("/tmp/graft_roundtrip",
+        n => (n.startsWith("s17_lineitem_by_year_") ||
+          n.startsWith("s17_calendar_dim_")) && !n.contains(appTag))
     }
     val fact = spark.read.parquet(factPath)
     val cal = spark.read.parquet(dimPath).filter(col("era") === "late")
@@ -496,6 +513,12 @@ object Relational {
       val root = publishedRoot(spark, dir)
       publishVersions(spark, dir, root,
         Seq(1 -> "1996-01-01", 2 -> "1997-01-01"))
+      // dead apps' published stores stop accumulating (e11/e12
+      // discipline); the app tag is an infix of the root's dir name
+      val appTag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
+      graft.core.Artifacts.reapStaleWhere("/tmp/graft_roundtrip",
+        n => n.startsWith("s19_published_") && !n.contains(appTag),
+        keepPath = root)
       root
     }
 

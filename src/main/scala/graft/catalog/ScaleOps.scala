@@ -402,10 +402,15 @@ object ScaleOps {
         .withColumn("dvid", lit(i + 1))
         .write.mode("append").partitionBy("dvid").parquet(state)
     }
+    // materialize the |groups|-row merged frame once so the exactness
+    // gate below and the final readout share ONE evaluation of the
+    // sketch-union aggregate (the entry's heaviest job), instead of the
+    // gate silently doubling it
     val merged = spark.read.parquet(state)
       .groupBy("event_type")
       .agg(kmv_sketch(col("sk"), K).as("sk")) // binary input → sketch union
-    // LOUD precondition gate, read off the sketch ITSELF for free: the
+      .localCheckpoint(true)
+    // LOUD precondition gate, read off the checkpointed sketch rows: the
     // binary layout is [k][n][n longs], so a merged sketch is exact iff
     // its length stays under 8 + 8k (n < k; at n == k KmvCardinality
     // already switches to the estimator). The exact-COUNT(DISTINCT)

@@ -287,14 +287,27 @@ object GraphXAnalytics {
   /** Triangle count per vertex over an arbitrary (src, dst) edge
     * DataFrame, treated as undirected (GraphX canonicalizes + dedups
     * internally). Ids of any type — hashed via their string form to
-    * GraphX Long vertex ids, translated back through the kept mapping. */
+    * GraphX Long vertex ids, translated back through the kept mapping.
+    *
+    * The dense leg collects the hashed edge list into boxed driver
+    * structures (HashSet of pairs + adjacency arrays, ~100–150 B/edge
+    * with JVM overhead), so the default gate is sized for a default
+    * driver heap: 2.5M edges ≈ 300 MB worst case (the PPR dense-pair
+    * budget, not the 16 B/edge primitive-array gate CC/PageRank use).
+    * Callers with a fat driver may raise it. The hashed projection is
+    * checkpoint-materialized ONCE and shared by the gate count and
+    * whichever leg runs — no second evaluation of the upstream plan. */
   def triangles(spark: SparkSession, edges: DataFrame,
-                seqMaxEdges: Long = 5000000L): DataFrame = {
+                seqMaxEdges: Long = 2500000L): DataFrame = {
     import spark.implicits._
     val vm = edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id"))).distinct()
       .select(col("id"), xxhash64(col("id").cast("string")).as("vid"))
-    val counted: DataFrame = if (edges.count() <= seqMaxEdges) {
+    val hashed = edges
+      .select(xxhash64(col("src").cast("string")).as("s"),
+        xxhash64(col("dst").cast("string")).as("d"))
+      .localCheckpoint(true)
+    val counted: DataFrame = if (hashed.count() <= seqMaxEdges) {
       // Hybrid dense leg (same gate as CC/PageRank/BFS): the hashed
       // canonical edge set fits on the driver, and sorted-adjacency
       // intersection counts every vertex's triangles in one pass —
@@ -303,10 +316,7 @@ object GraphXAnalytics {
       // (one per incident edge), so tri(v) = acc(v)/2. Semantics match
       // GraphX triangleCount: direction-canonicalized, self-loops and
       // duplicate edges dropped.
-      val rows = edges
-        .select(xxhash64(col("src").cast("string")).as("s"),
-          xxhash64(col("dst").cast("string")).as("d"))
-        .collect()
+      val rows = hashed.collect()
       val canon = scala.collection.mutable.HashSet.empty[(Long, Long)]
       rows.foreach { r =>
         val a = r.getLong(0); val b = r.getLong(1)
@@ -339,10 +349,7 @@ object GraphXAnalytics {
       rows.foreach { r => verts += r.getLong(0); verts += r.getLong(1) }
       verts.iterator.map(v => (v, acc(v) / 2)).toSeq.toDF("vid", "tri")
     } else {
-      val edgeRdd = edges
-        .select(xxhash64(col("src").cast("string")).as("s"),
-          xxhash64(col("dst").cast("string")).as("d"))
-        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      val edgeRdd = hashed.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
       Graph.fromEdges(edgeRdd, ()).triangleCount().vertices.toDF("vid", "tri")
     }
     counted.join(vm, "vid")

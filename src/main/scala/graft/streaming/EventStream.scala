@@ -226,6 +226,12 @@ object EventStream {
     val staged = java.nio.file.Paths.get(s"/tmp/graft_stream/${appTag}_$queryName")
     org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
     java.nio.file.Files.createDirectories(staged)
+    // dead apps' staged copies of THIS query's source stop accumulating
+    // (the e10staged_/e11/e12 discipline); age-gating keeps live
+    // concurrent apps' staging safe
+    graft.core.Artifacts.reapStaleWhere("/tmp/graft_stream",
+      n => n.endsWith(s"_$queryName") && !n.startsWith(appTag),
+      keepPath = staged.toString)
     val src0 = java.nio.file.Paths.get(s"$dir/events.parquet")
     if (java.nio.file.Files.isDirectory(src0)) {
       val l = java.nio.file.Files.list(src0)

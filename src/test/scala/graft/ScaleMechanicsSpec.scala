@@ -241,8 +241,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     // readable metrics; DPP is independent of AQE)
     val ns = spark.newSession()
     ns.conf.set("spark.sql.adaptive.enabled", "false")
-    val probe = ns.read.parquet(graft.catalog.Relational.tmpDir("s17_lineitem_by_year", sfDir))
-      .join(broadcast(ns.read.parquet(graft.catalog.Relational.tmpDir("s17_calendar_dim", sfDir))
+    val (s17Fact, s17Dim) = graft.catalog.Relational.s17Paths(spark, sfDir)
+    val probe = ns.read.parquet(s17Fact)
+      .join(broadcast(ns.read.parquet(s17Dim)
         .filter(col("era") === "late")), Seq("ship_year"))
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     probe.collect()
@@ -257,7 +258,7 @@ class ScaleMechanicsSpec extends SparkSpec {
       s"fact scan not dynamically pruned: $pf")
     // and the pruning is REAL: the scan read a strict subset of the
     // year partitions (the dim admits years >= 1996 of 1992–1998)
-    val totalYears = spark.read.parquet(graft.catalog.Relational.tmpDir("s17_lineitem_by_year", sfDir))
+    val totalYears = spark.read.parquet(s17Fact)
       .select("ship_year").distinct().count()
     val readParts = fact.metrics.get("numPartitions").map(_.value)
       .getOrElse(fail("scan exposes no numPartitions metric"))
