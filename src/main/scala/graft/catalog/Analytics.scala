@@ -948,24 +948,42 @@ object Analytics {
   // (approx within 10% of exact, approx-p50 inside the exact p45–p55
   // band), so a drifting HLL/KLL implementation flips a flag and fails
   // the hash even though the sketch value itself has no SQL mirror.
+  // Two data scales in one pass ("full" and the even-orderkey "half",
+  // whose order cardinality is ~½) so the bound is asserted as a TREND
+  // across scale, not at one point — the ~1/√k error of a sketch must
+  // hold regardless of n, and a drifting implementation usually fails
+  // at one scale first. The KMV row rides the e16 machinery: k=128 ≪
+  // distinct orders at every shipped SF, so the ESTIMATOR regime (not
+  // the exact below-k regime) is what's gated, at a 0.25 bound ≈ 2.8σ
+  // of the deterministic splitmix64 draw.
   private def a16bSketchBounds(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    li.agg(
+    import graft.plans.expressions.{kmv_sketch, kmv_card}
+    val K = 128
+    val tagged = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"),
+        explode(when(pmod(col("l_orderkey"), lit(2)) === 0,
+          array(lit("full"), lit("half"))).otherwise(array(lit("full"))))
+          .as("scale"))
+    tagged.groupBy("scale").agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_partkey")).as("nd_parts"),
         approx_count_distinct(col("l_orderkey")).as("nd_orders"),
+        kmv_card(kmv_sketch(col("l_orderkey").cast("long"), K)).as("kmv_orders"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
         expr("percentile(l_extendedprice, 0.45)").as("p45"),
         expr("percentile(l_extendedprice, 0.55)").as("p55"))
-      .select(
+      .select(col("scale"),
         col("exact_parts"), col("exact_orders"),
         (abs(col("nd_parts").cast("double") / col("exact_parts") - 1.0) <= 0.1)
           .cast("int").as("parts_within_10pct"),
         (abs(col("nd_orders").cast("double") / col("exact_orders") - 1.0) <= 0.1)
           .cast("int").as("orders_within_10pct"),
         (col("ap50") >= col("p45") && col("ap50") <= col("p55"))
-          .cast("int").as("p50_within_rank_band"))
+          .cast("int").as("p50_within_rank_band"),
+        (abs(col("kmv_orders").cast("double") / col("exact_orders") - 1.0) <= 0.25)
+          .cast("int").as("kmv_orders_within_bound"))
+      .orderBy("scale")
   }
 
   // P6: inactive-node prune — drop customers with no purchase activity
@@ -1541,11 +1559,17 @@ object Analytics {
          |SELECT segment, ck AS picked FROM y WHERE rn = 1 ORDER BY segment""".stripMargin
     },
     "a16b_sketch_bounds" ->
-      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      """WITH s AS (
+        |  SELECT 'full' AS scale, l_partkey, l_orderkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'half', l_partkey, l_orderkey FROM lineitem
+        |  WHERE l_orderkey % 2 = 0)
+        |SELECT scale,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |  1 AS parts_within_10pct, 1 AS orders_within_10pct,
-        |  1 AS p50_within_rank_band
-        |FROM lineitem""".stripMargin,
+        |  1 AS p50_within_rank_band, 1 AS kmv_orders_within_bound
+        |FROM s GROUP BY scale ORDER BY scale""".stripMargin,
     "r8_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |w AS (SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE), 0.5) AS wgt FROM c),

@@ -913,9 +913,22 @@ object TextSim {
 
   /** t22's engine with the dense-kernel threshold exposed so the
     * fallback path is spec-testable (`denseMaxVocab = 0` forces the
-    * per-round vocab-table jobs). */
+    * per-round vocab-table jobs).
+    *
+    * Stop rules (how real tokenizer trainings terminate — `nMerges` is
+    * the hard round cap, the production knobs compose with it):
+    *  - `targetVocab`: stop once |alphabet| + merges reaches the target
+    *    vocabulary size (each merge mints exactly one new symbol, so
+    *    the budget is derived up front from one bounded job over the
+    *    word-vocab table — no per-round vocab census).
+    *  - `minPairFreq`: stop BEFORE applying a merge whose best pair
+    *    count falls below the floor (rare-pair merges memorize noise).
+    * Defaults (None / 1) reproduce the fixed-round behavior exactly,
+    * keeping t22/t22b's hash-gated tables byte-stable. */
   private[graft] def bpeMerges(spark: SparkSession, dir: String,
-                                 nMerges: Int, denseMaxVocab: Long): DataFrame = {
+                                 nMerges: Int, denseMaxVocab: Long,
+                                 targetVocab: Option[Long] = None,
+                                 minPairFreq: Long = 1L): DataFrame = {
     import spark.implicits._
     // zero-length token guard: sequence(1, 0) DESCENDS to [1, 0] in
     // Spark (two empty symbols → '____') while the oracle's
@@ -934,6 +947,17 @@ object TextSim {
     require(vocabW.filter(col("w").contains("_")).limit(1).count() == 0,
       "BPE sentinel encoding requires underscore-free tokens")
     var vocab = vocabW.select("freq", "s")
+    // the vocab-size stop resolves to a merge budget up front: vocab
+    // grows by exactly one symbol per merge, so budget = target −
+    // |alphabet| (one job over the word-vocab table, not the corpus)
+    val rounds = targetVocab match {
+      case Some(tv) =>
+        val alpha = vocabW
+          .select(explode(split(col("w"), "")).as("c"))
+          .agg(count_distinct(col("c")).as("n")).head().getLong(0)
+        math.min(nMerges.toLong, math.max(0L, tv - alpha)).toInt
+      case None => nMerges
+    }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     if (vocab.count() <= denseMaxVocab) {
       // dense vocab kernel: after the one corpus pass the working set
@@ -946,7 +970,7 @@ object TextSim {
           (f, s.stripPrefix("_").stripSuffix("_").split("__"))
         }
       var step = 1
-      while (step <= nMerges) {
+      while (step <= rounds) {
         val cnt = new java.util.HashMap[(String, String), Long]()
         words.foreach { case (f, syms) =>
           var i = 0
@@ -965,9 +989,10 @@ object TextSim {
               (k._1 == best._1._1 && k._2 < best._1._2))))
             best = (k, v)
         }
-        if (best == null) step = nMerges + 1 // exhausted: every word is
-        else {                               // one symbol — stop early,
-          val ((a, b), c) = best             // mirroring the oracle's
+        if (best == null || best._2 < minPairFreq)
+          step = rounds + 1 // exhausted (every word one symbol) or the
+        else {              // best pair is under the frequency floor —
+          val ((a, b), c) = best // stop early, mirroring the oracle's
           merges += ((step, a, b, c))        // truncated merge table
           var wi = 0
           while (wi < words.length) {
@@ -989,7 +1014,7 @@ object TextSim {
       // corpus-scale fallback: one vocab-table job + 1-row TakeOrdered
       // per round, lineage truncated round-by-round
       var step = 1
-      while (step <= nMerges) {
+      while (step <= rounds) {
         val syms = vocab.select(col("freq"),
           split(regexp_replace(col("s"), "^_|_$", ""), "__").as("l"))
         val top = syms
@@ -1002,8 +1027,9 @@ object TextSim {
           .agg(sum("freq").as("cnt"))
           .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
           .as[(String, String, Long)].collect()
-        if (top.isEmpty) step = nMerges + 1 // exhausted — early stop,
-        else {                              // same contract as dense
+        if (top.isEmpty || top.head._3 < minPairFreq)
+          step = rounds + 1 // exhausted or under the frequency floor —
+        else {              // same early-stop contract as the dense leg
           val (a, b, c) = top.head
           merges += ((step, a, b, c))
           vocab = vocab

@@ -431,6 +431,40 @@ class TextDedupSpec extends SparkSpec {
     assert(dense === shuffled)
   }
 
+  test("t22 BPE stop rules: targetVocab and minPairFreq truncate the merge table, both legs") {
+    // unbounded reference run: the greedy sequence is deterministic, so
+    // every stop rule must yield an exact PREFIX of this table
+    val full = graft.catalog.TextSim.bpeMerges(spark, sfDir,
+      nMerges = 6, denseMaxVocab = 2000000L)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(full.size === 6, "corpus too small for a 6-merge reference run")
+    // vocab-size stop: each merge mints one symbol, so target =
+    // |alphabet| + 3 admits exactly 3 merges (same alphabet derivation
+    // as the engine's budget)
+    val alpha = graft.core.Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .agg(count_distinct(col("c")).as("n")).head().getLong(0)
+    for (denseMax <- Seq(2000000L, 0L)) {
+      val byVocab = graft.catalog.TextSim.bpeMerges(spark, sfDir,
+        nMerges = 6, denseMaxVocab = denseMax,
+        targetVocab = Some(alpha + 3))
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(byVocab === full.take(3), s"targetVocab leg denseMax=$denseMax")
+    }
+    // frequency-floor stop: counts are non-increasing (asserted above),
+    // so floor = min count + 1 truncates at the first under-floor round
+    val floor = full.map(_._4).min + 1
+    val expected = full.takeWhile(_._4 >= floor)
+    assert(expected.size < full.size, "floor must actually truncate")
+    for (denseMax <- Seq(2000000L, 0L)) {
+      val byFreq = graft.catalog.TextSim.bpeMerges(spark, sfDir,
+        nMerges = 6, denseMaxVocab = denseMax, minPairFreq = floor)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(byFreq === expected, s"minPairFreq leg denseMax=$denseMax")
+    }
+  }
+
   test("t22b BPE apply: learned merges compress, bounded by training pair counts") {
     val merges = SparkEntry.queries("t22_bpe_merges")(spark, sfDir)
       .agg(sum("pair_count")).head().getLong(0)
