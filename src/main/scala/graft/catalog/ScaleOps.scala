@@ -537,11 +537,25 @@ object ScaleOps {
   // ordered application must reach exactly the state the batch MERGE
   // declares — stream/batch parity for table maintenance, the same
   // contract e3 pins for aggregation.
-  private def e19StreamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+  /** The months e19's change feed touches — shared with e20, whose
+    * compaction targets exactly the partitions the merges rewrote. */
+  private val e19Months = Seq("1996-03", "1996-04")
+
+  // the merged CDC store is a pure function of the dir — build ONCE per
+  // (app, dir) (two checkpointed drains + two copy-on-write merges) and
+  // share between e19 (serve the merged table) and e20 (compact it,
+  // then serve): one maintained table, many readers — the
+  // sharedPublishedRoot/sharedIvfIndex economics. Bench reruns report
+  // the memo; the `first` map keeps the honest cold wall.
+  private val e19StoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def e19MergedStore(spark: SparkSession, dir: String): String =
+    graft.core.AppCache.get(e19StoreCache,
+      (spark.sparkContext.applicationId, dir)) {
     val base = freshStagingDir("e19", dir)
     val src = s"$base/changes"; val store = s"$base/store"
     val ckpt = s"$base/ckpt"
-    val months = Seq("1996-03", "1996-04")
+    val months = e19Months
     val orders = Tables.orders(spark, dir)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
       .select("o_orderkey", "o_totalprice", "o_month")
@@ -576,11 +590,54 @@ object ScaleOps {
       .write.mode("append").parquet(src)
     // drain 2, same checkpoint: only the new batch is read and applied
     drain()
-    spark.read.parquet(store).groupBy("o_month")
+    store
+  }
+
+  /** The CDC table's serve readout, shared verbatim by e19 (merged
+    * store) and e20 (compacted copy) so "compaction is reader-
+    * invisible" is proven on the exact same aggregate. */
+  private def cdcServe(spark: SparkSession, table: DataFrame): DataFrame =
+    table.groupBy("o_month")
       .agg(count(lit(1)).as("n_orders"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"),
         sum(col("o_orderkey")).as("key_sum"))
       .orderBy("o_month")
+
+  private def e19StreamCdcMerge(spark: SparkSession, dir: String): DataFrame =
+    cdcServe(spark, spark.read.parquet(e19MergedStore(spark, dir)))
+
+  // E20: CDC MERGE → COMPACT → SERVE — closing the maintenance loop the
+  // e/s families leave at "merged": every copy-on-write merge rewrites
+  // its touched partitions with one file per write task, so a
+  // continuously maintained table accretes a small-file tail exactly
+  // where the churn is — and at 100 TB the listing/task-scheduling tail,
+  // not bytes, is what degrades readers (the s13 thesis). The entry runs
+  // s13's ZERO-SHUFFLE coalesce compaction over each merge-touched month
+  // of e19's store into fresh serve partitions (partition dirs are the
+  // unit of compaction — bounded work per partition, trivially parallel
+  // across partitions at scale), then serves the table a reader would
+  // see after the swap: compacted touched months + untouched months as
+  // they were. The oracle is the SAME relational MERGE truth as e19, so
+  // the hash gate proves merge→compact→serve ≡ merge→serve — compaction
+  // is invisible to every reader. File-count collapse on the touched
+  // partitions is asserted in ScaleMechanicsSpec.
+  private def e20CdcCompactServe(spark: SparkSession, dir: String): DataFrame = {
+    val store = e19MergedStore(spark, dir)
+    val serve = freshStagingDir("e20", dir).toString
+    var (inFiles, outFiles) = (0, 0)
+    e19Months.foreach { m =>
+      val part = s"$store/o_month=$m"
+      inFiles += graft.sources.Compactor.dataFiles(spark, part)
+      outFiles += graft.sources.Compactor.compact(spark, part,
+        s"$serve/o_month=$m", targetBytes = 1L << 40) // → 1 file/partition
+    }
+    require(outFiles <= inFiles,
+      s"e20: compaction grew the file count ($inFiles -> $outFiles)")
+    val compacted = spark.read.parquet(serve) // discovery re-derives o_month
+    val untouched = spark.read.parquet(store)
+      .filter(!col("o_month").isin(e19Months: _*))
+    cdcServe(spark, compacted.select(untouched.columns.map(col): _*)
+      .unionByName(untouched))
   }
 
   /** min/max of the `ts` column in microseconds, straight from the
@@ -792,6 +849,7 @@ object ScaleOps {
     "e15_incremental_agg_merge" -> (e15IncrementalAggMerge(_, _)),
     "e16_incremental_distinct" -> (e16IncrementalDistinct(_, _)),
     "e19_stream_cdc_merge" -> (e19StreamCdcMerge(_, _)),
+    "e20_cdc_compact_serve" -> (e20CdcCompactServe(_, _)),
     "e17_idempotent_replay" -> (e17IdempotentReplay(_, _)),
     "e18_checkpoint_resume" -> (e18CheckpointResume(_, _)),
     "e10_late_data_drop" -> (e10LateDataDrop(_, _)))
@@ -909,6 +967,8 @@ object ScaleOps {
     // streamed ordered-batch application must reach exactly the state
     // the batch MERGE declares — stream/batch parity for maintenance
     "e19_stream_cdc_merge" -> graft.catalog.Relational.mergeOracleSql,
+    // the SAME merge truth: a compaction visible to readers flips the hash
+    "e20_cdc_compact_serve" -> graft.catalog.Relational.mergeOracleSql,
     // the raw table aggregated ONCE: a redelivered batch that appended
     // instead of overwriting would double its counts and flip the hash
     "e17_idempotent_replay" ->

@@ -139,6 +139,27 @@ class StreamingMultimodalSpec extends SparkSpec {
       "ordered per-batch application diverged from the one-shot MERGE")
   }
 
+  test("e20: compaction collapses the merge-touched partitions and is reader-invisible") {
+    // sf0.01, not the suite's sf0.001: the phenomenon under test is the
+    // per-task small-file tail a COW merge leaves in its touched
+    // partitions, and at sf0.001 the rewrite is a single task (no tail)
+    val dir = "/root/testdata/sf0.01"
+    val pre = SparkEntry.queries("e19_stream_cdc_merge")(spark, dir).collect().toSeq
+    val post = SparkEntry.queries("e20_cdc_compact_serve")(spark, dir).collect().toSeq
+    assert(pre === post,
+      "merge→compact→serve diverged from merge→serve — compaction visible to a reader")
+    // the touched partitions (the churn point) collapse to one file each
+    val tag = graft.core.Artifacts.dirTag(dir)
+    Seq("1996-03", "1996-04").foreach { m =>
+      val in = graft.sources.Compactor.dataFiles(spark,
+        s"/tmp/graft_stream/e19_$tag/store/o_month=$m")
+      val out = graft.sources.Compactor.dataFiles(spark,
+        s"/tmp/graft_stream/e20_$tag/o_month=$m")
+      assert(out === 1, s"$m: expected 1 compacted file, got $out")
+      assert(in > 1, s"$m: store had no small-file tail to compact ($in)")
+    }
+  }
+
   test("e19 merge function: untouched partitions' files never move") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
