@@ -592,6 +592,81 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // S22: MERGE-ON-READ deletion vectors — the other half of the
+  // lakehouse delete design space. s16/e19 are COPY-ON-WRITE: a change
+  // batch rewrites every touched partition immediately (read-optimal,
+  // write-amplified). At 100 TB a TRICKLE of deletes (GDPR erasure,
+  // order cancellations) cannot afford a partition rewrite per batch —
+  // Delta's deletion vectors and Iceberg's equality-delete files
+  // instead WRITE THE DELETE (a key set, O(|deleted keys|) bytes) and
+  // make readers anti-join it, until a materialization pass folds the
+  // tombstones into the data files (write-optimal, read-amplified
+  // until compaction — the opposite trade). The entry runs BOTH phases
+  // over one store and emits each phase's full readout under one
+  // oracle: 'mor' = store LEFT ANTI broadcast(tombstones); then the
+  // materialization rewrites ONLY the tombstone-touched partitions
+  // (s16's dynamic-overwrite mechanics; the touched set is read off
+  // the tombstone store's PARTITION DIRS — metadata, never a scan,
+  // which is why the tombstones are written partitioned by o_month the
+  // way Iceberg scopes delete files to partitions) and retires the
+  // tombstone dir; 'materialized' = the plain store readout. Identical
+  // rows per phase under the hash gate = a reader can never tell which
+  // phase it is in — the entire MOR contract. The MOR frame is
+  // checkpoint-materialized BEFORE the rewrite (lazy evaluation would
+  // otherwise re-read the already-rewritten store and gate vacuously).
+  // App-scoped staging + stale-sibling reaping (s17 discipline): the
+  // entry is multi-step read-modify-write.
+  private def s22MergeOnRead(spark: SparkSession, dir: String): DataFrame = {
+    val appTag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
+    val base = tmpDir(s"s22_mor_$appTag", dir)
+    graft.core.Artifacts.reapStaleWhere("/tmp/graft_roundtrip",
+      n => n.startsWith("s22_mor_") && !n.contains(appTag))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // NOT underscore-prefixed: Spark's file listing hides `_`/`.` paths,
+    // so an `_deletes` root can read as an empty source
+    val store = s"$base/store"; val tomb = s"$base/tombstones"
+    val orders = Tables.orders(spark, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("o_orderkey", "o_totalprice", "o_month")
+    orders.write.partitionBy("o_month").parquet(store)
+    // the delete batch: keys ≡ 0 mod 7 inside two months — written as
+    // an O(|keys|) partitioned key set, NOT as a table rewrite (mod 7,
+    // not sparser: the batch must be non-empty at every shipped SF —
+    // sf0.001 has ~18 orders/month)
+    orders.filter(col("o_month").isin("1996-05", "1996-06") &&
+        pmod(col("o_orderkey"), lit(7)) === 0)
+      .select("o_orderkey", "o_month")
+      .write.partitionBy("o_month").parquet(tomb)
+    def readout(table: DataFrame, phase: String) =
+      table.groupBy("o_month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("phase", lit(phase))
+    // touched partitions = the tombstone store's dirs — checked BEFORE
+    // the read so an empty delete batch fails loudly, not as an
+    // inscrutable schema-inference error on a file-less source
+    val touched = Option(new java.io.File(tomb).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("o_month="))
+      .map(_.getName.stripPrefix("o_month=")).toSeq.sorted
+    require(touched.nonEmpty,
+      "s22: the delete batch matched no rows at this SF — densify the key predicate")
+    val tombs = spark.read.parquet(tomb).select("o_orderkey")
+    val mor = readout(spark.read.parquet(store)
+        .join(broadcast(tombs), Seq("o_orderkey"), "left_anti"), "mor")
+      .localCheckpoint(true)
+    spark.read.parquet(store).filter(col("o_month").isin(touched: _*))
+      .join(broadcast(tombs), Seq("o_orderkey"), "left_anti")
+      .localCheckpoint(true) // stage off-lineage before self-overwrite
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_month").parquet(store)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tomb))
+    mor.unionByName(readout(spark.read.parquet(store), "materialized"))
+      .orderBy("phase", "o_month")
+  }
+
   // S14: corrupt-record channel — the engine-grade version of s2's
   // bad-row filtering. PERMISSIVE mode parses what it can and routes
   // unparseable lines into a declared _corrupt column instead of
@@ -1509,6 +1584,7 @@ object Relational {
     "s19_atomic_publish" -> (s19AtomicPublish(_, _)),
     "s20_manifest_vacuum" -> (s20ManifestVacuum(_, _)),
     "s21_time_travel" -> (s21TimeTravel(_, _)),
+    "s22_merge_on_read" -> (s22MergeOnRead(_, _)),
     "s5_graphml_roundtrip" -> (s5GraphmlRoundtrip(_, _)),
     "p1_dropna_any" -> (p1DropNa(_, _)),
     "p2_dropna_subset" -> (p2DropNaSubset(_, _)),
@@ -1890,6 +1966,25 @@ object Relational {
     // hash match proves the partition-scoped copy-on-write rewrite
     // equals MERGE INTO semantics (delete wins over update on overlap)
     "s16_cdc_merge" -> mergeOracleSql,
+    // ONE relational delete truth, emitted once per phase: the
+    // tombstone-view ('mor') and rewritten-table ('materialized')
+    // readouts must both equal it — a reader can't tell the phase
+    "s22_merge_on_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_month FROM orders),
+        |kept AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (o_month IN ('1996-05', '1996-06') AND o_orderkey % 7 = 0)),
+        |r AS (
+        |  SELECT o_month, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |  FROM kept GROUP BY o_month)
+        |SELECT o_month, n_orders, price_cents, key_sum, 'mor' AS phase FROM r
+        |UNION ALL
+        |SELECT o_month, n_orders, price_cents, key_sum, 'materialized' FROM r
+        |ORDER BY phase, o_month""".stripMargin,
     // z-order is invisible to the answer: the oracle runs the same
     // two-predicate probe + aggregate over the RAW lineitem table
     "s15_zorder_layout" ->

@@ -68,6 +68,7 @@ object CatalogDoc {
     "s19_atomic_publish" -> "atomic multi-table publish behind one version pointer; consistency readout",
     "s20_manifest_vacuum" -> "manifest-fronted vacuum: commit-then-reclaim, every crash point reader-invisible",
     "s21_time_travel" -> "AS-OF reads of two committed snapshots plus their relational diff",
+    "s22_merge_on_read" -> "merge-on-read deletion vectors: O(keys) tombstones anti-joined by readers, then materialized",
     // Predicates & projections
     "p1_dropna_any" -> "dropna(any): drop rows with any null",
     "p2_dropna_subset" -> "dropna restricted to a column subset",

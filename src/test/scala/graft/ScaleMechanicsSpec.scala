@@ -267,6 +267,34 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(readParts > 0, "scan read nothing — pruning over-fired")
   }
 
+  test("S22: merge-on-read — tombstone view equals materialized table, deletes applied exactly, tombstones retired") {
+    val out = graft.catalog.Relational.queries("s22_merge_on_read")(spark, sfDir)
+      .collect()
+    val byPhase = out.groupBy(_.getAs[String]("phase"))
+      .map { case (p, rows) => p ->
+        rows.map(r => (r.getAs[String]("o_month"), r.getAs[Long]("n_orders"),
+          r.getAs[Long]("price_cents"), r.getAs[Long]("key_sum"))).toSet }
+    assert(byPhase.keySet === Set("mor", "materialized"))
+    assert(byPhase("mor") === byPhase("materialized"),
+      "a reader could tell the phases apart — the MOR contract is broken")
+    // the store holds exactly the non-deleted rows, and the tombstone
+    // dir was retired by the materialization
+    val tag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
+    val base = graft.catalog.Relational.tmpDir(s"s22_mor_$tag", sfDir)
+    val store = spark.read.parquet(s"$base/store")
+    val deletedPred = col("o_month").isin("1996-05", "1996-06") &&
+      pmod(col("o_orderkey"), lit(7)) === 0
+    assert(store.filter(deletedPred).count() === 0, "a deleted key survived")
+    val raw = graft.core.Tables.orders(spark, sfDir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val nDeleted = raw.filter(deletedPred).count()
+    assert(nDeleted > 0, "delete batch was empty — the test is vacuous")
+    assert(store.count() === raw.count() - nDeleted,
+      "materialization dropped or kept the wrong rows")
+    assert(!new java.io.File(s"$base/tombstones").exists(),
+      "tombstones not retired after materialization")
+  }
+
   test("E18: the restarted query reads only the files that arrived while it was down") {
     val audit = graft.catalog.ScaleOps.queries("e18_checkpoint_resume")(spark, sfDir)
     audit.collect()
