@@ -625,8 +625,12 @@ object Relational {
     // NOT underscore-prefixed: Spark's file listing hides `_`/`.` paths,
     // so an `_deletes` root can read as an empty source
     val store = s"$base/store"; val tomb = s"$base/tombstones"
+    // one order-year of store is enough to demonstrate every mechanic
+    // (12 partitions, 2 of them delete-touched); partition-dir count is
+    // what prices the staging write, not rows
     val orders = Tables.orders(spark, dir)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month").startsWith("1996-"))
       .select("o_orderkey", "o_totalprice", "o_month")
     orders.write.partitionBy("o_month").parquet(store)
     // the delete batch: keys ≡ 0 mod 7 inside two months — written as
@@ -1972,7 +1976,8 @@ object Relational {
     "s22_merge_on_read" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_totalprice,
-        |    strftime(o_orderdate, '%Y-%m') AS o_month FROM orders),
+        |    strftime(o_orderdate, '%Y-%m') AS o_month FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1996'),
         |kept AS (
         |  SELECT * FROM base
         |  WHERE NOT (o_month IN ('1996-05', '1996-06') AND o_orderkey % 7 = 0)),

@@ -287,6 +287,7 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(store.filter(deletedPred).count() === 0, "a deleted key survived")
     val raw = graft.core.Tables.orders(spark, sfDir)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month").startsWith("1996-")) // the store's year window
     val nDeleted = raw.filter(deletedPred).count()
     assert(nDeleted > 0, "delete batch was empty — the test is vacuous")
     assert(store.count() === raw.count() - nDeleted,
