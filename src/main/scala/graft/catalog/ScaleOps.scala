@@ -640,6 +640,90 @@ object ScaleOps {
       .unionByName(untouched))
   }
 
+  // E21: STREAMED MERGE-ON-READ DELETES — completes the table-
+  // maintenance matrix: e19 streams changes with COPY-ON-WRITE
+  // (read-optimal: every batch rewrites its touched partitions),
+  // s22 takes one delete batch MERGE-ON-READ (write-optimal: the
+  // delete IS the write); e21 is the streaming MOR corner — a
+  // checkpointed delete FEED whose foreachBatch appends each
+  // micro-batch as O(|batch keys|) month-partitioned tombstone files,
+  // never touching a data file. The pipeline restarts between batches
+  // (e18's source exactly-once: only the new feed files are read), the
+  // MOR readout anti-joins the broadcast tombstone union, and ONE
+  // materialization pass then folds every tombstone into exactly the
+  // touched partitions and retires them. Deletes are idempotent under
+  // key overlap across batches (mod-7 ∩ mod-11 keys) via distinct.
+  // At 100 TB this is the GDPR/cancellation trickle path: per-batch
+  // cost is the keys themselves, partition rewrites amortize into one
+  // consolidation job scheduled like s13's compaction. Phase-tagged
+  // readouts under ONE relational delete-truth oracle, so the hash
+  // gate proves stream-MOR ≡ materialized ≡ truth.
+  private def e21StreamMorDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val base = freshStagingDir("e21", dir)
+    val src = s"$base/delete_feed"; val store = s"$base/store"
+    val tomb = s"$base/tombstones"; val ckpt = s"$base/ckpt"
+    // one order-year of store (the s22 scoping: partition-dir count,
+    // not row mass, prices the staging write; 12 dirs, 3 touched)
+    val orders = Tables.orders(spark, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month").startsWith("1996-"))
+      .select("o_orderkey", "o_totalprice", "o_month")
+    orders.write.partitionBy("o_month").parquet(store)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            // the delete IS the write: O(|batch keys|) appended, no
+            // data file touched
+            batch.write.mode("append").partitionBy("o_month").parquet(tomb)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // delete batch 1: keys ≡ 0 mod 7 in 1996-05/06 — drained
+    orders.filter(col("o_month").isin("1996-05", "1996-06") &&
+        pmod(col("o_orderkey"), lit(7)) === 0)
+      .select("o_orderkey", "o_month").write.mode("append").parquet(src)
+    drain()
+    // pipeline DOWN while batch 2 arrives: keys ≡ 0 mod 11 in 1996-07
+    // (plus any mod-77 overlap with batch 1 — idempotent by distinct)
+    orders.filter(col("o_month") === "1996-07" &&
+        pmod(col("o_orderkey"), lit(11)) === 0)
+      .select("o_orderkey", "o_month").write.mode("append").parquet(src)
+    drain() // same checkpoint: only the new feed files are read
+    val touched = Option(new java.io.File(tomb).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("o_month="))
+      .map(_.getName.stripPrefix("o_month=")).toSeq.sorted
+    require(touched.nonEmpty,
+      "e21: the delete feed matched no rows at this SF — densify the predicates")
+    val tombs = spark.read.parquet(tomb).select("o_orderkey").distinct()
+    def readout(table: DataFrame, phase: String) =
+      table.groupBy("o_month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("phase", lit(phase))
+    // checkpoint BEFORE the rewrite: a lazy MOR frame would re-read the
+    // already-materialized store and gate vacuously
+    val mor = readout(spark.read.parquet(store)
+        .join(broadcast(tombs), Seq("o_orderkey"), "left_anti"), "mor")
+      .localCheckpoint(true)
+    spark.read.parquet(store).filter(col("o_month").isin(touched: _*))
+      .join(broadcast(tombs), Seq("o_orderkey"), "left_anti")
+      .localCheckpoint(true) // stage off-lineage before self-overwrite
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_month").parquet(store)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tomb))
+    mor.unionByName(readout(spark.read.parquet(store), "materialized"))
+      .orderBy("phase", "o_month")
+  }
+
   /** min/max of the `ts` column in microseconds, straight from the
     * parquet footer row-group statistics — None when the file layout or
     * stats don't allow it (caller falls back to a scan). */
@@ -850,6 +934,7 @@ object ScaleOps {
     "e16_incremental_distinct" -> (e16IncrementalDistinct(_, _)),
     "e19_stream_cdc_merge" -> (e19StreamCdcMerge(_, _)),
     "e20_cdc_compact_serve" -> (e20CdcCompactServe(_, _)),
+    "e21_stream_mor_deletes" -> (e21StreamMorDeletes(_, _)),
     "e17_idempotent_replay" -> (e17IdempotentReplay(_, _)),
     "e18_checkpoint_resume" -> (e18CheckpointResume(_, _)),
     "e10_late_data_drop" -> (e10LateDataDrop(_, _)))
@@ -969,6 +1054,26 @@ object ScaleOps {
     "e19_stream_cdc_merge" -> graft.catalog.Relational.mergeOracleSql,
     // the SAME merge truth: a compaction visible to readers flips the hash
     "e20_cdc_compact_serve" -> graft.catalog.Relational.mergeOracleSql,
+    // ONE relational delete truth per phase: the streamed tombstone view
+    // and the materialized table must both equal it
+    "e21_stream_mor_deletes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_month FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1996'),
+        |kept AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (o_month IN ('1996-05', '1996-06') AND o_orderkey % 7 = 0)
+        |    AND NOT (o_month = '1996-07' AND o_orderkey % 11 = 0)),
+        |r AS (
+        |  SELECT o_month, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |  FROM kept GROUP BY o_month)
+        |SELECT o_month, n_orders, price_cents, key_sum, 'mor' AS phase FROM r
+        |UNION ALL
+        |SELECT o_month, n_orders, price_cents, key_sum, 'materialized' FROM r
+        |ORDER BY phase, o_month""".stripMargin,
     // the raw table aggregated ONCE: a redelivered batch that appended
     // instead of overwriting would double its counts and flip the hash
     "e17_idempotent_replay" ->

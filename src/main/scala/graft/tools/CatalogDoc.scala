@@ -318,6 +318,7 @@ object CatalogDoc {
     "e18_checkpoint_resume" -> "checkpointed source resume reads only files that arrived while down",
     "e19_stream_cdc_merge" -> "streamed CDC merge maintains the lakehouse table, restart-safe",
     "e20_cdc_compact_serve" -> "post-merge zero-shuffle compaction of touched partitions, reader-invisible",
+    "e21_stream_mor_deletes" -> "streamed merge-on-read deletes: O(keys) tombstones per micro-batch, restart-safe, one materialize",
     // Multimodal
     "mm1_binary_metadata" -> "opaque binary columns with typed metadata",
     "mm2_decode_features" -> "per-partition batch image decode (javax.imageio) + features",

@@ -160,6 +160,36 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("e21: streamed MOR deletes — phases agree, deletes exact across restart, tombstones retired") {
+    val out = SparkEntry.queries("e21_stream_mor_deletes")(spark, sfDir).collect()
+    val byPhase = out.groupBy(_.getAs[String]("phase"))
+      .map { case (p, rows) => p ->
+        rows.map(r => (r.getAs[String]("o_month"), r.getAs[Long]("n_orders"),
+          r.getAs[Long]("price_cents"), r.getAs[Long]("key_sum"))).toSet }
+    assert(byPhase.keySet === Set("mor", "materialized"))
+    assert(byPhase("mor") === byPhase("materialized"),
+      "a reader could tell the phases apart — the streamed MOR contract is broken")
+    // exactly-once across the restart AND idempotent key overlap: the
+    // materialized store is raw-1996 minus the distinct deleted keys
+    val tag = graft.core.Artifacts.dirTag(sfDir)
+    val base = s"/tmp/graft_stream/e21_$tag"
+    val raw = graft.core.Tables.orders(spark, sfDir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month").startsWith("1996-"))
+    val del1 = col("o_month").isin("1996-05", "1996-06") &&
+      pmod(col("o_orderkey"), lit(7)) === 0
+    val del2 = col("o_month") === "1996-07" &&
+      pmod(col("o_orderkey"), lit(11)) === 0
+    val nDeleted = raw.filter(del1 || del2).count()
+    assert(nDeleted > 0, "delete feed was empty — the test is vacuous")
+    val store = spark.read.parquet(s"$base/store")
+    assert(store.filter(del1 || del2).count() === 0, "a deleted key survived")
+    assert(store.count() === raw.count() - nDeleted,
+      "restart double-applied or dropped a delete batch")
+    assert(!new java.io.File(s"$base/tombstones").exists(),
+      "tombstones not retired after materialization")
+  }
+
   test("e19 merge function: untouched partitions' files never move") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
