@@ -952,8 +952,11 @@ object TextSim {
     // |alphabet| (one job over the word-vocab table, not the corpus)
     val rounds = targetVocab match {
       case Some(tv) =>
+        // split(w, "") with Spark's limit=-1 keeps a trailing "" —
+        // filter it or the alphabet counts a phantom symbol
         val alpha = vocabW
           .select(explode(split(col("w"), "")).as("c"))
+          .filter(length(col("c")) > 0)
           .agg(count_distinct(col("c")).as("n")).head().getLong(0)
         math.min(nMerges.toLong, math.max(0L, tv - alpha)).toInt
       case None => nMerges

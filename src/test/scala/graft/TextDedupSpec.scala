@@ -444,6 +444,7 @@ class TextDedupSpec extends SparkSpec {
     val alpha = graft.core.Tables.documents(spark, sfDir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) > 0) // split(w,"") keeps a trailing ""
       .agg(count_distinct(col("c")).as("n")).head().getLong(0)
     for (denseMax <- Seq(2000000L, 0L)) {
       val byVocab = graft.catalog.TextSim.bpeMerges(spark, sfDir,
