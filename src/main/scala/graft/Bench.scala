@@ -69,8 +69,16 @@ object Bench {
     // total = sum of reported (best) walls — comparable across rounds
     val total = results.map(_._2).sum
     val nFail = results.count(_._3.isDefined)
+    // provenance stamp: the committed map must be self-describing — WHICH
+    // run produced these `first` entries (host parallelism, rerun
+    // threshold, full-vs-subset, commit gate) is part of the artifact,
+    // not tribal knowledge about the close protocol.
+    val commitRoot = sys.env.get("SPARK_GRAFT_COMMIT_BENCH").contains("1")
+    val run = s"""{"cpus":$cpus,"rerun_sec":$rerunThreshold,""" +
+      s""""subset":${only.isDefined},"commit_gate":$commitRoot,""" +
+      s""""n_queries":${results.size}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"failed":$nFail,"errors":$errs,"sf":"$sfDir","run":$run}"""
     println(line)
     // the stdout line is also persisted: a clipped log buffer must
     // never truncate the per-query map the round's perf judgment needs.
@@ -79,9 +87,14 @@ object Bench {
     // ALL timings round-over-round — is gated on
     // SPARK_GRAFT_COMMIT_BENCH=1, so a stray/subset/judge re-run can
     // never silently clobber the committed full map or dirty the tree.
-    val commitRoot = sys.env.get("SPARK_GRAFT_COMMIT_BENCH").contains("1")
     val outPaths = if (commitRoot) Seq("target/bench_last.json", "bench_last.json")
-      else Seq("target/bench_last.json")
+      else {
+        // visible skip: a round-close run that forgot the env var must
+        // not silently leave the previous round's timings committed
+        System.err.println("[bench] SPARK_GRAFT_COMMIT_BENCH!=1 — " +
+          "repo-root bench_last.json NOT refreshed (scratch copy only)")
+        Seq("target/bench_last.json")
+      }
     for (path <- outPaths) {
       try {
         val out = java.nio.file.Paths.get(path)

@@ -387,17 +387,15 @@ object Relational {
   // BEFORE ≡ full read via the NEW manifest AFTER (in-entry equality),
   // and the oracle recomputes the window from the raw table.
   private[graft] def s20CommitManifest(root: String, version: Int,
-                                       dvids: Seq[Int]): Unit = {
+      dvids: Seq[Int],
+      proto: graft.core.CommitProtocol = graft.core.PosixCommit): Unit = {
     val mDir = java.nio.file.Paths.get(s"$root/manifests")
     java.nio.file.Files.createDirectories(mDir)
+    // the manifest object is unreferenced until the flip names it — a
+    // plain write/PUT, no atomicity needed
     java.nio.file.Files.writeString(mDir.resolve(s"m$version.txt"),
       dvids.mkString("\n"))
-    val staged = java.nio.file.Paths.get(s"$root/_CURRENT.staged")
-    java.nio.file.Files.writeString(staged, s"m$version.txt")
-    java.nio.file.Files.move(staged,
-      java.nio.file.Paths.get(s"$root/_CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    proto.flip(root, s"m$version.txt")
   }
 
   /** Manifest-scoped read: resolve the pointer ONCE, read exactly the
@@ -405,8 +403,7 @@ object Relational {
     * invisible by construction. */
   private[graft] def s20ReadViaManifest(spark: SparkSession,
                                         root: String): DataFrame = {
-    val m = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$root/_CURRENT")).trim
+    val m = graft.core.PosixCommit.current(root)
     val dvids = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/manifests/$m")).trim
       .split("\n").filter(_.nonEmpty).map(_.toInt)
@@ -484,13 +481,10 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
         .write.mode("overwrite").parquet(s"$vDir/by_nation")
-      // the commit: stage the pointer, then ONE atomic rename flips
-      // both tables to the new version at the same instant
-      val staged = java.nio.file.Paths.get(s"$root/_CURRENT.staged")
-      java.nio.file.Files.writeString(staged, s"v=$version")
-      java.nio.file.Files.move(staged, java.nio.file.Paths.get(s"$root/_CURRENT"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the commit: ONE pointer flip moves both tables to the new
+      // version at the same instant (CommitProtocol names what the
+      // flip is on POSIX vs an object store)
+      graft.core.PosixCommit.flip(root, s"v=$version")
     }
   }
 
@@ -526,8 +520,7 @@ object Relational {
     val root = sharedPublishedRoot(spark, dir)
     // a reader: resolve the pointer ONCE, then read both tables from
     // that version — cross-table consistency by construction
-    val v = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$root/_CURRENT")).trim
+    val v = graft.core.PosixCommit.current(root)
     val byCust = spark.read.parquet(s"$root/$v/by_customer")
     val byNation = spark.read.parquet(s"$root/$v/by_nation")
     // the reconciliation IS the output: per nation, the customer-level
@@ -650,22 +643,17 @@ object Relational {
     // touched partitions = the tombstone store's dirs — checked BEFORE
     // the read so an empty delete batch fails loudly, not as an
     // inscrutable schema-inference error on a file-less source
-    val touched = Option(new java.io.File(tomb).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("o_month="))
-      .map(_.getName.stripPrefix("o_month=")).toSeq.sorted
+    val touched = graft.core.PosixCommit.partitions(tomb, "o_month")
     require(touched.nonEmpty,
       "s22: the delete batch matched no rows at this SF — densify the key predicate")
     val tombs = spark.read.parquet(tomb).select("o_orderkey")
     val mor = readout(spark.read.parquet(store)
         .join(broadcast(tombs), Seq("o_orderkey"), "left_anti"), "mor")
       .localCheckpoint(true)
-    spark.read.parquet(store).filter(col("o_month").isin(touched: _*))
-      .join(broadcast(tombs), Seq("o_orderkey"), "left_anti")
-      .localCheckpoint(true) // stage off-lineage before self-overwrite
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("o_month").parquet(store)
+    // the fold (shared with e21's streamed MOR) handles the emptied-
+    // partition hazard: dynamic overwrite can't delete a partition the
+    // written frame has no rows for
+    ScaleOps.morFold(spark, store, touched, tombs)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tomb))
     mor.unionByName(readout(spark.read.parquet(store), "materialized"))
       .orderBy("phase", "o_month")

@@ -296,9 +296,9 @@ object ScaleOps {
   // the readback per-dvid histogram is the reference's injection
   // verification (fifth_data_injection.py:154-158) over a stream.
   private def e7IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
-    // staging root keyed by the input dir (like e8's queryName) so
-    // concurrent runs against different SFs never clobber each other
-    val base = freshStagingDir("e7", dir)
+    // staging root keyed by (app, input dir) so concurrent apps — even
+    // over the SAME SF dir — never clobber each other
+    val base = freshStagingDir(spark, "e7", dir)
     val ev = Tables.events(spark, dir)
     val store = s"$base/store"
     Seq(0, 1).foreach { i =>
@@ -311,13 +311,32 @@ object ScaleOps {
       .orderBy("dvid", "event_type")
   }
 
-  /** Fresh per-(entry, input-dir) staging root under /tmp/graft_stream —
-    * keyed by the input dir's hash so concurrent runs against different
-    * SFs never clobber each other; prior contents are removed so every
-    * run starts from an empty store. */
-  private def freshStagingDir(name: String, dir: String): java.nio.file.Path = {
-    val tag = graft.core.Artifacts.dirTag(dir)
-    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/${name}_$tag")
+  /** THE path scheme for the e-family staging roots:
+    * /tmp/graft_stream/<name>_<appTag>_<dirTag>. App-tagged so two
+    * concurrent apps over the SAME SF dir never collide (the
+    * s17/s22/e10/j13 discipline — critical here because e19/e20 memoize
+    * this path per (app, dir) and trust its bytes for the app's
+    * lifetime); dir-tagged so one app's runs against different SFs don't
+    * either. One definition, shared with the specs that resolve the same
+    * staged files. */
+  private[graft] def stagingRoot(spark: SparkSession, name: String,
+                                 dir: String): String = {
+    val appTag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
+    s"/tmp/graft_stream/${name}_${appTag}_${graft.core.Artifacts.dirTag(dir)}"
+  }
+
+  /** Fresh per-(entry, app, input-dir) staging root under
+    * /tmp/graft_stream (scheme: [[stagingRoot]]): prior contents of OUR
+    * root are removed so every run starts from an empty store, and dead
+    * apps' leftover roots for the same entry are reaped age-gated (a
+    * LIVE concurrent app's freshly-modified dir is never touched — the
+    * reapStaleWhere contract). */
+  private def freshStagingDir(spark: SparkSession, name: String,
+                              dir: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(stagingRoot(spark, name, dir))
+    val mine = base.getFileName.toString
+    graft.core.Artifacts.reapStaleWhere("/tmp/graft_stream",
+      n => n.startsWith(s"${name}_") && n != mine)
     if (java.nio.file.Files.exists(base)) {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(base)
@@ -344,7 +363,7 @@ object ScaleOps {
   // FULL RECOMPUTE over the raw table — the hash gate proves the
   // incremental path equals the from-scratch path.
   private def e15IncrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
-    val base = freshStagingDir("e15", dir)
+    val base = freshStagingDir(spark, "e15", dir)
     val state = s"$base/agg_state"
     // stage the three arrivals as real per-batch directories (one
     // partitioned write), so each ingest below genuinely reads ONLY its
@@ -387,7 +406,7 @@ object ScaleOps {
   private def e16IncrementalDistinct(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.expressions.{kmv_sketch, kmv_card}
     val K = 8192
-    val base = freshStagingDir("e16", dir)
+    val base = freshStagingDir(spark, "e16", dir)
     val state = s"$base/distinct_state"
     // staged per-batch dirs (e15's discipline): each ingest reads only
     // its own delta's files, never the corpus
@@ -439,7 +458,7 @@ object ScaleOps {
   // re-run: no dedup scan of the store, no transaction log, just
   // partition-scoped last-writer-wins keyed by batch identity.
   private def e17IdempotentReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = freshStagingDir("e17", dir)
+    val base = freshStagingDir(spark, "e17", dir)
     val ev = Tables.events(spark, dir)
     val store = s"$base/store"
     Seq(0, 1).foreach { i =>
@@ -472,7 +491,7 @@ object ScaleOps {
   // dvid per drain gives the store its version lineage for free
   // (batchId continues across restarts).
   private def e18CheckpointResume(spark: SparkSession, dir: String): DataFrame = {
-    val base = freshStagingDir("e18", dir)
+    val base = freshStagingDir(spark, "e18", dir)
     val ev = Tables.events(spark, dir)
     val src = s"$base/src"
     val store = s"$base/store"
@@ -552,7 +571,7 @@ object ScaleOps {
   private def e19MergedStore(spark: SparkSession, dir: String): String =
     graft.core.AppCache.get(e19StoreCache,
       (spark.sparkContext.applicationId, dir)) {
-    val base = freshStagingDir("e19", dir)
+    val base = freshStagingDir(spark, "e19", dir)
     val src = s"$base/changes"; val store = s"$base/store"
     val ckpt = s"$base/ckpt"
     val months = e19Months
@@ -623,7 +642,7 @@ object ScaleOps {
   // partitions is asserted in ScaleMechanicsSpec.
   private def e20CdcCompactServe(spark: SparkSession, dir: String): DataFrame = {
     val store = e19MergedStore(spark, dir)
-    val serve = freshStagingDir("e20", dir).toString
+    val serve = freshStagingDir(spark, "e20", dir).toString
     var (inFiles, outFiles) = (0, 0)
     e19Months.foreach { m =>
       val part = s"$store/o_month=$m"
@@ -659,7 +678,7 @@ object ScaleOps {
   // readouts under ONE relational delete-truth oracle, so the hash
   // gate proves stream-MOR ≡ materialized ≡ truth.
   private def e21StreamMorDeletes(spark: SparkSession, dir: String): DataFrame = {
-    val base = freshStagingDir("e21", dir)
+    val base = freshStagingDir(spark, "e21", dir)
     val src = s"$base/delete_feed"; val store = s"$base/store"
     val tomb = s"$base/tombstones"; val ckpt = s"$base/ckpt"
     // one order-year of store (the s22 scoping: partition-dir count,
@@ -695,10 +714,7 @@ object ScaleOps {
         pmod(col("o_orderkey"), lit(11)) === 0)
       .select("o_orderkey", "o_month").write.mode("append").parquet(src)
     drain() // same checkpoint: only the new feed files are read
-    val touched = Option(new java.io.File(tomb).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("o_month="))
-      .map(_.getName.stripPrefix("o_month=")).toSeq.sorted
+    val touched = graft.core.PosixCommit.partitions(tomb, "o_month")
     require(touched.nonEmpty,
       "e21: the delete feed matched no rows at this SF — densify the predicates")
     val tombs = spark.read.parquet(tomb).select("o_orderkey").distinct()
@@ -713,15 +729,39 @@ object ScaleOps {
     val mor = readout(spark.read.parquet(store)
         .join(broadcast(tombs), Seq("o_orderkey"), "left_anti"), "mor")
       .localCheckpoint(true)
-    spark.read.parquet(store).filter(col("o_month").isin(touched: _*))
-      .join(broadcast(tombs), Seq("o_orderkey"), "left_anti")
-      .localCheckpoint(true) // stage off-lineage before self-overwrite
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("o_month").parquet(store)
+    morFold(spark, store, touched, tombs)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tomb))
     mor.unionByName(readout(spark.read.parquet(store), "materialized"))
       .orderBy("phase", "o_month")
+  }
+
+  /** THE merge-on-read FOLD: rewrite exactly the tombstone-touched
+    * o_month partitions of `store` minus the tombstone keys (s16's
+    * dynamic-overwrite mechanics), shared by s22 (batch MOR) and e21
+    * (streamed MOR). Dynamic partition overwrite only replaces
+    * partitions PRESENT in the written frame — a month whose every row
+    * was deleted writes nothing and its stale files would silently
+    * survive the fold — so partitions that emptied out are deleted
+    * explicitly (their survivor set is a |touched partitions|-bounded
+    * readout off the already-checkpointed fold frame, never a second
+    * corpus scan). */
+  private[graft] def morFold(spark: SparkSession, store: String,
+                             touched: Seq[String],
+                             tombs: DataFrame): Unit = {
+    val folded = spark.read.parquet(store)
+      .filter(col("o_month").isin(touched: _*))
+      .join(broadcast(tombs.select("o_orderkey")),
+        Seq("o_orderkey"), "left_anti")
+      .localCheckpoint(true) // stage off-lineage before self-overwrite
+    val survived = folded.select("o_month").distinct()
+      .collect().map(_.getString(0)).toSet
+    folded.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_month").parquet(store)
+    touched.filterNot(survived).foreach { m =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$store/o_month=$m"))
+    }
   }
 
   /** min/max of the `ts` column in microseconds, straight from the

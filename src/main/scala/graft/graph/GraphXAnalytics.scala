@@ -294,9 +294,14 @@ object GraphXAnalytics {
     * with JVM overhead), so the default gate is sized for a default
     * driver heap: 2.5M edges ≈ 300 MB worst case (the PPR dense-pair
     * budget, not the 16 B/edge primitive-array gate CC/PageRank use).
-    * Callers with a fat driver may raise it. The hashed projection is
-    * checkpoint-materialized ONCE and shared by the gate count and
-    * whichever leg runs — no second evaluation of the upstream plan. */
+    * Callers with a fat driver may raise it. The gate is a PLAIN count
+    * of the hashed projection — one streamed pass that pins nothing —
+    * so the distributed leg hands GraphX a lazy projection it streams
+    * into its own edge partitions (an eager checkpoint here would hold
+    * the entire 100 TB-scale edge set resident BEFORE GraphX even
+    * starts); the dense leg pays one recount in collect(), bounded by
+    * the gate itself (≤ seqMaxEdges rows — and the catalog's inputs are
+    * app-memoized upstream, so the re-derivation is a cache read). */
   def triangles(spark: SparkSession, edges: DataFrame,
                 seqMaxEdges: Long = 2500000L): DataFrame = {
     import spark.implicits._
@@ -306,7 +311,6 @@ object GraphXAnalytics {
     val hashed = edges
       .select(xxhash64(col("src").cast("string")).as("s"),
         xxhash64(col("dst").cast("string")).as("d"))
-      .localCheckpoint(true)
     val counted: DataFrame = if (hashed.count() <= seqMaxEdges) {
       // Hybrid dense leg (same gate as CC/PageRank/BFS): the hashed
       // canonical edge set fits on the driver, and sorted-adjacency

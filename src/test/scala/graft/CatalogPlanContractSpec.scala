@@ -118,42 +118,75 @@ class CatalogPlanContractSpec extends SparkSpec {
       s"${failures.size} contract violations:\n${failures.mkString("\n")}")
   }
 
-  test("driver-side collect() sites are pinned per file: a new site must register here") {
+  test("driver-side collect() sites are pinned PER SITE: a new or moved site must register here") {
     // every registered site is individually audited (dense-kernel gates
     // with distributed fallbacks, audit-scale sinks, metadata-sized
-    // frames); this count makes ADDING one a conscious, reviewed act.
+    // frames). Pinning is file + enclosing def + exact count, so an
+    // intra-file swap — dropping an audited collect and adding an
+    // unaudited one elsewhere in the same file — fails the census too.
     val registered = Map(
-      "GraphML.scala" -> 2, // bounded readouts of fit metrics (audit-scale)
-      "ScaleOps.scala" -> 2, // e19 touched-months (|partitions|), e10 window audit
-      "Analytics.scala" -> 1, // a25 observed-metrics readout (metadata-sized)
-      "TextSim.scala" -> 3, // BPE vocab dense kernel + bounded stop/argmax reads
-      "GraphXAnalytics.scala" -> 4, // dense-kernel legs behind seqMaxEdges gates
-      "Louvain.scala" -> 1, // detectSequential dense leg behind its gate
-      "Dedup.scala" -> 2, // dup-cluster dense kernels (cluster-bounded)
-      "Similarity.scala" -> 2, // centroid/codebook builds (k-bounded)
-      "Metrics.scala" -> 2, // rankAuc dense leg (1M gate + histogram fallback)
-      "TowerNet.scala" -> 8, // per-partition gradient partials, ordered combine
-      "LinkPredict.scala" -> 2, // class counts + capped-corpus readout
-      "LouvainDebug.scala" -> 1) // debug main, not a catalog path
+      "Analytics.scala:r6bSmoteInterp" -> (1, "minority-class rows for SMOTE pairing (class-bounded)"),
+      "Dedup.scala:fuzzyBlockedPairs" -> (1, "dup-cluster dense kernel (cluster-bounded)"),
+      "Dedup.scala:overflowReport" -> (1, "block-size audit readout (metadata-sized)"),
+      "GraphML.scala:gxPprRecommend" -> (1, "dense bipartite kernel behind the 2.5M-pair gate, distributed fallback"),
+      "GraphML.scala:s8HistoryRoundtrip" -> (1, "fit-metrics readout (|statuses| rows)"),
+      "GraphXAnalytics.scala:collectEdgeArrays" -> (1, "dense-kernel leg behind its seqMaxEdges gate"),
+      "GraphXAnalytics.scala:personalizedPageRank" -> (1, "dense pair leg behind its seqMaxEdges gate"),
+      "GraphXAnalytics.scala:shortestPaths" -> (1, "hub id set (|hubs| rows, broadcast-bound)"),
+      "GraphXAnalytics.scala:triangles" -> (1, "dense adjacency leg behind the 2.5M-edge gate"),
+      "LinkPredict.scala:incrementalTrain" -> (1, "capped-corpus readout for the registry fit"),
+      "LinkPredict.scala:train" -> (1, "class counts (2 rows) for weighting"),
+      "Louvain.scala:detectSequential" -> (1, "dense leg behind its gate, distributed fallback in detect()"),
+      "LouvainDebug.scala:main" -> (1, "debug main, not a catalog path"),
+      "Metrics.scala:aucDistributed" -> (1, "rank-AUC dense leg behind the 1M gate, histogram fallback"),
+      "Metrics.scala:binaryAucsDistributed" -> (1, "same gate as aucDistributed, batched variant"),
+      "ScaleOps.scala:drainDrop" -> (1, "foreachBatch audit sink, O(windows in horizon) not O(events)"),
+      "ScaleOps.scala:e19MergeBatch" -> (1, "touched-months readout (|partitions| rows)"),
+      "ScaleOps.scala:morFold" -> (1, "survivor-partition readout (|touched partitions| rows)"),
+      "Similarity.scala:bruteForceTopKBlocked" -> (1, "broadcast build side under the LSH/IVF switch"),
+      "Similarity.scala:thresholdJoinBlocked" -> (1, "broadcast build side under the LSH/IVF switch"),
+      "TextSim.scala:bpeMerges" -> (2, "BPE vocab dense kernel + bounded argmax/stop reads"),
+      "TextSim.scala:t22bBpeApply" -> (1, "merge-table read for broadcast apply (|vocab| rows)"),
+      "TowerNet.scala:applyStep" -> (4, "per-partition gradient partials, ordered combine (model-sized)"),
+      "TowerNet.scala:gradPass" -> (1, "gradient partials (model-sized)"),
+      "TowerNet.scala:toKeyed" -> (1, "model-sized parameter frame"),
+      "TowerNet.scala:toMat" -> (1, "model-sized parameter frame"),
+      "TowerNet.scala:valAuc" -> (1, "validation scores for AUC (val-split-bounded)"))
+    val defRe = """\bdef\s+(\w+)""".r
     val root = java.nio.file.Paths.get("src/main/scala")
     val stream = java.nio.file.Files.walk(root)
     val actual = try {
       import scala.jdk.CollectionConverters._
       stream.iterator().asScala
         .filter(p => p.toString.endsWith(".scala"))
-        .map { p =>
+        .flatMap { p =>
           val src = new String(java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8)
-          // LITERAL occurrence count (an unquoted regex's dot/parens
-          // would also match collect-with-partial-function sites)
-          var (n, i) = (0, src.indexOf(".collect()"))
-          while (i >= 0) { n += 1; i = src.indexOf(".collect()", i + 1) }
-          p.getFileName.toString -> n
+          // LITERAL occurrence scan (an unquoted regex's dot/parens
+          // would also match collect-with-partial-function sites);
+          // enclosing def = nearest preceding `def name` — a heuristic,
+          // but a stable one: it only has to be deterministic for the
+          // census to pin sites
+          val defs = defRe.findAllMatchIn(src)
+            .map(m => (m.start, m.group(1))).toArray
+          var sites = List.empty[String]
+          var i = src.indexOf(".collect()")
+          while (i >= 0) {
+            val d = defs.takeWhile(_._1 < i).lastOption
+              .map(_._2).getOrElse("<toplevel>")
+            sites ::= s"${p.getFileName.toString}:$d"
+            i = src.indexOf(".collect()", i + 1)
+          }
+          sites
         }
-        .filter(_._2 > 0).toMap
+        .toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
     } finally stream.close()
-    assert(actual === registered,
-      "collect() census drifted — audit the new/removed site, then update " +
-        s"the registry.\n  actual: ${actual.toSeq.sorted}\n  registered: ${registered.toSeq.sorted}")
+    val want = registered.map { case (k, (n, _)) => k -> n }
+    val missing = want.toSet -- actual.toSet
+    val extra = actual.toSet -- want.toSet
+    assert(actual === want,
+      "collect() census drifted — audit the new/removed/moved site, then " +
+        s"update the registry.\n  unregistered or count-changed: ${extra.toSeq.sorted}" +
+        s"\n  registered but gone/count-changed: ${missing.toSeq.sorted}")
   }
 }

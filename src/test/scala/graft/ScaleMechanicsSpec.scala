@@ -99,8 +99,8 @@ class ScaleMechanicsSpec extends SparkSpec {
       direct.exceptAll(merged).count() === 0,
       "incremental merge diverged from the full recompute")
     // the refresh state is |groups|·|batches| rows — never corpus-sized
-    val tag = graft.core.Artifacts.dirTag(sfDir)
-    val state = spark.read.parquet(s"/tmp/graft_stream/e15_$tag/agg_state")
+    val base = graft.catalog.ScaleOps.stagingRoot(spark, "e15", sfDir)
+    val state = spark.read.parquet(s"$base/agg_state")
     val groups = direct.count()
     assert(state.count() === groups * 3,
       s"state table not metadata-sized: ${state.count()} rows for $groups groups")
@@ -214,8 +214,8 @@ class ScaleMechanicsSpec extends SparkSpec {
   test("E17: replay leaves the idempotent store unchanged; append would double") {
     val audit = graft.catalog.ScaleOps.queries("e17_idempotent_replay")(spark, sfDir)
     audit.collect()
-    val tag = graft.core.Artifacts.dirTag(sfDir)
-    val store = spark.read.parquet(s"/tmp/graft_stream/e17_$tag/store")
+    val base = graft.catalog.ScaleOps.stagingRoot(spark, "e17", sfDir)
+    val store = spark.read.parquet(s"$base/store")
     val ev = graft.core.Tables.events(spark, sfDir)
     // exactly-once despite the redelivery: full coverage, zero dupes
     assert(store.count() === ev.count(), "store row count drifted under replay")
@@ -223,9 +223,9 @@ class ScaleMechanicsSpec extends SparkSpec {
       "replay duplicated event ids")
     // the contrast that makes this non-vacuous: the APPEND-mode sink
     // under the same redelivery doubles the batch
-    val ctl = s"/tmp/graft_stream/e17_${tag}_ctl"
+    val ctl = s"${base}_ctl"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ctl))
-    val src1 = s"/tmp/graft_stream/e17_$tag/src1"
+    val src1 = s"$base/src1"
     graft.streaming.EventStream.incrementalIngest(spark, src1, ctl, startDvid = 2)
     graft.streaming.EventStream.incrementalIngest(spark, src1, ctl, startDvid = 2)
     val half = ev.filter(pmod(col("event_id"), lit(2)) === 1).count()
@@ -299,8 +299,8 @@ class ScaleMechanicsSpec extends SparkSpec {
   test("E18: the restarted query reads only the files that arrived while it was down") {
     val audit = graft.catalog.ScaleOps.queries("e18_checkpoint_resume")(spark, sfDir)
     audit.collect()
-    val tag = graft.core.Artifacts.dirTag(sfDir)
-    val store = spark.read.parquet(s"/tmp/graft_stream/e18_$tag/store")
+    val store = spark.read.parquet(
+      s"${graft.catalog.ScaleOps.stagingRoot(spark, "e18", sfDir)}/store")
     val ev = graft.core.Tables.events(spark, sfDir)
     // source-side exactly-once: full coverage, zero reprocessing
     assert(store.count() === ev.count(), "resume reprocessed or lost files")
@@ -314,6 +314,29 @@ class ScaleMechanicsSpec extends SparkSpec {
     val even = ev.filter(pmod(col("event_id"), lit(2)) === 0).count()
     assert(byDvid === Map(1 -> even, 2 -> (ev.count() - even)),
       s"drain lineage wrong: $byDvid")
+  }
+
+
+  test("morFold: a partition whose every row is deleted is removed, not left stale") {
+    import spark.implicits._
+    // dynamic partition overwrite only replaces partitions present in
+    // the written frame — this pins the explicit-delete branch that
+    // keeps a fully-deleted month from surviving the fold
+    val store = java.nio.file.Files.createTempDirectory("morfold_toy")
+      .toString + "/store"
+    Seq((1L, 10.0, "m1"), (2L, 20.0, "m1"), (3L, 30.0, "m2"), (4L, 40.0, "m2"),
+        (5L, 50.0, "m3"))
+      .toDF("o_orderkey", "o_totalprice", "o_month")
+      .write.partitionBy("o_month").parquet(store)
+    // tombstones empty m1 entirely, thin m2, never touch m3
+    val tombs = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    graft.catalog.ScaleOps.morFold(spark, store, Seq("m1", "m2"), tombs)
+    assert(!new java.io.File(s"$store/o_month=m1").exists(),
+      "fully-deleted partition survived the fold (dynamic overwrite can't drop it)")
+    val left = spark.read.parquet(store)
+      .select("o_orderkey", "o_month").as[(Long, String)].collect().toSet
+    assert(left === Set((4L, "m2"), (5L, "m3")),
+      s"fold left the wrong survivors: $left")
   }
 
   test("A26: the constraint audit reports every rule, and the failing channel fires") {

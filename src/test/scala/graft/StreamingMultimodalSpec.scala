@@ -149,12 +149,13 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(pre === post,
       "merge→compact→serve diverged from merge→serve — compaction visible to a reader")
     // the touched partitions (the churn point) collapse to one file each
-    val tag = graft.core.Artifacts.dirTag(dir)
+    val e19 = graft.catalog.ScaleOps.stagingRoot(spark, "e19", dir)
+    val e20 = graft.catalog.ScaleOps.stagingRoot(spark, "e20", dir)
     Seq("1996-03", "1996-04").foreach { m =>
       val in = graft.sources.Compactor.dataFiles(spark,
-        s"/tmp/graft_stream/e19_$tag/store/o_month=$m")
+        s"$e19/store/o_month=$m")
       val out = graft.sources.Compactor.dataFiles(spark,
-        s"/tmp/graft_stream/e20_$tag/o_month=$m")
+        s"$e20/o_month=$m")
       assert(out === 1, s"$m: expected 1 compacted file, got $out")
       assert(in > 1, s"$m: store had no small-file tail to compact ($in)")
     }
@@ -171,8 +172,7 @@ class StreamingMultimodalSpec extends SparkSpec {
       "a reader could tell the phases apart — the streamed MOR contract is broken")
     // exactly-once across the restart AND idempotent key overlap: the
     // materialized store is raw-1996 minus the distinct deleted keys
-    val tag = graft.core.Artifacts.dirTag(sfDir)
-    val base = s"/tmp/graft_stream/e21_$tag"
+    val base = graft.catalog.ScaleOps.stagingRoot(spark, "e21", sfDir)
     val raw = graft.core.Tables.orders(spark, sfDir)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
       .filter(col("o_month").startsWith("1996-"))
