@@ -54,9 +54,8 @@ object GraphML {
     * the partition at the sf0.01 artifact path (the correctness gate's
     * SF — at other SFs the entry still runs, rows-only). */
   private def g2bModularity(spark: SparkSession, dir: String): DataFrame = {
-    val pdir = s"/tmp/graft_artifacts/${new java.io.File(dir).getName}/g2_partition"
-    louvainPartition(spark, dir).write.mode("overwrite").parquet(pdir)
-    val part = spark.read.parquet(pdir)
+    val part = graft.core.Artifacts.write(spark, dir, "g2_partition",
+      louvainPartition(spark, dir))
     val e = simEdges(spark, dir)
       .select(col("src"), col("dst"),
         round(col("weight") * 1e6).cast("long").as("w"))

@@ -17,14 +17,22 @@ import graft.graph.Links
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Staging root keyed by the input dir's hash (the freshStagingDir
-    * discipline from ScaleOps): the s16/s18/s19 entries are multi-step
-    * read-modify-write over these dirs, so concurrent runs against
-    * different SF dirs must never share a store. Exposed package-private
-    * so specs resolve the same per-SF path the entry used. */
+  /** Staging root keyed by (entry, applicationId, input dir) — the
+    * stagingRoot discipline from ScaleOps: the s-family entries are
+    * multi-step read-modify-write over these dirs, so concurrent apps
+    * (same SF dir or not) must never share a store; dead apps'
+    * leftovers for the same entry are reaped age-gated. Exposed
+    * package-private so specs resolve the same path the entry used
+    * (one app per JVM: the applicationId matches). */
   private[graft] def tmpDir(name: String, dir: String) = {
-    val tag = graft.core.Artifacts.dirTag(dir)
-    s"/tmp/graft_roundtrip/${name}_$tag"
+    val appTag = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(s => graft.core.Artifacts.dirTag(s.sparkContext.applicationId))
+      .getOrElse("noapp")
+    val mine = s"${name}_${appTag}_${graft.core.Artifacts.dirTag(dir)}"
+    graft.core.Artifacts.reapStaleWhere("/tmp/graft_roundtrip",
+      n => n.startsWith(s"${name}_") && n != mine)
+    s"/tmp/graft_roundtrip/$mine"
   }
 
   // S1: CSV scan + header normalization (First_Data_injection.py:33-43):
@@ -285,21 +293,14 @@ object Relational {
   // after bench, bench reruns) pay only the probe
   private val s17Staged =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Unit]()
-  /** s17's staged layout paths, app-scoped like publishedRoot/j13: the
-    * memo trusts the on-disk layout for the app's lifetime, and the
-    * write is a non-atomic mode(overwrite), so a concurrent app over the
-    * SAME SF dir must stage into its OWN paths — sharing them risks a
-    * mid-probe FileNotFoundException when the other app rewrites.
-    * Package-private so the DPP spec resolves the exact paths its entry
-    * staged. */
-  private[graft] def s17Paths(spark: SparkSession, dir: String): (String, String) = {
-    val appTag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
-    (tmpDir(s"s17_lineitem_by_year_$appTag", dir),
-      tmpDir(s"s17_calendar_dim_$appTag", dir))
-  }
+  /** s17's staged layout paths — tmpDir is app-scoped (r13), so the
+    * memo can trust the on-disk layout for the app's lifetime even with
+    * a concurrent app over the SAME SF dir. Package-private so the DPP
+    * spec resolves the exact paths its entry staged. */
+  private[graft] def s17Paths(spark: SparkSession, dir: String): (String, String) =
+    (tmpDir("s17_lineitem_by_year", dir), tmpDir("s17_calendar_dim", dir))
   private def s17DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
     val (factPath, dimPath) = s17Paths(spark, dir)
-    val appTag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
     graft.core.AppCache.get(s17Staged,
       (spark.sparkContext.applicationId, dir)) {
       val li = Tables.lineitem(spark, dir)
@@ -310,11 +311,6 @@ object Relational {
         .withColumn("era",
           when(col("ship_year") >= 1996, lit("late")).otherwise(lit("early")))
         .write.mode("overwrite").parquet(dimPath)
-      // dead apps' staged layouts stop accumulating (e11/e12 discipline);
-      // age-gating keeps a live concurrent app's fresh layout safe
-      graft.core.Artifacts.reapStaleWhere("/tmp/graft_roundtrip",
-        n => (n.startsWith("s17_lineitem_by_year_") ||
-          n.startsWith("s17_calendar_dim_")) && !n.contains(appTag))
     }
     val fact = spark.read.parquet(factPath)
     val cal = spark.read.parquet(dimPath).filter(col("era") === "late")
@@ -499,20 +495,13 @@ object Relational {
     * concurrent app must publish into its OWN root, never wipe this
     * one. Package-private so specs resolve the same path. */
   private[graft] def publishedRoot(spark: SparkSession, dir: String): String =
-    tmpDir("s19_published_" +
-      graft.core.Artifacts.dirTag(spark.sparkContext.applicationId), dir)
+    tmpDir("s19_published", dir)
   private def sharedPublishedRoot(spark: SparkSession, dir: String): String =
     graft.core.AppCache.get(publishedStore,
       (spark.sparkContext.applicationId, dir)) {
       val root = publishedRoot(spark, dir)
       publishVersions(spark, dir, root,
         Seq(1 -> "1996-01-01", 2 -> "1997-01-01"))
-      // dead apps' published stores stop accumulating (e11/e12
-      // discipline); the app tag is an infix of the root's dir name
-      val appTag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
-      graft.core.Artifacts.reapStaleWhere("/tmp/graft_roundtrip",
-        n => n.startsWith("s19_published_") && !n.contains(appTag),
-        keepPath = root)
       root
     }
 
@@ -610,10 +599,7 @@ object Relational {
   // App-scoped staging + stale-sibling reaping (s17 discipline): the
   // entry is multi-step read-modify-write.
   private def s22MergeOnRead(spark: SparkSession, dir: String): DataFrame = {
-    val appTag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
-    val base = tmpDir(s"s22_mor_$appTag", dir)
-    graft.core.Artifacts.reapStaleWhere("/tmp/graft_roundtrip",
-      n => n.startsWith("s22_mor_") && !n.contains(appTag))
+    val base = tmpDir("s22_mor", dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     // NOT underscore-prefixed: Spark's file listing hides `_`/`.` paths,
     // so an `_deletes` root can read as an empty source

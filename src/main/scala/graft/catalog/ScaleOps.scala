@@ -737,20 +737,24 @@ object ScaleOps {
 
   /** THE merge-on-read FOLD: rewrite exactly the tombstone-touched
     * o_month partitions of `store` minus the tombstone keys (s16's
-    * dynamic-overwrite mechanics), shared by s22 (batch MOR) and e21
-    * (streamed MOR). Dynamic partition overwrite only replaces
-    * partitions PRESENT in the written frame — a month whose every row
-    * was deleted writes nothing and its stale files would silently
-    * survive the fold — so partitions that emptied out are deleted
-    * explicitly (their survivor set is a |touched partitions|-bounded
-    * readout off the already-checkpointed fold frame, never a second
-    * corpus scan). */
+    * dynamic-overwrite mechanics), shared by s22 (batch MOR), e21
+    * (streamed MOR) and s23 (the scheduler). Dynamic partition
+    * overwrite only replaces partitions PRESENT in the written frame —
+    * a month whose every row was deleted writes nothing and its stale
+    * files would silently survive the fold — so partitions that
+    * emptied out are deleted explicitly (their survivor set is a
+    * |touched partitions|-bounded readout off the already-checkpointed
+    * fold frame, never a second corpus scan). `broadcastTombs=false`
+    * is the above-threshold regime: a tombstone set big enough to
+    * trigger the fold is by definition too big to assume broadcastable,
+    * so the one-time rewrite pays a shuffled anti-join instead. */
   private[graft] def morFold(spark: SparkSession, store: String,
-                             touched: Seq[String],
-                             tombs: DataFrame): Unit = {
+                             touched: Seq[String], tombs: DataFrame,
+                             broadcastTombs: Boolean = true): Unit = {
+    val keys = tombs.select("o_orderkey")
     val folded = spark.read.parquet(store)
       .filter(col("o_month").isin(touched: _*))
-      .join(broadcast(tombs.select("o_orderkey")),
+      .join(if (broadcastTombs) broadcast(keys) else keys.hint("shuffle_hash"),
         Seq("o_orderkey"), "left_anti")
       .localCheckpoint(true) // stage off-lineage before self-overwrite
     val survived = folded.select("o_month").distinct()
@@ -762,6 +766,76 @@ object ScaleOps {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(s"$store/o_month=$m"))
     }
+  }
+
+  // S23: THE FOLD SCHEDULER — the last prose claim in the maintenance
+  // matrix ("a tombstone set too large to broadcast is the signal to
+  // schedule the fold", PLANS.md) promoted to a gated operator.
+  // morMaintain prices the tombstone mass against the store with two
+  // metadata-scale counts and takes ONE of two branches: below
+  // foldFrac the delete stays write-optimal — tombstones remain the
+  // only bytes written, readers keep the broadcast anti-join (the GDPR
+  // trickle regime); at/above it the read amplification has outgrown
+  // the one-time rewrite — morFold rewrites exactly the touched
+  // partitions via a SHUFFLED anti-join (a fold-sized tombstone set is
+  // past broadcastable by definition), retires the tombstones, and
+  // readers go back to plain scans. The entry runs both regimes on
+  // independent stores of the same order-year — a trickle (mod-7 keys
+  // inside two months, ~2% of the store) that must NOT rewrite and a
+  // bulk purge (mod-3 keys everywhere, ~33%) that must — and emits
+  // both readouts WITH the decision column under one delete-truth
+  // oracle that recomputes the decision from the same counts, so the
+  // hash gate pins branch AND result. The physical contract the hash
+  // can't see (trickle leaves tombstones on disk and store files
+  // untouched; purge retires them) is pinned by ScaleMechanicsSpec.
+  private[graft] def morMaintain(spark: SparkSession, store: String,
+                                 tomb: String, scenario: String,
+                                 foldFrac: Double = 0.10): DataFrame = {
+    require(graft.core.PosixCommit.partitions(tomb, "o_month").nonEmpty,
+      s"s23/$scenario: the delete predicate matched no rows at this SF")
+    val tombs = spark.read.parquet(tomb).select("o_orderkey").distinct()
+      .localCheckpoint(true) // decision count + anti-join: one evaluation
+    val nTomb = tombs.count()
+    val nStore = spark.read.parquet(store).count()
+    val fold = nTomb >= foldFrac * nStore
+    val served = if (fold) {
+      morFold(spark, store,
+        graft.core.PosixCommit.partitions(tomb, "o_month"), tombs,
+        broadcastTombs = false)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tomb))
+      spark.read.parquet(store)
+    } else {
+      spark.read.parquet(store)
+        .join(broadcast(tombs), Seq("o_orderkey"), "left_anti")
+    }
+    served.groupBy("o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("scenario", lit(scenario))
+      .withColumn("branch", lit(if (fold) "fold" else "serve"))
+  }
+
+  private def s23MorFoldScheduler(spark: SparkSession, dir: String): DataFrame = {
+    val base = freshStagingDir(spark, "s23", dir)
+    val orders = Tables.orders(spark, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month").startsWith("1996-"))
+      .select("o_orderkey", "o_totalprice", "o_month")
+    def scenario(name: String,
+                 deletePred: org.apache.spark.sql.Column): DataFrame = {
+      val store = s"$base/${name}_store"
+      val tomb = s"$base/${name}_tombstones"
+      orders.write.partitionBy("o_month").parquet(store)
+      orders.filter(deletePred).select("o_orderkey", "o_month")
+        .write.partitionBy("o_month").parquet(tomb)
+      morMaintain(spark, store, tomb, name)
+    }
+    scenario("purge", pmod(col("o_orderkey"), lit(3)) === 0)
+      .unionByName(scenario("trickle",
+        col("o_month").isin("1996-05", "1996-06") &&
+          pmod(col("o_orderkey"), lit(7)) === 0))
+      .orderBy("scenario", "o_month")
   }
 
   /** min/max of the `ts` column in microseconds, straight from the
@@ -975,6 +1049,7 @@ object ScaleOps {
     "e19_stream_cdc_merge" -> (e19StreamCdcMerge(_, _)),
     "e20_cdc_compact_serve" -> (e20CdcCompactServe(_, _)),
     "e21_stream_mor_deletes" -> (e21StreamMorDeletes(_, _)),
+    "s23_mor_fold_scheduler" -> (s23MorFoldScheduler(_, _)),
     "e17_idempotent_replay" -> (e17IdempotentReplay(_, _)),
     "e18_checkpoint_resume" -> (e18CheckpointResume(_, _)),
     "e10_late_data_drop" -> (e10LateDataDrop(_, _)))
@@ -1094,6 +1169,35 @@ object ScaleOps {
     "e19_stream_cdc_merge" -> graft.catalog.Relational.mergeOracleSql,
     // the SAME merge truth: a compaction visible to readers flips the hash
     "e20_cdc_compact_serve" -> graft.catalog.Relational.mergeOracleSql,
+    // delete truth per scenario PLUS the decision recomputed from the
+    // same counts: the hash gate pins branch AND result together
+    "s23_mor_fold_scheduler" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_month FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1996'),
+        |scen AS (
+        |  SELECT 'purge' AS scenario, o_orderkey, o_totalprice, o_month,
+        |    (o_orderkey % 3 = 0) AS del FROM base
+        |  UNION ALL
+        |  SELECT 'trickle', o_orderkey, o_totalprice, o_month,
+        |    (o_month IN ('1996-05', '1996-06') AND o_orderkey % 7 = 0)
+        |  FROM base),
+        |dec AS (
+        |  SELECT scenario,
+        |    CASE WHEN sum(CASE WHEN del THEN 1 ELSE 0 END)
+        |           >= 0.10 * count(*)
+        |         THEN 'fold' ELSE 'serve' END AS branch
+        |  FROM scen GROUP BY scenario)
+        |SELECT s.o_month, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(s.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(s.o_orderkey) AS BIGINT) AS key_sum,
+        |  s.scenario, d.branch
+        |FROM scen s JOIN dec d USING (scenario)
+        |WHERE NOT s.del
+        |GROUP BY s.o_month, s.scenario, d.branch
+        |ORDER BY s.scenario, s.o_month""".stripMargin,
     // ONE relational delete truth per phase: the streamed tombstone view
     // and the materialized table must both equal it
     "e21_stream_mor_deletes" ->

@@ -69,6 +69,7 @@ object CatalogDoc {
     "s20_manifest_vacuum" -> "manifest-fronted vacuum: commit-then-reclaim, every crash point reader-invisible",
     "s21_time_travel" -> "AS-OF reads of two committed snapshots plus their relational diff",
     "s22_merge_on_read" -> "merge-on-read deletion vectors: O(keys) tombstones anti-joined by readers, then materialized",
+    "s23_mor_fold_scheduler" -> "MOR fold scheduler: tombstone mass vs foldFrac decides serve-vs-rewrite; both branches one delete-truth oracle",
     // Predicates & projections
     "p1_dropna_any" -> "dropna(any): drop rows with any null",
     "p2_dropna_subset" -> "dropna restricted to a column subset",

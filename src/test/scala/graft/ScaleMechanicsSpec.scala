@@ -279,8 +279,7 @@ class ScaleMechanicsSpec extends SparkSpec {
       "a reader could tell the phases apart — the MOR contract is broken")
     // the store holds exactly the non-deleted rows, and the tombstone
     // dir was retired by the materialization
-    val tag = graft.core.Artifacts.dirTag(spark.sparkContext.applicationId)
-    val base = graft.catalog.Relational.tmpDir(s"s22_mor_$tag", sfDir)
+    val base = graft.catalog.Relational.tmpDir("s22_mor", sfDir)
     val store = spark.read.parquet(s"$base/store")
     val deletedPred = col("o_month").isin("1996-05", "1996-06") &&
       pmod(col("o_orderkey"), lit(7)) === 0
@@ -316,6 +315,31 @@ class ScaleMechanicsSpec extends SparkSpec {
       s"drain lineage wrong: $byDvid")
   }
 
+
+
+  test("s23: the scheduler folds the purge and leaves the trickle merge-on-read") {
+    val out = SparkEntry.queries("s23_mor_fold_scheduler")(spark, sfDir).collect()
+    val branches = out.map(r =>
+      r.getAs[String]("scenario") -> r.getAs[String]("branch")).toSet
+    assert(branches === Set("purge" -> "fold", "trickle" -> "serve"),
+      s"wrong decisions: $branches")
+    val base = graft.catalog.ScaleOps.stagingRoot(spark, "s23", sfDir)
+    // the physical contract the hash gate can't see: the trickle's
+    // tombstones are still on disk (no rewrite was scheduled) and its
+    // store still physically holds the deleted keys; the purge's
+    // tombstones retired and its store physically dropped them
+    assert(new java.io.File(s"$base/trickle_tombstones").exists(),
+      "trickle tombstones were retired — the serve branch rewrote")
+    assert(!new java.io.File(s"$base/purge_tombstones").exists(),
+      "purge tombstones survived — the fold branch did not run")
+    val trickleStore = spark.read.parquet(s"$base/trickle_store")
+    assert(trickleStore.filter(col("o_month").isin("1996-05", "1996-06") &&
+        pmod(col("o_orderkey"), lit(7)) === 0).count() > 0,
+      "trickle store was rewritten — the serve branch must not touch data files")
+    val purgeStore = spark.read.parquet(s"$base/purge_store")
+    assert(purgeStore.filter(pmod(col("o_orderkey"), lit(3)) === 0).count() === 0,
+      "purged keys survived the fold")
+  }
 
   test("morFold: a partition whose every row is deleted is removed, not left stale") {
     import spark.implicits._
