@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphXAnalytics {
 
+  // clamped-stats lazy checkpoint for iterative loops: truncates the
+  // round-over-round lineage AND stops size-stat estimates compounding
+  // through the checkpoint (the BigInteger driver-burn pathology — see
+  // GraftColumnBridge.localCheckpointClampedStats)
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.localCheckpointClampedStats(df)
+
   // The (hash → id) translation table is consumed by every algorithm in
   // this file. For graphs built by a memoized builder (cacheToken set —
   // checkpoint-backed, app-lifetime frames) the distinct is computed
@@ -251,18 +258,19 @@ object GraphXAnalytics {
       }
       (0 until n).map(v => (ids(v), rank(v))).toDF("id", "rank")
     } else {
-      val ed = edges.select(col("src").cast("string").as("src"),
-        col("dst").cast("string").as("dst")).localCheckpoint(true)
-      val deg = ed.groupBy("src").agg(count(lit(1)).as("od"))
-        .select(col("src").as("deg_id"), col("od")).localCheckpoint(true)
+      val ed = ckpt(edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")))
+      val deg = ckpt(ed.groupBy("src").agg(count(lit(1)).as("od"))
+        .select(col("src").as("deg_id"), col("od")))
       // vertex set = src ∪ dst, matching the dense path: a dst-only
       // (dangling) vertex still accrues walk mass even though it
       // contributes none back
-      val pref = ed.select(col("src").as("id"))
+      val pref0 = ed.select(col("src").as("id"))
         .union(ed.select(col("dst").as("id"))).distinct()
         .select(col("id"),
           when(col("id") === seedId, 1.0).otherwise(0.0).as("pref"))
-        .localCheckpoint(true)
+      val prefCk = ckpt(pref0)
+      val pref = prefCk
       require(pref.filter(col("id") === seedId).limit(1).count() == 1,
         s"PPR seed '$seedId' not present in the edge set")
       var rank = pref.select(col("id"), col("pref").as("rank"))
@@ -273,11 +281,10 @@ object GraphXAnalytics {
             col("src") === col("rank_id"))
           .join(deg, col("src") === col("deg_id"))
           .groupBy(col("dst")).agg(sum(col("rank") / col("od")).as("s"))
-        rank = pref.join(contrib, col("id") === col("dst"), "left")
+        rank = ckpt(pref.join(contrib, col("id") === col("dst"), "left")
           .select(col("id"),
             (lit(0.15) * col("pref") +
-              lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
-          .localCheckpoint(true)
+              lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank")))
         it += 1
       }
       rank
@@ -372,21 +379,22 @@ object GraphXAnalytics {
   def labelPropagation(spark: SparkSession, edges: DataFrame,
                        rounds: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val und = edges.select(col("src"), col("dst"))
+    val und = ckpt(edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     val verts = und.select(col("src").as("id")).distinct()
     var labels = verts.select(col("id"), col("id").as("lbl"))
     val w = Window.partitionBy("id").orderBy(desc("cnt"), asc("lbl"))
     for (_ <- 1 to rounds) {
+      val prevLabels = labels
       labels = und
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(prevLabels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("id", "lbl")
-        .localCheckpoint(true)
+      labels = ckpt(labels)
     }
     labels
   }
@@ -400,18 +408,18 @@ object GraphXAnalytics {
     * pairs; one degree-aggregate shuffle per round. */
   def kCore(spark: SparkSession, edges: DataFrame, k: Int,
             rounds: Int = 6): DataFrame = {
-    var und = edges.select(col("src"), col("dst"))
+    var und = ckpt(edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     for (_ <- 1 to rounds) {
       val keep = und.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("id")
-      und = und
+      und = ckpt(und
         .join(keep.withColumnRenamed("id", "src"), "src")
         .join(keep.withColumnRenamed("id", "dst"), "dst")
-        .select("src", "dst").localCheckpoint(true)
+        .select("src", "dst"))
     }
     und.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
   }

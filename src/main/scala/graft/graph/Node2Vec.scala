@@ -122,7 +122,9 @@ object Node2Vec {
         col("nbrs").as("prev_nbrs"),
         concat(col("path"), array(picked)).as("path"))
       // truncate the per-step join lineage periodically (plan growth)
-      if (step % 4 == 0) state = state.localCheckpoint(true)
+      if (step % 4 == 0)
+        state = org.apache.spark.sql.GraftColumnBridge
+          .localCheckpointClampedStats(state)
       if (sys.env.contains("GRAFT_N2V_DEBUG")) {
         val ts = System.nanoTime()
         state = state.localCheckpoint(true)

@@ -31,6 +31,41 @@ object GraftColumnBridge {
       case _ => ()
     }
 
+  /** localCheckpoint whose LogicalRDD reports CLAMPED size statistics
+    * instead of the origin plan's estimate. An iterative algorithm that
+    * checkpoints each round otherwise compounds the size-only stats
+    * estimate multiplicatively THROUGH the checkpoint — `Dataset
+    * .localCheckpoint` stamps the origin plan's stats onto the
+    * LogicalRDD, round i+1's join estimates multiply round i's, and
+    * after ~12 rounds sizeInBytes is a BigInt with thousands of digits:
+    * the driver then burns whole seconds per round in BigInteger math
+    * inside SizeInBytesOnlyStatsPlanVisitor (measured on Louvain's
+    * distributed leg: level-1 round walls doubling 0.7 s → 11 s on a
+    * 10k-edge graph with flat data, jstack pinned in BigInteger
+    * multiply). Clamping at the checkpoint seam bounds every round's
+    * estimate; AQE's runtime sizes decide the actual join strategies
+    * regardless. Lazy: the blocks land with the caller's next action. */
+  def localCheckpointClampedStats(df: DataFrame,
+                                  capBytes: Long = 1L << 40): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    import org.apache.spark.sql.execution.LogicalRDD
+    val ck = df.localCheckpoint(false)
+    val lr = ck.queryExecution.optimizedPlan match {
+      case l: LogicalRDD => l
+      case _ => return ck
+    }
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    // walking the origin stats here is bounded: this round's plan sits
+    // on LEAVES this same function already clamped
+    val orig = df.queryExecution.optimizedPlan.stats
+    val clamped = Statistics(
+      sizeInBytes = orig.sizeInBytes.min(BigInt(capBytes)),
+      rowCount = orig.rowCount.map(_.min(BigInt(Long.MaxValue))))
+    val stamped = new LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+      lr.outputOrdering, lr.isStreaming, None)(spark, Some(clamped), None)
+    classic.Dataset.ofRows(spark, stamped)
+  }
+
   /** localCheckpoint that KEEPS the build plan's hash partitioning.
     * Under AQE the adaptive plan reports `UnknownPartitioning` until
     * execution finishes, so a plain `localCheckpoint` captures Unknown

@@ -137,6 +137,9 @@ class CatalogPlanContractSpec extends SparkSpec {
       "LinkPredict.scala:incrementalTrain" -> (1, "capped-corpus readout for the registry fit"),
       "LinkPredict.scala:train" -> (1, "class counts (2 rows) for weighting"),
       "Louvain.scala:detectSequential" -> (1, "dense leg behind its gate, distributed fallback in detect()"),
+      "Louvain.scala:parts" -> (1, "graph constants m2/selfW, one 2-row readout per level"),
+      "Louvain.scala:modularityFromParts" -> (1, "composed-Q scalars, one 2-row readout per level"),
+      "Louvain.scala:localMoves" -> (1, "per-round convergence scalars, one 3-row readout per round"),
       "LouvainDebug.scala:main" -> (1, "debug main, not a catalog path"),
       "Metrics.scala:aucDistributed" -> (1, "rank-AUC dense leg behind the 1M gate, histogram fallback"),
       "Metrics.scala:binaryAucsDistributed" -> (1, "same gate as aucDistributed, batched variant"),

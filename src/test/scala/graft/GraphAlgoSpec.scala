@@ -42,6 +42,44 @@ class GraphAlgoSpec extends SparkSpec {
     assert(Louvain.modularity(spark, edges, comm) > 0.3)
   }
 
+
+  /** Ring of 8 twelve-node cliques joined by weak bridges — big enough
+    * that the distributed leg runs multiple genuine move rounds and two
+    * levels, structured enough that the correct answer is exact. */
+  private def cliqueRing = {
+    val intra = for (c <- 0 until 8; a <- 0 until 12; b <- 0 until 12 if a < b)
+      yield (f"c$c%d_n$a%02d", f"c$c%d_n$b%02d", 1.0)
+    val bridges = for (c <- 0 until 8)
+      yield (f"c$c%d_n00", f"c${(c + 1) % 8}%d_n01", 0.01)
+    (intra ++ bridges).toDF("src", "dst", "weight")
+  }
+
+  test("Louvain distributed-leg parity: the forced leg recovers the ring's cliques exactly, deterministically") {
+    // parity harness for the per-round job-count refactor: the forced
+    // leg's OUTPUT (exact canonical partition) on a gate-crossing graph
+    // is pinned; any cadence/fusion change to localMoves must reproduce
+    // it bit-for-bit (plus the round trace under GRAFT_LOUVAIN_DEBUG)
+    val edges = cliqueRing
+    val comm = Louvain.detect(spark, edges, maxIter = 8, seqMaxEdges = 0L)
+      .cache()
+    val groups = comm.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val byClique = (0 until 8).map { c =>
+      (0 until 12).map(n => groups(f"c$c%d_n$n%02d")).toSet
+    }
+    byClique.zipWithIndex.foreach { case (cs, i) =>
+      assert(cs.size === 1, s"clique $i split across $cs")
+    }
+    assert(byClique.flatten.toSet.size === 8,
+      s"cliques merged: ${byClique.flatten.toSet}")
+    // canonical labels are min-id per community: pinned exactly
+    (0 until 8).foreach { c =>
+      assert(groups(f"c$c%d_n00") === f"c$c%d_n00", "canonical label drifted")
+    }
+    val again = Louvain.detect(spark, edges, maxIter = 8, seqMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again === groups, "forced leg is not deterministic")
+  }
+
   test("Louvain on the sf0.001 similarity graph yields positive modularity") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val sim = graft.sim.Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
