@@ -91,10 +91,32 @@ object GraphXAnalytics {
       }
     }
 
+  /** Edge partition count for the GraphX legs, derived from edge MASS,
+    * never inherited from the input's split layout. Iterative GraphX
+    * jobs (CC's Pregel, staticPageRank) pay per-partition overheads —
+    * routing tables, replicated vertex views, shuffle pieces — EVERY
+    * round, so the scan layout of the SF directory must not leak into
+    * the round cost: a single-file SF hands the union ~3 partitions
+    * (under-using the host), a 32-file layout hands it ~100 (measured
+    * at sf1: the same 7.7M-edge CC ran 2-3× slower than under the
+    * single-file layout, round overhead ×30 partitions). ~1M edges
+    * (~25 MB of (long,long,double)) per partition; the floor keeps
+    * small graphs off a 1-task path, the ceiling scales with cluster
+    * parallelism rather than a sandbox constant. */
+  private def edgeParts(sc: org.apache.spark.SparkContext, m: Long): Int = {
+    val bySize = ((m + 999999L) / 1000000L).toInt
+    math.min(math.max(4, bySize), math.max(64, 4 * sc.defaultParallelism))
+  }
+
   private def toGraphX(g: PropertyGraph): Graph[Unit, Double] = {
+    val sc = g.edges.sparkSession.sparkContext
+    // count is ~free for the checkpoint-backed memoized graphs, and the
+    // one extra pass for ad-hoc graphs is noise next to the iterative
+    // job the caller is about to run
     val edgeRdd = g.edges
       .select(xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"),
         coalesce(col("qty"), lit(1.0)).as("w"))
+      .repartition(edgeParts(sc, g.edges.count()))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     Graph.fromEdges(edgeRdd, ())
   }
@@ -318,7 +340,8 @@ object GraphXAnalytics {
     val hashed = edges
       .select(xxhash64(col("src").cast("string")).as("s"),
         xxhash64(col("dst").cast("string")).as("d"))
-    val counted: DataFrame = if (hashed.count() <= seqMaxEdges) {
+    val edgeCount = hashed.count()
+    val counted: DataFrame = if (edgeCount <= seqMaxEdges) {
       // Hybrid dense leg (same gate as CC/PageRank/BFS): the hashed
       // canonical edge set fits on the driver, and sorted-adjacency
       // intersection counts every vertex's triangles in one pass —
@@ -360,7 +383,12 @@ object GraphXAnalytics {
       rows.foreach { r => verts += r.getLong(0); verts += r.getLong(1) }
       verts.iterator.map(v => (v, acc(v) / 2)).toSeq.toDF("vid", "tri")
     } else {
-      val edgeRdd = hashed.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      // same mass-derived partitioning as toGraphX: triangleCount's
+      // adjacency exchange pays per-partition costs the scan layout
+      // must not dictate
+      val edgeRdd = hashed
+        .repartition(edgeParts(spark.sparkContext, edgeCount))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
       Graph.fromEdges(edgeRdd, ()).triangleCount().vertices.toDF("vid", "tri")
     }
     counted.join(vm, "vid")

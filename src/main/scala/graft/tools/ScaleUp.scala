@@ -21,21 +21,45 @@ import org.apache.spark.sql.functions._
   * everything-matches-everything blowup. Embedding vectors are copied
   * verbatim (vec_id shifted by the doc_id base it joins against); the
   * ANN sweep rows note this when interpreting cross-copy dup counts.
+  * The documents bijection family is affine (see below), so the tool
+  * supports up to 312 copies — enough to tile sf0.1 straight to sf10+
+  * in one pass instead of compounding rotations through an
+  * intermediate SF (composed rotations collide: copy j of an
+  * already-rotated copy i lands on rotation i+j, which repeats).
   *
   * Usage: graft.tools.ScaleUp <srcSfDir> <dstDir> <copies>
   */
 object ScaleUp {
+  /** The per-copy letter bijection family: affine cipher x -> a·x+b
+    * mod 26 with a over the 12 units mod 26 — 312 distinct maps, any
+    * two agreeing on at most gcd(Δa, 26) = 2 letters (so ≥3-letter
+    * cross-copy shingles stay disjoint). i = 0 is the identity;
+    * i = 1..25 are the classic rotations the round-11 generator used.
+    * Returned as the 26-char image of "abcdefghijklmnopqrstuvwxyz"
+    * for `translate`. Family properties are pinned by ScaleUpSpec. */
+  val alpha = "abcdefghijklmnopqrstuvwxyz"
+  private val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  val familySize: Int = units.size * 26
+  def affineMap(i: Int): String = {
+    val a = units((i / 26) % units.size)
+    val b = i % 26
+    alpha.map(ch => alpha((a * (ch - 'a') + b) % 26)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(src, dst, copiesS) = args.take(3)
     val copies = copiesS.toInt
     // input-only validation BEFORE any writes: a late failure would
     // leave a partially-tiled destination that looks like a valid SF.
-    // (rotation i = 0 recurs at every multiple of 26 — copy 26 would
-    // duplicate copy 0 verbatim and re-create the cross-copy collision
-    // blowup the rotation exists to prevent)
-    require(copies >= 1 && copies <= 26,
-      s"copies=$copies out of [1, 26]: the per-copy alphabet rotation " +
-        "repeats at i % 26 == 0 — pick <= 26 copies or extend the perturbation")
+    // The per-copy text bijection family is AFFINE (x -> a·x+b mod 26,
+    // a over the 12 units mod 26): 312 distinct maps, and two distinct
+    // maps agree on at most gcd(Δa, 26) = 2 letters — so any 5-char
+    // cross-copy shingle containing ≥3 letters stays disjoint. Copy 312
+    // would repeat the identity and re-create the collision blowup the
+    // family exists to prevent.
+    require(copies >= 1 && copies <= familySize,
+      s"copies=$copies out of [1, $familySize]: the per-copy affine-cipher " +
+        s"family has $familySize members — pick <= $familySize copies or extend the perturbation")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,7 +99,12 @@ object ScaleUp {
       * named key by i·(its domain base), preserve column order. */
     def tile(name: String, keys: Seq[(String, Long)],
              extra: DataFrame => DataFrame = identity): Unit = {
-      val df0 = read(name)
+      // the driver SFs are single parquet files (one scan partition);
+      // spread the SOURCE before the broadcast crossJoin so the
+      // copies-× explosion fans out across cores pre-explosion —
+      // repartitioning the tiled result instead would shuffle
+      // copies-times the bytes for the same parallelism
+      val df0 = read(name).repartition(cpus.toInt)
       val cols = df0.columns
       val tiled0 = df0.crossJoin(
         broadcast(spark.range(copies.toLong).toDF("__c")))
@@ -107,20 +136,26 @@ object ScaleUp {
     // document base — its own max is smaller (not every doc has a
     // vector) and would cross-wire copies
     tile("embeddings", Seq("vec_id" -> docBase))
-    // documents: per-copy ALPHABET ROTATION, not token tagging. The
+    // documents: per-copy ALPHABET SUBSTITUTION, not token tagging. The
     // dedup kernels shingle CHARACTERS, and any uniform tag string
     // becomes a copy-wide shared shingle fabric that collapses minhash
     // signatures into giant buckets (measured: candidate pairs went
     // 591× for 10× docs under a "_c<i>" token suffix). A per-copy
-    // caesar substitution is a bijection on the text: within-copy
-    // similarity structure is preserved EXACTLY (isomorphic shingle
-    // sets, identical dup clusters), cross-copy shingles are disjoint,
-    // and n_chars/token boundaries don't move.
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // letter bijection preserves within-copy similarity structure
+    // EXACTLY (isomorphic shingle sets, identical dup clusters) while
+    // keeping cross-copy shingles disjoint, and n_chars/token
+    // boundaries don't move. The family is the AFFINE cipher
+    // x -> a·x+b mod 26: copies 1..25 are the classic rotations (a=1,
+    // identical to the round-11 generator), copies 26+ step the
+    // multiplier through the units mod 26, giving 312 bijections where
+    // rotation alone gave 26 — two distinct members agree on at most 2
+    // letters (gcd(Δa, 26) ≤ 2 for distinct odd a), so a 5-char shingle
+    // collides across copies only if it holds ≤2 distinct letters plus
+    // non-letters: vanishing measure, vs. the blowup a repeated map
+    // would cause on EVERY shingle.
     val rotated = (1 until copies).foldLeft(
         when(col("__c") === 0, col("text"))) { (w, i) =>
-      val r = alpha.drop(i) + alpha.take(i)
-      w.when(col("__c") === i, translate(col("text"), alpha, r))
+      w.when(col("__c") === i, translate(col("text"), alpha, affineMap(i)))
     }
     tile("documents", Seq("doc_id" -> docBase), extra = df =>
       df.withColumn("text", rotated))
