@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-sweep data generator: tiles a driver testdata SF directory
@@ -45,6 +45,31 @@ object ScaleUp {
     val b = i % 26
     alpha.map(ch => alpha((a * (ch - 'a') + b) % 26)).mkString
   }
+
+  /** Per-copy DIGIT bijection for the NAME columns (c_name/s_name),
+    * the ER kernels' blocking input: digit d maps to the LETTER
+    * alpha((a·d+b) mod 26) through the same affine family as
+    * [[affineMap]]. A character bijection preserves Levenshtein
+    * distances and per-block row counts EXACTLY (the documents
+    * lesson), where the round-11 token tag ("_c<i>") replaced every
+    * copy's last-2-char block key with one shared token — 15k-row
+    * mega-blocks per copy that d8's pair cap then DROPPED, so the
+    * recorded sf1 "flat" row was measuring a corpus with 90% of its
+    * ER work capped away. Family properties (pinned by ScaleUpSpec):
+    * injective per copy (10 distinct letters — so the 100 distinct
+    * 2-digit name suffixes stay 100 distinct blocks within every
+    * copy); disjoint from copy 0's digit suffixes (letters vs
+    * digits); for i ≠ j, a distinct-digit suffix pair NEVER collides
+    * (Δa·(d1−d2) ≡ 0 mod 26 forces a_j = a_i + 13, which is even —
+    * not a unit), and repeated-digit suffixes collide for at most the
+    * 11 other multiplier choices — bounded block merging no matter
+    * the copy count, never a blowup. */
+  def digitMap(i: Int): String = {
+    val a = units((i / 26) % units.size)
+    val b = i % 26
+    (0 to 9).map(d => alpha((a * d + b) % 26)).mkString
+  }
+  val digits = "0123456789"
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, copiesS) = args.take(3)
@@ -114,18 +139,23 @@ object ScaleUp {
       write(name, extra(shifted).select(cols.head, cols.tail: _*))
     }
 
-    // names carry the copy tag: the fuzzy-match/ER kernels block on name
-    // substrings, and 10 verbatim copies of every name would merge the
-    // blocks into a 100× pair blowup no organic corpus has (distinct
-    // real-world names keep blocks bounded — the tag preserves that)
+    // names get the per-copy DIGIT bijection (digits → letters through
+    // the affine family): the fuzzy-match/ER kernels block on the
+    // last-2 chars, and 10 verbatim copies of every name would merge
+    // the blocks into a 100× pair blowup no organic corpus has, while
+    // a shared "_c<i>" token suffix (the round-11 tag) is worse in the
+    // other direction — it makes the block key ITSELF the tag, fusing
+    // each copy's 15k names into one mega-block the pair cap then
+    // drops. A character bijection keeps every copy's block-size
+    // histogram and Levenshtein structure identical to the source.
+    def nameRotated(c: Column): Column =
+      (1 until copies).foldLeft(when(col("__c") === 0, c)) { (w, i) =>
+        w.when(col("__c") === i, translate(c, digits, digitMap(i)))
+      }
     tile("customer", Seq("c_custkey" -> custBase), extra = df =>
-      df.withColumn("c_name",
-        when(col("__c") === 0, col("c_name"))
-          .otherwise(concat(col("c_name"), lit("_c"), col("__c")))))
+      df.withColumn("c_name", nameRotated(col("c_name"))))
     tile("supplier", Seq("s_suppkey" -> suppBase), extra = df =>
-      df.withColumn("s_name",
-        when(col("__c") === 0, col("s_name"))
-          .otherwise(concat(col("s_name"), lit("_c"), col("__c")))))
+      df.withColumn("s_name", nameRotated(col("s_name"))))
     tile("part", Seq("p_partkey" -> partBase))
     tile("orders", Seq("o_orderkey" -> orderBase, "o_custkey" -> custBase))
     tile("lineitem", Seq("l_orderkey" -> orderBase, "l_partkey" -> partBase,

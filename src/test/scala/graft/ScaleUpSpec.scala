@@ -45,4 +45,41 @@ class ScaleUpSpec extends AnyFunSuite {
     // main() exists to reject exactly that
     assert(ScaleUp.affineMap(ScaleUp.familySize) == maps(0))
   }
+
+  // ---- the NAME-column digit bijection (d8's blocking input) ----
+
+  private val dmaps = (0 until ScaleUp.familySize).map(ScaleUp.digitMap)
+
+  test("digitMap: every member sends the 10 digits to 10 DISTINCT letters") {
+    // injective ⇒ the source's 100 distinct 2-digit name suffixes stay
+    // 100 distinct last-2-char blocks inside every copy — the property
+    // whose absence (the _c<i> token tag) fused each copy into one
+    // mega-block the d8 pair cap then dropped
+    for ((m, i) <- dmaps.zipWithIndex)
+      assert(m.length == 10 && m.toSet.size == 10 && m.forall(_.isLower),
+        s"digitMap($i) not an injection into letters: $m")
+  }
+
+  test("digitMap: distinct-digit suffixes NEVER collide across distinct copies") {
+    // Δa·(d1−d2) ≡ 0 (mod 26) with d1≠d2 in 0..9 forces Δa ≡ 0 mod 13,
+    // i.e. a_j = a_i ± 13 — even, so not a unit: no other family member
+    // agrees on two distinct digits at once. Brute-forced here over all
+    // pairs so an edit to the unit list can't silently break it.
+    for (i <- dmaps.indices; j <- (i + 1) until dmaps.size) {
+      val agree = (0 to 9).filter(d => dmaps(i)(d) == dmaps(j)(d))
+      assert(agree.size <= 1,
+        s"digitMaps $i,$j agree on digits $agree — a distinct-digit " +
+          "name suffix would merge those copies' blocks")
+    }
+  }
+
+  test("digitMap: repeated-digit suffix merging is bounded by the unit count") {
+    // a single digit's image can coincide across at most the 11 other
+    // multiplier choices — block merging stays bounded regardless of
+    // copy count (never a blowup)
+    for (i <- dmaps.indices.take(26); d <- 0 to 9) {
+      val same = dmaps.indices.count(j => j != i && dmaps(j)(d) == dmaps(i)(d))
+      assert(same <= 11, s"digit $d of copy $i collides with $same other copies")
+    }
+  }
 }
