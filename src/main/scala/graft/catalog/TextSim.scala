@@ -477,8 +477,14 @@ object TextSim {
   private def ivfRanked(spark: SparkSession, dir: String): DataFrame =
     graft.core.AppCache.get(ivfRankedCache,
       (spark.sparkContext.applicationId, dir)) {
-      Similarity.ivfHashRanked(Tables.embeddings(spark, dir),
-          "vec_id", "embedding", nLists = 16, maxRank = 3, salt = 13L)
+      // corpus-adaptive nlist (≈√n, floor 16): a fixed 16 made per-query
+      // serve work linear in the corpus — sim_ivf_topk's all-vector
+      // probe batch went 2.3 s → 31.7 s for 10× data (sf0.1→sf1) and
+      // would have shuffled ~7.5e9 array rows at sf10. The one count()
+      // is paid once per (app, dir), inside this memo.
+      val e = Tables.embeddings(spark, dir)
+      Similarity.ivfHashRanked(e, "vec_id", "embedding",
+          nLists = Similarity.scaleNLists(e.count()), maxRank = 3, salt = 13L)
         .localCheckpoint(true)
     }
 
@@ -1756,11 +1762,13 @@ object TextSim {
   private def simIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ColFns
     import org.apache.spark.sql.expressions.Window
-    val nLists = 16
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val standing = e.filter(col("vec_id") % 5 =!= 0)
     val arrivals = e.filter(col("vec_id") % 5 === 0)
+    // adaptive nlist sized from the STANDING corpus (the index being
+    // appended to), mirrored by the oracle's count over the same filter
+    val nLists = Similarity.scaleNLists(standing.count())
     val cents = Similarity.hashRankedPick(
       standing.select(col("vec_id").as("cid"), col("v").as("cv")),
       nLists, 13L, "list")
@@ -1783,7 +1791,7 @@ object TextSim {
   // norm precomputed) — and PERSISTS both as artifacts. The serve
   // query then answers a probe batch (vec_id ≡ 0 mod 7) against the
   // persisted index ONLY: nProbe-list routing is a broadcast join
-  // against the 16-row centroid artifact, scoring shuffles keyed by
+  // against the nlist-row centroid artifact, scoring shuffles keyed by
   // list id, and no plan node ever rescans the corpus — the 100 TB
   // serving shape where the index outlives the batch that built it.
   // Both engines recompute routing + scoring from the same parquet.
@@ -1832,7 +1840,11 @@ object TextSim {
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           col("label"))
-      val (cents, lists) = buildHashIvf(e, 16, extraCols = Seq("label"))
+      // adaptive nlist (≈√n, floor 16) — same sizing rule and rationale
+      // as ivfRanked; the serve oracles read the artifact so only the
+      // sim_ann0 build oracle mirrors this count
+      val (cents, lists) =
+        buildHashIvf(e, Similarity.scaleNLists(e.count()), extraCols = Seq("label"))
       (artifact(spark, dir, "ivf0_centroids", cents),
         artifact(spark, dir, "ivf0_lists", lists))
     }
@@ -1968,9 +1980,12 @@ object TextSim {
   // trained index's recall against the brute-force ground truth is at
   // least the hash-pick baseline's.
   private def simIvfTrained(spark: SparkSession, dir: String): DataFrame = {
-    val nLists = 16; val nProbe = 3; val k = 5
+    val nProbe = 3; val k = 5
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // trained k = the same adaptive ≈√n sizing as the hash-pick index,
+    // so the trained-vs-baseline recall comparison is like for like
+    val nLists = Similarity.scaleNLists(e.count())
     val (cents0, lists0) = Similarity.trainedQuantizer(e, "vec_id", "v", nLists)
     val centA = artifact(spark, dir, "ivf_t_centroids", cents0)
     val listA = artifact(spark, dir, "ivf_t_lists",
@@ -2528,10 +2543,11 @@ object TextSim {
     },
     "sim_ivf_topk" ->
       Similarity.ivfHashTopKSql("embeddings", "vec_id", "embedding", DIM,
-        k = 5, nLists = 16, nProbe = 3),
+        k = 5, nListsSql = Similarity.scaleNListsSql("embeddings"), nProbe = 3),
     "d13_semantic_dedup" ->
       Similarity.ivfNearDupPairsSql("embeddings", "vec_id", "embedding", DIM,
-        minCos = 0.4, nLists = 16, nProbe = 2),
+        minCos = 0.4, nListsSql = Similarity.scaleNListsSql("embeddings"),
+        nProbe = 2),
     "sim_lsh_topk" -> {
       val bucket = Similarity.lshBucketSql("embedding", DIM, 8)
       val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
@@ -3043,7 +3059,7 @@ object TextSim {
          |    SELECT v AS cv,
          |      row_number() OVER (ORDER BY $u ASC, vec_id ASC) AS list
          |    FROM e)
-         |  WHERE list <= 16),
+         |  WHERE list <= ${Similarity.scaleNListsSql("e")}),
          |ranked AS (
          |  SELECT e.vec_id, c.list, ($cc - 2.0 * $vc) AS rank_d,
          |         sqrt($nn) AS nrm
@@ -3189,7 +3205,7 @@ object TextSim {
          |    SELECT v AS cv,
          |      row_number() OVER (ORDER BY $u ASC, vec_id ASC) AS list
          |    FROM e WHERE vec_id % 5 <> 0)
-         |  WHERE list <= 16),
+         |  WHERE list <= ${Similarity.scaleNListsSql("e WHERE vec_id % 5 <> 0")}),
          |ranked AS (
          |  SELECT a.vec_id, c.list, round(($cc - 2.0 * $vc), 6) AS rank_d
          |  FROM (SELECT * FROM e WHERE vec_id % 5 = 0) a CROSS JOIN cents c),

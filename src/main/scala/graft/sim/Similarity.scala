@@ -557,6 +557,27 @@ object Similarity {
                   nLists: Int = 16, nProbe: Int = 3, salt: Long = 13L): DataFrame =
     ivfTopKFromScored(ivfHashScored(vectors, idCol, vecCol, nLists, nProbe, salt), k)
 
+  /** Corpus-adaptive coarse-quantizer size: nlist = max(16, ⌈√n⌉).
+    * Per-query serve work is nProbe·(n/nlist); a FIXED nlist makes that
+    * linear in the corpus (total serve cost quadratic — measured
+    * 2.3 s → 31.7 s for 10× data at sf0.1→sf1 before r13), while
+    * nlist ∝ √n keeps both the expected cell size and the per-query
+    * candidate count at ~√n — the standard IVF sizing rule (FAISS's
+    * nlist ≈ 4√n..16√n band). The floor keeps tiny corpora off
+    * degenerate 2-3-row centroid tables. The centroid table stays
+    * broadcastable at every scale this engine targets: √n rows is
+    * 448 at sf10 and ~10⁵ (≈50 MB of dim-64 doubles) at 10¹⁰ vectors. */
+  def scaleNLists(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** The DuckDB mirror of [[scaleNLists]] as a scalar subquery —
+    * oracles have no SparkSession to count with, so the SQL computes
+    * the same adaptive size from the same rows. `from` is a table or
+    * CTE name (optionally with a WHERE) whose row count is the corpus
+    * size the Spark side counted. */
+  def scaleNListsSql(from: String): String =
+    s"(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS INTEGER)) FROM $from)"
+
   /** Finishing step shared by the fresh-build and prebuilt-index top-k
     * paths: per-query rank window + cutoff. */
   def ivfTopKFromScored(scored: DataFrame, k: Int): DataFrame = {
@@ -613,12 +634,11 @@ object Similarity {
   /** D13: semantic near-dup pairs, IVF-bucketed — the scale path for
     * the brute-force threshold join (d5): a pair is compared only when
     * one side probes the other's coarse cell, so the candidate count
-    * drops by ~nProbe/nLists versus the all-pairs join (n²/8 at the
-    * catalog's fixed 16/2). The factor is constant at fixed nLists —
-    * at corpus scale nLists must grow with n (∝√n keeps expected cell
-    * size and probe cost both ~√n), which this kernel supports as a
-    * plain argument; the catalog entry pins 16 for oracle parity at
-    * test SF. Pairs are
+    * drops by ~nProbe/nLists versus the all-pairs join. The factor is
+    * constant at fixed nLists — at corpus scale nLists must grow with
+    * n (∝√n keeps expected cell size and probe cost both ~√n), which
+    * the catalog entry does via [[scaleNLists]], the oracle mirroring
+    * the count with [[scaleNListsSql]]. Pairs are
     * normalized (src < dst) and deduped — (a probes b) and (b probes a)
     * produce the same row because the component-wise dot is
     * order-independent. Approximate by design: boundary pairs whose
@@ -650,7 +670,7 @@ object Similarity {
     * `scored` — textually one source so the topK and near-dup oracles
     * can never drift from each other. */
   private def ivfScoredSqlPrefix(table: String, idCol: String, vecCol: String,
-                                 dim: Int, nLists: Int, nProbe: Int,
+                                 dim: Int, nListsSql: String, nProbe: Int,
                                  salt: Long): String = {
     import graft.functions.ColFns
     val u = ColFns.pseudoUniformSql(idCol, salt)
@@ -664,7 +684,7 @@ object Similarity {
        |    SELECT $vecCol AS cv,
        |      row_number() OVER (ORDER BY $u ASC, $idCol ASC) AS list
        |    FROM $table)
-       |  WHERE list <= $nLists),
+       |  WHERE list <= $nListsSql),
        |ranked AS (
        |  SELECT b.id, b.v, b.nrm, c.list, ($cc - 2.0 * $vc) AS rank_d
        |  FROM b CROSS JOIN cents c),
@@ -677,11 +697,13 @@ object Similarity {
        |  FROM probes p JOIN assigned a USING (list) WHERE p.src <> a.dst)""".stripMargin
   }
 
-  /** DuckDB mirror of `ivfHashTopK` over a table with (idCol, vecCol). */
+  /** DuckDB mirror of `ivfHashTopK` over a table with (idCol, vecCol).
+    * `nListsSql` is a SQL expression (a literal, or [[scaleNListsSql]]
+    * for the corpus-adaptive size the catalog entries use). */
   def ivfHashTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
-                     k: Int, nLists: Int = 16, nProbe: Int = 3,
+                     k: Int, nListsSql: String = "16", nProbe: Int = 3,
                      salt: Long = 13L): String =
-    s"""${ivfScoredSqlPrefix(table, idCol, vecCol, dim, nLists, nProbe, salt)},
+    s"""${ivfScoredSqlPrefix(table, idCol, vecCol, dim, nListsSql, nProbe, salt)},
        |r AS (SELECT *, row_number() OVER (PARTITION BY src
        |        ORDER BY cos DESC, dst ASC) AS rn FROM scored)
        |SELECT src, rn, dst, round(cos, 6) AS cos FROM r WHERE rn <= $k
@@ -689,9 +711,9 @@ object Similarity {
 
   /** DuckDB mirror of `ivfNearDupPairs`. */
   def ivfNearDupPairsSql(table: String, idCol: String, vecCol: String,
-                         dim: Int, minCos: Double, nLists: Int = 16,
+                         dim: Int, minCos: Double, nListsSql: String = "16",
                          nProbe: Int = 2, salt: Long = 13L): String =
-    s"""${ivfScoredSqlPrefix(table, idCol, vecCol, dim, nLists, nProbe, salt)}
+    s"""${ivfScoredSqlPrefix(table, idCol, vecCol, dim, nListsSql, nProbe, salt)}
        |SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst,
        |  round(cos, 6) AS cos
        |FROM scored WHERE cos >= $minCos

@@ -28,7 +28,11 @@ def main():
     con = duckdb.connect()
     for t in ['region','nation','customer','supplier','part','orders',
               'lineitem','events','documents','embeddings']:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f'{sf_dir}/{t}.parquet'
+        # ScaleUp-generated SFs write directory-style parquet tables;
+        # the driver testdata is single-file — glob in the dir case.
+        src = f"parquet_scan('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f'{out_dir}/oracle_sql.json'))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f'{out_dir}/{d}'))
@@ -39,7 +43,10 @@ def main():
         files = glob.glob(f'{out_dir}/{name}/*.parquet')
         if not files:
             print(f'FAIL {name}: no parquet output'); n_fail += 1; continue
-        got = pd.read_parquet(files[0])
+        # read ALL part files — at sf>=1 a dump can span multiple parts,
+        # and files[0] alone would silently compare a row subset
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                        ignore_index=True)
         if name not in oracle:
             print(f'SKIP {name}: rows-only ({len(got)} rows)'); continue
         try:
