@@ -275,8 +275,11 @@ object ScaleOps {
     // brute-force pass of the corpus per run
     val brute = graft.sim.KnnCache.topk(spark, dir, k = 5, rankRounded = true)
       .select("src", "dst")
+    // the SAME adaptive plane count the serving entry (sim_lsh_topk)
+    // uses — recall is only meaningful for the configuration served
     val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
-      dim = DIM, nPlanes = 8, k = 5, rankRounded = true).select("src", "dst")
+      dim = DIM, nPlanes = Similarity.scaleNPlanes(e.count()), k = 5,
+      rankRounded = true).select("src", "dst")
     val perQuery = brute.groupBy("src").agg(count(lit(1)).as("n_true"))
       .join(brute.join(lsh, Seq("src", "dst"), "left_semi")
         .groupBy("src").agg(count(lit(1)).as("hits")), Seq("src"), "left")
@@ -1114,7 +1117,8 @@ object ScaleOps {
         |FROM purch p LEFT JOIN agg a USING (event_id)
         |ORDER BY purchase_id""".stripMargin,
     "sim_recall_eval" -> {
-      val bucket = Similarity.lshBucketSql("embedding", DIM, 8)
+      val bucket = Similarity.lshBucketSqlDynamic("embedding", DIM,
+        Similarity.scaleNPlanesSql("embeddings"))
       val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
       s"""WITH n AS (SELECT vec_id, embedding, $bucket AS bucket,
          |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm

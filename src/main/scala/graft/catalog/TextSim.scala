@@ -459,10 +459,14 @@ object TextSim {
   private def simBruteTopK(spark: SparkSession, dir: String): DataFrame =
     graft.sim.KnnCache.topk(spark, dir, 5).orderBy("src", "rn")
 
-  private def simLshTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        dim = DIM, nPlanes = 8, k = 5)
+  private def simLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    // adaptive plane count (bucket size ≈32 at any corpus): pinned
+    // p=8 made the bucket self-join quadratic — see scaleNPlanes
+    val e = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(e, "vec_id", "embedding",
+        dim = DIM, nPlanes = Similarity.scaleNPlanes(e.count()), k = 5)
       .orderBy("src", "rn")
+  }
 
   // deterministic hash-sampled quantizer → full DuckDB oracle (the
   // KMeans variant stays in the library as Similarity.ivfTopK, asserted
@@ -523,10 +527,13 @@ object TextSim {
   // ADC search over the PQ codes: LSH-bucket pruning + per-candidate
   // scoring from the 8-byte codes against the exact query vector — the
   // compressed-corpus ANN query path end to end
-  private def simPqAdcTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.pqAdcTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        dim = DIM, k = 5)
+  private def simPqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    // adaptive bucket pruning, same ≈32-candidate sizing as sim_lsh_topk
+    val e = Tables.embeddings(spark, dir)
+    Similarity.pqAdcTopK(e, "vec_id", "embedding",
+        dim = DIM, k = 5, nPlanes = Similarity.scaleNPlanes(e.count()))
       .orderBy("src", "rn")
+  }
 
   // T7: fixed-size token chunking with overlap (50-token windows,
   // 10-token overlap) — documents become model-ready training windows;
@@ -2549,7 +2556,8 @@ object TextSim {
         minCos = 0.4, nListsSql = Similarity.scaleNListsSql("embeddings"),
         nProbe = 2),
     "sim_lsh_topk" -> {
-      val bucket = Similarity.lshBucketSql("embedding", DIM, 8)
+      val bucket = Similarity.lshBucketSqlDynamic("embedding", DIM,
+        Similarity.scaleNPlanesSql("embeddings"))
       val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
       s"""WITH n AS (SELECT vec_id, embedding, $bucket AS bucket,
          |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
@@ -3485,7 +3493,8 @@ object TextSim {
     "sim_pq_codes" ->
       Similarity.pqCodesSql("embeddings", "vec_id", "embedding", DIM),
     "sim_pq_adc_topk" ->
-      Similarity.pqAdcTopKSql("embeddings", "vec_id", "embedding", DIM, k = 5),
+      Similarity.pqAdcTopKSql("embeddings", "vec_id", "embedding", DIM, k = 5,
+        nPlanesSql = Similarity.scaleNPlanesSql("embeddings")),
     "sim_quantize_int8" ->
       """WITH b AS (
         |  SELECT vec_id AS id,

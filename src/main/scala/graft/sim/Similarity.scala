@@ -356,7 +356,7 @@ object Similarity {
   /** DuckDB mirror of `pqAdcTopK`. */
   def pqAdcTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
                    k: Int, nSub: Int = 8, codebookSize: Int = 16,
-                   nPlanes: Int = 6, salt: Long = 17L): String = {
+                   nPlanesSql: String = "6", salt: Long = 17L): String = {
     val subLen = dim / nSub
     def sdot(a: String, b: String, s: Int): String =
       (s * subLen + 1 to (s + 1) * subLen).map(i =>
@@ -370,7 +370,7 @@ object Similarity {
       .mkString(",\n  ")
     val picks = (0 until nSub).map(s =>
       s"max(CASE WHEN r$s = 1 THEN code END) AS c$s").mkString(", ")
-    val bucket = lshBucketSql(vecCol, dim, nPlanes)
+    val bucket = lshBucketSqlDynamic(vecCol, dim, nPlanesSql)
     val centJoins = (0 until nSub).map(s =>
       s"JOIN cents k$s ON k$s.code = p.c$s").mkString("\n  ")
     val adc = (0 until nSub).map(s =>
@@ -427,6 +427,43 @@ object Similarity {
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Corpus-adaptive LSH plane count: the smallest p ≥ 4 with
+    * 2^p · 32 ≥ n, i.e. ceil(log2(n/32)) floored at 4 — expected bucket
+    * size stays ≈32 as the corpus grows, so the bucket self-join stays
+    * ~32·n instead of n²/2^planes with a FIXED p (sim_lsh_topk measured
+    * 5.4 s → 188 s for 10× data at sf1→sf10 on pinned p=8 before r13).
+    * Integer loop, not float log: ceil(ln(n/32)/ln 2) can land one ULP
+    * above an exact power and round the plane count up where the SQL
+    * mirror (C log2, exact on powers of two) would not. */
+  def scaleNPlanes(n: Long): Int = {
+    var p = 4
+    while ((1L << p) * 32L < n) p += 1
+    p
+  }
+
+  /** DuckDB mirror of [[scaleNPlanes]] as a scalar subquery (same
+    * contract as [[scaleNListsSql]]). log2 is exact on powers of two,
+    * so ceil agrees with the integer loop at every n. */
+  def scaleNPlanesSql(from: String): String =
+    s"(SELECT greatest(4, CAST(ceil(log2(CAST(count(*) AS DOUBLE)/32)) AS INTEGER)) FROM $from)"
+
+  /** DuckDB mirror of `lshBucket` with a DATA-DEPENDENT plane count:
+    * the fixed-p mirror below unrolls one sign-bit term per plane, so
+    * its structure pins p at SQL-build time; this form folds the same
+    * per-(plane, dim) closed-form component inside nested list
+    * lambdas, letting `nPlanesSql` be a scalar subquery
+    * ([[scaleNPlanesSql]]). Fold order over dims is list order — the
+    * same left-to-right the unrolled form and the Spark expression
+    * use (verified bucket-for-bucket against the unrolled mirror). */
+  def lshBucketSqlDynamic(vec: String, dim: Int, nPlanesSql: String): String = {
+    val proj = s"list_sum(list_transform(range(0, $dim), i -> " +
+      s"CAST(list_extract($vec, i+1) AS DOUBLE) * " +
+      "(CAST(((j*73 + i*179) % 97) AS DOUBLE)/97.0 - 0.5)))"
+    s"CAST(list_sum(list_transform(range(0, $nPlanesSql), j -> " +
+      s"CASE WHEN $proj >= 0 THEN (CAST(1 AS BIGINT) << j) " +
+      "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
   }
 
   /** DuckDB mirror of `lshBucket`. */

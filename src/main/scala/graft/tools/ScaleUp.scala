@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * token tag fails) — cross-copy shingles and gram hashes can never
   * collide, so the dedup kernels see the SAME per-copy duplicate
   * structure as the source SF instead of a pathological
-  * everything-matches-everything blowup. Embedding vectors are copied
-  * verbatim (vec_id shifted by the doc_id base it joins against); the
-  * ANN sweep rows note this when interpreting cross-copy dup counts.
+  * everything-matches-everything blowup. Embedding VECTORS get a
+  * per-copy orthogonal transform (dimension permutation + sign flips,
+  * identity at copy 0): within-copy geometry — norms, pairwise
+  * cosines, dup clusters — is preserved exactly (orthogonal matrix),
+  * while cross-copy vectors decorrelate, so ANN kernels see per-copy
+  * structure identical to the source instead of every vector carrying
+  * copies−1 exact clones that no bucketing can separate.
   * The documents bijection family is affine (see below), so the tool
   * supports up to 312 copies — enough to tile sf0.1 straight to sf10+
   * in one pass instead of compounding rotations through an
@@ -70,6 +74,23 @@ object ScaleUp {
     (0 to 9).map(d => alpha((a * d + b) % 26)).mkString
   }
   val digits = "0123456789"
+
+  /** Per-copy index permutation for the embedding orthogonal
+    * transform: j -> (a·j + b) mod dim with a = 2(i%32)+1 (odd, hence
+    * a unit mod any power-of-two dim) and b = i/32 — identity at
+    * i = 0, pairwise distinct for i < 2048. Family properties pinned
+    * by ScaleUpSpec. */
+  def embedPerm(i: Int, dim: Int): IndexedSeq[Int] = {
+    val a = 2 * (i % 32) + 1
+    val b = i / 32
+    (0 until dim).map(j => (a * j + b) % dim)
+  }
+
+  /** Per-copy sign diagonal (±1) completing the orthogonal transform;
+    * all +1 at copy 0 so source rows survive verbatim. */
+  def embedSigns(i: Int, dim: Int): IndexedSeq[Float] =
+    (0 until dim).map(j =>
+      if (i == 0 || ((i * 73 + j * 41) % 97) % 2 == 0) 1.0f else -1.0f)
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, copiesS) = args.take(3)
@@ -164,8 +185,40 @@ object ScaleUp {
     // vec_id lives in the doc_id DOMAIN (sql_extension_fns joins
     // embeddings.vec_id = documents.doc_id), so it must shift by the
     // document base — its own max is smaller (not every doc has a
-    // vector) and would cross-wire copies
-    tile("embeddings", Seq("vec_id" -> docBase))
+    // vector) and would cross-wire copies.
+    //
+    // The VECTORS get a per-copy ORTHOGONAL transform (dimension
+    // permutation + sign flips), the geometric analogue of the text
+    // bijection: verbatim copies made every vector an exact clone of
+    // its 99 siblings, and no hyperplane family or coarse quantizer
+    // can separate identical points — every LSH bucket and IVF cell
+    // multiplied by the copy count and the within-bucket join went
+    // quadratic in the multiplicity (sim_lsh_topk measured 175 s at
+    // sf10 AFTER its plane count was made adaptive; the corpus, not
+    // the kernel, was the artifact). A permutation+sign matrix Q is
+    // orthogonal, so within-copy geometry is EXACT: dot(Qa, Qb) is the
+    // same multiset of products as dot(a, b) (fold order differs —
+    // ULP-level only), norms and dup clusters are preserved, while
+    // cross-copy vectors decorrelate and spread across buckets/cells
+    // like an organically grown corpus. Copy 0 is the identity (source
+    // rows verbatim). The family (odd multiplier a = 2(i%32)+1 over
+    // index map j -> (a·j + i/32) mod dim, sign bits hashed per (i, j))
+    // has 2048 distinct permutations — more than familySize.
+    val dim = read("embeddings")
+      .select(size(col("embedding")).as("d")).head().getInt(0)
+    val transforms = {
+      val rows = (0 until copies).map { i =>
+        (i.toLong, embedPerm(i, dim), embedSigns(i, dim))
+      }
+      import spark.implicits._
+      rows.toDF("__c", "perm", "sig")
+    }
+    tile("embeddings", Seq("vec_id" -> docBase), extra = df =>
+      df.join(broadcast(transforms), "__c")
+        .withColumn("embedding", expr(
+          s"transform(sequence(0, ${dim - 1}), j -> " +
+            "element_at(sig, j + 1) * " +
+            "element_at(embedding, element_at(perm, j + 1) + 1))")))
     // documents: per-copy ALPHABET SUBSTITUTION, not token tagging. The
     // dedup kernels shingle CHARACTERS, and any uniform tag string
     // becomes a copy-wide shared shingle fabric that collapses minhash

@@ -73,6 +73,46 @@ class ScaleUpSpec extends AnyFunSuite {
     }
   }
 
+  test("embedPerm/embedSigns: copy 0 identity, bijections, pairwise distinct") {
+    val dim = 64
+    assert(ScaleUp.embedPerm(0, dim) == (0 until dim),
+      "copy 0 permutation must be the identity (source rows verbatim)")
+    assert(ScaleUp.embedSigns(0, dim).forall(_ == 1.0f),
+      "copy 0 signs must all be +1")
+    val fams = (0 until ScaleUp.familySize)
+      .map(i => (ScaleUp.embedPerm(i, dim), ScaleUp.embedSigns(i, dim)))
+    for (((p, _), i) <- fams.zipWithIndex)
+      assert(p.toSet.size == dim, s"embedPerm($i) is not a bijection")
+    assert(fams.distinct.size == fams.size,
+      "two copies share an identical (perm, signs) transform — their " +
+        "vectors would be exact clones again")
+  }
+
+  test("embedding transform is orthogonal: dots and norms preserved within a copy") {
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    val b = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    def apply(i: Int, v: Array[Float]): Array[Float] = {
+      val p = ScaleUp.embedPerm(i, dim); val s = ScaleUp.embedSigns(i, dim)
+      (0 until dim).map(j => s(j) * v(p(j))).toArray
+    }
+    def dot(x: Array[Float], y: Array[Float]): Double =
+      x.indices.map(j => x(j).toDouble * y(j).toDouble).sum
+    for (i <- Seq(1, 31, 32, 100, 311)) {
+      val (qa, qb) = (apply(i, a), apply(i, b))
+      // s(j)² = 1 and the permuted products are the SAME multiset, so
+      // preservation is exact (the sum here folds in a fixed order)
+      assert(math.abs(dot(qa, qb) - dot(a, b)) < 1e-12,
+        s"copy $i broke within-copy dot products")
+      assert(math.abs(dot(qa, qa) - dot(a, a)) < 1e-12,
+        s"copy $i broke norms")
+      // and the transformed vector is NOT the source — the clone
+      // degeneracy the transform exists to remove
+      assert(!qa.sameElements(a), s"copy $i left the vector verbatim")
+    }
+  }
+
   test("digitMap: repeated-digit suffix merging is bounded by the unit count") {
     // a single digit's image can coincide across at most the 11 other
     // multiplier choices — block merging stays bounded regardless of

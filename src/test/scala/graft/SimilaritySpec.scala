@@ -175,6 +175,42 @@ class SimilaritySpec extends SparkSpec {
       "compaction changed the live row count")
   }
 
+  test("scaleNLists: sqrt sizing with floor 16, Spark and SQL mirror agree") {
+    // the rule the catalog's IVF entries size their coarse quantizer
+    // with — per-query candidates ~nProbe·√n instead of nProbe·n/16
+    assert(Similarity.scaleNLists(16) === 16)      // floor
+    assert(Similarity.scaleNLists(255) === 16)     // √255 ≈ 15.97 → floor
+    assert(Similarity.scaleNLists(257) === 17)     // first step past it
+    assert(Similarity.scaleNLists(500) === 23)     // the sf0.01 corpus
+    assert(Similarity.scaleNLists(200000) === 448) // the sf10 corpus
+    // the SQL mirror computes the identical value over the same rows
+    // (Spark SQL here; the DuckDB form is the same greatest/ceil/sqrt)
+    for (n <- Seq(16L, 255L, 257L, 500L, 4096L)) {
+      val viaSql = spark.range(n).createOrReplaceTempView("sc_n")
+      val got = spark.sql(
+        "SELECT " + Similarity.scaleNListsSql("sc_n")).head().getInt(0)
+      assert(got === Similarity.scaleNLists(n), s"mirror drift at n=$n")
+    }
+  }
+
+  test("scaleNPlanes: ~32-per-bucket sizing, exact at powers of two") {
+    assert(Similarity.scaleNPlanes(500) === 4)     // 2^4·32 = 512 ≥ 500
+    assert(Similarity.scaleNPlanes(512) === 4)     // exact boundary stays
+    assert(Similarity.scaleNPlanes(513) === 5)     // first step past it
+    assert(Similarity.scaleNPlanes(2000) === 6)    // the sf0.1 corpus
+    assert(Similarity.scaleNPlanes(20000) === 10)  // sf1
+    assert(Similarity.scaleNPlanes(200000) === 13) // sf10
+    assert(Similarity.scaleNPlanes(32768) === 10)  // power of two: 2^10·32
+    // Spark SQL's ceil(log2(...)) mirror agrees across the boundary and
+    // at exact powers of two (the ULP hazard the integer loop avoids)
+    for (n <- Seq(500L, 512L, 513L, 2000L, 32768L)) {
+      spark.range(n).createOrReplaceTempView("sp_n")
+      val got = spark.sql(
+        "SELECT " + Similarity.scaleNPlanesSql("sp_n")).head().getInt(0)
+      assert(got === Similarity.scaleNPlanes(n), s"mirror drift at n=$n")
+    }
+  }
+
   test("d13 IVF near-dup pairs: exact-subset with usable recall") {
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
