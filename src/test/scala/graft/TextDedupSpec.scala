@@ -178,7 +178,13 @@ class TextDedupSpec extends SparkSpec {
     assert(df.count() === nArrivals)
     assert(df.select("vec_id").distinct().count() === nArrivals)
     assert(df.filter(col("vec_id") % 5 =!= 0).count() === 0)
-    assert(df.filter(col("list") < 1 || col("list") > 16).count() === 0)
+    // list ids live in [1, nlist] where nlist is corpus-adaptive
+    // (scaleNLists of the STANDING corpus — the same sizing the entry
+    // uses), not the pre-adaptive fixed 16
+    val nStanding = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 5 =!= 0).count()
+    val nLists = graft.sim.Similarity.scaleNLists(nStanding)
+    assert(df.filter(col("list") < 1 || col("list") > nLists).count() === 0)
   }
 
   test("d11 keeps exactly one member per cluster, and it is the max-quality one") {
