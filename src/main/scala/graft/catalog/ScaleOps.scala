@@ -261,25 +261,49 @@ object ScaleOps {
       .orderBy("purchase_id")
   }
 
-  // ANN recall@5 of the sign-LSH path against the brute-force ground
-  // truth. Integer hit counts with ONE final division keep the statistic
-  // bit-exact across engines (no accumulated float error to round away).
-  // Both top-5 sets rank on the 6-decimal cosine with a dst tie-break
-  // (rankRounded) — ranking on the raw double would let engine-side
-  // fold-order noise flip rank 5 between near-equal cosines and change
-  // the hit set.
+  // ANN recall@5 of the sign-LSH path against EXACT ground truth on a
+  // fixed-size hash-picked probe panel. Integer hit counts with ONE
+  // final division keep the statistic bit-exact across engines (no
+  // accumulated float error to round away). Both top-5 sets rank on the
+  // 6-decimal cosine with a dst tie-break — ranking on the raw double
+  // would let engine-side fold-order noise flip rank 5 between
+  // near-equal cosines and change the hit set.
+  //
+  // Panel, not all-pairs: the r12 formulation rode the shared all-pairs
+  // KnnCache, so the audit itself was O(n²) and died with the corpus
+  // (>570 s at sf10's 200k vectors). Truth against a pseudoUniform-
+  // ranked RECALL_PANEL costs panel·n — one broadcast nested-loop of
+  // the corpus scan against the panel rows plus one src-keyed shuffle —
+  // which is the only shape a recall audit can have at 100 TB, and the
+  // statistic it reports (recall@5 over a deterministic query sample)
+  // is the one a production index audit reports anyway.
+  private val RECALL_PANEL = 1024
   private def simRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    // ground truth via the shared KnnCache materialization (rounded
-    // ranking variant) — the recall entry must not pay a second
-    // brute-force pass of the corpus per run
-    val brute = graft.sim.KnnCache.topk(spark, dir, k = 5, rankRounded = true)
-      .select("src", "dst")
+    val probes = Similarity.hashRankedPick(
+        e.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("pv")),
+        RECALL_PANEL, 29L, "pr")
+      .select(col("cid").as("src"), col("pv").as("qv"),
+        Similarity.norm(col("pv")).as("qn"))
+    val corpus = e.select(col("vec_id").as("dst"),
+        col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+    val scored = corpus.join(broadcast(probes), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(round(col("cos"), 6).desc, col("dst").asc)
+    val brute = scored.withColumn("rn", row_number().over(bw))
+      .filter(col("rn") <= 5).select("src", "dst")
     // the SAME adaptive plane count the serving entry (sim_lsh_topk)
-    // uses — recall is only meaningful for the configuration served
+    // uses — recall is only meaningful for the configuration served;
+    // the LSH side runs the full bucketed join (linear) and is then
+    // restricted to the panel
     val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
       dim = DIM, nPlanes = Similarity.scaleNPlanes(e.count()), k = 5,
       rankRounded = true).select("src", "dst")
+      .join(probes.select("src"), Seq("src"), "left_semi")
     val perQuery = brute.groupBy("src").agg(count(lit(1)).as("n_true"))
       .join(brute.join(lsh, Seq("src", "dst"), "left_semi")
         .groupBy("src").agg(count(lit(1)).as("hits")), Seq("src"), "left")
@@ -1120,18 +1144,24 @@ object ScaleOps {
       val bucket = Similarity.lshBucketSqlDynamic("embedding", DIM,
         Similarity.scaleNPlanesSql("embeddings"))
       val dotAB = Similarity.dotSql("a.embedding", "b.embedding", DIM)
+      val pu = graft.functions.ColFns.pseudoUniformSql("vec_id", 29L)
       s"""WITH n AS (SELECT vec_id, embedding, $bucket AS bucket,
          |            sqrt(${Similarity.dotSql("embedding", "embedding", DIM)}) AS nrm
          |           FROM embeddings),
+         |probes AS (SELECT vec_id FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY $pu ASC, vec_id ASC) AS pr
+         |  FROM embeddings) WHERE pr <= 1024),
          |bscored AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
-         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |  FROM n a JOIN probes p ON p.vec_id = a.vec_id
+         |  JOIN n b ON a.vec_id <> b.vec_id),
          |bt AS (SELECT src, dst FROM (
          |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY round(cos, 6) DESC, dst ASC) AS rn
          |  FROM bscored) WHERE rn <= 5),
          |lscored AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
-         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |  FROM n a JOIN probes p ON p.vec_id = a.vec_id
+         |  JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
          |ls AS (SELECT src, dst FROM (
          |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY round(cos, 6) DESC, dst ASC) AS rn
          |  FROM lscored) WHERE rn <= 5),

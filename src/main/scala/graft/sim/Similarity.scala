@@ -404,10 +404,30 @@ object Similarity {
        |ORDER BY src, rn""".stripMargin
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane `j`,
-    * dimension `i` — pure integer math, mirrored in SQL below. */
-  private def planeComponent(j: Int, i: Int): Double =
-    ((j * 73 + i * 179) % 97) / 97.0 - 0.5
+  /** Hyperplane family for the sign-LSH bucket: a fixed seeded-Gaussian
+    * matrix, maxPlanes × maxLshDim. The previous closed form
+    * ((j·73 + i·179) mod 97)/97 − 0.5 made every plane a CYCLIC SHIFT
+    * of one 97-periodic sequence (j only moves the start, i the
+    * stride), so plane projections were strongly correlated and sign
+    * patterns collapsed onto a few structured ids — measured at sf10:
+    * 2334 of 8192 buckets populated, top bucket 12531 of 200k vectors
+    * (the top ids were bit-periodic: 0101…, 00110011…), Σsize² ≈ 836M
+    * pairs, sim_lsh_topk 437 s — and no adaptive plane count could
+    * help, because every added plane was another shift of the same
+    * sequence. Independent Gaussian rows restore the standard
+    * sign-random-projection behavior (bucket loads ≈ n/2^p).
+    * java.util.Random's nextGaussian algorithm is pinned by its
+    * javadoc, so the constants are identical on every JVM; both
+    * engines read THIS matrix — the Spark expression via typedLit, the
+    * DuckDB mirrors as string-cast literals — so cross-engine parity
+    * is by construction, not by re-derivation. */
+  val maxPlanes = 24
+  val maxLshDim = 128
+  private val planeMatrix: IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new java.util.Random(20260816L)
+    IndexedSeq.fill(maxPlanes, maxLshDim)(rnd.nextGaussian())
+  }
+  private def planeComponent(j: Int, i: Int): Double = planeMatrix(j)(i)
 
   /** Sign-random-projection (SimHash-style) LSH bucket id over
     * `nPlanes` deterministic hyperplanes. Vectors agreeing on all sign
@@ -417,6 +437,9 @@ object Similarity {
     * buckets → higher recall, more compute).
     */
   def lshBucket(vecCol: Column, dim: Int, nPlanes: Int): Column = {
+    require(nPlanes <= maxPlanes && dim <= maxLshDim,
+      s"nPlanes=$nPlanes/dim=$dim exceed the ${maxPlanes}x$maxLshDim plane matrix " +
+        s"(maxPlanes covers corpora to 2^$maxPlanes*32 vectors - widen the matrix first)")
     val bits = (0 until nPlanes).map { j =>
       // one codegen'd dot against the constant plane vector — the naive
       // dim-term Add chain compiles to a pathological expression tree.
@@ -458,16 +481,31 @@ object Similarity {
     * same left-to-right the unrolled form and the Spark expression
     * use (verified bucket-for-bucket against the unrolled mirror). */
   def lshBucketSqlDynamic(vec: String, dim: Int, nPlanesSql: String): String = {
-    val proj = s"list_sum(list_transform(range(0, $dim), i -> " +
-      s"CAST(list_extract($vec, i+1) AS DOUBLE) * " +
-      "(CAST(((j*73 + i*179) % 97) AS DOUBLE)/97.0 - 0.5)))"
-    s"CAST(list_sum(list_transform(range(0, $nPlanesSql), j -> " +
-      s"CASE WHEN $proj >= 0 THEN (CAST(1 AS BIGINT) << j) " +
-      "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    require(dim <= maxLshDim, s"dim=$dim exceeds the plane matrix width")
+    // all maxPlanes sign-bit terms unrolled with the SAME projection
+    // arithmetic as the fixed-p mirror (left-assoc + chain — the shape
+    // whose Spark parity is already pinned), each term gated on the
+    // runtime plane count. Lambda-free on purpose: DuckDB lambdas
+    // cannot capture a correlated outer column, so the old
+    // closed-form-in-lambda trick cannot read an embedded constant
+    // matrix — and the closed form it computed is exactly what the
+    // Gaussian matrix replaces (see planeMatrix). nPlanesSql is an
+    // uncorrelated scalar subquery: DuckDB evaluates each occurrence
+    // once, not per row.
+    val bits = (0 until maxPlanes).map { j =>
+      val proj = (0 until dim).map { i =>
+        val comp = planeComponent(j, i)
+        s"CAST(list_extract($vec,${i + 1}) AS DOUBLE)*CAST('$comp' AS DOUBLE)"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN ($nPlanesSql) > $j AND $proj >= 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    bits.mkString("CAST((", " + ", ") AS BIGINT)")
   }
 
   /** DuckDB mirror of `lshBucket`. */
   def lshBucketSql(vec: String, dim: Int, nPlanes: Int): String = {
+    require(nPlanes <= maxPlanes && dim <= maxLshDim,
+      s"nPlanes=$nPlanes/dim=$dim exceed the ${maxPlanes}x$maxLshDim plane matrix")
     val bits = (0 until nPlanes).map { j =>
       val proj = (0 until dim).map { i =>
         // string→double parse is correctly rounded in DuckDB, unlike a

@@ -66,8 +66,22 @@ object ScaleUp {
     * digits); for i ≠ j, a distinct-digit suffix pair NEVER collides
     * (Δa·(d1−d2) ≡ 0 mod 26 forces a_j = a_i + 13, which is even —
     * not a unit), and repeated-digit suffixes collide for at most the
-    * 11 other multiplier choices — bounded block merging no matter
-    * the copy count, never a blowup. */
+    * 11 other multiplier choices. Those two properties cover the SAME
+    * suffix across copies; DIFFERENT suffixes from different copies
+    * may still land on the same 2-letter image — the image space has
+    * only 26² = 676 cells, so beyond ~7 copies the pigeonhole starts
+    * merging blocks, and at 100 copies the ~9 000 distinct-digit
+    * suffix images load the cells ~14× (measured; pinned by
+    * ScaleUpSpec's saturation test). The merge factor grows LINEARLY
+    * in the copy count (≈ 90·copies/650) — never the one-mega-block
+    * collapse of the token tag — but at sf10 the merged ~2 000-row
+    * blocks exceed d8's pair cap and the overflow audit fires (386
+    * blocks dropped, reported via overflowReport). That is the
+    * operator's designed degenerate-key contract, and arguably the
+    * realistic corpus: organically-scaled TPC-H names grow every
+    * suffix block linearly too. Decade ratios for d8 beyond sf1
+    * therefore measure the CAP's bounded work, not block-bounded ER
+    * work — read them with SCALING.md's round-13 note. */
   def digitMap(i: Int): String = {
     val a = units((i / 26) % units.size)
     val b = i % 26

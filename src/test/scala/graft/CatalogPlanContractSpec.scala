@@ -73,7 +73,9 @@ class CatalogPlanContractSpec extends SparkSpec {
     "sim_filtered_ivf" -> "query vectors crossJoin the nlist-row centroid table before the predicate-filtered rank",
     "sim_ivf_deletes" -> "query vectors crossJoin the nlist-row centroid table; tombstones anti-join after",
     "sim_pq_codes" -> "vectors crossJoin the m*k-row PQ codebook (subspace assignment)",
-    "sim_pq_adc_topk" -> "queries crossJoin the m*k-row PQ codebook (ADC lookup tables)")
+    "sim_pq_adc_topk" -> "queries crossJoin the m*k-row PQ codebook (ADC lookup tables)",
+    "sim_recall_eval" -> ("ground-truth scan: corpus joins the broadcast 1024-row " +
+      "probe panel (panel*n, the linear recall-audit shape)"))
 
   test("all-catalog sweep: no cartesian, no unregistered SMJ/BNLJ in any executed plan") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

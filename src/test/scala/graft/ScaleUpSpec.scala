@@ -122,4 +122,26 @@ class ScaleUpSpec extends AnyFunSuite {
       assert(same <= 11, s"digit $d of copy $i collides with $same other copies")
     }
   }
+
+  test("digitMap: 100-copy image-space saturation is linear, never a collapse") {
+    // The per-suffix guarantees above do NOT make cross-copy blocks
+    // disjoint: different suffixes from different copies can share a
+    // 2-letter image, and with 100 copies the ~9000 distinct-digit
+    // suffix images pigeonhole into 26²=676 cells. Pin the measured
+    // shape: mean cell load ~14 (linear in copies), max load within 3×
+    // the mean (no token-tag-style mega-block), and — the d8 story at
+    // sf10 — merged blocks big enough to trip the pair-cap audit.
+    val copies = 100
+    val suffixes = for {
+      i <- 0 until copies
+      d1 <- 0 to 9; d2 <- 0 to 9 if d1 != d2
+    } yield (dmaps(i)(d1), dmaps(i)(d2))
+    val loads = suffixes.groupBy(identity).map(_._2.size)
+    val mean = suffixes.size.toDouble / (26 * 25) // distinct-letter cells only
+    assert(mean > 10 && mean < 20, s"unexpected mean cell load $mean")
+    assert(loads.max <= 3 * mean,
+      s"max cell load ${loads.max} vs mean $mean — a mega-block collapse")
+    // every cell is hit (the merge is spread, not concentrated)
+    assert(loads.size > 600, s"only ${loads.size} cells populated")
+  }
 }
