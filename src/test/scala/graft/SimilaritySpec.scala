@@ -136,6 +136,33 @@ class SimilaritySpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("lshBucket: bucket loads stay near-uniform on synthetic uniform vectors") {
+    // the r12 closed-form plane family (cyclic shifts of one 97-periodic
+    // sequence) collapsed sign patterns onto a few bit-periodic bucket
+    // ids — at sf10: top bucket 12531 of 200k, 836M within-bucket pairs,
+    // sim_lsh_topk 437 s. Gaussian rows restore the SRP guarantee; pin
+    // it so a "cheaper" structured family can't regress the buckets.
+    // 4096 hash-derived vectors, p = scaleNPlanes(4096) = 7 → 128
+    // buckets, mean load 32; independent planes keep the max load within
+    // a small factor of the mean and leave no bucket-id structure.
+    val n = 4096
+    val dim = 16
+    // iid Gaussian test vectors from a fixed seed — an affine lattice
+    // ((v*a + i*b) mod p) is itself sign-correlated across components
+    // and would fail ANY plane family, Gaussian included (tried)
+    val rnd = new java.util.Random(7L)
+    val vecs = (0 until n).map(v =>
+      (v.toLong, Array.fill(dim)(rnd.nextGaussian()))).toDF("id", "v")
+    val p = Similarity.scaleNPlanes(n)
+    val loads = vecs.select(Similarity.lshBucket($"v", dim, p).as("b"))
+      .groupBy("b").count().select("count").as[Long].collect()
+    val mean = n.toDouble / (1 << p)
+    assert(loads.max <= 6 * mean,
+      s"max bucket load ${loads.max} vs mean $mean — plane family collapsing")
+    assert(loads.length >= (1 << p) / 2,
+      s"only ${loads.length} of ${1 << p} buckets populated")
+  }
+
   test("trained IVF index recall beats or matches the hash-pick baseline") {
     // ground truth: exact brute-force top-5 for the serve-path probe
     // subset (vec_id % 7 == 0), rounded ranking like sim_recall_eval
