@@ -296,7 +296,7 @@ object CatalogDoc {
     "sim_pq_codes" -> "product-quantization codebook assignment",
     "sim_pq_adc_topk" -> "PQ asymmetric-distance-computation top-k",
     "sim_quantize_int8" -> "int8 embedding quantization",
-    "sim_recall_eval" -> "ANN recall evaluated against the exact j7 baseline",
+    "sim_recall_eval" -> "ANN recall@5 on a 1024-probe panel vs exact truth",
     "sim_mmr_rerank" -> "MMR diversity re-rank of the ANN top-k",
     // Streaming & incremental
     "e1_event_windows" -> "hourly tumbling windows (batch formulation)",
