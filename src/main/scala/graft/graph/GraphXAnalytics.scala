@@ -113,9 +113,16 @@ object GraphXAnalytics {
     // count is ~free for the checkpoint-backed memoized graphs, and the
     // one extra pass for ad-hoc graphs is noise next to the iterative
     // job the caller is about to run
+    // weight column only when the edge frame HAS one: the full property
+    // graph carries qty, but ad-hoc pair graphs (dedup/ER cluster edges:
+    // src, dst, cos/dist) don't, and an unconditional col("qty") fails
+    // ANALYSIS — a defect the dense union-find leg masked at every
+    // shipped SF until d6/d9/d11 crossed the 5M-edge gate at sf10
+    val w = if (g.edges.columns.contains("qty"))
+      coalesce(col("qty"), lit(1.0)) else lit(1.0)
     val edgeRdd = g.edges
       .select(xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"),
-        coalesce(col("qty"), lit(1.0)).as("w"))
+        w.as("w"))
       .repartition(edgeParts(sc, g.edges.count()))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     Graph.fromEdges(edgeRdd, ())

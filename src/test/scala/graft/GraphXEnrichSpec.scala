@@ -23,6 +23,26 @@ class GraphXEnrichSpec extends SparkSpec {
     assert(cc("a") === "a" && cc("c") === "c") // canonical = lowest member id
   }
 
+  test("distributed CC leg accepts a weight-less pair graph (the d6/d9/d11 shape)") {
+    // dedup/ER cluster entries hand CC bare pair frames (src, dst,
+    // cos/dist) with NO qty column; toGraphX's unconditional col("qty")
+    // failed ANALYSIS on exactly the runs big enough to cross the dense
+    // gate (first seen at sf10 — d6/d9/d11 all down). The dense
+    // union-find leg never touches qty, so both legs must accept the
+    // qty-less shape AND agree.
+    val pairs = Seq(("a", "b", 0.9), ("b", "c", 0.8), ("x", "y", 0.7))
+      .toDF("src", "dst", "cos")
+    val verts = Seq("a", "b", "c", "x", "y").toDF("id")
+      .withColumn("label", lit("D")).withColumn("dvid", lit(1))
+    val g = PropertyGraph(verts, pairs)
+    val dense = GraphXAnalytics.connectedComponents(spark, g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    val dist = GraphXAnalytics.connectedComponents(spark, g, seqMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(dense === dist)
+    assert(dense.toMap.apply("c") === "a" && dense.toMap.apply("y") === "x")
+  }
+
   test("union-find fast path matches the GraphX path exactly") {
     val g = GraphBuilder.fromTpch(spark, sfDir)
     val seq = GraphXAnalytics.connectedComponents(spark, g).collect()
