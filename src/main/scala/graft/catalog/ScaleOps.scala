@@ -456,20 +456,33 @@ object ScaleOps {
       .groupBy("event_type")
       .agg(kmv_sketch(col("sk"), K).as("sk")) // binary input → sketch union
       .localCheckpoint(true)
-    // LOUD precondition gate, read off the checkpointed sketch rows: the
+    // REGIME-AWARE readout, read off the checkpointed sketch rows: the
     // binary layout is [k][n][n longs], so a merged sketch is exact iff
     // its length stays under 8 + 8k (n < k; at n == k KmvCardinality
-    // already switches to the estimator). The exact-COUNT(DISTINCT)
-    // oracle is valid only in that regime — a bigger dataset must fail
-    // HERE with a clear message, not as an inscrutable hash mismatch.
-    // Cost: one job over |groups| sketch rows, never a corpus scan.
-    val maxLen = merged.agg(max(length(col("sk")))).head().getInt(0)
-    require(maxLen < 8 + 8 * K,
-      s"e16 exact-oracle precondition violated: a merged sketch is full " +
-        s"(>= k=$K distinct users in a group) — the KMV readout is an " +
-        "estimate now; raise K (or switch the oracle to a tolerance " +
-        "gate) for this SF")
-    merged.select(col("event_type"), kmv_card(col("sk")).as("n_users"))
+    // already switches to the estimator). Per group:
+    //  - exact regime → regime='exact', n_users = the distinct count
+    //    (the k smallest hashes ARE the distinct set), hash-gated
+    //    against the plain COUNT(DISTINCT) oracle;
+    //  - saturated    → regime='estimate', n_users NULL, and the
+    //    ~1/√k-error estimate in n_users_est — which the COUNT(DISTINCT)
+    //    oracle deliberately NULLs, because no portable SQL reproduces
+    //    the sketch's mix function bit-for-bit. The estimator's error
+    //    law is pinned elsewhere (a16b's two-scale gate, ExtensionsSpec).
+    // The r12 formulation instead require()-failed on saturation, which
+    // protected the oracle but meant the entry REFUSED to serve exactly
+    // where a KMV-backed distinct store earns its keep (first hit by the
+    // full-catalog sf10 run: one event_type crossed 8192 distinct
+    // users). Serving the labeled estimate is the 100 TB behavior; an
+    // oracle compare on a saturated SF now fails scrutably — on the
+    // n_users_est column, with regime='estimate' naming the cause on
+    // the same row. Cost unchanged: one job over |groups| sketch rows.
+    val isEst = length(col("sk")) >= lit(8 + 8 * K)
+    merged.select(col("event_type"),
+        when(isEst, lit("estimate")).otherwise(lit("exact")).as("regime"),
+        when(isEst, lit(null).cast("long"))
+          .otherwise(kmv_card(col("sk"))).as("n_users"),
+        when(isEst, kmv_card(col("sk")))
+          .otherwise(lit(null).cast("long")).as("n_users_est"))
       .orderBy("event_type")
   }
 
@@ -1195,7 +1208,11 @@ object ScaleOps {
     // cardinality is below the sketch's k at the gate SF, where the KMV
     // estimate IS the exact set size (bijective mix, no collisions)
     "e16_incremental_distinct" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users
+      """SELECT event_type,
+        |  CASE WHEN count(DISTINCT user_id) >= 8192 THEN 'estimate' ELSE 'exact' END AS regime,
+        |  CASE WHEN count(DISTINCT user_id) >= 8192 THEN NULL
+        |       ELSE count(DISTINCT user_id) END AS n_users,
+        |  CAST(NULL AS BIGINT) AS n_users_est
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // s16's relational MERGE truth VERBATIM (one shared string): the
     // streamed ordered-batch application must reach exactly the state
