@@ -457,6 +457,9 @@ object Similarity {
     * size stays ≈32 as the corpus grows, so the bucket self-join stays
     * ~32·n instead of n²/2^planes with a FIXED p (sim_lsh_topk measured
     * 5.4 s → 188 s for 10× data at sf1→sf10 on pinned p=8 before r13).
+    * The count is HALF the contract: expected size ≈32 only holds when
+    * the planes are independent — see [[planeMatrix]] for the r13
+    * correlated-family defect this sizing could not fix alone.
     * Integer loop, not float log: ceil(ln(n/32)/ln 2) can land one ULP
     * above an exact power and round the plane count up where the SQL
     * mirror (C log2, exact on powers of two) would not. */
