@@ -478,18 +478,32 @@ object GraphXAnalytics {
     * unrolled-SQL rounds even if the graph hasn't converged.
     *
     * Hybrid (the CC/PageRank pattern): below `seqMaxEdges` the string
-    * edge list collects to the driver and relaxes over int arrays
-    * (hub tie-break = index into the sorted vertex array, which IS
-    * lexicographic id order); above, GraphX Pregel carries (dist, hub)
-    * vertex state with min-pair message merge. */
+    * edge list collects to the driver and relaxes over int arrays;
+    * above, GraphX Pregel carries (dist, hubRank) vertex state with
+    * min-pair message merge.
+    *
+    * Landmark index (both legs): the ≤|hubs| (id, hash) pairs come down
+    * ONCE, sorted lexicographically, so hub rank Int compares ARE the
+    * min-hub-id tie-break; the rank→id translation happens only at the
+    * readout. On the Pregel leg this replaces the r13 (dist, hub-STRING)
+    * message payload — 2·|E| string shuffles per round were the
+    * catalog's one multi-minute sf10 straggler (~30 min at 60M edges,
+    * SCALING.md sf10 addendum #4); (Int, Int) messages are a fixed 8
+    * data bytes each, and the init rank lookup is a broadcast hash
+    * probe instead of a vertex join. */
   def shortestPaths(spark: SparkSession, g: PropertyGraph, hubPrefix: String,
                     rounds: Int = 8, seqMaxEdges: Long = 5000000L): DataFrame = {
     import spark.implicits._
+    // hub rank = lexicographic id order (the single |hubs|-row collect
+    // shared by both legs; broadcast-bound)
+    val hubIds = g.nodes.filter(col("id").startsWith(hubPrefix))
+      .select(col("id"), xxhash64(col("id")).as("vid")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val hubStr = hubIds.map(_._1)
     val sp: DataFrame = edgeArrays(g, seqMaxEdges) match {
       case Some((srcA, dstA, vids)) =>
         // hashed-long edges (16 bytes each, the shared CC/PageRank
-        // collect); only the ≤|hubs| (hash → id string) pairs come down
-        // as strings
+        // collect)
         val m = srcA.length
         var i = 0
         val n = vids.length
@@ -500,12 +514,6 @@ object GraphXAnalytics {
           dstI(i) = java.util.Arrays.binarySearch(vids, dstA(i))
           i += 1
         }
-        // hub rank = lexicographic id order, so int compares below ARE
-        // the min-hub-id tie-break
-        val hubIds = g.nodes.filter(col("id").startsWith(hubPrefix))
-          .select(col("id"), xxhash64(col("id")).as("vid")).collect()
-          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-        val hubStr = hubIds.map(_._1)
         var dist = Array.fill(n)(Int.MaxValue)
         var hub = Array.fill(n)(Int.MaxValue)
         hubIds.zipWithIndex.foreach { case ((_, vid), rank) =>
@@ -542,17 +550,25 @@ object GraphXAnalytics {
           .select(col("id"), col("dist"), col("hub"))
       case None =>
         import org.apache.spark.graphx.{EdgeDirection, Pregel}
-        type St = (Int, String)
+        // landmark-index state: (dist, hubRank) \u2014 rank replaces the r13
+        // hub-string payload in every Pregel message; translated back to
+        // the id only at the readout via the broadcast array
+        type St = (Int, Int)
         def better(a: St, b: St): St =
           if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
-        val idRdd = vertexMap(g).rdd.map(r => (r.getLong(1), r.getString(0)))
-        val init = toGraphX(g)
-          .outerJoinVertices(idRdd) { (_, _, idOpt) => idOpt.getOrElse("") }
-          .mapVertices { (_, id) =>
-            if (id.startsWith(hubPrefix)) (0, id) else (Int.MaxValue, "\uFFFF")
+        val sc = spark.sparkContext
+        val bRank = sc.broadcast(
+          hubIds.iterator.zipWithIndex
+            .map { case ((_, vid), rk) => (vid, rk) }.toMap)
+        val bHubStr = sc.broadcast(hubStr)
+        val init = toGraphX(g).mapVertices { (vid, _) =>
+          bRank.value.get(vid) match {
+            case Some(rk) => (0, rk)
+            case None     => (Int.MaxValue, Int.MaxValue)
           }
-        val res = Pregel(init, (Int.MaxValue, "\uFFFF"), maxIterations = rounds,
-          activeDirection = EdgeDirection.Either)(
+        }
+        val res = Pregel(init, (Int.MaxValue, Int.MaxValue),
+          maxIterations = rounds, activeDirection = EdgeDirection.Either)(
           vprog = (_, attr: St, msg: St) => better(attr, msg),
           sendMsg = et => {
             val toDst = if (et.srcAttr._1 == Int.MaxValue) Iterator.empty
@@ -562,9 +578,10 @@ object GraphXAnalytics {
             toDst ++ toSrc
           },
           mergeMsg = better)
+        val hubLookup = bHubStr
         res.vertices
           .filter { case (_, (d, _)) => d != Int.MaxValue && d <= rounds }
-          .map { case (vid, (d, h)) => (vid, d, h) }
+          .map { case (vid, (d, h)) => (vid, d, hubLookup.value(h)) }
           .toDF("vid", "dist", "hub")
           .join(vertexMap(g), "vid")
           .select(col("id"), col("dist"), col("hub"))
