@@ -425,10 +425,11 @@ object Relational {
     // VACUUM step 1: the commit — one atomic pointer flip and the
     // expired versions are unreferenced
     s20CommitManifest(root, 2, Seq(3, 4))
-    // step 2: physical reclamation of what no manifest references
+    // step 2: physical reclamation of what no manifest references —
+    // through the seam: on an object store this is per-key deletes,
+    // safe only BECAUSE the flip already unreferenced the dirs
     Seq(1, 2).foreach { d =>
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(s"$root/data/dvid=$d"))
+      graft.core.PosixCommit.deleteDir(s"$root/data/dvid=$d")
     }
     // AFTER: a manifest-scoped read, no predicate — sees only the window
     val post = retained(s20ReadViaManifest(spark, root))
@@ -463,25 +464,35 @@ object Relational {
                                      root: String,
                                      versions: Seq[(Int, String)]): Unit = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    val orders = Tables.orders(spark, dir)
+    versions.foreach { case (version, cutoff) =>
+      publishOneVersion(spark, dir, root, version, cutoff)
+    }
+  }
+
+  /** One version's publish — both tables written under the unreferenced
+    * `v=` dir, then the single pointer flip. Split out (r14) so the
+    * crash-matrix spec can drive JUST the v2 commit through
+    * [[graft.core.ObjectStoreSim]] against a live v1. */
+  private[graft] def publishOneVersion(spark: SparkSession, dir: String,
+      root: String, version: Int, cutoff: String,
+      proto: graft.core.CommitProtocol = graft.core.PosixCommit): Unit = {
+    val snap = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
-    versions.foreach { case (version, cutoff) =>
-      val snap = orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
-      val vDir = s"$root/v=$version"
-      snap.groupBy("c_custkey", "c_nationkey")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-        .write.mode("overwrite").parquet(s"$vDir/by_customer")
-      snap.groupBy("c_nationkey")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-        .write.mode("overwrite").parquet(s"$vDir/by_nation")
-      // the commit: ONE pointer flip moves both tables to the new
-      // version at the same instant (CommitProtocol names what the
-      // flip is on POSIX vs an object store)
-      graft.core.PosixCommit.flip(root, s"v=$version")
-    }
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+    val vDir = s"$root/v=$version"
+    snap.groupBy("c_custkey", "c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .write.mode("overwrite").parquet(s"$vDir/by_customer")
+    snap.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .write.mode("overwrite").parquet(s"$vDir/by_nation")
+    // the commit: ONE pointer flip moves both tables to the new
+    // version at the same instant (CommitProtocol names what the
+    // flip is on POSIX vs an object store)
+    proto.flip(root, s"v=$version")
   }
 
   // one published store per (app, dir): the publish job runs once, the
@@ -505,11 +516,17 @@ object Relational {
       root
     }
 
-  private def s19AtomicPublish(spark: SparkSession, dir: String): DataFrame = {
-    val root = sharedPublishedRoot(spark, dir)
-    // a reader: resolve the pointer ONCE, then read both tables from
-    // that version — cross-table consistency by construction
-    val v = graft.core.PosixCommit.current(root)
+  private def s19AtomicPublish(spark: SparkSession, dir: String): DataFrame =
+    readPublished(spark, sharedPublishedRoot(spark, dir))
+
+  /** s19's reader: resolve the pointer ONCE via the seam, then read
+    * both tables from that version — cross-table consistency by
+    * construction. Package-private + proto-parameterized so the crash
+    * spec can run the same reader under [[graft.core.ObjectStoreSim]]
+    * at every crash point of a concurrent publish. */
+  private[graft] def readPublished(spark: SparkSession, root: String,
+      proto: graft.core.CommitProtocol = graft.core.PosixCommit): DataFrame = {
+    val v = proto.current(root)
     val byCust = spark.read.parquet(s"$root/$v/by_customer")
     val byNation = spark.read.parquet(s"$root/$v/by_nation")
     // the reconciliation IS the output: per nation, the customer-level
@@ -640,7 +657,8 @@ object Relational {
     // partition hazard: dynamic overwrite can't delete a partition the
     // written frame has no rows for
     ScaleOps.morFold(spark, store, touched, tombs)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tomb))
+    // tombstone retirement LAST — the fold's commit point (seam-routed)
+    graft.core.PosixCommit.deleteDir(tomb)
     mor.unionByName(readout(spark.read.parquet(store), "materialized"))
       .orderBy("phase", "o_month")
   }

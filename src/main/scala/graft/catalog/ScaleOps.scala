@@ -770,7 +770,9 @@ object ScaleOps {
         .join(broadcast(tombs), Seq("o_orderkey"), "left_anti"), "mor")
       .localCheckpoint(true)
     morFold(spark, store, touched, tombs)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tomb))
+    // tombstone retirement LAST (the MOR-fold commit point) — seam-
+    // routed per-key deletes
+    graft.core.PosixCommit.deleteDir(tomb)
     mor.unionByName(readout(spark.read.parquet(store), "materialized"))
       .orderBy("phase", "o_month")
   }
@@ -790,7 +792,9 @@ object ScaleOps {
     * so the one-time rewrite pays a shuffled anti-join instead. */
   private[graft] def morFold(spark: SparkSession, store: String,
                              touched: Seq[String], tombs: DataFrame,
-                             broadcastTombs: Boolean = true): Unit = {
+                             broadcastTombs: Boolean = true,
+                             proto: graft.core.CommitProtocol =
+                               graft.core.PosixCommit): Unit = {
     val keys = tombs.select("o_orderkey")
     val folded = spark.read.parquet(store)
       .filter(col("o_month").isin(touched: _*))
@@ -802,9 +806,12 @@ object ScaleOps {
     folded.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("o_month").parquet(store)
+    // seam-routed: per-key deletes on an object store. Crash-safe only
+    // because callers retire the tombstones AFTER this returns — an
+    // MOR reader masks any half-deleted emptied partition until then
+    // (CommitProtocolSpec's fold matrix pins exactly that ordering)
     touched.filterNot(survived).foreach { m =>
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(s"$store/o_month=$m"))
+      proto.deleteDir(s"$store/o_month=$m")
     }
   }
 
@@ -842,7 +849,7 @@ object ScaleOps {
       morFold(spark, store,
         graft.core.PosixCommit.partitions(tomb, "o_month"), tombs,
         broadcastTombs = false)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tomb))
+      graft.core.PosixCommit.deleteDir(tomb)
       spark.read.parquet(store)
     } else {
       spark.read.parquet(store)

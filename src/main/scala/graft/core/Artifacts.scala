@@ -25,41 +25,26 @@ object Artifacts {
     *
     * Concurrency contract (r13): the build lands in an APP-PRIVATE dir
     * (`<name>__<appTag>`) that this app's readers consume directly —
-    * immune to a concurrent same-SF app's rebuild — and the oracle's
-    * fixed path `<root>/<name>` is a SYMLINK atomically swapped onto
-    * the newest completed build (symlink rename is the POSIX pointer
-    * flip; every artifact is a deterministic function of the SF dir by
-    * design — the hash gate requires it — so whichever app's build the
-    * oracle resolves, the VALUES match). Dead apps' builds reap
-    * age-gated. */
-  def write(spark: SparkSession, dir: String, name: String,
-            df: DataFrame): DataFrame = {
+    * immune to a concurrent same-SF app's rebuild — and the fixed
+    * reader path `<root>/<name>` is a NAMED POINTER published onto the
+    * newest completed build through [[CommitProtocol.publish]] (r14):
+    * POSIX realizes it as the atomically-swapped symlink the DuckDB
+    * oracle reads through; an object store realizes it as a
+    * pointer-object PUT that readers resolve — the seam owns the
+    * primitive, `ObjectStoreSim` crash-proves it. Every artifact is a
+    * deterministic function of the SF dir by design — the hash gate
+    * requires it — so whichever app's build a reader resolves, the
+    * VALUES match. Dead apps' builds reap age-gated. */
+  def write(spark: SparkSession, dir: String, name: String, df: DataFrame,
+            proto: CommitProtocol = PosixCommit): DataFrame = {
     val appTag = dirTag(spark.sparkContext.applicationId)
     val mine = s"${name}__$appTag"
     val path = s"${root(dir)}/$mine"
     df.write.mode("overwrite").parquet(path)
-    publishLink(root(dir), name, mine)
+    proto.publish(root(dir), name, mine)
     reapStaleWhere(root(dir),
       n => n.startsWith(s"${name}__") && n != mine)
     spark.read.parquet(path)
-  }
-
-  /** Atomically repoint `<rootDir>/<name>` at sibling dir `target`.
-    * A real directory left by the pre-r13 scheme is removed once. */
-  private def publishLink(rootDir: String, name: String,
-                          target: String): Unit = {
-    val link = java.nio.file.Paths.get(s"$rootDir/$name")
-    if (java.nio.file.Files.exists(link,
-        java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-        !java.nio.file.Files.isSymbolicLink(link))
-      org.apache.commons.io.FileUtils.deleteQuietly(link.toFile)
-    val tmp = java.nio.file.Paths.get(s"$rootDir/.lnk_$target")
-    java.nio.file.Files.deleteIfExists(tmp)
-    java.nio.file.Files.createSymbolicLink(tmp,
-      java.nio.file.Paths.get(target))
-    java.nio.file.Files.move(tmp, link,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** DuckDB-side read of the same artifact — the correctness gate runs
