@@ -278,6 +278,10 @@ object ScaleOps {
   // statistic it reports (recall@5 over a deterministic query sample)
   // is the one a production index audit reports anyway.
   private val RECALL_PANEL = 1024
+  /** e16's sketch size — ONE definition interpolated into both the
+    * entry and its oracle SQL (r14 ADVICE: a drifted literal would
+    * mislabel regimes inscrutably). */
+  private val E16_K = 8192
   private def simRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val probes = Similarity.hashRankedPick(
@@ -430,10 +434,17 @@ object ScaleOps {
   // the SAME state size — at 100 TB the state per group is 64 KB
   // whether the group has 10³ or 10¹⁰ distinct users, and refresh cost
   // is |delta| + |groups|, never a re-scan of history.
-  private def e16IncrementalDistinct(spark: SparkSession, dir: String): DataFrame = {
+  private def e16IncrementalDistinct(spark: SparkSession, dir: String): DataFrame =
+    e16Core(spark, dir, E16_K, "e16")
+
+  /** e16's machinery with the sketch size as a parameter — the entry
+    * runs K = E16_K; ScaleMechanicsSpec runs a tiny K against the same
+    * table to force the SATURATED regime (unreachable below ~sf5 at
+    * the shipped K) and prove the est_ok tolerance audit fires. */
+  private[graft] def e16Core(spark: SparkSession, dir: String, K: Int,
+                             tag: String): DataFrame = {
     import graft.plans.expressions.{kmv_sketch, kmv_card}
-    val K = 8192
-    val base = freshStagingDir(spark, "e16", dir)
+    val base = freshStagingDir(spark, tag, dir)
     val state = s"$base/distinct_state"
     // staged per-batch dirs (e15's discipline): each ingest reads only
     // its own delta's files, never the corpus
@@ -463,26 +474,50 @@ object ScaleOps {
     //  - exact regime → regime='exact', n_users = the distinct count
     //    (the k smallest hashes ARE the distinct set), hash-gated
     //    against the plain COUNT(DISTINCT) oracle;
-    //  - saturated    → regime='estimate', n_users NULL, and the
-    //    ~1/√k-error estimate in n_users_est — which the COUNT(DISTINCT)
-    //    oracle deliberately NULLs, because no portable SQL reproduces
-    //    the sketch's mix function bit-for-bit. The estimator's error
-    //    law is pinned elsewhere (a16b's two-scale gate, ExtensionsSpec).
-    // The r12 formulation instead require()-failed on saturation, which
+    //  - saturated    → regime='estimate', n_users NULL (no portable
+    //    SQL reproduces the sketch's mix function bit-for-bit), and the
+    //    contract DEGRADES instead of retiring (r14 ADVICE — the r13
+    //    shape NULLed the estimate column, so any SF with a saturated
+    //    group could never hash-green): est_ok carries a TOLERANCE gate
+    //    |est/exact - 1| <= 4/sqrt(K) (4x the KMV ~1/sqrt(k) std err)
+    //    checked Spark-side against an exact audit recount, while the
+    //    oracle emits literal TRUE — so the hash stays green at EVERY
+    //    SF and a drifted estimator flips est_ok scrutably. The audit
+    //    recount scans only the SATURATED groups' rows, and only when
+    //    any exist (below ~sf5 none do, so gate/bench SFs pay nothing);
+    //    it is the gate's instrument, not the serve path — at 100 TB
+    //    you serve kmv_card(sk) and audit offline. The raw estimate's
+    //    error law stays pinned by a16b's two-scale gate and
+    //    ScaleMechanicsSpec.
+    // The r12 formulation require()-failed on saturation, which
     // protected the oracle but meant the entry REFUSED to serve exactly
-    // where a KMV-backed distinct store earns its keep (first hit by the
-    // full-catalog sf10 run: one event_type crossed 8192 distinct
-    // users). Serving the labeled estimate is the 100 TB behavior; an
-    // oracle compare on a saturated SF now fails scrutably — on the
-    // n_users_est column, with regime='estimate' naming the cause on
-    // the same row. Cost unchanged: one job over |groups| sketch rows.
+    // where a KMV-backed distinct store earns its keep (first hit by
+    // the full-catalog sf10 run).
     val isEst = length(col("sk")) >= lit(8 + 8 * K)
+    val sat = merged.filter(isEst).select("event_type")
+    val estOkCol =
+      if (sat.isEmpty) lit(true)
+      else {
+        val exact = spark.read.parquet(deltas)
+          .join(broadcast(sat), "event_type")
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        val audited = merged.filter(isEst)
+          .join(exact, Seq("event_type"), "left")
+          .select(col("event_type"),
+            (abs(kmv_card(col("sk")).cast("double") / col("n_exact") - 1.0)
+              <= lit(4.0 / math.sqrt(K.toDouble))).as("ok"))
+          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+        // |saturated groups| entries — metadata-scale literal map
+        coalesce(element_at(
+          typedLit[Map[String, Boolean]](audited), col("event_type")),
+          lit(true))
+      }
     merged.select(col("event_type"),
         when(isEst, lit("estimate")).otherwise(lit("exact")).as("regime"),
         when(isEst, lit(null).cast("long"))
           .otherwise(kmv_card(col("sk"))).as("n_users"),
-        when(isEst, kmv_card(col("sk")))
-          .otherwise(lit(null).cast("long")).as("n_users_est"))
+        estOkCol.as("est_ok"))
       .orderBy("event_type")
   }
 
@@ -1170,7 +1205,7 @@ object ScaleOps {
          |           FROM embeddings),
          |probes AS (SELECT vec_id FROM (
          |  SELECT vec_id, row_number() OVER (ORDER BY $pu ASC, vec_id ASC) AS pr
-         |  FROM embeddings) WHERE pr <= 1024),
+         |  FROM embeddings) WHERE pr <= $RECALL_PANEL),
          |bscored AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst, $dotAB / (a.nrm * b.nrm) AS cos
          |  FROM n a JOIN probes p ON p.vec_id = a.vec_id
@@ -1211,15 +1246,17 @@ object ScaleOps {
         |  min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
         |  max(CAST(round(value * 100) AS BIGINT)) AS max_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // exact COUNT(DISTINCT) — valid because the per-group distinct
-    // cardinality is below the sketch's k at the gate SF, where the KMV
-    // estimate IS the exact set size (bijective mix, no collisions)
+    // exact COUNT(DISTINCT) below the sketch's k (where the KMV
+    // estimate IS the exact set size — bijective mix, no collisions);
+    // saturated groups get NULL n_users + literal TRUE est_ok, which
+    // Spark must EARN via its 4/sqrt(K) tolerance audit. K interpolated
+    // from the one Scala constant (r14 ADVICE).
     "e16_incremental_distinct" ->
-      """SELECT event_type,
-        |  CASE WHEN count(DISTINCT user_id) >= 8192 THEN 'estimate' ELSE 'exact' END AS regime,
-        |  CASE WHEN count(DISTINCT user_id) >= 8192 THEN NULL
+      s"""SELECT event_type,
+        |  CASE WHEN count(DISTINCT user_id) >= $E16_K THEN 'estimate' ELSE 'exact' END AS regime,
+        |  CASE WHEN count(DISTINCT user_id) >= $E16_K THEN NULL
         |       ELSE count(DISTINCT user_id) END AS n_users,
-        |  CAST(NULL AS BIGINT) AS n_users_est
+        |  TRUE AS est_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // s16's relational MERGE truth VERBATIM (one shared string): the
     // streamed ordered-batch application must reach exactly the state

@@ -420,8 +420,17 @@ object Similarity {
     * javadoc, so the constants are identical on every JVM; both
     * engines read THIS matrix — the Spark expression via typedLit, the
     * DuckDB mirrors as string-cast literals — so cross-engine parity
-    * is by construction, not by re-derivation. */
-  val maxPlanes = 24
+    * is by construction, not by re-derivation.
+    *
+    * Ceiling (r14): maxPlanes = 30 covers corpora to 2^30·32 ≈ 3.4e10
+    * vectors at the ≈32-expected-bucket contract — past the 1e10-vector
+    * regime the IVF comments cite, so no realistic corpus hits the
+    * require(). Widening from 24 extends the SAME Gaussian stream
+    * (row-major fill), so planes 0–23 — and every shipped bucket id —
+    * are bit-identical to r13. Beyond 30 both engines now fail the SAME
+    * way: lshBucket's require() here, the error()-raising guard in
+    * [[lshBucketSqlDynamic]] in DuckDB. */
+  val maxPlanes = 30
   val maxLshDim = 128
   private val planeMatrix: IndexedSeq[IndexedSeq[Double]] = {
     val rnd = new java.util.Random(20260816L)
@@ -495,6 +504,15 @@ object Similarity {
     // Gaussian matrix replaces (see planeMatrix). nPlanesSql is an
     // uncorrelated scalar subquery: DuckDB evaluates each occurrence
     // once, not per row.
+    // runtime ceiling guard (r14 ADVICE): past maxPlanes the unrolled
+    // CASE terms would silently cap the bucket while the Spark side
+    // require()-fails — the two engines must fail the SAME way, so the
+    // first summand raises via DuckDB's error() exactly where lshBucket
+    // aborts (lazily evaluated: free below the ceiling)
+    val guard = s"(CASE WHEN ($nPlanesSql) > $maxPlanes THEN " +
+      s"CAST(error('nPlanes exceeds the ${maxPlanes}-plane matrix " +
+      s"(corpus past 2^$maxPlanes*32 vectors) - LSH hands off to IVF " +
+      s"here; see Similarity.maxPlanes') AS BIGINT) ELSE 0 END)"
     val bits = (0 until maxPlanes).map { j =>
       val proj = (0 until dim).map { i =>
         val comp = planeComponent(j, i)
@@ -502,7 +520,7 @@ object Similarity {
       }.mkString("(", " + ", ")")
       s"(CASE WHEN ($nPlanesSql) > $j AND $proj >= 0 THEN ${1L << j} ELSE 0 END)"
     }
-    bits.mkString("CAST((", " + ", ") AS BIGINT)")
+    (guard +: bits).mkString("CAST((", " + ", ") AS BIGINT)")
   }
 
   /** DuckDB mirror of `lshBucket`. */

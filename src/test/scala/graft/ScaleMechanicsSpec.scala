@@ -754,4 +754,26 @@ class ScaleMechanicsSpec extends SparkSpec {
       bj.queryExecution.executedPlan.toString.take(2000))
     assert(bj.count() === orders.join(li, "o_orderkey").count())
   }
+
+  test("e16 saturated regime: est_ok tolerance audit fires and passes at a tiny K") {
+    // at K=32 every event_type at sf0.01 (~150 distinct users each)
+    // lands in the saturated branch the shipped K only reaches at ~sf5
+    // — regime labeled, n_users NULLed, and est_ok EARNED via the
+    // 4/sqrt(K) audit against an exact recount (not the literal TRUE
+    // the oracle emits). sf0.01, not sfDir: sf0.001 has only 15
+    // distinct users per type, below any sane sketch size.
+    val k = 32
+    val out = graft.catalog.ScaleOps
+      .e16Core(spark, "/root/testdata/sf0.01", k, "e16spec").collect()
+    assert(out.nonEmpty)
+    val sat = out.filter(_.getString(1) == "estimate")
+    assert(sat.nonEmpty, "tiny-K run never saturated — the audit branch is untested")
+    sat.foreach { r =>
+      assert(r.isNullAt(2), s"${r.getString(0)}: saturated row served n_users")
+      assert(r.getBoolean(3),
+        s"${r.getString(0)}: KMV estimate outside 4/sqrt($k) of the exact count")
+    }
+    // exact rows (if any) keep the trivially-true audit
+    out.filter(_.getString(1) == "exact").foreach(r => assert(r.getBoolean(3)))
+  }
 }
