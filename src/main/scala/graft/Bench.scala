@@ -27,6 +27,14 @@ object Bench {
     val only = args.headOption.map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // memo-storage budget (r14): the app-lifetime checkpoint memos are
+    // LRU-trimmed at every entry boundary once their memory-resident
+    // blocks exceed this — at sf10 the 260 entries' memos otherwise
+    // BECOME the heap (GC thrash, SCALING sf10 addendum #3). Default:
+    // a quarter of the heap, leaving storage eviction headroom.
+    val memoBudget = sys.env.get("SPARK_GRAFT_MEMO_BUDGET_MB")
+      .map(_.toLong * (1L << 20))
+      .getOrElse(Runtime.getRuntime.maxMemory / 4)
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -35,7 +43,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           Some(e.getClass.getSimpleName)
       }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val wall = (System.nanoTime() - t0) / 1e9
+      // entry boundary = the only safe eviction point (no in-flight
+      // plan holds a memo frame); timed AFTER the measurement so the
+      // trim never bills the entry
+      val (nEv, freed) = graft.core.AppCache.trimToBudget(spark, memoBudget)
+      if (nEv > 0) System.err.println(
+        s"[bench] memo trim after $name: $nEv entries, ${freed >> 20} MB released")
+      (wall, err)
     }
     val firstPass = selected.map { case (name, fn) => (name, fn, timeOne(name, fn)) }
     // EVERY entry is measured twice (r14): `first` is the cold wall

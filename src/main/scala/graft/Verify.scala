@@ -25,12 +25,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // same entry-boundary memo trim as Bench (r14): the dump visits all
+    // 260 entries in one app, so the checkpoint memos need the budget
+    val memoBudget = sys.env.get("SPARK_GRAFT_MEMO_BUDGET_MB")
+      .map(_.toLong * (1L << 20))
+      .getOrElse(Runtime.getRuntime.maxMemory / 4)
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        graft.core.AppCache.trimToBudget(spark, memoBudget)
+      }
       catch { case e: Throwable =>
         // a failed entry must still produce an output row: a one-row
         // marker parquet whose schema can never match an oracle, so the

@@ -31,6 +31,15 @@ object GraftColumnBridge {
       case _ => ()
     }
 
+  /** The checkpoint RDD id behind a localCheckpoint-backed frame, for
+    * storage accounting (AppCache's budget trim). None for non-
+    * checkpoint plans. */
+  def checkpointRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
+      case _ => None
+    }
+
   /** localCheckpoint whose LogicalRDD reports CLAMPED size statistics
     * instead of the origin plan's estimate. An iterative algorithm that
     * checkpoints each round otherwise compounds the size-only stats

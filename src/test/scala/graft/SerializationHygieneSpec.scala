@@ -147,4 +147,32 @@ class SerializationHygieneSpec extends SparkSpec {
     new java.io.ObjectOutputStream(bos).writeObject(m)
     assert(bos.size() > 0)
   }
+
+  test("AppCache.trimToBudget evicts checkpoint memos; a re-get rebuilds cleanly") {
+    import java.util.concurrent.ConcurrentHashMap
+    val cache = new ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
+    val app = spark.sparkContext.applicationId
+    var builds = 0
+    def mk(n: Int) = { builds += 1
+      spark.range(n).toDF("id").localCheckpoint(true) }
+    val a = graft.core.AppCache.get(cache, (app, "trim_a"))(mk(5000))
+    graft.core.AppCache.get(cache, (app, "trim_b"))(mk(7000))
+    val rddA = org.apache.spark.sql.GraftColumnBridge.checkpointRddId(a).get
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddA))
+    // budget 0: every resident memo in the app must go (incl. other
+    // suites' — by contract they rebuild on their next get)
+    val (nEv, _) = graft.core.AppCache.trimToBudget(spark, 0L)
+    assert(nEv >= 2, s"expected both memos evicted, got $nEv")
+    assert(cache.isEmpty, "evicted entries still in the map")
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddA),
+      "evicted memo's checkpoint RDD still persisted")
+    // a re-request is a plain rebuild — correctness unaffected
+    val a2 = graft.core.AppCache.get(cache, (app, "trim_a"))(mk(5000))
+    assert(builds === 3)
+    assert(a2.count() === 5000L)
+    // and a trim UNDER budget is a no-op
+    val (n2, _) = graft.core.AppCache.trimToBudget(spark, Long.MaxValue)
+    assert(n2 === 0)
+    assert(cache.size === 1)
+  }
 }
