@@ -146,7 +146,7 @@ class CatalogPlanContractSpec extends SparkSpec {
       "Metrics.scala:aucDistributed" -> (1, "rank-AUC dense leg behind the 1M gate, histogram fallback"),
       "Metrics.scala:binaryAucsDistributed" -> (1, "same gate as aucDistributed, batched variant"),
       "ScaleOps.scala:drainDrop" -> (1, "foreachBatch audit sink, O(windows in horizon) not O(events)"),
-      "ScaleOps.scala:e16IncrementalDistinct" -> (1, "saturated-group est_ok audit readout (|saturated groups| rows, empty below ~sf5)"),
+      "ScaleOps.scala:e16Core" -> (1, "saturated-group est_ok audit readout (|saturated groups| rows, empty below ~sf5)"),
       "ScaleOps.scala:e19MergeBatch" -> (1, "touched-months readout (|partitions| rows)"),
       "ScaleOps.scala:morFold" -> (1, "survivor-partition readout (|touched partitions| rows)"),
       "Similarity.scala:bruteForceTopKBlocked" -> (1, "broadcast build side under the LSH/IVF switch"),

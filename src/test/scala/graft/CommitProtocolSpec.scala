@@ -199,15 +199,26 @@ class CommitProtocolSpec extends SparkSpec {
     assert(morRead(s0, t0) === truth, "un-crashed fold diverged from truth")
     val total = p0.stepsTaken
     assert(total >= 6, s"expected per-object delete steps, saw $total")
-    for (k <- 0 until total) {
+    // Each fresh() dataset owns its own crash horizon: the stepped
+    // deletes are per-FILE, and how many part files Spark writes per
+    // partition varies with task scheduling run-to-run — so walk k
+    // upward until a run completes uncrashed instead of assuming p0's
+    // step count transfers. Every prefix crash point must leave the
+    // reader on the delete-truth; the completed run must too.
+    var k = 0
+    var completed = false
+    while (!completed && k <= 2 * total + 16) {
       val (store, tomb) = fresh()
       try {
         foldAndRetire(store, tomb, new graft.core.ObjectStoreSim(crashAfter = k))
-        fail(s"crashAfter=$k did not crash")
+        completed = true
       } catch { case _: graft.core.SimulatedCrash => () }
       assert(morRead(store, tomb) === truth,
         s"crash point $k: MOR reader served a torn state")
+      k += 1
     }
+    assert(completed, s"no run completed within ${2 * total + 16} crash points")
+    assert(k - 1 >= 6, s"crash matrix covered only ${k - 1} points")
   }
 
   test("partition enumeration seam lists exactly the hive dirs, values sorted") {
