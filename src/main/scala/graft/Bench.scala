@@ -23,6 +23,28 @@ object Bench {
     spark.range(100000).groupBy(org.apache.spark.sql.functions.pmod(
       org.apache.spark.sql.functions.col("id"),
       org.apache.spark.sql.functions.lit(7L))).count().count()
+    // host-health calibration (r14): a FIXED pure-JVM 32-thread compute
+    // loop, timed before and after the suite. The bench host's vCPU
+    // capacity fluctuates — the same loop measured 0.95 s and 2.80 s
+    // minutes apart on an idle guest (bursty hypervisor steal,
+    // /proc/stat st column) — and barrier-heavy entries amplify the
+    // jitter into 2-5x cold-wall swings (the r13 m3b "regression" was
+    // exactly this). Stamping the calibration into the artifact makes a
+    // host-noise flip attributable without re-running anything: compare
+    // calib numbers across rounds before comparing query walls.
+    def cpuCalib(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until 32).map { _ =>
+        new Thread(() => {
+          var x = 1.0; var j = 0L
+          while (j < 300000000L) { x = x * 1.0000001 + 1e-9; j += 1 }
+          if (x < 0) println(x) // defeat dead-code elimination
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = cpuCalib()
     // optional arg: comma-separated query names to restrict the run
     val only = args.headOption.map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -91,8 +113,10 @@ object Bench {
     // threshold, full-vs-subset, commit gate) is part of the artifact,
     // not tribal knowledge about the close protocol.
     val commitRoot = sys.env.get("SPARK_GRAFT_COMMIT_BENCH").contains("1")
+    val calibEnd = cpuCalib()
     val run = s"""{"cpus":$cpus,"rerun_sec":$rerunThreshold,""" +
       s""""subset":${only.isDefined},"commit_gate":$commitRoot,""" +
+      s""""calib_sec":[$calibStart,$calibEnd],""" +
       s""""n_queries":${results.size}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"failed":$nFail,"errors":$errs,"sf":"$sfDir","run":$run}"""
