@@ -479,18 +479,17 @@ object GraphXAnalytics {
     *
     * Hybrid (the CC/PageRank pattern): below `seqMaxEdges` the string
     * edge list collects to the driver and relaxes over int arrays;
-    * above, GraphX Pregel carries (dist, hubRank) vertex state with
-    * min-pair message merge.
+    * above, a frontier-sparse DataFrame relaxation over the hashed
+    * edge table (r14 — it replaced the GraphX Pregel leg after the
+    * sf10 probes showed Pregel's per-round O(|E|) graph
+    * re-materialization, not message bytes, was the catalog's one
+    * multi-minute straggler; see the leg's comment).
     *
     * Landmark index (both legs): the ≤|hubs| (id, hash) pairs come down
     * ONCE, sorted lexicographically, so hub rank Int compares ARE the
     * min-hub-id tie-break; the rank→id translation happens only at the
-    * readout. On the Pregel leg this replaces the r13 (dist, hub-STRING)
-    * message payload — 2·|E| string shuffles per round were the
-    * catalog's one multi-minute sf10 straggler (~30 min at 60M edges,
-    * SCALING.md sf10 addendum #4); (Int, Int) messages are a fixed 8
-    * data bytes each, and the init rank lookup is a broadcast hash
-    * probe instead of a vertex join. */
+    * readout — per-round state is a fixed-width (dist Int, rank Int)
+    * pair, never a string. */
   def shortestPaths(spark: SparkSession, g: PropertyGraph, hubPrefix: String,
                     rounds: Int = 8, seqMaxEdges: Long = 5000000L): DataFrame = {
     import spark.implicits._
@@ -549,40 +548,84 @@ object GraphXAnalytics {
           .join(vertexMap(g), "vid")
           .select(col("id"), col("dist"), col("hub"))
       case None =>
-        import org.apache.spark.graphx.{EdgeDirection, Pregel}
-        // landmark-index state: (dist, hubRank) \u2014 rank replaces the r13
-        // hub-string payload in every Pregel message; translated back to
-        // the id only at the readout via the broadcast array
-        type St = (Int, Int)
-        def better(a: St, b: St): St =
-          if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
-        val sc = spark.sparkContext
-        val bRank = sc.broadcast(
-          hubIds.iterator.zipWithIndex
-            .map { case ((_, vid), rk) => (vid, rk) }.toMap)
-        val bHubStr = sc.broadcast(hubStr)
-        val init = toGraphX(g).mapVertices { (vid, _) =>
-          bRank.value.get(vid) match {
-            case Some(rk) => (0, rk)
-            case None     => (Int.MaxValue, Int.MaxValue)
-          }
+        // Frontier-sparse synchronous relaxation in DataFrames (r14).
+        // The r13 landmark-index messages fixed the Pregel payload
+        // BYTES, but the sf10 re-probe showed the binding constraint
+        // at 60M edges is Pregel itself: every round rebuilds the
+        // replicated vertex view and re-caches it through the block
+        // manager \u2014 O(|E|) materialization per round regardless of
+        // frontier size, serialized in local mode on the one shared
+        // MemoryStore (jstack: 26/32 executor threads queued on
+        // reserveUnrollMemoryForThisTask; still >45 min). This leg
+        // materializes the doubled edge table ONCE, hash-partitioned
+        // by src and checkpoint-pinned, so a round shuffles only the
+        // frontier (build side of a shuffle-hash join against the
+        // pre-partitioned edges) and its out-messages. State improves
+        // monotonically, so offering candidates only from vertices
+        // that improved last round computes the SAME Jacobi fixpoint
+        // prefix (a non-improved neighbor re-offers a candidate the
+        // min already absorbed), total message volume across ALL
+        // rounds is ~one pass over the edges, and an empty frontier
+        // makes every remaining round the identity \u2014 exit early.
+        val shuffleP = spark.sessionState.conf.numShufflePartitions
+        val oneWay = g.edges.select(
+          xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"))
+        val edgesBoth = oneWay
+          .union(oneWay.select(col("d").as("s"), col("s").as("d")))
+          .toDF("src", "dst")
+          .repartition(shuffleP, col("src"))
+          .localCheckpoint(true)
+        val hubRank = hubIds.zipWithIndex
+          .map { case ((_, vid), rk) => (vid, rk) }.toSeq.toDF("vid", "rank")
+        // the GraphX graph contains only edge ENDPOINTS \u2014 an isolated
+        // hub must not surface from this leg either (kernel parity)
+        var stateCk = edgesBoth.select(col("src").as("vid")).distinct()
+          .join(hubRank, "vid")
+          .select(col("vid"), lit(0).as("dist"), col("rank"))
+          .repartition(shuffleP, col("vid"))
+          .localCheckpoint(true)
+        var state = stateCk
+        var frontier = stateCk
+        var live = !frontier.isEmpty
+        var r = 0
+        while (r < rounds && live) {
+          val msgs = edgesBoth
+            .join(frontier.withColumnRenamed("vid", "src")
+              .hint("shuffle_hash"), "src")
+            .select(col("dst").as("vid"),
+              (col("dist") + 1).as("c_dist"), col("rank").as("c_rank"))
+          val best = msgs.groupBy("vid")
+            .agg(min(struct(col("c_dist"), col("c_rank"))).as("m"))
+            .select(col("vid"), col("m.c_dist").as("c_dist"),
+              col("m.c_rank").as("c_rank"))
+          val improved = col("dist").isNull ||
+            (col("c_dist").isNotNull && (col("c_dist") < col("dist") ||
+              (col("c_dist") === col("dist") && col("c_rank") < col("rank"))))
+          val ck = org.apache.spark.sql.GraftColumnBridge
+            .localCheckpointClampedStats(
+              state.join(best, Seq("vid"), "full_outer")
+                .select(col("vid"),
+                  when(improved, col("c_dist")).otherwise(col("dist")).as("dist"),
+                  when(improved, col("c_rank")).otherwise(col("rank")).as("rank"),
+                  improved.as("improved"))
+                .repartition(shuffleP, col("vid")))
+          val nextFrontier = ck.filter(col("improved"))
+            .select("vid", "dist", "rank")
+          live = !nextFrontier.isEmpty // materializes ck
+          // last round's checkpoint is fully consumed into ck \u2014 release
+          // its blocks (only frames provably absent from the returned
+          // plan are ever released; a local checkpoint can't recompute)
+          org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(stateCk)
+          stateCk = ck
+          state = ck.select("vid", "dist", "rank")
+          frontier = nextFrontier
+          r += 1
         }
-        val res = Pregel(init, (Int.MaxValue, Int.MaxValue),
-          maxIterations = rounds, activeDirection = EdgeDirection.Either)(
-          vprog = (_, attr: St, msg: St) => better(attr, msg),
-          sendMsg = et => {
-            val toDst = if (et.srcAttr._1 == Int.MaxValue) Iterator.empty
-              else Iterator((et.dstId, (et.srcAttr._1 + 1, et.srcAttr._2)))
-            val toSrc = if (et.dstAttr._1 == Int.MaxValue) Iterator.empty
-              else Iterator((et.srcId, (et.dstAttr._1 + 1, et.dstAttr._2)))
-            toDst ++ toSrc
-          },
-          mergeMsg = better)
-        val hubLookup = bHubStr
-        res.vertices
-          .filter { case (_, (d, _)) => d != Int.MaxValue && d <= rounds }
-          .map { case (vid, (d, h)) => (vid, d, hubLookup.value(h)) }
-          .toDF("vid", "dist", "hub")
+        org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(edgesBoth)
+        val rankToHub = hubIds.zipWithIndex
+          .map { case ((id, _), rk) => (rk, id) }.toSeq.toDF("rank", "hub")
+        state
+          .join(broadcast(rankToHub), "rank")
           .join(vertexMap(g), "vid")
           .select(col("id"), col("dist"), col("hub"))
     }
