@@ -200,6 +200,21 @@ object TextSim {
   // share a trigger: a micro-batch per drop (maxFilesPerTrigger=1)
   // demonstrated the same invariant at twice the fixed micro-batch
   // setup cost (r7 finding 3).
+  /** Stream-session shuffle width. Streaming disables AQE, so the
+    * per-batch exchanges run at a STATIC width that must be sized to
+    * the batch, not to the interactive session: 8 tasks carried sf0.1's
+    * batch joins in ~3 s but serialized sf1's candidate verification
+    * (measured 128 s, 4× the work per task at 10× the corpus — the r13
+    * e11 "AvailableNow floor" was mostly this pin plus the compareTo
+    * env-probe, not stream machinery). One task per ~1k corpus docs,
+    * clamped to [8, cores]: per-task batch work stays ~constant until
+    * the core cap, and on a cluster the same rule sizes the ingest
+    * job's shuffle width to its drop volume. */
+  private def streamWidth(spark: SparkSession, nDocs: Long): Int = {
+    val cores = spark.sparkContext.defaultParallelism
+    math.max(8, math.min(cores, (nDocs / 1000L).toInt))
+  }
+
   private def e11StreamIngestDedup(spark: SparkSession, dir: String): DataFrame = {
     val tag = graft.core.Artifacts.dirTag(dir)
     val base = s"/tmp/graft_stream/e11_${spark.sparkContext.applicationId}_$tag"
@@ -235,16 +250,14 @@ object TextSim {
         .repartition(2, col("drop"))
         .write.partitionBy("drop").parquet(s"$base/src")
     }
-    // cloned session for isolation, shuffle partitions pinned LOW:
-    // streaming disables AQE, so every per-batch shuffle (candidate
-    // distinct, per-doc rollup) would otherwise run at the session's
-    // static width — 32 near-empty tasks per exchange for a few tens of
-    // thousands of candidate pairs. 8 is ample parallelism for the
-    // batch-sized joins and cuts the fixed per-exchange task overhead
-    // the r7 verdict flagged (at production scale this pin is the
-    // stream's own shuffle sizing, not the interactive session's).
+    // cloned session for isolation, shuffle partitions pinned to the
+    // corpus-adaptive width (see streamWidth): low enough that sf0.1's
+    // batch-sized joins don't pay 32 near-empty tasks per exchange
+    // (the r7 verdict finding), high enough that sf1+'s candidate
+    // verification isn't serialized onto 8 threads (the r14 finding).
+    val nDocs = Tables.documents(spark, dir).count()
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", streamWidth(spark, nDocs).toString)
     // mount the persisted store ONCE per ingest session: the artifact's
     // bits are materialized into an object-backed localCheckpoint, so
     // every micro-batch's five store-side plan fragments (bands ×2,
@@ -358,7 +371,10 @@ object TextSim {
       .repartition(2, col("drop"))
       .write.partitionBy("drop").parquet(s"$base/src")
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // same corpus-adaptive width as e11: the per-batch token explode +
+    // score rollup scales with the arrival slice
+    ss.conf.set("spark.sql.shuffle.partitions",
+      streamWidth(spark, Tables.documents(spark, dir).count()).toString)
     val wtOnce = ss.createDataFrame(wt.collectAsList(), wt.schema)
       .localCheckpoint(true) // vocab-bounded model artifact, mounted once
     val out = s"$base/out"

@@ -383,8 +383,16 @@ case class MinhashSlices(child: Expression, nSlices: Int, width: Int = 8)
         var j = 0
         while (j < nSlices) {
           val s = h.substring(j * width, (j + 1) * width)
+          // binaryCompare, NOT compareTo: Spark 4.1's compareTo is a
+          // deprecation shim that re-reads SPARK_TESTING from the
+          // process environment on EVERY call (SparkEnvUtils.isTesting
+          // -> System.getenv, an allocation + byte-encode per lookup)
+          // before delegating to this exact byte comparison. In this
+          // per-shingle-per-slice loop that shim was ~60% of the whole
+          // signature pass at sf1 (jstack: all 32 executor threads in
+          // ProcessEnvironment.get).
           if (mins(j) == null ||
-              s.compareTo(mins(j).asInstanceOf[UTF8String]) < 0) mins(j) = s
+              s.binaryCompare(mins(j).asInstanceOf[UTF8String]) < 0) mins(j) = s
           j += 1
         }
       }
@@ -438,7 +446,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         val y = b.getUTF8String(j)
         if (y == null) j += 1
         else {
-          val cmp = x.compareTo(y)
+          // binaryCompare ≡ compareTo's byte order minus the per-call
+          // SPARK_TESTING env probe compareTo pays in Spark 4.1 (see
+          // MinhashSlices — at ~4k comparisons per candidate pair the
+          // probe dominated e11's micro-batch joins)
+          val cmp = x.binaryCompare(y)
           if (cmp == 0) {
             // count the VALUE once, then skip its whole run on both
             // sides, so the expression equals size(array_intersect) on
