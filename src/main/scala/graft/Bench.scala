@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the app-lifetime memos store SERIALIZED (see GraphBuilder
+      // .fromTpch); UnsafeRow is KryoSerializable, and Kryo reads a
+      // block as straight byte copies where JavaSerializer pays an
+      // ObjectInputStream state machine per row (measured: the sf10
+      // graph memo scan sat in readObject0 on all threads)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

@@ -20,6 +20,8 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects;
       // read as long and convert in graft.core.Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Kryo for the serialized memo blocks (see Bench)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

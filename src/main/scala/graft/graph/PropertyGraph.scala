@@ -48,8 +48,26 @@ object GraphBuilder {
     graft.core.AppCache.get(tpchCache,
       (spark.sparkContext.applicationId, dir)) {
       val g = buildTpch(spark, dir)
-      PropertyGraph(g.nodes.localCheckpoint(true), g.edges.localCheckpoint(true),
-        cacheToken = Some(s"tpch:$dir"))
+      // COLUMNAR cache for the app-lifetime memo — the sf10 probes
+      // retired both checkpoint variants in turn: values-mode blocks
+      // serialized all executor threads on the MemoryStore unroll lock
+      // (SizeEstimator walks pricing 18.5 GB of object graphs), and
+      // serialized-row blocks fixed that but the eager checkpoint's
+      // per-row UnsafeRow.copy allocated 111M short-lived objects —
+      // jstat showed the 64g young gen absorbing it as ~8 s
+      // collections, and every later consumer paid a Kryo
+      // readClassAndObject per row to scan. persist() builds
+      // compressed columnar batches (allocation per 10k-row batch, not
+      // per row), consumers re-scan through codegen'd columnar reads,
+      // and the CacheManager rebuilds evicted blocks from the parquet
+      // lineage — so the AppCache budget trim keeps its "evict =
+      // rebuild on demand" semantics (accounting via
+      // GraftColumnBridge.cachedPlanRddId).
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val nodes = g.nodes.persist(lvl)
+      val edges = g.edges.persist(lvl)
+      nodes.count(); edges.count() // materialize once, up front
+      PropertyGraph(nodes, edges, cacheToken = Some(s"tpch:$dir"))
     }
 
   /** The uncached construction (the memo above is the normal entry). */

@@ -40,6 +40,19 @@ object GraftColumnBridge {
       case _ => None
     }
 
+  /** The columnar-buffer RDD id behind a persist()-cached frame —
+    * the cached-plan counterpart of [[checkpointRddId]], so the
+    * AppCache budget trim can account and evict columnar memos too.
+    * Unlike a checkpoint RDD, unpersisting this RDD is recoverable:
+    * the CacheManager rebuilds the buffers from the plan's lineage on
+    * the next scan. None for plans the CacheManager isn't serving. */
+  def cachedPlanRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.optimizedPlan match {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        Some(r.cacheBuilder.cachedColumnBuffers.id)
+      case _ => None
+    }
+
   /** localCheckpoint whose LogicalRDD reports CLAMPED size statistics
     * instead of the origin plan's estimate. An iterative algorithm that
     * checkpoints each round otherwise compounds the size-only stats
@@ -88,12 +101,27 @@ object GraftColumnBridge {
     * computed key safely falls back to the plain checkpoint). The
     * checkpoint caches the executed RDD's partitions 1:1, so the
     * recorded layout is exactly the materialized one. */
-  def checkpointKeepingPartitioning(df: DataFrame): DataFrame = {
+  def checkpointKeepingPartitioning(
+      df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      capStatsBytes: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.catalyst.plans.physical.{
       CoalescedHashPartitioning, HashPartitioning, Partitioning}
     import org.apache.spark.sql.execution.LogicalRDD
-    val ck = df.localCheckpoint(true)
+    // clamped stats (the localCheckpointClampedStats rationale — an
+    // iterative loop checkpointing each round otherwise compounds the
+    // size-only estimate THROUGH the checkpoint into driver-side
+    // BigInteger math); stamped below on whichever LogicalRDD survives
+    val clampedStats = capStatsBytes.map { cap =>
+      val orig = df.queryExecution.optimizedPlan.stats
+      Statistics(
+        sizeInBytes = orig.sizeInBytes.min(BigInt(cap)),
+        rowCount = orig.rowCount.map(_.min(BigInt(Long.MaxValue))))
+    }
+    val ck = df.localCheckpoint(true, level)
     // localCheckpoint executed df's OWN QueryExecution, so the adaptive
     // plan is final here — but AdaptiveSparkPlanExec keeps REPORTING
     // UnknownPartitioning from the wrapper, so read the layout off the
@@ -107,6 +135,7 @@ object GraftColumnBridge {
       case l: LogicalRDD => l
       case _ => return ck
     }
+    val sparkC = df.sparkSession.asInstanceOf[classic.SparkSession]
     val byId = lr.output.map(a => a.exprId -> a).toMap
     // attributes must survive into the checkpoint's output (matched by
     // exprId); anything else — computed keys, dropped columns — falls
@@ -129,10 +158,15 @@ object GraftColumnBridge {
     }
     stampedPart match {
       case Some(p) =>
-        val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
         val stamped = new LogicalRDD(lr.output, lr.rdd, p, Nil,
-          lr.isStreaming, None)(spark, None, None)
-        classic.Dataset.ofRows(spark, stamped)
+          lr.isStreaming, None)(sparkC, clampedStats, None)
+        classic.Dataset.ofRows(sparkC, stamped)
+      case None if clampedStats.isDefined =>
+        // no recoverable hash layout, but the stats clamp still applies
+        val stamped = new LogicalRDD(lr.output, lr.rdd,
+          lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
+          None)(sparkC, clampedStats, None)
+        classic.Dataset.ofRows(sparkC, stamped)
       case None => ck
     }
   }

@@ -175,4 +175,48 @@ class SerializationHygieneSpec extends SparkSpec {
     assert(n2 === 0)
     assert(cache.size === 1)
   }
+
+  test("trimToBudget evicts COLUMNAR-cached memos via the CacheManager; the cache re-fills on next use") {
+    import java.util.concurrent.ConcurrentHashMap
+    val cache = new ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
+    val app = spark.sparkContext.applicationId
+    val df = graft.core.AppCache.get(cache, (app, "trim_cols")) {
+      val d = spark.range(20000).toDF("id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count(); d
+    }
+    val rddId = org.apache.spark.sql.GraftColumnBridge.cachedPlanRddId(df)
+    assert(rddId.isDefined, "persisted memo not seen as a cached plan")
+    assert(spark.sparkContext.getRDDStorageInfo.exists(i =>
+      i.id == rddId.get && i.memSize > 0), "buffers not materialized")
+    val (nEv, _) = graft.core.AppCache.trimToBudget(spark, 0L)
+    assert(nEv >= 1)
+    // the CacheManager entry must be gone (a fresh plan no longer
+    // resolves to an InMemoryRelation)…
+    val stillCached = org.apache.spark.sql.GraftColumnBridge
+      .cachedPlanRddId(spark.range(20000).toDF("id"))
+    assert(stillCached.isEmpty,
+      s"CacheManager still serves the evicted memo: $stillCached")
+    // …and the blocks clear (the release is non-blocking — poll)
+    val gone = (1 to 50).exists { _ =>
+      val still = spark.sparkContext.getRDDStorageInfo.exists(i =>
+        i.id == rddId.get && (i.memSize > 0 || i.diskSize > 0))
+      if (still) Thread.sleep(100)
+      !still
+    }
+    assert(gone, "evicted columnar memo still resident after 5 s")
+    // the release went through Dataset.unpersist, NOT a raw RDD
+    // unpersist — so a fresh scan of the same plan re-caches (the
+    // raw path would pin the buffers RDD at StorageLevel.NONE and
+    // the memo would silently never cache again)
+    val df2 = spark.range(20000).toDF("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df2.count()
+    val rdd2 = org.apache.spark.sql.GraftColumnBridge.cachedPlanRddId(df2)
+    assert(rdd2.isDefined)
+    assert(spark.sparkContext.getRDDStorageInfo.exists(i =>
+      i.id == rdd2.get && (i.memSize > 0 || i.diskSize > 0)),
+      "re-persist after eviction did not re-cache")
+    df2.unpersist(blocking = false)
+  }
 }
