@@ -548,83 +548,140 @@ object GraphXAnalytics {
           .join(vertexMap(g), "vid")
           .select(col("id"), col("dist"), col("hub"))
       case None =>
-        // Frontier-sparse synchronous relaxation in DataFrames (r14).
+        // Layered frontier BFS in DataFrames (r14, second iteration).
         // The r13 landmark-index messages fixed the Pregel payload
         // BYTES, but the sf10 re-probe showed the binding constraint
         // at 60M edges is Pregel itself: every round rebuilds the
         // replicated vertex view and re-caches it through the block
-        // manager \u2014 O(|E|) materialization per round regardless of
+        // manager - O(|E|) materialization per round regardless of
         // frontier size, serialized in local mode on the one shared
         // MemoryStore (jstack: 26/32 executor threads queued on
-        // reserveUnrollMemoryForThisTask; still >45 min). This leg
-        // materializes the doubled edge table ONCE, hash-partitioned
-        // by src and checkpoint-pinned, so a round shuffles only the
-        // frontier (build side of a shuffle-hash join against the
-        // pre-partitioned edges) and its out-messages. State improves
-        // monotonically, so offering candidates only from vertices
-        // that improved last round computes the SAME Jacobi fixpoint
-        // prefix (a non-improved neighbor re-offers a candidate the
-        // min already absorbed), total message volume across ALL
-        // rounds is ~one pass over the edges, and an empty frontier
-        // makes every remaining round the identity \u2014 exit early.
+        // reserveUnrollMemoryForThisTask; still >45 min). A first
+        // DataFrame cut kept a full |V|-row state table folded by
+        // full_outer join each round; the plan audit (tools.SpPlanCheck)
+        // showed that costs two |E|-scale SORTS per round (min over a
+        // struct compiles to SortAggregate, not HashAggregate) plus a
+        // |V| re-exchange per round (a FullOuter shuffled join reports
+        // UnknownPartitioning, so the partition stamp can never stick).
+        //
+        // This leg exploits the BFS metric instead. With unit weights
+        // and synchronous rounds, a vertex's (dist, rank) is FINAL in
+        // the round it is first reached: every dist-d vertex receives
+        // ALL its offers (from the complete dist-(d-1) layer) in round
+        // d, so settled state is append-only and the frontier is
+        // exactly the new layer. Consequences, each load-bearing:
+        //   * candidates can only collide with layers d-2 and d-1
+        //     (adjacent BFS levels differ by at most 1), so dropping
+        //     already-settled candidates is TWO layer-sized anti-joins,
+        //     never a |V|-row state scan;
+        //   * (dist, rank) packs into one long (dist<<32 | rank) whose
+        //     lexicographic min is a plain long min - HashAggregate
+        //     with map-side partial combine, no sorts anywhere;
+        //   * total work across ALL rounds is one pass over the edges
+        //     (each vertex's in-offers arrive in exactly one round)
+        //     plus one |V| of checkpoint bytes - the fixed `rounds` cap
+        //     only truncates layers past the radius, identical to the
+        //     Jacobi prefix the dense kernel and the oracle compute.
+        // Everything is pinned to one (vid, shuffleP) hash layout: the
+        // groupBy lands there and the layer checkpoints stamp it
+        // (checkpointKeepingPartitioning), so the per-round anti-joins
+        // run exchange-free - only messages ever move.
         val shuffleP = spark.sessionState.conf.numShufflePartitions
         val oneWay = g.edges.select(
           xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"))
+        val serLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        // mass-derived partition count (the CC/PageRank rule), and the
+        // COLUMNAR cache rather than a checkpoint - the sf10 probes
+        // walked through every materialization strategy for this table:
+        // values-mode checkpoint blocks serialized all executor threads
+        // on the MemoryStore unroll lock; serialized-row checkpoint
+        // blocks fixed that but the eager checkpoint's per-row
+        // UnsafeRow.copy allocated 184M short-lived objects, and jstat
+        // showed the 64g young gen absorbing it as ~8 s collections
+        // (160 s of GC before round 1 started). persist() builds
+        // compressed columnar batches instead (batched, no per-row
+        // copy), decompresses faster than Kryo row blocks on every
+        // round's re-scan, and - because Spark leaves cached-plan
+        // output partitioning alone by default
+        // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning) -
+        // the cached scan still reports the exact HashPartitioning
+        // (src, edgeParts) the repartition built, so every round's
+        // probe join stays exchange-free on the edge side. Lineage
+        // here is flat (memo scan + union + one exchange), so the
+        // checkpoint's lineage-cutting isn't needed.
         val edgesBoth = oneWay
           .union(oneWay.select(col("d").as("s"), col("s").as("d")))
           .toDF("src", "dst")
-          .repartition(shuffleP, col("src"))
-          .localCheckpoint(true)
+          .repartition(edgeParts(spark.sparkContext, 2L * g.edges.count()),
+            col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edgesBoth.count() // materialize before the rounds
         val hubRank = hubIds.zipWithIndex
           .map { case ((_, vid), rk) => (vid, rk) }.toSeq.toDF("vid", "rank")
-        // the GraphX graph contains only edge ENDPOINTS \u2014 an isolated
-        // hub must not surface from this leg either (kernel parity)
-        var stateCk = edgesBoth.select(col("src").as("vid")).distinct()
-          .join(hubRank, "vid")
-          .select(col("vid"), lit(0).as("dist"), col("rank"))
-          .repartition(shuffleP, col("vid"))
-          .localCheckpoint(true)
-        var state = stateCk
-        var frontier = stateCk
+        // layer rows are (vid, packed) with packed = dist.toLong<<32 |
+        // rank - decoded once at the readout
+        val two32 = 4294967296L
+        // the GraphX graph contains only edge ENDPOINTS - an isolated
+        // hub must not surface from this leg either (kernel parity).
+        // Broadcast the <=|hubs| ranks against one edge pass instead of
+        // distinct-ing 2|E| endpoint rows to then keep ~30 of them (the
+        // sf10 probe priced that warm-up distinct as a full edge-mass
+        // shuffle before round 1 even started).
+        val layer0 = org.apache.spark.sql.GraftColumnBridge
+          .checkpointKeepingPartitioning(edgesBoth
+            .join(broadcast(hubRank), edgesBoth("src") === hubRank("vid"))
+            .select(col("vid"), col("rank").cast("long").as("packed"))
+            .distinct()
+            .repartition(shuffleP, col("vid")),
+            serLevel, capStatsBytes = Some(1L << 40))
+        val layers = scala.collection.mutable.ArrayBuffer[DataFrame](layer0)
+        // round telemetry for SCALING probes (stderr, opt-in)
+        val spDebug = sys.env.contains("GRAFT_SP_DEBUG")
+        var frontier = layer0
         var live = !frontier.isEmpty
         var r = 0
         while (r < rounds && live) {
-          val msgs = edgesBoth
+          val t0 = System.nanoTime()
+          val offers = edgesBoth
             .join(frontier.withColumnRenamed("vid", "src")
               .hint("shuffle_hash"), "src")
-            .select(col("dst").as("vid"),
-              (col("dist") + 1).as("c_dist"), col("rank").as("c_rank"))
-          val best = msgs.groupBy("vid")
-            .agg(min(struct(col("c_dist"), col("c_rank"))).as("m"))
-            .select(col("vid"), col("m.c_dist").as("c_dist"),
-              col("m.c_rank").as("c_rank"))
-          val improved = col("dist").isNull ||
-            (col("c_dist").isNotNull && (col("c_dist") < col("dist") ||
-              (col("c_dist") === col("dist") && col("c_rank") < col("rank"))))
-          val ck = org.apache.spark.sql.GraftColumnBridge
-            .localCheckpointClampedStats(
-              state.join(best, Seq("vid"), "full_outer")
-                .select(col("vid"),
-                  when(improved, col("c_dist")).otherwise(col("dist")).as("dist"),
-                  when(improved, col("c_rank")).otherwise(col("rank")).as("rank"),
-                  improved.as("improved"))
-                .repartition(shuffleP, col("vid")))
-          val nextFrontier = ck.filter(col("improved"))
-            .select("vid", "dist", "rank")
-          live = !nextFrontier.isEmpty // materializes ck
-          // last round's checkpoint is fully consumed into ck \u2014 release
-          // its blocks (only frames provably absent from the returned
-          // plan are ever released; a local checkpoint can't recompute)
-          org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(stateCk)
-          stateCk = ck
-          state = ck.select("vid", "dist", "rank")
-          frontier = nextFrontier
+            .select(col("dst").as("vid"), (col("packed") + two32).as("packed"))
+          // exchange the raw offers ONCE by target, prune settled
+          // targets BEFORE aggregating (anti and min-by-key commute
+          // exactly: the anti drops whole keys), THEN take the min.
+          // Order matters at scale: most offers target the previous
+          // layer itself (every frontier vertex offers back across the
+          // edge it was reached on), so aggregating first churns a
+          // BytesToBytesMap over frontier-cardinality keys per task
+          // (sf10 jstack: growAndRehash dominating all 32 threads)
+          // while pruning first drops them with read-only hash probes
+          // and leaves the agg map holding only new-layer keys —
+          // co-partitioned input, so the partial phase already fully
+          // reduces and no second exchange exists.
+          val pruned = layers.takeRight(2).foldLeft(
+              offers.repartition(shuffleP, col("vid"))) { (acc, layer) =>
+            acc.join(layer.select("vid").hint("shuffle_hash"),
+              Seq("vid"), "left_anti")
+          }
+          val newly = pruned.groupBy("vid").agg(min("packed").as("packed"))
+          val layerCk = org.apache.spark.sql.GraftColumnBridge
+            .checkpointKeepingPartitioning(newly, serLevel,
+              capStatsBytes = Some(1L << 40))
+          live = !layerCk.isEmpty
+          if (spDebug) System.err.println(
+            f"[sp] round $r layer=${layerCk.count()} " +
+              f"wall=${(System.nanoTime() - t0) / 1e9}%.2f")
+          if (live) layers += layerCk
+          frontier = layerCk
           r += 1
         }
-        org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(edgesBoth)
+        edgesBoth.unpersist(blocking = false)
         val rankToHub = hubIds.zipWithIndex
           .map { case ((id, _), rk) => (rk, id) }.toSeq.toDF("rank", "hub")
-        state
+        layers.reduce(_ union _)
+          .select(col("vid"),
+            shiftright(col("packed"), 32).cast("int").as("dist"),
+            (col("packed") % two32).cast("int").as("rank"))
           .join(broadcast(rankToHub), "rank")
           .join(vertexMap(g), "vid")
           .select(col("id"), col("dist"), col("hub"))

@@ -33,6 +33,7 @@ object HybridSweep {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       // driver heap: pass -Xmx on the java command line (a builder conf
       // cannot resize an already-started local JVM)
@@ -81,6 +82,12 @@ object HybridSweep {
         val e = knn; val n = e.count()
         (graft.graph.Louvain.detect(spark, e, maxIter = 8,
           seqMaxEdges = 0L).count(), n)
+      }),
+      "sp_gx_tpch" -> (() => { // forced frontier-sparse relaxation leg
+        val g = graft.graph.GraphBuilder.fromTpch(spark, sfDir)
+        val n = g.edges.count()
+        (graft.graph.GraphXAnalytics.shortestPaths(spark, g, "loc_",
+          rounds = 8, seqMaxEdges = 0L).count(), n)
       }),
       "ppr_entry" -> (() => { // the entry's own 2.5M-pair gate decides the leg
         val n = graft.graph.Links.purchasePairsNumeric(spark, sfDir).count()
