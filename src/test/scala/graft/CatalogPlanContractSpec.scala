@@ -143,6 +143,7 @@ class CatalogPlanContractSpec extends SparkSpec {
       "Louvain.scala:modularityFromParts" -> (1, "composed-Q scalars, one 2-row readout per level"),
       "Louvain.scala:localMoves" -> (1, "per-round convergence scalars, one 3-row readout per round"),
       "LouvainDebug.scala:main" -> (1, "debug main, not a catalog path"),
+      "SpPlanCheck.scala:audit" -> (2, "plan-audit scratch driver, not a catalog path: materialize + inspect the executed round plan"),
       "Metrics.scala:aucDistributed" -> (1, "rank-AUC dense leg behind the 1M gate, histogram fallback"),
       "Metrics.scala:binaryAucsDistributed" -> (1, "same gate as aucDistributed, batched variant"),
       "ScaleOps.scala:drainDrop" -> (1, "foreachBatch audit sink, O(windows in horizon) not O(events)"),
