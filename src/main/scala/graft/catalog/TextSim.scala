@@ -1107,12 +1107,21 @@ object TextSim {
     // /1e7 at the end maps identical integers to identical doubles.
     val w = Window.partitionBy("src")
     val candI = cand.withColumn("irel", round(col("rel") * 1e6).cast("long"))
+    // s1 feeds r2, r3 and the result union; ccTo feeds r2 and BOTH cc1/
+    // cc2 legs of r3. Un-materialized, each consumer re-executed the
+    // whole candidate-pair subtree (two embedding joins + a cosine per
+    // pair) — 5 SortMergeJoins and 32 exchanges in the executed plan,
+    // 3× the pair work. One localCheckpoint each collapses the shared
+    // subtrees to a single evaluation (guide §2.4: duplicated subtrees
+    // are removed shuffles), with identical rows by construction.
     val s1 = candI
       .withColumn("rk", row_number().over(w.orderBy(desc("rel"), asc("dst"))))
       .filter(col("rk") === 1)
       .select(col("src"), col("dst").as("s1"), col("rel").as("rel1"))
+      .localCheckpoint(true)
     val ccTo = pair.select(col("src").as("ps"), col("d1"), col("d2"),
       round(col("cc") * 1e6).cast("long").as("icc"))
+      .localCheckpoint(true)
     val r2 = candI.join(s1.select("src", "s1"), "src")
       .filter(col("dst") =!= col("s1"))
       .join(ccTo, col("src") === col("ps") && col("dst") === col("d1") &&
