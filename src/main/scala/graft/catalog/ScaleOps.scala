@@ -284,12 +284,20 @@ object ScaleOps {
   private val E16_K = 8192
   private def simRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // panel and truth table are each consumed twice below; without the
+    // checkpoints the executed plan evaluated the panel·n
+    // BroadcastNestedLoopJoin (a dot product per corpus×panel pair)
+    // TWICE — once under n_true, once under hits — and re-derived the
+    // probe pick per broadcast (guide §2.4: duplicated subtrees). Both
+    // tables are panel-sized (≤ RECALL_PANEL·k rows), so the
+    // materialization is metadata-priced and the heavy scan runs once.
     val probes = Similarity.hashRankedPick(
         e.select(col("vec_id").as("cid"),
           col("embedding").cast("array<double>").as("pv")),
         RECALL_PANEL, 29L, "pr")
       .select(col("cid").as("src"), col("pv").as("qv"),
         Similarity.norm(col("pv")).as("qn"))
+      .localCheckpoint(true)
     val corpus = e.select(col("vec_id").as("dst"),
         col("embedding").cast("array<double>").as("cv"))
       .withColumn("cn", Similarity.norm(col("cv")))
@@ -300,6 +308,7 @@ object ScaleOps {
       .partitionBy("src").orderBy(round(col("cos"), 6).desc, col("dst").asc)
     val brute = scored.withColumn("rn", row_number().over(bw))
       .filter(col("rn") <= 5).select("src", "dst")
+      .localCheckpoint(true)
     // the SAME adaptive plane count the serving entry (sim_lsh_topk)
     // uses — recall is only meaningful for the configuration served;
     // the LSH side runs the full bucketed join (linear) and is then
