@@ -753,14 +753,20 @@ object Analytics {
   private def e9Funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    // each stage feeds BOTH the next stage and the final count row;
+    // un-materialized, the executed plan re-evaluated v (and its events
+    // scan) under c, p AND the count — checkpoint the user-level stage
+    // tables once each (user-cardinality, two longs per row)
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("t").as("vt"))
+      .localCheckpoint(true)
     // min() over the (constant-per-group) anchor, mirroring the oracle —
     // first() would be flagged as order-dependent even though the value
     // is unique per user here
     val c = ev.filter(col("event_type") === "click")
       .join(v, "user_id").filter(col("t") > col("vt"))
       .groupBy("user_id").agg(min("t").as("ct"), min("vt").as("vt"))
+      .localCheckpoint(true)
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("t") > col("ct"))
       .groupBy("user_id").agg(min("t").as("pt"), min("ct").as("ct"))

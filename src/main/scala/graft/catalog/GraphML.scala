@@ -862,7 +862,11 @@ object GraphML {
     val pp = graft.graph.Links.purchasePairsNumeric(spark, dir)
     val small = pp.groupBy("product").agg(count(lit(1)).as("buyers"))
       .filter(col("buyers") <= 30).select("product")
-    val p = pp.join(small, "product")
+    // both self-join legs consume p; un-materialized, the executed plan
+    // evaluated the cap subtree (pair scan + buyers agg + join) twice —
+    // one checkpoint makes the self-join read the capped table twice
+    // instead of computing it twice (guide §2.4)
+    val p = pp.join(small, "product").localCheckpoint(true)
     val a = p.select(col("product"), col("customer").as("cust_a"))
     val b = p.select(col("product"), col("customer").as("cust_b"))
     a.join(b, "product").filter(col("cust_a") < col("cust_b"))

@@ -878,12 +878,19 @@ object TextSim {
   private def t21TokenBudget(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nShards = 8
+    // the per-doc token count is the entry's one corpus-text pass; it
+    // feeds the lang totals, the shard totals AND the cumsum below, and
+    // un-materialized each consumer re-tokenized the corpus (3 text
+    // passes). Checkpoint the doc-id-level proxy once — ints per doc,
+    // never the text (guide §8: decide on small rows, touch heavy bytes
+    // once).
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
       .withColumn("u", graft.functions.ColFns.pseudoUniform(col("doc_id"), 173L))
       .withColumn("shard",
         floor(graft.functions.ColFns.pseudoUniform(col("doc_id"), 211L) * nShards)
           .cast("int"))
+      .localCheckpoint(true)
     val byLang = docs.groupBy("lang").agg(sum("n_toks").as("lang_toks"))
     val tot = byLang.agg(sum("lang_toks").cast("double").as("tot_toks"))
     val wsum = byLang.crossJoin(broadcast(tot))
