@@ -891,7 +891,10 @@ object TextSim {
         floor(graft.functions.ColFns.pseudoUniform(col("doc_id"), 211L) * nShards)
           .cast("int"))
       .localCheckpoint(true)
+    // byLang feeds tot, wsum AND budgets — lang-cardinality, so the
+    // checkpoint is metadata-priced and saves three doc-table re-aggs
     val byLang = docs.groupBy("lang").agg(sum("n_toks").as("lang_toks"))
+      .localCheckpoint(true)
     val tot = byLang.agg(sum("lang_toks").cast("double").as("tot_toks"))
     val wsum = byLang.crossJoin(broadcast(tot))
       .agg(sum(sqrt(col("lang_toks") / col("tot_toks"))).as("wsum"))
@@ -1597,12 +1600,21 @@ object TextSim {
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val train = pairs.filter(col("doc_id") % 2 === 0)
+    // uni and voc are EXACT functions of the bigram table: c1(w) =
+    // Σ_w2 c2(w, w2) (every w1 occurrence is counted by exactly one
+    // bigram), and the train vocabulary = distinct(b1 ∪ b2) (groupBy
+    // preserves the key set). Deriving them from `big` instead of from
+    // `train` cuts the corpus tokenize+explode passes from 4 to 2
+    // (big + the scoring join below) and turns two corpus-scale
+    // aggregations into vocabulary-bounded ones; the checkpoint makes
+    // the shared LM table evaluate once (guide §2.3/§2.4).
     val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .select(col("w1").as("b1"), col("w2").as("b2"), col("c2"))
-    val uni = train.groupBy("w1").agg(count(lit(1)).as("c1"))
-      .select(col("w1").as("u1"), col("c1"))
-    val voc = train.select(col("w1").as("w"))
-      .union(train.select(col("w2").as("w")))
+      .localCheckpoint(true)
+    val uni = big.groupBy("b1").agg(sum("c2").as("c1"))
+      .select(col("b1").as("u1"), col("c1"))
+    val voc = big.select(col("b1").as("w"))
+      .union(big.select(col("b2").as("w")))
       .agg(countDistinct("w").as("v"))
     val perDoc = pairs
       // no broadcast hints on the LM tables: observed-bigram counts
