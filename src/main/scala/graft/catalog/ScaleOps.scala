@@ -298,8 +298,23 @@ object ScaleOps {
       .select(col("cid").as("src"), col("pv").as("qv"),
         Similarity.norm(col("pv")).as("qn"))
       .localCheckpoint(true)
+    // The BNLJ (and the partial per-partition top-5 WindowGroupLimit
+    // above it) inherits the corpus SCAN's partitioning — a panel-sized
+    // parquet input is one split, so the whole panel·n truth scan plus
+    // its 2M-row top-5 sort ran in ONE task (probe: 6.2 of the entry's
+    // 6.8 s in that stage). Spread the stream side by pair MASS before
+    // the join: ~64k scored pairs per task, floored at the host
+    // parallelism, capped at 4× it (guide §2.2/§2.5 — derived from the
+    // input, not a local[32] constant). Hash on dst (unique per corpus
+    // row) rather than round-robin: no sort-before-repartition pass,
+    // and the layout is deterministic under retries.
+    val nCorpus = e.count()
+    val par = spark.sparkContext.defaultParallelism
+    val bnljWidth = math.min(math.max(
+      nCorpus * RECALL_PANEL / 65536L, par.toLong), 4L * par).toInt
     val corpus = e.select(col("vec_id").as("dst"),
         col("embedding").cast("array<double>").as("cv"))
+      .repartition(bnljWidth, col("dst"))
       .withColumn("cn", Similarity.norm(col("cv")))
     val scored = corpus.join(broadcast(probes), col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
@@ -314,7 +329,7 @@ object ScaleOps {
     // the LSH side runs the full bucketed join (linear) and is then
     // restricted to the panel
     val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
-      dim = DIM, nPlanes = Similarity.scaleNPlanes(e.count()), k = 5,
+      dim = DIM, nPlanes = Similarity.scaleNPlanes(nCorpus), k = 5,
       rankRounded = true).select("src", "dst")
       .join(probes.select("src"), Seq("src"), "left_semi")
     val perQuery = brute.groupBy("src").agg(count(lit(1)).as("n_true"))

@@ -169,7 +169,92 @@ object GraphXAnalytics {
         while (i < vids.length) { out(i) = (vids(i), vids(find(i))); i += 1 }
         spark.createDataFrame(out.toSeq).toDF("vid", "component_vid")
       case None =>
-        toGraphX(g).connectedComponents().vertices.toDF("vid", "component_vid")
+        // Frontier-sparse HashMin in DataFrames (r15). The GraphX Pregel
+        // leg this replaces paid the same per-round O(|E|) replicated-
+        // vertex-view re-materialization the shortest-paths rewrite
+        // retired in r14 (sf10: CC 106 s min / 464 s cold vs the BFS
+        // leg's 38.6 s on the identical 60M-edge graph). Same playbook:
+        //   * one persisted columnar both-ways edge table hash-laid-out
+        //     by src (mass-derived width), probed per round by a
+        //     frontier-sized shuffled-hash join — only offers move;
+        //   * labels are hashed-long vids, so the per-offer min is a
+        //     plain long min — HashAggregate with map-side partial
+        //     combine, no SortAggregate anywhere;
+        //   * per-round state pinned to ONE (vid, shuffleP) hash layout
+        //     via checkpointKeepingPartitioning; the state-update join
+        //     (left outer, build = this round's candidates) is
+        //     co-partitioned on both sides, so no |V|-scale re-exchange
+        //     exists after round 1's unavoidable full edge pass.
+        // Unlike BFS, a label can improve many times, so state is a
+        // live |V|-row table rather than append-only layers; the
+        // frontier invariant is CC's analogue of the settled-layer
+        // property: a vertex propagates ONLY in rounds where its label
+        // strictly improved (round 1 seeds every vertex by construction
+        // — offers degenerate to a projection of the edge table, no
+        // join and no |V| distinct). Runs to fixpoint (labels strictly
+        // decrease in a finite set, so termination is guaranteed),
+        // which is exactly GraphX connectedComponents' semantics and
+        // the dense union-find's output (parity asserted in
+        // GraphXEnrichSpec with a forced-low gate).
+        val shuffleP = spark.sessionState.conf.numShufflePartitions
+        val oneWay = g.edges.select(
+          xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"))
+        val serLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        val edgesBoth = oneWay
+          .union(oneWay.select(col("d").as("s"), col("s").as("d")))
+          .toDF("src", "dst")
+          .repartition(edgeParts(spark.sparkContext, 2L * g.edges.count()),
+            col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edgesBoth.count() // materialize before the rounds
+        val ccDebug = sys.env.contains("GRAFT_SP_DEBUG")
+        // round 1: every vertex's initial label is itself, so the offer
+        // set is the edge table re-keyed — and every endpoint appears as
+        // a dst (both directions present), so this one aggregate also
+        // enumerates the vertex set: no separate 2|E| distinct
+        val cand1 = edgesBoth
+          .select(col("dst").as("vid"), col("src").as("m"))
+          .repartition(shuffleP, col("vid"))
+          .groupBy("vid").agg(min("m").as("m"))
+        var state = org.apache.spark.sql.GraftColumnBridge
+          .checkpointKeepingPartitioning(
+            cand1.select(col("vid"),
+              least(col("vid"), col("m")).as("lbl"),
+              (col("m") < col("vid")).as("ch")),
+            serLevel, capStatsBytes = Some(1L << 40))
+        var frontier = state.filter(col("ch")).select("vid", "lbl")
+        var live = !frontier.isEmpty
+        var r = 1
+        while (live) {
+          val t0 = System.nanoTime()
+          val offers = edgesBoth
+            .join(frontier.withColumnRenamed("vid", "src")
+              .hint("shuffle_hash"), "src")
+            .select(col("dst").as("vid"), col("lbl").as("m"))
+          val cand = offers.repartition(shuffleP, col("vid"))
+            .groupBy("vid").agg(min("m").as("m"))
+          val prev = state
+          state = org.apache.spark.sql.GraftColumnBridge
+            .checkpointKeepingPartitioning(
+              prev.select("vid", "lbl")
+                .join(cand.hint("shuffle_hash"), Seq("vid"), "left")
+                .select(col("vid"),
+                  least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"),
+                  (col("m") < col("lbl")).as("ch")),
+              serLevel, capStatsBytes = Some(1L << 40))
+          frontier = state.filter(col("ch")).select("vid", "lbl")
+          live = !frontier.isEmpty
+          // the new state is eagerly materialized, so the previous
+          // round's checkpoint blocks are dead — release them inline
+          // rather than letting rounds accumulate |V|-sized blocks
+          org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(prev)
+          if (ccDebug) System.err.println(
+            f"[cc] round $r changed=${frontier.count()} " +
+              f"wall=${(System.nanoTime() - t0) / 1e9}%.2f")
+          r += 1
+        }
+        edgesBoth.unpersist(blocking = false)
+        state.select(col("vid"), col("lbl").as("component_vid"))
     }
     val vm = vertexMap(g)
     val withIds = cc.join(vm, "vid")
