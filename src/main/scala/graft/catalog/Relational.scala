@@ -1280,21 +1280,38 @@ object Relational {
   // min-equality join key is bit-identical across engines.
   private def sqlMinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Views.register(spark, dir)
-    spark.sql(
-      """WITH supply AS (
-        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-        |    min(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000
-        |        DIV CAST(l_quantity AS BIGINT)) AS unit_millicents
-        |  FROM lineitem GROUP BY 1, 2)
-        |SELECT p_partkey, p_name, s_name, s_acctbal, sp.unit_millicents
-        |FROM part
-        |JOIN supply sp ON p_partkey = sp.partkey
-        |JOIN supplier ON s_suppkey = sp.suppkey
-        |WHERE p_size <= 5
-        |  AND sp.unit_millicents = (
-        |    SELECT min(unit_millicents) FROM supply s2
-        |    WHERE s2.partkey = sp.partkey)
-        |ORDER BY s_acctbal DESC, p_partkey, s_name""".stripMargin)
+    // r15 restructure of the r14 SQL text (same rows, oracle-checked).
+    // Two wins over letting Catalyst decorrelate the scalar subquery:
+    //  1. The correlated min is PER PARTKEY and the entry only reads
+    //     partkeys with p_size <= 5, so the part filter is a broadcast
+    //     semi-join pruning lineitem BEFORE the supply aggregation
+    //     (guide §3.2: shrink the big side before it shuffles) — the
+    //     subquery form aggregated ALL of lineitem first.
+    //  2. The supply table fed both the result rows and the per-part
+    //     min; Catalyst inlines the CTE into two full lineitem
+    //     aggregations. Materializing the (now part-pruned,
+    //     partsupp-cardinality) table runs the heavy scan once.
+    val smallPart = spark.table("part").filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_name"))
+    val supply = spark.table("lineitem")
+      .join(broadcast(smallPart.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+      .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * 1000" +
+        " DIV CAST(l_quantity AS BIGINT)")).as("unit_millicents"))
+      .localCheckpoint(true)
+    val best = supply.groupBy("partkey")
+      .agg(min("unit_millicents").as("mn"))
+      .withColumnRenamed("partkey", "best_partkey")
+    supply
+      .join(broadcast(best),
+        col("partkey") === col("best_partkey") &&
+          col("unit_millicents") === col("mn"))
+      .join(broadcast(smallPart), col("p_partkey") === supply("partkey"))
+      .join(spark.table("supplier"), col("s_suppkey") === col("suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("s_acctbal"), col("unit_millicents"))
+      .orderBy(desc("s_acctbal"), asc("p_partkey"), asc("s_name"))
   }
 
   // TPC-H Q21 analogue (no commit/receipt dates: "late" = shipped more

@@ -128,6 +128,111 @@ object GraphXAnalytics {
     Graph.fromEdges(edgeRdd, ())
   }
 
+  /** One frontier-sparse HashMin phase over a SYMMETRIC long edge table
+    * already hash-partitioned (src, W) and persisted. Returns
+    * (state, converged) with state = (vid, lbl) pinned at (vid, W),
+    * covering every edge endpoint; lbl = min vid reachable within
+    * `maxRounds` hops (maxRounds <= 0: run to fixpoint, lbl = exact
+    * component min). The seed counts as round 1: the table is
+    * symmetric, so min-over-in-srcs grouped by dst equals
+    * min-over-neighbors grouped by src — a groupBy on the edge table's
+    * OWN partition key, zero exchange, which also enumerates the vertex
+    * set for free. Each later round: probe the edges with only the
+    * vertices whose label improved (co-partitioned shuffled-hash join,
+    * build = frontier), exchange the offers by target — the single
+    * per-round shuffle — take the plain long min, and fold into the
+    * state with a co-partitioned left join. State checkpoints keep the
+    * (vid, W) layout; the previous round's blocks are released inline. */
+  private def hashMinPhase(spark: SparkSession, edgesSym: DataFrame, W: Int,
+                           maxRounds: Int, tag: String,
+                           debug: Boolean): (DataFrame, Boolean) = {
+    val serLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val cand1 = edgesSym.groupBy("src").agg(min("dst").as("m"))
+      .withColumnRenamed("src", "vid")
+    var state = org.apache.spark.sql.GraftColumnBridge
+      .checkpointKeepingPartitioning(
+        cand1.select(col("vid"),
+          least(col("vid"), col("m")).as("lbl"),
+          (col("m") < col("vid")).as("ch")),
+        serLevel, capStatsBytes = Some(1L << 40))
+    var frontier = state.filter(col("ch")).select("vid", "lbl")
+    var live = !frontier.isEmpty
+    var r = 1
+    while (live && (maxRounds <= 0 || r < maxRounds)) {
+      val t0 = System.nanoTime()
+      val offers = edgesSym
+        .join(frontier.withColumnRenamed("vid", "src")
+          .hint("shuffle_hash"), "src")
+        .select(col("dst").as("vid"), col("lbl").as("m"))
+      val cand = offers.repartition(W, col("vid"))
+        .groupBy("vid").agg(min("m").as("m"))
+      val prev = state
+      state = org.apache.spark.sql.GraftColumnBridge
+        .checkpointKeepingPartitioning(
+          prev.select("vid", "lbl")
+            .join(cand.hint("shuffle_hash"), Seq("vid"), "left")
+            .select(col("vid"),
+              least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"),
+              (col("m") < col("lbl")).as("ch")),
+          serLevel, capStatsBytes = Some(1L << 40))
+      frontier = state.filter(col("ch")).select("vid", "lbl")
+      live = !frontier.isEmpty
+      org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(prev)
+      if (debug) System.err.println(
+        f"[$tag] round ${r + 1} changed=${frontier.count()} " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f")
+      r += 1
+    }
+    (state.select("vid", "lbl"), !live)
+  }
+
+  /** Exact min-vid component labels for a SYMMETRIC long edge table
+    * pinned (src, W) and persisted: run a short HashMin phase, and if it
+    * has not converged, CONTRACT — relabel both endpoints with the
+    * current state (the src leg co-partitioned, the dst leg paying the
+    * one edge-mass re-key), drop intra-label edges, dedup — and recurse
+    * on the quotient. Label groups are connected by the HashMin
+    * invariant, so the quotient preserves components exactly, and its
+    * vertices ARE labels (= vids), so the recursion's min-vid answers
+    * compose by a single (label → component) map join — broadcast when
+    * the quotient is small, shuffled otherwise. Phases are capped at
+    * seed + 1 propagate round: on hub graphs one wave shrinks the
+    * quotient by orders of magnitude, so spending more full-edge-mass
+    * rounds before contracting is never worth it; depth ≥ 3 runs to
+    * fixpoint instead (termination guarantee for adversarial chains). */
+  private def ccSolve(spark: SparkSession, edgesSym: DataFrame, W: Int,
+                      depth: Int, debug: Boolean): DataFrame = {
+    val (s, conv) = hashMinPhase(spark, edgesSym, W,
+      maxRounds = if (depth < 3) 2 else 0, tag = s"cc$depth", debug = debug)
+    if (conv) s
+    else {
+      val t0 = System.nanoTime()
+      val bySrc = edgesSym
+        .join(s.withColumnRenamed("vid", "src").hint("shuffle_hash"), "src")
+        .select(col("dst"), col("lbl").as("la"))
+      val qEdges = bySrc.repartition(W, col("dst"))
+        .join(s.withColumnRenamed("vid", "dst").hint("shuffle_hash"), "dst")
+        .filter(col("la") =!= col("lbl"))
+        .select(col("la").as("src"), col("lbl").as("dst"))
+        .distinct() // symmetric by construction (edgesSym is)
+        .repartition(W, col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qEdgeCount = qEdges.count()
+      if (debug) System.err.println(
+        f"[cc$depth] contract qEdges=$qEdgeCount " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f")
+      val solved = ccSolve(spark, qEdges, W, depth + 1, debug)
+      val qMap = solved.select(col("vid").as("lbl"), col("lbl").as("q"))
+      // labels with no cross-label edge never enter the quotient and
+      // keep themselves (left join + coalesce)
+      val mapSide = if (qEdgeCount <= 2000000L) broadcast(qMap) else qMap
+      val composed = s.join(mapSide, Seq("lbl"), "left")
+        .select(col("vid"), coalesce(col("q"), col("lbl")).as("lbl"))
+      qEdges.unpersist(blocking = false)
+      composed
+    }
+  }
+
   /** Weakly connected components → (id, component) with the component
     * labeled by its lowest member id string (deterministic).
     *
@@ -169,92 +274,49 @@ object GraphXAnalytics {
         while (i < vids.length) { out(i) = (vids(i), vids(find(i))); i += 1 }
         spark.createDataFrame(out.toSeq).toDF("vid", "component_vid")
       case None =>
-        // Frontier-sparse HashMin in DataFrames (r15). The GraphX Pregel
-        // leg this replaces paid the same per-round O(|E|) replicated-
-        // vertex-view re-materialization the shortest-paths rewrite
-        // retired in r14 (sf10: CC 106 s min / 464 s cold vs the BFS
-        // leg's 38.6 s on the identical 60M-edge graph). Same playbook:
-        //   * one persisted columnar both-ways edge table hash-laid-out
-        //     by src (mass-derived width), probed per round by a
-        //     frontier-sized shuffled-hash join — only offers move;
-        //   * labels are hashed-long vids, so the per-offer min is a
-        //     plain long min — HashAggregate with map-side partial
-        //     combine, no SortAggregate anywhere;
-        //   * per-round state pinned to ONE (vid, shuffleP) hash layout
-        //     via checkpointKeepingPartitioning; the state-update join
-        //     (left outer, build = this round's candidates) is
-        //     co-partitioned on both sides, so no |V|-scale re-exchange
-        //     exists after round 1's unavoidable full edge pass.
-        // Unlike BFS, a label can improve many times, so state is a
-        // live |V|-row table rather than append-only layers; the
-        // frontier invariant is CC's analogue of the settled-layer
-        // property: a vertex propagates ONLY in rounds where its label
-        // strictly improved (round 1 seeds every vertex by construction
-        // — offers degenerate to a projection of the edge table, no
-        // join and no |V| distinct). Runs to fixpoint (labels strictly
-        // decrease in a finite set, so termination is guaranteed),
-        // which is exactly GraphX connectedComponents' semantics and
-        // the dense union-find's output (parity asserted in
-        // GraphXEnrichSpec with a forced-low gate).
-        val shuffleP = spark.sessionState.conf.numShufflePartitions
-        val oneWay = g.edges.select(
-          xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"))
-        val serLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-        val edgesBoth = oneWay
-          .union(oneWay.select(col("d").as("s"), col("s").as("d")))
-          .toDF("src", "dst")
-          .repartition(edgeParts(spark.sparkContext, 2L * g.edges.count()),
-            col("src"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        edgesBoth.count() // materialize before the rounds
+        // Two-level frontier-sparse HashMin in DataFrames (r15). The
+        // GraphX Pregel leg this replaces paid a per-round O(|E|)
+        // replicated-vertex-view re-materialization (sf10: 106 s min /
+        // 464 s cold). A first single-level HashMin cut per-round fixed
+        // costs but kept Pregel's message volume — on this hub graph
+        // the min label floods in waves, so vertices relabel ~2.6×
+        // each and rounds 3-7 still scanned the full edge table
+        // (sf10 probe: 77 s of rounds + 50 s edge build/seed = parity
+        // with Pregel). This version attacks the total offer MASS:
+        //   * ONE unified (key, shuffleP) hash layout for edges AND
+        //     state. The edge table is symmetric (both directions), so
+        //     the seed round — min over neighbors — is a groupBy on the
+        //     edge table's own partition key: zero exchange, and every
+        //     later frontier⋈edges probe is co-partitioned too. The
+        //     only per-round exchange is the offers-by-target one that
+        //     IS the message movement.
+        //   * after the seed + 1 propagate round (labels = 2-hop-ball
+        //     minima), CONTRACT and RECURSE on the label quotient
+        //     (ccSolve): the late flooding waves never touch the full
+        //     edge set again — each level's graph is orders of
+        //     magnitude smaller (sf10 measured: 184M half-edges →
+        //     quotient of ~10³).
+        //   * labels are hashed-long vids: every min is a plain long
+        //     min (HashAggregate with partial combine, no sorts).
+        // Correctness: parity with the dense union-find is asserted in
+        // GraphXEnrichSpec (forced-low gate), incl. a multi-wave path
+        // graph that exercises the contraction.
+        val W = spark.sessionState.conf.numShufflePartitions
         val ccDebug = sys.env.contains("GRAFT_SP_DEBUG")
-        // round 1: every vertex's initial label is itself, so the offer
-        // set is the edge table re-keyed — and every endpoint appears as
-        // a dst (both directions present), so this one aggregate also
-        // enumerates the vertex set: no separate 2|E| distinct
-        val cand1 = edgesBoth
-          .select(col("dst").as("vid"), col("src").as("m"))
-          .repartition(shuffleP, col("vid"))
-          .groupBy("vid").agg(min("m").as("m"))
-        var state = org.apache.spark.sql.GraftColumnBridge
-          .checkpointKeepingPartitioning(
-            cand1.select(col("vid"),
-              least(col("vid"), col("m")).as("lbl"),
-              (col("m") < col("vid")).as("ch")),
-            serLevel, capStatsBytes = Some(1L << 40))
-        var frontier = state.filter(col("ch")).select("vid", "lbl")
-        var live = !frontier.isEmpty
-        var r = 1
-        while (live) {
-          val t0 = System.nanoTime()
-          val offers = edgesBoth
-            .join(frontier.withColumnRenamed("vid", "src")
-              .hint("shuffle_hash"), "src")
-            .select(col("dst").as("vid"), col("lbl").as("m"))
-          val cand = offers.repartition(shuffleP, col("vid"))
-            .groupBy("vid").agg(min("m").as("m"))
-          val prev = state
-          state = org.apache.spark.sql.GraftColumnBridge
-            .checkpointKeepingPartitioning(
-              prev.select("vid", "lbl")
-                .join(cand.hint("shuffle_hash"), Seq("vid"), "left")
-                .select(col("vid"),
-                  least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"),
-                  (col("m") < col("lbl")).as("ch")),
-              serLevel, capStatsBytes = Some(1L << 40))
-          frontier = state.filter(col("ch")).select("vid", "lbl")
-          live = !frontier.isEmpty
-          // the new state is eagerly materialized, so the previous
-          // round's checkpoint blocks are dead — release them inline
-          // rather than letting rounds accumulate |V|-sized blocks
-          org.apache.spark.sql.GraftColumnBridge.releaseCheckpoint(prev)
-          if (ccDebug) System.err.println(
-            f"[cc] round $r changed=${frontier.count()} " +
-              f"wall=${(System.nanoTime() - t0) / 1e9}%.2f")
-          r += 1
-        }
-        edgesBoth.unpersist(blocking = false)
-        state.select(col("vid"), col("lbl").as("component_vid"))
+        // one memo scan: explode both directions instead of a 2-scan
+        // union (the probe priced the build at 30 s of the 113 s entry)
+        val edgesSym = g.edges
+          .select(xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"))
+          .select(explode(array(
+            struct(col("s").as("src"), col("d").as("dst")),
+            struct(col("d").as("src"), col("s").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .repartition(W, col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edgesSym.count() // materialize before the rounds
+        val labels = ccSolve(spark, edgesSym, W, depth = 0, debug = ccDebug)
+        edgesSym.unpersist(blocking = false)
+        labels.select(col("vid"), col("lbl").as("component_vid"))
     }
     val vm = vertexMap(g)
     val withIds = cc.join(vm, "vid")

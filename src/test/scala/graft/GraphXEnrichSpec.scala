@@ -43,6 +43,26 @@ class GraphXEnrichSpec extends SparkSpec {
     assert(dense.toMap.apply("c") === "a" && dense.toMap.apply("y") === "x")
   }
 
+  test("distributed CC contraction leg matches union-find on a multi-wave graph") {
+    // a 60-node path floods its min label one hop per round, so the
+    // 3-round first phase CANNOT converge and the contraction + quotient
+    // fixpoint leg must run; the separate triangle converges in phase 1
+    // and exercises the labels-absent-from-the-quotient compose branch
+    val pathEdges = (0 until 59).map(i => (s"p%02d".format(i), "p%02d".format(i + 1), 1.0))
+    val triEdges = Seq(("ta", "tb", 1.0), ("tb", "tc", 1.0), ("tc", "ta", 1.0))
+    val pairs = (pathEdges ++ triEdges).toDF("src", "dst", "cos")
+    val verts = ((0 until 60).map(i => "p%02d".format(i)) ++ Seq("ta", "tb", "tc"))
+      .toDF("id").withColumn("label", lit("D")).withColumn("dvid", lit(1))
+    val g = PropertyGraph(verts, pairs)
+    val dense = GraphXAnalytics.connectedComponents(spark, g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    val dist = GraphXAnalytics.connectedComponents(spark, g, seqMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(dense === dist)
+    val m = dense.toMap
+    assert(m("p59") === "p00" && m("tc") === "ta")
+  }
+
   test("union-find fast path matches the GraphX path exactly") {
     val g = GraphBuilder.fromTpch(spark, sfDir)
     val seq = GraphXAnalytics.connectedComponents(spark, g).collect()
