@@ -1029,8 +1029,15 @@ object Relational {
 
   private def sqlGraph2Hop(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Views.register(spark, dir)
+    // SHUFFLE_HASH(p): the auto plan broadcasts the type-filtered edge
+    // leg (~600k rows at sf0.1, growing linearly with SF) — a broadcast
+    // build that large is slower here (measured 1.8x) and impossible at
+    // cluster scale (8 GB relation cap). Build the per-partition hash
+    // from the smaller PURCHASED side instead (guide §3.1). Hint only —
+    // same rows, and the oracle SQL carries no hint.
     spark.sql(
-      """SELECT p.src AS customer, c.dst AS product, count(*) AS n_paths
+      """SELECT /*+ SHUFFLE_HASH(p) */
+        |       p.src AS customer, c.dst AS product, count(*) AS n_paths
         |FROM graph_edges p JOIN graph_edges c ON p.dst = c.src
         |WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
         |GROUP BY p.src, c.dst ORDER BY customer, product""".stripMargin)
