@@ -71,10 +71,18 @@ object GraphBuilder {
       // job's straggler tail otherwise leaves most cores idle while
       // the node job waits its turn (measured at sf0.1: serial 2.5-3.6 s,
       // concurrent 1.7-2.1 s for the same materialization)
-      val nodeJob = new Thread(() => { nodes.count(); () })
+      // propagate a node-job failure instead of swallowing it (r14
+      // ADVICE): join() returns normally after an exception, which
+      // would defer the failure to the first consumer's scan; and if
+      // edges.count() throws, the node thread must still be joined so
+      // no half-built memo thread outlives this call
+      @volatile var nodeErr: Throwable = null
+      val nodeJob = new Thread(() => {
+        try { nodes.count(); () } catch { case t: Throwable => nodeErr = t }
+      })
       nodeJob.start()
-      edges.count()
-      nodeJob.join()
+      try edges.count() finally nodeJob.join()
+      if (nodeErr != null) throw nodeErr
       PropertyGraph(nodes, edges, cacheToken = Some(s"tpch:$dir"))
     }
 
