@@ -53,6 +53,14 @@ object GraftColumnBridge {
       case _ => None
     }
 
+  /** Drain the async listener bus so `QueryExecutionListener` events
+    * posted by construction-time actions (localCheckpoint, count, save)
+    * are all delivered before a test asserts on them. `listenerBus` is
+    * `private[spark]`, hence this bridge seam (the plan-contract sweep
+    * is its only consumer). */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** localCheckpoint whose LogicalRDD reports CLAMPED size statistics
     * instead of the origin plan's estimate. An iterative algorithm that
     * checkpoints each round otherwise compounds the size-only stats

@@ -85,11 +85,65 @@ class CatalogPlanContractSpec extends SparkSpec {
     // contains a BNLJ node.
     "sim_pq_adc_topk" -> "queries crossJoin the m*k-row PQ codebook (ADC lookup tables)")
 
+  /** Entries allowed a BroadcastNestedLoopJoin in a CONSTRUCTION-TIME
+    * job (a plan a checkpoint/count/save materializes while the entry
+    * function runs — invisible in the returned plan the main sweep
+    * audits; r14 ADVICE blind spot). Same bounded-build-side discipline
+    * as `bnljRegistered`, verified against the source. Attribution is
+    * by sweep position: a memoized build (trainingSetCached, KNN store)
+    * bills its plans to the FIRST entry that constructs it, which the
+    * catalog's insertion order makes stable. */
+  private val bnljConstructionRegistered: Map[String, String] = Map(
+    "sim_recall_eval" -> ("the panel×corpus exact-recall truth scan: ONE " +
+      "deliberate BNLJ against the 1024-row broadcast probe panel, " +
+      "materialized once behind the entry's checkpoint (r14)"),
+    "m0_training_corpus" -> ("trainingSetCached's negative sampling: the " +
+      "%cStep/%pStep-thinned customer×product candidate cross join " +
+      "(j4's registered shape) materialized under the shared memo"),
+    "m12_adamw_loop" -> ("TowerNet minibatch epochs re-derive per-epoch " +
+      "score frames against 1-row scalar frames (lr/step constants)"),
+    "m13_minibatch_stream" -> ("TowerNet minibatch step: scores crossJoin " +
+      "1-row scalar frames (lr/step constants), read via head"),
+    "d13_semantic_dedup" -> ("embedding cell assignment: corpus crossJoin " +
+      "the broadcast nlist-row centroid table (TextSim kmeans shape)"),
+    "g3_node2vec_embeddings" -> ("walk starts: adjacency crossJoin the " +
+      "broadcast numWalks-row range (Node2Vec.walks)"),
+    "rec_q0_candidate_stage" -> ("candidate generation: the queried " +
+      "customer slice crossJoins the broadcast product-id/normalizer " +
+      "frames (Recommend.candidates, slice-bounded)"),
+    "sim_ann0_ivf_index" -> ("IVF index build (artifact save): vectors " +
+      "crossJoin the broadcast nlist-row centroid table for cell " +
+      "assignment"),
+    "sim_ivf_compaction" -> ("IVF compaction rebuild: same nlist-row " +
+      "centroid crossJoin as the index build, under the staging " +
+      "checkpoints"))
+
   test("all-catalog sweep: no cartesian, no unregistered SMJ/BNLJ in any executed plan") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val sawSmj = scala.collection.mutable.Set.empty[String]
     val sawBnlj = scala.collection.mutable.Set.empty[String]
+    val sawCtorBnlj = scala.collection.mutable.Set.empty[String]
     var swept = 0
+    // construction-time plans (r15, ADVICE item): every Dataset action an
+    // entry runs while BUILDING its result — localCheckpoint'd subtrees,
+    // eager memo counts, artifact saves — fires QueryExecutionListener
+    // with the full pre-checkpoint QueryExecution (Dataset.withAction
+    // wraps checkpoint/count/save). Collecting those extends the
+    // no-cartesian / no-unregistered-BNLJ contract into exactly the
+    // subtrees the eager checkpoints truncate out of the returned plan.
+    val ctorPlans = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        // "collect" is the sweep's own action on the returned plan,
+        // audited below with the returned-plan registries
+        if (funcName != "collect")
+          ctorPlans.add((funcName,
+            qe.executedPlan.toString.split("== Initial Plan ==")(0)))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -97,6 +151,23 @@ class CatalogPlanContractSpec extends SparkSpec {
         val plan = df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==")(0)
         swept += 1
+        // drain this entry's construction-time plans (flush the async
+        // bus first so attribution by position is exact)
+        org.apache.spark.sql.GraftColumnBridge.flushListenerBus(spark)
+        var ev = ctorPlans.poll()
+        while (ev != null) {
+          val (func, cplan) = ev
+          if (cplan.contains("CartesianProduct"))
+            failures += s"$name: CartesianProduct in a construction-time plan ($func)"
+          if (cplan.contains("BroadcastNestedLoopJoin")) {
+            sawCtorBnlj += name
+            if (!bnljConstructionRegistered.contains(name))
+              failures += (s"$name: unregistered BroadcastNestedLoopJoin in a " +
+                s"construction-time plan ($func) — register the bounded build " +
+                "side or fix the join")
+          }
+          ev = ctorPlans.poll()
+        }
         if (plan.contains("CartesianProduct"))
           failures += s"$name: CartesianProduct in the final plan"
         if (plan.contains("SortMergeJoin")) {
@@ -117,13 +188,17 @@ class CatalogPlanContractSpec extends SparkSpec {
           String.valueOf(e.getMessage).take(200)
       }
     }
+    spark.listenerManager.unregister(listener)
     assert(swept == SparkEntry.queries.size, s"swept only $swept entries")
     // two-way exactness: a registered exception that no longer fires is
     // registry rot — remove it (or the plan regressed elsewhere)
     val staleSmj = smjRegistered.keySet -- sawSmj
     val staleBnlj = bnljRegistered.keySet -- sawBnlj
+    val staleCtorBnlj = bnljConstructionRegistered.keySet -- sawCtorBnlj
     assert(staleSmj.isEmpty, s"registered SMJ exceptions that never fired: $staleSmj")
     assert(staleBnlj.isEmpty, s"registered BNLJ exceptions that never fired: $staleBnlj")
+    assert(staleCtorBnlj.isEmpty,
+      s"registered construction-time BNLJ exceptions that never fired: $staleCtorBnlj")
     assert(failures.isEmpty,
       s"${failures.size} contract violations:\n${failures.mkString("\n")}")
   }
