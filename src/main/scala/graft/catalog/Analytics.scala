@@ -67,7 +67,13 @@ object Analytics {
   // over the degree *histogram* (|distinct degrees| rows) and joined back,
   // instead of a single-partition global window over every node.
   private def a4DegreePercentile(spark: SparkSession, dir: String): DataFrame = {
+    // the degree table feeds THREE plan legs — the histogram, the
+    // total readout at construction, and the join-back — and
+    // un-materialized each leg re-ran the 2|E| union + groupBy over
+    // the edge memo (guide §2.4 duplicate subtrees). |V|-cardinality
+    // (id, degree) — checkpoint-priced like the other stage memos.
     val deg = DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges)
+      .localCheckpoint(true)
     val hist = deg.groupBy("degree").agg(count(lit(1)).as("n"))
     val w = ColFns.boundedGlobal(col("degree"))(col("degree"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -85,7 +91,9 @@ object Analytics {
   // (degree_analysis.py:38-41; SURVEY §7.4 percentile trap). Computed
   // over the degree histogram (scale-safe), like a4.
   private def a4bPercentileOfScore(spark: SparkSession, dir: String): DataFrame = {
+    // same three-leg consumption as a4 — one checkpointed degree table
     val deg = DegreeFeatures.degrees(GraphBuilder.fromTpch(spark, dir).edges)
+      .localCheckpoint(true)
     val hist = deg.groupBy("degree").agg(count(lit(1)).as("n"))
     val wLt = ColFns.boundedGlobal(col("degree"))(col("degree"))
       .rowsBetween(Window.unboundedPreceding, -1)
