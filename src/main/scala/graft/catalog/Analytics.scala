@@ -563,21 +563,42 @@ object Analytics {
     val part = Tables.part(spark, dir)
     val cust = Tables.customer(spark, dir)
     val ev = Tables.events(spark, dir)
-    val o = orders.agg(count(lit(1)).as("n"),
-      countDistinct(col("o_orderkey")).as("d")).head()
-    val p = part.agg(count(lit(1)).as("n"),
-      sum(when(col("p_size").between(1, 50), 0L).otherwise(1L)).as("v")).head()
-    val e = ev.agg(count(lit(1)).as("n"),
-      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v")).head()
-    val c = cust.agg(count(lit(1)).as("n"),
-      sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("v")).head()
-    val liN = li.count()
-    val fkOrders = li.select(col("l_orderkey"))
+    // the seven constraint actions are INDEPENDENT jobs on different
+    // tables; submitted sequentially each paid its own scheduling +
+    // straggler tail while the rest of the host idled. Submit them
+    // from a small pool so later jobs back-fill the earlier jobs'
+    // tails (guide §2.6 overlap independent jobs — the graph-memo
+    // build's pattern); wall becomes ~max(job) instead of the sum.
+    // Futures only carry Rows/Longs back; any task failure rethrows
+    // at the Await below.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+    val oF = Future { orders.agg(count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("d")).head() }
+    val pF = Future { part.agg(count(lit(1)).as("n"),
+      sum(when(col("p_size").between(1, 50), 0L).otherwise(1L)).as("v")).head() }
+    val eF = Future { ev.agg(count(lit(1)).as("n"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v")).head() }
+    val cF = Future { cust.agg(count(lit(1)).as("n"),
+      sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("v")).head() }
+    val liNF = Future { li.count() }
+    val fkOrdersF = Future { li.select(col("l_orderkey"))
       .join(orders.select(col("o_orderkey").as("l_orderkey")),
-        Seq("l_orderkey"), "left_anti").count()
-    val fkPart = li.select(col("l_partkey"))
+        Seq("l_orderkey"), "left_anti").count() }
+    val fkPartF = Future { li.select(col("l_partkey"))
       .join(part.select(col("p_partkey").as("l_partkey")),
-        Seq("l_partkey"), "left_anti").count()
+        Seq("l_partkey"), "left_anti").count() }
+    val o = Await.result(oF, Duration.Inf)
+    val p = Await.result(pF, Duration.Inf)
+    val e = Await.result(eF, Duration.Inf)
+    val c = Await.result(cF, Duration.Inf)
+    val liN = Await.result(liNF, Duration.Inf)
+    val fkOrders = Await.result(fkOrdersF, Duration.Inf)
+    val fkPart = Await.result(fkPartF, Duration.Inf)
     Seq(
       ("orders_pk_unique", o.getLong(0), o.getLong(0) - o.getLong(1)),
       ("lineitem_fk_orders", liN, fkOrders),
@@ -587,6 +608,7 @@ object Analytics {
       ("customer_acctbal_nonneg", c.getLong(0), c.getLong(1)))
       .toDF("rule", "checked", "violations")
       .orderBy("rule")
+    } finally pool.shutdown()
   }
 
   // A27: feature correlation — the EDA pass a feature-engineering
