@@ -194,11 +194,16 @@ class CatalogPlanContractSpec extends SparkSpec {
     // registry rot — remove it (or the plan regressed elsewhere)
     val staleSmj = smjRegistered.keySet -- sawSmj
     val staleBnlj = bnljRegistered.keySet -- sawBnlj
-    val staleCtorBnlj = bnljConstructionRegistered.keySet -- sawCtorBnlj
     assert(staleSmj.isEmpty, s"registered SMJ exceptions that never fired: $staleSmj")
     assert(staleBnlj.isEmpty, s"registered BNLJ exceptions that never fired: $staleBnlj")
-    assert(staleCtorBnlj.isEmpty,
-      s"registered construction-time BNLJ exceptions that never fired: $staleCtorBnlj")
+    // NO two-way staleness assert for the construction registry: most
+    // of those builds are app-lifetime memos (trainingSetCached, the
+    // IVF store, kmeans centroids), so whether the sweep sees them
+    // construct depends on which suites ran earlier in the same
+    // session — the set fires fully when this spec runs alone and
+    // partially under the full suite. The protective direction
+    // (unregistered construction-time BNLJ/cartesian → fail) stays
+    // exact either way.
     assert(failures.isEmpty,
       s"${failures.size} contract violations:\n${failures.mkString("\n")}")
   }
